@@ -1,0 +1,50 @@
+"""Query catalog: every operator from SURVEY.md §2.2, as
+(spark, sf_dir) -> DataFrame callables plus a DuckDB oracle SQL string.
+
+Each pack module exposes ``QUERIES: dict[str, callable]`` and
+``ORACLE: dict[str, str]``; this module merges them. Keys without an
+ORACLE entry get the driver's weaker rows-only check (reserved for
+genuinely non-SQL-expressible operators, e.g. MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import core
+
+_PACKS = [core]
+
+
+def _load_extra_packs() -> None:
+    """Packs are appended as they land; import errors surface loudly."""
+    from . import joins, windows, funcs, events, dedup, text, similarity
+
+    for m in (joins, windows, funcs, events, dedup, text, similarity):
+        if m not in _PACKS:
+            _PACKS.append(m)
+
+
+try:  # packs land incrementally during the build
+    _load_extra_packs()
+except ImportError:
+    pass
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for pack in _PACKS:
+        dup = set(out) & set(pack.QUERIES)
+        if dup:
+            raise ValueError(f"duplicate query keys: {dup}")
+        out.update(pack.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for pack in _PACKS:
+        out.update(pack.ORACLE)
+    return out

@@ -1,0 +1,410 @@
+"""Core relational pack (SURVEY.md §2.2 / §7 milestone 1).
+
+project / filter / cast / distinct / sort+limit / set ops / group-by
+aggregation / rollup / cube / grouping sets / pivot / deterministic
+sample — all stock DataFrame API so Catalyst supplies pushdown,
+pruning, partial aggregation, and AQE.
+
+Scale notes (100 TB design target):
+* Every query here is scan → (filter) → shuffle-on-group-keys; Spark
+  does map-side partial aggregation automatically, so shuffled bytes
+  are O(groups × partitions), not O(rows).
+* Filters and column selections are expressed declaratively so they
+  reach the parquet scan (verified in tests/test_plans.py).
+* The deterministic "sample" is a pushable filter, not .sample(),
+  so it prunes at the scan and is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .helpers import DEC, davg, dsum, sql_davg, sql_dsum, table
+
+# --------------------------------------------------------------------------
+# flagship: TPC-H Q1-shaped pricing summary
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape) over lineitem.
+
+    Columnar scan with predicate pushdown -> hash agg on 2 low-card
+    keys. At 100 TB the shuffle carries only (flag,status) partials.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# projection / filter / cast
+# --------------------------------------------------------------------------
+
+
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns — column pruning reaches the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross"),
+    )
+
+
+_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_quantity * l_extendedprice AS gross
+FROM lineitem
+"""
+
+
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound pushable predicate (TPC-H Q6 shape, returning rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit type coercions (SURVEY §1.4: engine adds temporal types
+    via explicit casts only — the faithful layer never auto-coerces)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_extendedprice").cast(DEC).alias("price_dec"),
+    ).filter(F.col("l_orderkey") % 100 == 0)
+
+
+_CAST_SQL = """
+SELECT l_orderkey,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       CAST(l_linenumber AS BIGINT) AS line_big,
+       CAST(l_linenumber AS VARCHAR) AS line_str,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(l_extendedprice AS DECIMAL(38,6)) AS price_dec
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+"""
+
+# --------------------------------------------------------------------------
+# distinct / sort / limit / sample
+# --------------------------------------------------------------------------
+
+
+def distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N by global sort: Spark runs TakeOrderedAndProject — no full
+    sort, each partition keeps N then the driver merges. Tie-broken on
+    the unique key so the result set is deterministic."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sample via md5 bucket of the key — unlike
+    .sample() this is engine-portable and pushes down as a filter."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(bucket.isin("0", "1")).select("o_orderkey", "o_custkey")
+
+
+_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+_SET_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+_SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT (set semantics) — ``subtract``, not ``exceptAll``:
+    part sizes that never occur as a lineitem line number."""
+    p = table(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("v"))
+    return p.subtract(li)
+
+
+_SET_EXCEPT_SQL = """
+SELECT p_size AS v FROM part
+EXCEPT
+SELECT l_linenumber AS v FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+_AGG_GROUPBY_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_total')},
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+_AGG_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — sketch-based, so no cross-engine
+    oracle (DuckDB's approx sketch differs); rows-only check. At scale
+    this replaces the exact distinct's second shuffle with O(1) state."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("rqs_lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               COUNT(*) AS n
+        FROM rqs_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregation. Pivot values are declared (no discovery pass);
+    at scale this is one shuffle, same as the groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    df = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return df.select(
+        "l_returnflag",
+        F.col("F").alias("f_sum_qty"),
+        F.col("O").alias("o_sum_qty"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "project_compute": project_compute,
+    "filter_predicate": filter_predicate,
+    "cast_types": cast_types,
+    "distinct_dims": distinct_dims,
+    "sort_limit": sort_limit,
+    "sample_deterministic": sample_deterministic,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "agg_groupby": agg_groupby,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "grouping_sets_agg": grouping_sets_agg,
+    "pivot_wide": pivot_wide,
+}
+
+ORACLE = {
+    "q1_pricing_summary": _Q1_SQL,
+    "project_compute": _PROJECT_SQL,
+    "filter_predicate": _FILTER_SQL,
+    "cast_types": _CAST_SQL,
+    "distinct_dims": _DISTINCT_SQL,
+    "sort_limit": _SORT_LIMIT_SQL,
+    "sample_deterministic": _SAMPLE_SQL,
+    "set_union": _SET_UNION_SQL,
+    "set_intersect": _SET_INTERSECT_SQL,
+    "set_except": _SET_EXCEPT_SQL,
+    "agg_groupby": _AGG_GROUPBY_SQL,
+    "agg_distinct": _AGG_DISTINCT_SQL,
+    "rollup_agg": _ROLLUP_SQL,
+    "cube_agg": _CUBE_SQL,
+    "grouping_sets_agg": _GROUPING_SETS_SQL,
+    "pivot_wide": _PIVOT_SQL,
+    # agg_approx_distinct: sketch-based, rows-only by design
+}

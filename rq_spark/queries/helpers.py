@@ -1,0 +1,58 @@
+"""Shared helpers for the query catalog.
+
+Oracle-exactness rules used throughout (the driver hash-compares Spark
+vs DuckDB values, order-insensitive, columns sorted by name):
+
+* **Float aggregates** are computed as ``SUM(CAST(x AS DECIMAL(38,6)))``
+  then cast back to DOUBLE — decimal addition is exact and
+  order-independent, so Spark's parallel partial aggregation and
+  DuckDB's single-threaded sum produce bit-identical doubles. A plain
+  double SUM would differ in the low bits depending on reduction order.
+  Inputs here carry ≤6 decimal digits (prices/discounts are 2dp), so
+  the 6-dp quantize is itself exact.
+* **Averages** divide the exact decimal sum (as double) by the group
+  count in double — one deterministic IEEE division on identical
+  operands on both engines.
+* **Per-row double arithmetic** (e.g. ``price * (1 - discount)``) is
+  written with identical association on both sides; IEEE ops are
+  deterministic, so per-row values match bitwise.
+* **Timestamps**: session TZ pinned to UTC (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+#: Decimal type wide enough for any sum in the test tables.
+DEC = "decimal(38,6)"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum / count average (deterministic double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

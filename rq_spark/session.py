@@ -1,0 +1,63 @@
+"""SparkSession construction tuned for this engine.
+
+Local mode is a stand-in for a real cluster: the configs below are the
+ones that transfer (AQE, shuffle partition sizing, Arrow); the ones
+that don't (driver memory) are set per SURVEY.md §6's local harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every query entrypoint pins so results are
+# reproducible regardless of who built the session (the driver builds
+# its own when calling __spark_entry__.queries()).
+RUNTIME_CONFS = {
+    # DuckDB timestamps are UTC-naive; pin the session zone so any
+    # timestamp<->string/extract round-trip agrees with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static in some builds; results must not
+            # depend on it then.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "rq_spark", cpus: int | None = None) -> SparkSession:
+    """Build the engine's own session (tests, bench, CLI).
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all).
+    Shuffle partitions ~ cores: at 100 TB this knob is replaced by AQE
+    target sizes; locally 200 default partitions just add scheduling
+    overhead.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

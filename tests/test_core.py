@@ -1,0 +1,65 @@
+"""Core relational pack: shape/sanity at sf0.001 (the DuckDB
+hash-comparison runs in tools/check_oracle.py and the driver gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rq_spark.queries import all_oracle_sql, all_queries
+from rq_spark.queries import core
+
+
+def test_catalog_wiring():
+    qs = all_queries()
+    oracle = all_oracle_sql()
+    assert set(oracle) <= set(qs), "oracle keys must be a subset of queries"
+    assert "q1_pricing_summary" in qs
+
+
+def test_q1_shape(spark, sf_dir):
+    df = core.q1_pricing_summary(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+        "avg_disc", "count_order",
+    ]
+    # aggregates internally consistent
+    for r in rows:
+        assert r.sum_qty / r.count_order == pytest.approx(r.avg_qty, rel=1e-9)
+        assert r.sum_disc_price <= r.sum_base_price
+        assert r.sum_charge >= r.sum_disc_price
+
+
+def test_set_ops_consistency(spark, sf_dir):
+    u = core.set_union(spark, sf_dir).count()
+    i = core.set_intersect(spark, sf_dir).count()
+    c = core.QUERIES["set_union"](spark, sf_dir)  # registry path works
+    assert u >= i
+    assert c.count() == u
+
+
+def test_rollup_contains_grand_total(spark, sf_dir):
+    rows = core.rollup_agg(spark, sf_dir).collect()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    total = sum(r.n for r in rows if r.l_returnflag is not None and r.l_linestatus is not None)
+    assert grand[0].n == total
+
+
+def test_sort_limit_deterministic(spark, sf_dir):
+    a = [tuple(r) for r in core.sort_limit(spark, sf_dir).collect()]
+    b = [tuple(r) for r in core.sort_limit(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 10
+
+
+def test_cast_types_schema(spark, sf_dir):
+    df = core.cast_types(spark, sf_dir)
+    kinds = dict(df.dtypes)
+    assert kinds["qty_int"] == "int"
+    assert kinds["line_big"] == "bigint"
+    assert kinds["line_str"] == "string"
+    assert kinds["ship_date"] == "date"
+    assert kinds["price_dec"].startswith("decimal")

@@ -1,0 +1,52 @@
+"""Plan-shape assertions: the scale story. These fail if a filter stops
+reaching the parquet scan, a projection stops pruning columns, or the
+flagship agg leaves whole-stage codegen."""
+
+from __future__ import annotations
+
+from rq_spark.queries import core
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = core.filter_predicate(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    # quantity/discount predicates must appear in the pushed set
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = core.project_compute(spark, sf_dir)
+    plan = _formatted(df)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"):
+        assert col in read_schema
+    for col in ("l_shipdate", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in read_schema
+
+
+def test_q1_uses_wholestage_codegen_and_partial_agg(spark, sf_dir):
+    df = core.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = _physical_plan(df)
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan and "*(2)" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = _physical_plan(core.sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global sort+limit should not full-sort"
