@@ -19,18 +19,22 @@ _PACKS = [core]
 
 
 def _load_extra_packs() -> None:
-    """Packs are appended as they land; import errors surface loudly."""
-    from . import joins, windows, funcs, events, dedup, text, similarity
+    """Packs land incrementally; a missing module is fine, a broken one
+    must surface loudly (ModuleNotFoundError only for the pack itself)."""
+    import importlib
 
-    for m in (joins, windows, funcs, events, dedup, text, similarity):
+    for name in ("joins", "windows", "funcs", "events", "dedup", "text", "similarity"):
+        try:
+            m = importlib.import_module(f".{name}", __package__)
+        except ModuleNotFoundError as e:
+            if e.name and e.name.endswith(name):
+                continue
+            raise
         if m not in _PACKS:
             _PACKS.append(m)
 
 
-try:  # packs land incrementally during the build
-    _load_extra_packs()
-except ImportError:
-    pass
+_load_extra_packs()
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

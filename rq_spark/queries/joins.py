@@ -1,0 +1,342 @@
+"""Join pack (SURVEY.md §2.2 / §7 milestone 2).
+
+Every join family the reference cannot express (it is single-input;
+SURVEY §2.1 "inventory of absences"): inner/left/right/full/semi/anti/
+cross equi-joins, an explicit-broadcast variant, a banded range join,
+and a scalable as-of join.
+
+Scale notes (100 TB):
+* Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew splitting. Dim joins (nation, region, supplier) are
+  explicit `F.broadcast` so no shuffle of the big side.
+* The range join avoids the O(n²) theta-join by bucketing the range
+  key and equi-joining on bucket — candidate pairs are limited to
+  adjacent buckets, so it scales linearly with data (at fixed density).
+* The as-of join is union + ordered window (one shuffle on the
+  partition key, no row explosion) — the standard scale-out as-of.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .helpers import dsum, sql_dsum, table
+
+# --------------------------------------------------------------------------
+# multi-way inner join with broadcast dims (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+# --------------------------------------------------------------------------
+# broadcast join + top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+
+
+def join_broadcast_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered dim is broadcast; top-10 via TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter((F.col("o_orderdate") < "1997-01-01") & (F.col("l_shipdate") > "1997-01-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# outer joins
+# --------------------------------------------------------------------------
+
+
+def join_left_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders LEFT JOIN lineitem — orders with no items keep NULL aggs."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_linenumber").alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+_LEFT_SQL = f"""
+SELECT o_orderkey,
+       COUNT(l_linenumber) AS n_items,
+       {sql_dsum('l_quantity', 'sum_qty')}
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+"""
+
+
+def join_right_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+_RIGHT_SQL = """
+SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_lines
+FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+def join_full_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER of two pre-aggregates (customer vs supplier per nation)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.ck == s.sk, "full").select(
+        F.coalesce(c.ck, s.sk).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+_FULL_SQL = """
+SELECT COALESCE(c.ck, s.sk) AS nationkey, n_customers, n_suppliers
+FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+ON c.ck = s.sk
+"""
+
+# --------------------------------------------------------------------------
+# semi / anti / cross
+# --------------------------------------------------------------------------
+
+
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that appear in the event stream (EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_semi").select("c_custkey", "c_name")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers never seen in the event stream (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select("c_custkey", "c_nationkey")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+_CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+# --------------------------------------------------------------------------
+# range (band) join — bucketed, not O(n²)
+# --------------------------------------------------------------------------
+
+_BAND = 0.5
+
+
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of parts within ±0.5 of each other's retail price.
+
+    A naive theta join is O(n²). Bucketing the range key to band-sized
+    buckets and equi-joining each left bucket against {b-1, b, b+1}
+    bounds candidates to adjacent buckets — the standard distributed
+    range-join strategy; each qualifying pair matches exactly once
+    because the left side keeps a single bucket.
+    """
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_retailprice").alias("a_price"),
+        F.floor(F.col("p_retailprice") / _BAND).alias("bucket"),
+    )
+    q = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("b_price"),
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / _BAND) - 1,
+                F.floor(F.col("p_retailprice") / _BAND),
+                F.floor(F.col("p_retailprice") / _BAND) + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        p.join(q, "bucket")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_price") - F.col("b_price")) <= _BAND)
+        )
+        .select("a_key", "b_key", "a_price", "b_price")
+    )
+
+
+_RANGE_SQL = f"""
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_retailprice AS a_price, b.p_retailprice AS b_price
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= {_BAND}
+"""
+
+# --------------------------------------------------------------------------
+# as-of join — union + ordered window (scalable, no explosion)
+# --------------------------------------------------------------------------
+
+
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the most recent view (≤ ts) by the same
+    user. Union the two tagged streams, one window shuffle on user_id,
+    carry the last view forward — no candidate-pair explosion, unlike a
+    range self-join. Reference rq has no joins at all (SURVEY §2.1);
+    this is the extension layer's streaming-friendly as-of.
+    """
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("value").alias("v_value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("v_value"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = views.unionByName(purchases).select(
+        "*",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+        F.last(F.when(F.col("side") == 0, F.col("v_value")), ignorenulls=True)
+        .over(w)
+        .alias("view_value"),
+    )
+    return tagged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "view_ts",
+        "view_value",
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       v.ts AS view_ts, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+QUERIES = {
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "join_broadcast_q3": join_broadcast_q3,
+    "join_left_order_items": join_left_order_items,
+    "join_right_supplier": join_right_supplier,
+    "join_full_nation_activity": join_full_nation_activity,
+    "join_semi_active_customers": join_semi_active_customers,
+    "join_anti_inactive_customers": join_anti_inactive_customers,
+    "join_cross_region_nation": join_cross_region_nation,
+    "join_range_price_band": join_range_price_band,
+    "join_asof_event": join_asof_event,
+}
+
+ORACLE = {
+    "join_revenue_by_nation": _Q5_SQL,
+    "join_broadcast_q3": _Q3_SQL,
+    "join_left_order_items": _LEFT_SQL,
+    "join_right_supplier": _RIGHT_SQL,
+    "join_full_nation_activity": _FULL_SQL,
+    "join_semi_active_customers": _SEMI_SQL,
+    "join_anti_inactive_customers": _ANTI_SQL,
+    "join_cross_region_nation": _CROSS_SQL,
+    "join_range_price_band": _RANGE_SQL,
+    "join_asof_event": _ASOF_SQL,
+}

@@ -22,6 +22,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert in the table loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
