@@ -1,0 +1,272 @@
+"""Scalar function packs (SURVEY.md §2.2: string/math/date/array/map/
+json — rq has no scalar functions beyond transcoding, §2.1).
+
+All JVM-side `pyspark.sql.functions` — no Python UDFs in these paths,
+so the whole pack stays inside whole-stage codegen.
+
+Cross-engine exactness notes:
+* sqrt is IEEE-754 correctly-rounded (both engines identical); ln/exp
+  are not guaranteed 1-ulp identical across libm implementations, so
+  transcendentals are rounded to 6 dp (the inputs are irrational, so
+  a boundary collision is measure-zero).
+* round() is applied only to irrational intermediates — rounding
+  half-way decimal data (x.x5) differs subtly between engines.
+* Array indexing: Spark is 0-based, DuckDB 1-based — handled per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .helpers import table
+
+
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("seg_tag"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.col("c_name").like("Customer#0000000%").alias("is_low_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    ).filter(F.col("c_custkey") % 7 == 0)
+
+
+_STRING_SQL = r"""
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_name) AS name_lower,
+       LENGTH(c_name) AS name_len,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       'seg:' || c_mktsegment AS seg_tag,
+       regexp_extract(c_name, '(\d+)$', 1) AS name_digits,
+       REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+       c_name LIKE 'Customer#0000000%' AS is_low_key,
+       LPAD(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
+       TRIM('  ' || c_mktsegment || ' ') AS seg_trim,
+       REVERSE(c_mktsegment) AS seg_rev
+FROM customer
+WHERE c_custkey % 7 = 0
+"""
+
+
+def func_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + element access (Spark arrays 0-based; element_at 1-based
+    like DuckDB's list indexing, so the SQL mirrors directly)."""
+    p = table(spark, sf_dir, "part")
+    parts = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(parts, 1).alias("color"),
+        F.element_at(parts, 2).alias("noun"),
+        F.size(parts).alias("n_words"),
+    )
+
+
+_SPLIT_SQL = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS color,
+       string_split(p_name, ' ')[2] AS noun,
+       len(string_split(p_name, ' ')) AS n_words
+FROM part
+"""
+
+
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 50000).alias("abs_dev"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        (price * price).alias("price_sq"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt6"),
+        F.round(F.log(price), 6).alias("price_ln6"),
+        (F.col("l_quantity") % 7).alias("qty_mod7"),
+        F.signum(price - 50000).cast("int").alias("dev_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g_val"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l_val"),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 50000) AS abs_dev,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+       l_extendedprice * l_extendedprice AS price_sq,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt6,
+       ROUND(LN(l_extendedprice), 6) AS price_ln6,
+       l_quantity % 7 AS qty_mod7,
+       CAST(SIGN(l_extendedprice - 50000) AS INTEGER) AS dev_sign,
+       GREATEST(l_quantity, l_discount * 100) AS g_val,
+       LEAST(l_quantity, l_discount * 100) AS l_val
+FROM lineitem
+WHERE l_orderkey % 20 = 0
+"""
+
+
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        (F.weekday(d) + 1).alias("isodow"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+    ).filter(F.col("o_orderkey") % 10 == 0)
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       date_part('year', o_orderdate) AS y,
+       date_part('month', o_orderdate) AS m,
+       date_part('day', o_orderdate) AS dom,
+       date_part('quarter', o_orderdate) AS q,
+       date_part('isodow', o_orderdate) AS isodow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON (rq's core trick, SURVEY §1.3): typed
+    extraction from a JSON string column via from_json."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("prop_k"),
+        F.get_json_object(F.col("props"), "$.k").alias("prop_k_str"),
+        (parsed.getField("k") % 10 == 0).alias("k_decade"),
+    ).filter(F.col("event_id") % 5 == 0)
+
+
+_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       json_extract_string(props, '$.k') AS prop_k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0 AS k_decade
+FROM events
+WHERE event_id % 5 = 0
+"""
+
+
+def func_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the embedding column (float32 → double casts are
+    exact; additions in fixed order so both engines agree bitwise)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    e = [v.getItem(i).cast("double") for i in range(4)]
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        e[0].alias("x0"),
+        v.getItem(63).cast("double").alias("x_last"),
+        (e[0] + e[1] + e[2] + e[3]).alias("head4_sum"),
+        F.array_max(v).cast("double").alias("vmax"),
+        F.array_min(v).cast("double").alias("vmin"),
+    )
+
+
+_ARRAY_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS x0,
+       CAST(embedding[64] AS DOUBLE) AS x_last,
+       CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+         + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin
+FROM embeddings
+"""
+
+
+def func_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate into an array — sorted + distinct so the collected
+    order (nondeterministic under parallelism) can't leak into results."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       COUNT(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price > 300000, "high")
+        .when(price > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")).alias(
+            "status_np"
+        ),
+        F.when(F.col("o_orderstatus") == "O", price).alias("open_price"),
+    ).filter(F.col("o_orderkey") % 9 == 0)
+
+
+_COND_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_P') AS status_np,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
+FROM orders
+WHERE o_orderkey % 9 = 0
+"""
+
+
+QUERIES = {
+    "func_string": func_string,
+    "func_split_part": func_split_part,
+    "func_math": func_math,
+    "func_date": func_date,
+    "func_json": func_json,
+    "func_array_embedding": func_array_embedding,
+    "func_array_agg": func_array_agg,
+    "func_conditional": func_conditional,
+}
+
+ORACLE = {
+    "func_string": _STRING_SQL,
+    "func_split_part": _SPLIT_SQL,
+    "func_math": _MATH_SQL,
+    "func_date": _DATE_SQL,
+    "func_json": _JSON_SQL,
+    "func_array_embedding": _ARRAY_SQL,
+    "func_array_agg": _ARRAY_AGG_SQL,
+    "func_conditional": _COND_SQL,
+}

@@ -1,0 +1,203 @@
+"""Window-function pack (SURVEY.md §2.2: window_rank / window_analytic /
+topk / running aggregates — all absent from the reference, §2.1).
+
+Determinism discipline: every ORDER BY inside a window is made total
+(unique tie-break keys) OR the frame is RANGE-based so peer rows get
+identical values — otherwise parallel execution makes results
+run-dependent and the oracle hash meaningless.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. Partition keys here (custkey, user_id, suppkey) are high-cardinality
+and unskewed, so state per key is small. No global windows (those
+single-partition at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .helpers import DEC, table
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number ≤ 3, total order)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile with a fully tie-broken order."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w_ties = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    w_total = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w_ties).alias("qty_rank"),
+        F.dense_rank().over(w_ties).alias("qty_dense_rank"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+_RANK_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+       RANK() OVER w_ties AS qty_rank,
+       DENSE_RANK() OVER w_ties AS qty_dense_rank,
+       NTILE(4) OVER w_total AS quartile
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+WINDOW
+  w_ties AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC),
+  w_total AS (PARTITION BY l_returnflag
+              ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: lag/lead over a total event-time order."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta"),
+    )
+
+
+_LAG_SQL = """
+SELECT user_id, event_id, value,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(value, 1) OVER w AS next_value,
+       value - LAG(value, 1) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quantity per supplier by ship date. RANGE frame: peer
+    rows (same date) share the cumulative value, so the result is
+    deterministic despite date ties; exact decimal running sum."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_qty
+FROM lineitem
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of event values per user (ROWS frame over a
+    total order; avg as exact-sum/count so both engines agree bitwise)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mavg7"),
+    )
+
+
+_MAVG_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS mavg7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value per partition over a growing frame."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.count(F.lit(1)).over(wfull).alias("n_orders"),
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       COUNT(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES = {
+    "window_topk_per_group": window_topk_per_group,
+    "window_rank_dense": window_rank_dense,
+    "window_lag_lead": window_lag_lead,
+    "window_running_revenue": window_running_revenue,
+    "window_moving_avg": window_moving_avg,
+    "window_first_last": window_first_last,
+}
+
+ORACLE = {
+    "window_topk_per_group": _TOPK_SQL,
+    "window_rank_dense": _RANK_SQL,
+    "window_lag_lead": _LAG_SQL,
+    "window_running_revenue": _RUNNING_SQL,
+    "window_moving_avg": _MAVG_SQL,
+    "window_first_last": _FIRST_LAST_SQL,
+}
