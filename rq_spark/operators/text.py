@@ -1,0 +1,109 @@
+"""Text-analysis operators: token stats, language ID, quality scoring,
+fingerprinting — the per-document scoring pass of a training-data
+pipeline. Pure `pyspark.sql.functions` expressions (whole-stage
+codegen; no Python in the hot path), each mirrored exactly by an ANSI
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# marker stopwords per language; counts decide lang_id (argmax with a
+# fixed priority order on ties). On real text you'd use a trained
+# n-gram model; the operator shape (expression-only scoring) is the
+# production-relevant part.
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+    "zh": ["的", "了"],
+}
+
+
+def word_count(col: Column, word: str) -> Column:
+    """Occurrences of a whole word: (len - len(removed)) / removed-width
+    on the space-padded text; identical replace semantics both engines."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    target = f" {word} "
+    removed = F.replace(padded, F.lit(target), F.lit(" "))
+    width = len(target) - 1
+    return ((F.length(padded) - F.length(removed)) / width).cast("int")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        lang: sum((word_count(col, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker counts, ties broken by fixed priority order;
+    'und' when nothing matches."""
+    scores = lang_scores(col)
+    order = list(LANG_MARKERS)
+    # walk priority order; only strictly-greater scores displace the
+    # current best, so earlier languages win ties
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in order:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    t = F.col(text_col)
+    words = F.split(normalize_text(t), " ")
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_raw"),
+        F.size(words).alias("n_words"),
+        F.regexp_count(t, F.lit(r"\w+")).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_uniq_words"),
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / alpha / digit / whitespace ratios — the
+    classic cheap quality signals. Counts are exact ints; each ratio is
+    a single IEEE division (engine-portable)."""
+    n = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    space = F.length(F.regexp_replace(col, r"[^ ]", ""))
+    words = F.split(normalize_text(col), " ")
+    return {
+        "n_chars": F.length(col),
+        "alpha_ratio": alpha / n,
+        "digit_ratio": digit / n,
+        "punct_ratio": punct / n,
+        "space_ratio": space / n,
+        "mean_word_len": (F.length(F.concat_ws("", words)).cast("double"))
+        / F.size(words),
+        "uniq_ratio": F.size(F.array_distinct(words)).cast("double") / F.size(words),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Fixed linear combination → [roughly 0..1]; deterministic: the
+    operand order is fixed and every term is a ratio of exact ints."""
+    f = quality_features(col)
+    return (
+        f["alpha_ratio"] * 0.5
+        + f["uniq_ratio"] * 0.3
+        + (F.lit(1.0) - f["digit_ratio"]) * 0.1
+        + (F.lit(1.0) - f["punct_ratio"]) * 0.1
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,158 @@
+"""Dedup pack queries over the `documents` table.
+
+Oracle design: the MinHash-LSH pipeline verifies candidates with exact
+Jaccard, and its LSH parameters (32 bands × 4 rows) make a missed
+true pair above threshold measure-zero (P≈5e-8 per pair at j=0.8) —
+so both `dedup_ngram_jaccard` and `dedup_minhash_lsh` are checked
+against the *same* exact-Jaccard SQL oracle. `dedup_simhash` keeps a
+rows-only check (Hamming neighborhoods have no SQL equivalent) and is
+validated against the Jaccard pairs in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.text import fingerprint
+from .helpers import table
+
+_JACCARD_T = 0.5
+
+# normalized-text expression shared by the SQL oracles (DuckDB needs
+# the 'g' flag for global regexp_replace; Spark is global by default)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_EXACT_SQL = f"""
+SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY {_NORM_SQL}
+"""
+
+# exact-jaccard SQL oracle (word 3-grams, distinct per doc)
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-3-gram Jaccard (full shingle join)."""
+    sh = D.shingles(table(spark, sf_dir, "documents"), "text", "doc_id", n=3)
+    return D.jaccard_pairs(sh, _JACCARD_T)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + exact verify — same output as the exact pair set
+    w.h.p., at candidate-bounded cost (the 100 TB path)."""
+    return D.minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=_JACCARD_T,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup candidates (rows-only check; semantics
+    tested against the Jaccard pair set in tests/test_dedup.py)."""
+    return D.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.45). Bit-deterministic:
+    the fold order matches DuckDB's list_dot_product exactly."""
+    return S.embedding_near_pairs(table(spark, sf_dir, "embeddings"), 0.45)
+
+
+_EMB_COS_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+         AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= 0.45
+"""
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    (operators/multimodal.py); metadata math is JVM-side and the
+    payload itself never reaches the driver."""
+    from ..operators.multimodal import with_binary_payload
+
+    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
+    return d.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+_MM_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS size_bytes,
+       sha256(text) AS sha256,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "text_fingerprint": text_fingerprint,
+    "mm_binary_meta": mm_binary_meta,
+}
+
+ORACLE = {
+    "mm_binary_meta": _MM_SQL,
+    "dedup_exact": _EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_embedding_cosine": _EMB_COS_SQL,
+    "text_fingerprint": _FP_SQL,
+    # dedup_simhash: rows-only by design (Hamming radius, no SQL analog)
+}

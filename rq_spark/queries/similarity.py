@@ -1,0 +1,63 @@
+"""Similarity-search pack over the `embeddings` table.
+
+`sim_topk_cosine` is exact and oracle-checked (bit-identical dot
+products, see operators/similarity.py). `sim_ann_lsh_topk` is the
+approximate scale path — rows-only check here, recall vs. brute force
+asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from .helpers import table
+
+_N_QUERIES = 5
+_K = 10
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.brute_topk(corpus, _query_vectors(spark, sf_dir), k=_K)
+
+
+_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos_sim
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {_K}
+"""
+
+
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only; recall tested vs brute force)."""
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.ann_topk(corpus, _query_vectors(spark, sf_dir), k=_K, n_planes=4)
+
+
+QUERIES = {
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_ann_lsh_topk": sim_ann_lsh_topk,
+}
+
+ORACLE = {
+    "sim_topk_cosine": _TOPK_SQL,
+    # sim_ann_lsh_topk: approximate by construction → rows-only
+}

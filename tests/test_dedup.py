@@ -1,0 +1,43 @@
+"""Dedup operators: LSH pipelines must agree with exact ground truth."""
+
+from __future__ import annotations
+
+from rq_spark.queries import dedup as DQ
+from rq_spark.queries.helpers import table
+
+SF = "/root/testdata/sf0.01"  # documents table is small; planted dups live here
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.select("a_id", "b_id").collect()}
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    exact = _pairs(DQ.dedup_ngram_jaccard(spark, SF))
+    lsh = _pairs(DQ.dedup_minhash_lsh(spark, SF))
+    assert len(exact) > 0, "test corpus should contain planted near-dups"
+    # 32 bands x 4 rows → P(miss) ≈ 5e-8 per true pair; exact-verify
+    # removes false positives, so the sets must be identical here.
+    assert lsh == exact
+
+
+def test_simhash_finds_most_planted_dups(spark):
+    exact = _pairs(DQ.dedup_ngram_jaccard(spark, SF))
+    sim = DQ.dedup_simhash(spark, SF).collect()
+    simp = {(r.a_id, r.b_id) for r in sim}
+    assert all(r.hamming <= 3 for r in sim)
+    # different similarity notion (token multiset vs 3-gram sets):
+    # expect substantial but not perfect agreement
+    assert len(exact & simp) >= len(exact) // 2
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    total = table(spark, SF, "documents").count()
+    groups = DQ.dedup_exact(spark, SF).collect()
+    assert sum(r.n_dups for r in groups) == total
+    assert all(r.n_dups >= 1 for r in groups)
+
+
+def test_jaccard_values_bounded(spark):
+    rows = DQ.dedup_ngram_jaccard(spark, SF).collect()
+    assert all(0.5 <= r.jaccard <= 1.0 for r in rows)

