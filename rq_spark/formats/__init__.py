@@ -1,0 +1,231 @@
+"""rq-faithful format layer: 9 sources / 8 sinks (SURVEY.md §2.1).
+
+Two surfaces:
+
+* **Pipe layer** (this module): bytes → record iterator → bytes, the
+  reference's exact model — record-at-a-time, fail-fast, order
+  preserving (rq.rs:303-312's identity loop is `transcode`). Used by
+  the CLI shim and as the executor-side codec in the Spark layer.
+* **Spark layer** (`rq_spark.formats.spark_io`): DataFrame readers/
+  writers per format, schema-on-read via Spark's JSON inference.
+
+Format semantics parity (file:line cites are to /root/reference):
+
+| fmt      | source framing                           | sink framing |
+|----------|------------------------------------------|--------------|
+| json     | concatenated/whitespace-separated values (json.rs:84-96) | one value + '\\n' per record (json.rs:104-112) |
+| csv      | headerless, all fields strings, row=sequence (csv.rs:44-48) | flat scalar sequences only, else error (csv.rs:60-110) |
+| cbor     | back-to-back values to EOF (cbor.rs:37-51) | concatenated values |
+| msgpack  | back-to-back values (messagepack.rs:35-51) | concatenated values |
+| avro     | container, embedded writer schema (avro.rs:16-24) | container, user schema + codec (rq.rs:241-259) |
+| toml     | whole input = one record (toml.rs:16-47) | one doc per record (toml.rs:49-65) |
+| yaml     | whole input = ONE doc — only the first is read (yaml.rs:14-45) | one doc per record (yaml.rs:47-57) |
+| raw      | one line = one string (raw.rs:15-44)     | string/bytes + '\\n', else error (raw.rs:46-72) |
+| protobuf | single message, schema from registry (protobuf.rs:13-38) | UNIMPLEMENTED (rq.rs:237-240) |
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import json as _json
+from collections.abc import Iterable, Iterator
+
+from ..errors import (
+    IllegalRecordError,
+    IllegalSequenceError,
+    SyntaxError_,
+    UnimplementedError,
+)
+from .codecs import avro as _avro
+from .codecs import cbor as _cbor
+from .codecs import msgpack as _msgpack
+from .codecs import toml_emit as _toml_emit
+
+INPUT_FORMATS = ("json", "csv", "cbor", "msgpack", "avro", "toml", "yaml", "raw", "protobuf")
+OUTPUT_FORMATS = ("json", "csv", "cbor", "msgpack", "avro", "toml", "yaml", "raw", "protobuf")
+
+# ------------------------------------------------------------------ sources
+
+
+def _decode_json(data: bytes, **_) -> Iterator:
+    """Concatenated / whitespace-separated JSON values (S1)."""
+    text = data.decode("utf-8")
+    dec = _json.JSONDecoder()
+    pos, n = 0, len(text)
+    while True:
+        while pos < n and text[pos].isspace():
+            pos += 1
+        if pos >= n:
+            return
+        try:
+            value, pos = dec.raw_decode(text, pos)
+        except ValueError as e:
+            raise SyntaxError_("json", str(e)) from e
+        yield value
+
+
+def _decode_csv(data: bytes, **_) -> Iterator:
+    """Headerless; every field a string; row → sequence (S2)."""
+    for row in _csv.reader(io.StringIO(data.decode("utf-8"))):
+        yield list(row)
+
+
+def _decode_raw(data: bytes, **_) -> Iterator:
+    for line in data.decode("utf-8").splitlines():
+        yield line
+
+
+def _decode_toml(data: bytes, **_) -> Iterator:
+    import tomllib
+
+    try:
+        yield tomllib.loads(data.decode("utf-8"))  # whole input = 1 record (S7)
+    except tomllib.TOMLDecodeError as e:
+        raise SyntaxError_("toml", str(e)) from e
+
+
+def _decode_yaml(data: bytes, **_) -> Iterator:
+    import yaml
+
+    # parity: despite "series of documents" help text, only the FIRST
+    # document is read (yaml.rs Option<R>::take, SURVEY §2.1 S8)
+    docs = yaml.safe_load_all(data.decode("utf-8"))
+    for doc in docs:
+        yield doc
+        return
+
+
+def _decode_avro(data: bytes, **_) -> Iterator:
+    _, records = _avro.read_container(data)
+    yield from records
+
+
+def _decode_protobuf(data: bytes, message: str | None = None, registry=None, **_) -> Iterator:
+    from . import protobuf as _pb
+
+    if message is None:
+        raise SyntaxError_("protobuf", "protobuf input requires a message name (-p .fq.Name)")
+    yield _pb.decode_single(data, message, registry=registry)  # exactly one record (S6)
+
+
+_DECODERS = {
+    "json": _decode_json,
+    "csv": _decode_csv,
+    "cbor": lambda data, **_: _cbor.decode_stream(data),
+    "msgpack": lambda data, **_: _msgpack.decode_stream(data),
+    "avro": _decode_avro,
+    "toml": _decode_toml,
+    "yaml": _decode_yaml,
+    "raw": _decode_raw,
+    "protobuf": _decode_protobuf,
+}
+
+# ------------------------------------------------------------------ sinks
+
+
+def _encode_json(values: Iterable, style: str = "compact", **_) -> bytes:
+    out = io.StringIO()
+    for v in values:
+        if style == "compact":
+            out.write(_json.dumps(v, separators=(",", ":"), ensure_ascii=False))
+        else:  # readable / indented (K2/K3; ANSI color is a tty concern)
+            out.write(_json.dumps(v, indent=2, ensure_ascii=False))
+        out.write("\n")
+    return out.getvalue().encode("utf-8")
+
+
+def _check_csv_scalar(v) -> str:
+    if isinstance(v, (list, tuple, dict)):
+        raise IllegalSequenceError("csv cannot output nested sequences or maps")
+    if isinstance(v, (bytes, bytearray)) or v is None:
+        raise IllegalSequenceError(f"csv cannot output {type(v).__name__} fields")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _encode_csv(values: Iterable, **_) -> bytes:
+    out = io.StringIO()
+    w = _csv.writer(out, lineterminator="\n")
+    for v in values:
+        if not isinstance(v, (list, tuple)):
+            raise IllegalSequenceError("csv can only output sequences")
+        w.writerow([_check_csv_scalar(x) for x in v])
+    return out.getvalue().encode("utf-8")
+
+
+def _encode_raw(values: Iterable, **_) -> bytes:
+    out = bytearray()
+    for v in values:
+        if isinstance(v, str):
+            out += v.encode("utf-8")
+        elif isinstance(v, (bytes, bytearray)):
+            out += bytes(v)
+        else:
+            raise IllegalRecordError(
+                f"raw can only output strings or bytes, got {type(v).__name__}"
+            )
+        out += b"\n"
+    return bytes(out)
+
+
+def _encode_toml(values: Iterable, **_) -> bytes:
+    return "".join(_toml_emit.emit(v) for v in values).encode("utf-8")
+
+
+def _encode_yaml(values: Iterable, **_) -> bytes:
+    import yaml
+
+    out = io.StringIO()
+    for v in values:
+        yaml.safe_dump(v, out, default_flow_style=False, allow_unicode=True, sort_keys=False)
+    return out.getvalue().encode("utf-8")
+
+
+def _encode_avro(values: Iterable, schema: str | dict | None = None,
+                 codec: str = "null", **_) -> bytes:
+    if schema is None:
+        raise SyntaxError_("avro", "avro output requires a schema (-A schema.avsc)")
+    return _avro.write_container(schema, values, codec=codec)
+
+
+def _encode_protobuf(values: Iterable, **_) -> bytes:
+    # exact reference behavior: rq.rs:237-240
+    raise UnimplementedError("protobuf serialization")
+
+
+_ENCODERS = {
+    "json": _encode_json,
+    "csv": _encode_csv,
+    "cbor": lambda values, **_: b"".join(_cbor.encode(v) for v in values),
+    "msgpack": lambda values, **_: b"".join(_msgpack.encode(v) for v in values),
+    "avro": _encode_avro,
+    "toml": _encode_toml,
+    "yaml": _encode_yaml,
+    "raw": _encode_raw,
+    "protobuf": _encode_protobuf,
+}
+
+# ------------------------------------------------------------------ API
+
+
+def decode_records(fmt: str, data: bytes, **opts) -> Iterator:
+    if fmt not in _DECODERS:
+        raise SyntaxError_(fmt, "unknown input format")
+    return _DECODERS[fmt](data, **opts)
+
+
+def encode_records(fmt: str, values: Iterable, **opts) -> bytes:
+    if fmt not in _ENCODERS:
+        raise SyntaxError_(fmt, "unknown output format")
+    return _ENCODERS[fmt](values, **opts)
+
+
+def transcode(in_fmt: str, out_fmt: str, data: bytes,
+              in_opts: dict | None = None, out_opts: dict | None = None) -> bytes:
+    """The reference's entire dataflow: read → write until None
+    (rq.rs:303-312). Identity per record, strict order preservation,
+    fail-fast on the first malformed record."""
+    records = decode_records(in_fmt, data, **(in_opts or {}))
+    return encode_records(out_fmt, records, **(out_opts or {}))

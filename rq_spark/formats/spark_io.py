@@ -1,0 +1,132 @@
+"""DataFrame-level format readers/writers (the Spark surface of the
+faithful layer; per-format semantics in formats/__init__.py).
+
+Scale design:
+* json/csv/raw use Spark's native readers — splittable, predicate
+  pushdown, schema inference (rq's schema-on-read, SURVEY §1.3).
+* avro/cbor/msgpack/protobuf are container/stream formats with no
+  built-in datasource in this environment → `binaryFiles` RDD: one
+  task per file, the pure-Python codec decodes executor-side, then
+  Spark's JSON inference builds the columnar schema. Parallelism =
+  number of files, which is how these container formats shard at
+  scale anyway (one container per task is the Avro/Kafka convention).
+* toml/yaml are whole-input single-record formats in the reference —
+  here each FILE is one record (wholetext), preserving that semantic
+  per shard.
+* writers place one container/stream per partition under the output
+  dir (part-NNNNN files, Hadoop convention); `preserve_order=True` on
+  read attaches an input-order index (rq's strict FIFO, SURVEY §4 —
+  off by default for analytics).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import IllegalRecordError, IllegalSequenceError, UnimplementedError
+from . import decode_records, encode_records
+
+
+def _bytes_default(o):
+    if isinstance(o, (bytes, bytearray)):
+        return bytes(o).hex()
+    raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+
+
+def _records_to_df(spark: SparkSession, rdd) -> DataFrame:
+    """Schema-on-read: python records → JSON lines → Spark inference
+    (the engine's analog of rq's deserialize_any visitor)."""
+    jrdd = rdd.map(lambda v: _json.dumps(v, default=_bytes_default))
+    return spark.read.json(jrdd)
+
+
+def read(spark: SparkSession, fmt: str, path: str, preserve_order: bool = False,
+         **opts) -> DataFrame:
+    if fmt == "json":
+        df = spark.read.option("mode", opts.pop("mode", "FAILFAST")).json(path)
+    elif fmt == "csv":
+        # headerless, all-string (S2); as_sequence=True gives rq's
+        # row-as-Sequence shape (one array<string> column)
+        df = spark.read.csv(path, header=False, inferSchema=False)
+        if opts.get("as_sequence"):
+            df = df.select(F.array(*df.columns).alias("value"))
+    elif fmt == "raw":
+        df = spark.read.text(path)
+    elif fmt in ("avro", "cbor", "msgpack", "toml", "yaml"):
+        files = spark.sparkContext.binaryFiles(path)
+        df = _records_to_df(
+            spark, files.flatMap(lambda kv: list(decode_records(fmt, kv[1], **opts)))
+        )
+    elif fmt == "protobuf":
+        message, registry = opts["message"], opts["registry"]
+        types = registry.types() if hasattr(registry, "types") else registry
+        files = spark.sparkContext.binaryFiles(path)
+        df = _records_to_df(
+            spark,
+            files.flatMap(
+                lambda kv: list(decode_records("protobuf", kv[1], message=message,
+                                               registry=types))
+            ),
+        )
+    else:
+        raise IllegalRecordError(f"unknown input format {fmt!r}")
+    if preserve_order:
+        df = df.withColumn("_input_order", F.monotonically_increasing_id())
+    return df
+
+
+def _atomic_only(df: DataFrame) -> None:
+    for name, dtype in df.dtypes:
+        if dtype.startswith(("array", "map", "struct", "binary")):
+            raise IllegalSequenceError(
+                f"csv can only output sequences of scalars; column {name} is {dtype}"
+            )
+
+
+def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
+    if fmt == "json":
+        df.write.mode(opts.pop("mode", "overwrite")).json(path)
+        return
+    if fmt == "csv":
+        _atomic_only(df)
+        df.write.mode(opts.pop("mode", "overwrite")).csv(path)
+        return
+    if fmt == "raw":
+        dtypes = dict(df.dtypes)
+        if list(dtypes.values()) != ["string"]:
+            raise IllegalRecordError("raw can only output a single string column")
+        df.write.mode(opts.pop("mode", "overwrite")).text(path)
+        return
+    if fmt == "protobuf":
+        raise UnimplementedError("protobuf serialization")  # rq.rs:237-240
+    if fmt not in ("cbor", "msgpack", "avro", "toml", "yaml"):
+        raise IllegalRecordError(f"unknown output format {fmt!r}")
+
+    os.makedirs(path, exist_ok=True)
+    sort_col = opts.pop("order_by", None)
+    if sort_col:
+        df = df.orderBy(sort_col)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator:
+        values = [r.asDict(recursive=True) for r in rows]
+        if values or idx == 0:
+            blob = encode_records(fmt, values, **opts)
+            with open(os.path.join(path, f"part-{idx:05d}"), "wb") as f:
+                f.write(blob)
+        return iter(())
+
+    # local-fs part files; on a cluster this would target a shared FS
+    df.rdd.mapPartitionsWithIndex(write_partition).count()
+
+
+def transcode_path(spark: SparkSession, in_fmt: str, in_path: str,
+                   out_fmt: str, out_path: str,
+                   in_opts: dict | None = None, out_opts: dict | None = None) -> None:
+    """Distributed version of the reference's identity pipe."""
+    df = read(spark, in_fmt, in_path, **(in_opts or {}))
+    write(df, out_fmt, out_path, **(out_opts or {}))

@@ -23,7 +23,8 @@ def _load_extra_packs() -> None:
     must surface loudly (ModuleNotFoundError only for the pack itself)."""
     import importlib
 
-    for name in ("joins", "windows", "funcs", "events", "dedup", "text", "similarity"):
+    for name in ("joins", "windows", "funcs", "events", "dedup", "text",
+                 "similarity", "nested"):
         try:
             m = importlib.import_module(f".{name}", __package__)
         except ModuleNotFoundError as e:

@@ -1,0 +1,347 @@
+"""Format-layer tests (SURVEY.md §5 item 2-3).
+
+Covers: tutorial goldens (reference doc/tutorial.md:13-16,36-39),
+hypothesis round-trip properties per codec, the documented lossy edges
+and hard errors of SURVEY.md §1.4, and the Spark-level reader/writer
+round trips.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rq_spark.errors import (
+    AvroKeyError,
+    AvroUnsignedU64Error,
+    IllegalRecordError,
+    IllegalSequenceError,
+    SyntaxError_,
+    UnimplementedError,
+)
+from rq_spark.formats import decode_records, encode_records, transcode
+from rq_spark.formats.codecs import avro as avro_codec
+
+# ---------------------------------------------------------------- goldens
+
+
+def test_tutorial_identity_json():
+    # doc/tutorial.md:13-16: rq <<< 'null true {"a": 2.5}'
+    out = transcode("json", "json", b'null true {"a": 2.5}')
+    assert out == b'null\ntrue\n{"a":2.5}\n'
+
+
+def test_tutorial_cbor_roundtrip():
+    # doc/tutorial.md:36-39: (rq -jC | rq -cJ) <<< 'null true {"a": 2.5}'
+    mid = transcode("json", "cbor", b'null true {"a": 2.5}')
+    out = transcode("cbor", "json", mid)
+    assert out == b'null\ntrue\n{"a":2.5}\n'
+
+
+def test_json_is_ndjson_per_record():
+    # json.rs:104-112: every record followed by newline
+    out = transcode("json", "json", b"1 2 3")
+    assert out == b"1\n2\n3\n"
+
+
+def test_json_syntax_error_fail_fast():
+    with pytest.raises(SyntaxError_):
+        list(decode_records("json", b'{"a": 1} {broken'))
+
+
+# ---------------------------------------------------- value round trips
+
+# JSON-representable value trees (the cross-format common model)
+json_scalars = st.none() | st.booleans() | st.integers(-(2**53), 2**53) | st.floats(
+    allow_nan=False, allow_infinity=False, width=64
+) | st.text(max_size=20)
+json_values = st.recursive(
+    json_scalars,
+    lambda kids: st.lists(kids, max_size=4)
+    | st.dictionaries(st.text(max_size=8), kids, max_size=4),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_values)
+def test_cbor_roundtrip_property(v):
+    from rq_spark.formats.codecs import cbor
+
+    assert cbor.decode(cbor.encode(v)) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_values)
+def test_msgpack_roundtrip_property(v):
+    from rq_spark.formats.codecs import msgpack
+
+    assert msgpack.decode(msgpack.encode(v)) == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(json_values)
+def test_json_pipe_roundtrip_property(v):
+    data = json.dumps(v).encode()
+    assert list(decode_records("json", data)) == [v]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=8).filter(str.isidentifier), json_values, max_size=4))
+def test_yaml_roundtrip_property(doc):
+    out = encode_records("yaml", [doc])
+    back = list(decode_records("yaml", out))
+    assert back == [doc]
+
+
+def test_cbor_bytes_and_bignums():
+    from rq_spark.formats.codecs import cbor
+
+    for v in [b"\x00\xff", 2**40, -(2**40), 1.5, "snowman ☃"]:
+        assert cbor.decode(cbor.encode(v)) == v
+
+
+def test_msgpack_unsigned_preference():
+    # messagepack.rs:63-94: Integer → u64-preferred
+    from rq_spark.formats.codecs import msgpack
+
+    big = 2**63 + 5  # above i64::MAX, valid u64
+    assert msgpack.decode(msgpack.encode(big)) == big
+
+
+def test_msgpack_invalid_utf8_string_errors():
+    # messagepack.rs: invalid UTF-8 in str → error
+    from rq_spark.formats.codecs import msgpack
+
+    bad = b"\xa2\xff\xfe"  # fixstr len 2 with invalid utf-8
+    with pytest.raises(SyntaxError_):
+        msgpack.decode(bad)
+
+
+# ----------------------------------------------------------- stream framing
+
+
+def test_cbor_stream_back_to_back():
+    from rq_spark.formats.codecs import cbor
+
+    data = cbor.encode(1) + cbor.encode([2, 3]) + cbor.encode({"a": "b"})
+    assert list(decode_records("cbor", data)) == [1, [2, 3], {"a": "b"}]
+
+
+def test_yaml_only_first_document():
+    # yaml.rs Option<R>::take — only the FIRST doc is read (SURVEY §2.1 S8)
+    assert list(decode_records("yaml", b"a: 1\n---\nb: 2\n")) == [{"a": 1}]
+
+
+def test_toml_whole_input_single_record():
+    recs = list(decode_records("toml", b"[a]\nb = 1\nc = 'x'\n"))
+    assert recs == [{"a": {"b": 1, "c": "x"}}]
+
+
+def test_toml_roundtrip():
+    doc = {"title": "t", "owner": {"name": "n", "age": 3}, "tags": [1, 2]}
+    out = encode_records("toml", [doc])
+    assert list(decode_records("toml", out)) == [doc]
+
+
+def test_raw_lines():
+    assert list(decode_records("raw", b"one\ntwo\n")) == ["one", "two"]
+    assert encode_records("raw", ["x", b"y"]) == b"x\ny\n"
+
+
+def test_csv_headerless_all_strings():
+    # csv.rs:44-48: every field is a string, row = sequence
+    assert list(decode_records("csv", b"a,1,2.5\nb,3,4\n")) == [
+        ["a", "1", "2.5"],
+        ["b", "3", "4"],
+    ]
+
+
+# ----------------------------------------------------------- error parity
+
+
+def test_csv_rejects_non_sequence():
+    with pytest.raises(IllegalSequenceError):
+        encode_records("csv", [{"a": 1}])
+
+
+def test_csv_rejects_nested():
+    # csv.rs:60-110
+    with pytest.raises(IllegalSequenceError):
+        encode_records("csv", [[["nested"]]])
+
+
+def test_raw_rejects_non_string():
+    # raw.rs:50-72
+    with pytest.raises(IllegalRecordError):
+        encode_records("raw", [42])
+
+
+def test_protobuf_sink_unimplemented():
+    # rq.rs:237-240: Error::Unimplemented("protobuf serialization")
+    with pytest.raises(UnimplementedError, match="protobuf serialization"):
+        encode_records("protobuf", [1])
+
+
+def test_avro_requires_schema():
+    with pytest.raises(SyntaxError_):
+        encode_records("avro", [1])
+
+
+# ----------------------------------------------------------------- avro
+
+PERSON_SCHEMA = {
+    "type": "record",
+    "name": "Person",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "id", "type": "long"},
+        {"name": "email", "type": ["null", "string"]},
+        {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]}},
+    ],
+}
+
+
+def _people():
+    return [
+        {"name": "ann", "id": 1, "email": "a@x", "kind": "A"},
+        {"name": "bob", "id": 2, "email": None, "kind": "B"},
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(codec):
+    blob = encode_records("avro", _people(), schema=PERSON_SCHEMA, codec=codec)
+    assert blob[:4] == b"Obj\x01"
+    back = list(decode_records("avro", blob))
+    # union unwrapped, enum decoded to symbol NAME (avro.rs:48-72)
+    assert back == _people()
+
+
+def test_avro_u64_overflow_errors():
+    # avro.rs:94-113: "does not support unsigned 64 bit integer"
+    schema = {"type": "record", "name": "R", "fields": [{"name": "v", "type": "long"}]}
+    with pytest.raises(AvroUnsignedU64Error):
+        encode_records("avro", [{"v": 2**63}], schema=schema)
+
+
+def test_avro_map_keys_must_be_strings():
+    # avro.rs:127-146 via the engine's map encoding
+    schema = {"type": "map", "values": "long"}
+    with pytest.raises(AvroKeyError):
+        avro_codec.write_container(schema, [{1: 2}])
+
+
+def test_avro_fixed_and_bytes():
+    schema = {
+        "type": "record",
+        "name": "B",
+        "fields": [
+            {"name": "f", "type": {"type": "fixed", "name": "F4", "size": 4}},
+            {"name": "b", "type": "bytes"},
+        ],
+    }
+    rec = {"f": b"\x01\x02\x03\x04", "b": b"\xff"}
+    back = list(decode_records("avro", encode_records("avro", [rec], schema=schema)))
+    assert back == [rec]
+
+
+# ------------------------------------------------------------- protobuf
+
+# hand-encoded wire bytes for `.example.Person{name:"ann", id:5}` —
+# field 1 (LEN) "ann", field 2 (VARINT) 5 — matching the reference
+# tutorial message (doc/tutorial.md:45-46, doc/protobuf.md)
+PERSON_TYPES = {
+    ".example.Person": {
+        "fields": {
+            1: {"name": "name", "label": 1, "type": 9, "type_name": None},
+            2: {"name": "id", "label": 1, "type": 5, "type_name": None},
+            3: {"name": "email", "label": 1, "type": 9, "type_name": None},
+        }
+    }
+}
+
+
+def test_protobuf_decode_single():
+    wire = b"\x0a\x03ann" + b"\x10\x05"
+    recs = list(
+        decode_records("protobuf", wire, message=".example.Person", registry=PERSON_TYPES)
+    )
+    assert recs == [{"name": "ann", "id": 5}]
+
+
+def test_protobuf_requires_message_name():
+    with pytest.raises(SyntaxError_):
+        list(decode_records("protobuf", b""))
+
+
+def test_protobuf_descriptor_set_parse():
+    # minimal FileDescriptorSet: file{name,package=example,
+    # message_type{name=Person, field{name=id,number=1,type=int64}}}
+    from rq_spark.formats.protobuf import decode_message, parse_descriptor_set
+
+    field = b"\x0a\x02id" + b"\x18\x01" + b"\x28\x03"  # name,number=1,type=TYPE_INT64
+    msg = b"\x0a\x06Person" + b"\x12" + bytes([len(field)]) + field
+    fdp = (
+        b"\x0a\x07t.proto"
+        + b"\x12\x07example"
+        + b"\x22" + bytes([len(msg)]) + msg
+    )
+    fds = b"\x0a" + bytes([len(fdp)]) + fdp
+    types = parse_descriptor_set(fds)
+    assert ".example.Person" in types
+    assert decode_message(b"\x08\x2a", ".example.Person", types) == {"id": 42}
+
+
+# -------------------------------------------------------- spark surface
+
+
+def test_spark_read_csv_sequence_shape(spark, tmp_path):
+    from rq_spark.formats import spark_io
+
+    p = tmp_path / "in.csv"
+    p.write_text("a,1\nb,2\n")
+    df = spark_io.read(spark, "csv", str(p), as_sequence=True)
+    rows = [r.value for r in df.collect()]
+    assert sorted(rows) == [["a", "1"], ["b", "2"]]
+
+
+def test_spark_transcode_json_to_msgpack_and_back(spark, tmp_path):
+    from rq_spark.formats import spark_io
+
+    src = tmp_path / "in.json"
+    src.write_text('{"a": 1, "s": "x"}\n{"a": 2, "s": "y"}\n')
+    mp_dir = tmp_path / "mp"
+    spark_io.transcode_path(spark, "json", str(src), "msgpack", str(mp_dir))
+    df = spark_io.read(spark, "msgpack", str(mp_dir) + "/part-*")
+    got = sorted((r.a, r.s) for r in df.collect())
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_spark_avro_roundtrip(spark, tmp_path):
+    from rq_spark.formats import spark_io
+
+    src = tmp_path / "in.json"
+    src.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\n')
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}],
+    }
+    out = tmp_path / "avro"
+    df = spark_io.read(spark, "json", str(src))
+    spark_io.write(df, "avro", str(out), schema=schema, codec="deflate")
+    back = spark_io.read(spark, "avro", str(out) + "/part-*")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_spark_write_csv_rejects_nested(spark):
+    from rq_spark.formats import spark_io
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.array(F.lit(1)).alias("a"))
+    with pytest.raises(IllegalSequenceError):
+        spark_io.write(df, "csv", "/tmp/never")
