@@ -123,23 +123,22 @@ def jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 128
 ) -> DataFrame:
-    """Per-doc MinHash signature in ONE fold over the shingle set:
-    acc[k] = min(acc[k], xxhash64(shingle, k)). No Python, no repeated
-    scans of the shingle array, shuffles only the (doc, sig) rows."""
-    per_shingle = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.xxhash64("shingle", k),
-    )
+    """Per-doc MinHash signature as num_hashes algebraic MIN aggregates:
+    sig[k] = min over shingles of xxhash64(shingle, k).
+
+    min() is algebraic, so Spark computes partial minima map-side and
+    shuffles ONE num_hashes-wide row per (doc, partition) — versus a
+    collect_list of every per-shingle hash array, whose shuffle bytes
+    grow with total shingle count. At 100 TB that difference is the
+    whole ballgame: shuffled bytes ∝ docs, not ∝ corpus tokens."""
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
     return (
-        sh.select("doc", per_shingle.alias("hs"))
-        .groupBy("doc")
-        .agg(
-            F.aggregate(
-                F.collect_list("hs"),
-                F.array_repeat(F.lit(I64_MAX).cast("long"), num_hashes),
-                lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
-            ).alias("sig")
-        )
+        sh.groupBy("doc")
+        .agg(*mins)
+        .select("doc", F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig"))
     )
 
 

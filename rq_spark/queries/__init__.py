@@ -24,7 +24,7 @@ def _load_extra_packs() -> None:
     import importlib
 
     for name in ("joins", "windows", "funcs", "events", "dedup", "text",
-                 "similarity", "nested"):
+                 "similarity", "nested", "udfs"):
         try:
             m = importlib.import_module(f".{name}", __package__)
         except ModuleNotFoundError as e:

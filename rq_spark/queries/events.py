@@ -164,6 +164,28 @@ def stream_tumble_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return impl(spark, sf_dir)
 
 
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState first-seen
+    dedup) run through the streaming engine; oracle = earliest event
+    per user with event_id tie-break."""
+    from ..streaming import stream_first_seen_per_user as impl
+
+    return impl(spark, sf_dir)
+
+
+_FIRST_SEEN_SQL = """
+SELECT e.user_id,
+       m.first_ts,
+       MIN(e.event_id) AS first_event_id,
+       MIN_BY(e.event_type, e.event_id) AS first_event_type,
+       MIN_BY(e.value, e.event_id) AS first_value
+FROM events e
+JOIN (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id) m
+  ON e.user_id = m.user_id AND e.ts = m.first_ts
+GROUP BY e.user_id, m.first_ts
+"""
+
+
 QUERIES = {
     "tumble_10min": tumble_10min,
     "slide_10min_5min": slide_10min_5min,
@@ -171,6 +193,7 @@ QUERIES = {
     "event_rate_per_user_day": event_rate_per_user_day,
     # same semantics, executed by the micro-batch streaming engine
     "stream_tumble_10min": stream_tumble_10min,
+    "stream_first_seen": stream_first_seen,
 }
 
 ORACLE = {
@@ -179,4 +202,5 @@ ORACLE = {
     "session_window_30min": _SESSION_SQL,
     "event_rate_per_user_day": _RATE_SQL,
     "stream_tumble_10min": _TUMBLE_SQL,
+    "stream_first_seen": _FIRST_SEEN_SQL,
 }

@@ -1,0 +1,151 @@
+"""UDF-surface pack (SURVEY.md §2.2 last row): the user-extension
+hooks that replace the reference's removed JavaScript query layer
+(reference README.md:6-10; vestigial arg_query at src/bin/rq.rs:31-32).
+
+Three tiers, each demonstrated by a catalog query with a DuckDB
+oracle so correctness is hash-checked, not just smoke-checked:
+
+* scalar ``pandas_udf`` — Arrow-batched, vectorized; the fast path
+  for per-row Python logic (10-100× over row-at-a-time UDFs).
+* grouped ``applyInPandas`` — full-group pandas transform; the escape
+  hatch for per-group logic Spark can't express declaratively.
+* ``mapInPandas`` — per-partition record-batch iterator; the
+  streaming-friendly shape (used by the multimodal pack too).
+
+Scale notes: every UDF here receives/returns Arrow batches, so the
+Python boundary is amortized over thousands of rows. applyInPandas
+shuffles on the group key — same cost as the equivalent groupBy — and
+groups must fit in one worker's memory (fine: per-user event groups).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .helpers import table
+
+# ------------------------------------------------------ scalar pandas_udf
+
+
+def _signed_log1p_udf():
+    # built inside a function: pandas_udf resolves its return type
+    # against the active session, so it can't be a module-level constant
+    @pandas_udf("double")
+    def _signed_log1p(v: pd.Series) -> pd.Series:
+        """Vectorized sign(x)*ln(1+|x|) — no Spark builtin has this shape."""
+        import numpy as np
+
+        return np.sign(v) * np.log1p(v.abs())
+
+    return _signed_log1p
+
+
+def udf_scalar_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _signed_log1p = _signed_log1p_udf()
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 13 == 0)
+        .select(
+            "event_id",
+            F.round(_signed_log1p(F.col("value")), 9).alias("log1p_value"),
+        )
+    )
+
+
+_SCALAR_SQL = """
+SELECT event_id,
+       ROUND(SIGN(value) * LN(1 + ABS(value)), 9) AS log1p_value
+FROM events
+WHERE event_id % 13 = 0
+"""
+
+# --------------------------------------------------- grouped applyInPandas
+
+
+def udf_zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas.
+
+    The same result is SQL-expressible (window avg/stddev), which is
+    exactly why it makes a good oracle-checked demonstration of the
+    grouped-UDF path.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 101 == 0)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        # pandas std() is the sample (ddof=1) stddev, like SQL STDDEV_SAMP
+        s = pdf["value"].std()
+        z = (pdf["value"] - m) / s if s and s == s else pdf["value"] * float("nan")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "zscore": z.round(9),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "user_id long, event_id long, zscore double"
+    )
+
+
+_ZSCORE_SQL = """
+SELECT user_id, event_id,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 9) AS zscore
+FROM events
+WHERE user_id % 101 = 0
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+# -------------------------------------------------------------- mapInPandas
+
+
+def udf_map_in_pandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise record-batch transform: parse the props JSON
+    column with pandas string ops and emit a projected/enriched frame.
+    One Python worker per partition, Arrow both ways, no shuffle.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+
+    def enrich(batches):
+        import json as _json
+
+        for pdf in batches:
+            props = pdf["props"].map(lambda s: _json.loads(s) if s else {})
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "event_type": pdf["event_type"],
+                    "k": props.map(lambda p: p.get("k")).astype("Int64"),
+                    "n_props": props.map(len).astype("int32"),
+                }
+            )
+
+    return ev.mapInPandas(
+        enrich, "event_id long, event_type string, k long, n_props int"
+    )
+
+
+_MAP_IN_PANDAS_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(len(json_keys(props)) AS INT) AS n_props
+FROM events
+WHERE event_id % 31 = 0
+"""
+
+
+QUERIES = {
+    "udf_scalar_log1p": udf_scalar_log1p,
+    "udf_zscore_by_user": udf_zscore_by_user,
+    "udf_map_in_pandas_enrich": udf_map_in_pandas_enrich,
+}
+
+ORACLE = {
+    "udf_scalar_log1p": _SCALAR_SQL,
+    "udf_zscore_by_user": _ZSCORE_SQL,
+    "udf_map_in_pandas_enrich": _MAP_IN_PANDAS_SQL,
+}

@@ -108,3 +108,62 @@ def stream_tumble_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle as the batch version — streaming == batch == SQL.
     """
     return run_to_memory(tumble_counts(stream_events(spark, sf_dir)), "complete")
+
+
+# ------------------------------------------------ custom stateful operator
+
+
+def first_seen_per_user(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.2 streaming row: "applyInPandasWithState for custom
+    stateful operators").
+
+    Emits exactly one row per user_id — the first event (by event time,
+    ties broken by event_id) ever seen for that key — and keeps a
+    one-byte marker in GroupState so later micro-batches are
+    suppressed. This is the streaming "first-touch attribution" /
+    keyed-dedup shape that built-in dropDuplicates can't express when
+    the emitted row must be the *earliest*, not the first-arriving.
+
+    Scale: state is O(distinct keys) × a few bytes; with a watermark
+    and state TTL (GroupStateTimeout) it is bounded for unbounded key
+    domains. Output is final on first emit — no retractions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def emit_first(key, batches, state: GroupState):
+        best = None  # (ts, event_id, event_type, value)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            row = pdf.iloc[0]
+            cand = (row["ts"], int(row["event_id"]), row["event_type"], float(row["value"]))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_ts": [best[0]],
+                "first_event_id": [best[1]],
+                "first_event_type": [best[2]],
+                "first_value": [best[3]],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        emit_first,
+        outputStructType="user_id long, first_ts timestamp, first_event_id long, "
+        "first_event_type string, first_value double",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: stateful first-seen dedup executed end-to-end by
+    the micro-batch engine (append mode)."""
+    return run_to_memory(first_seen_per_user(stream_events(spark, sf_dir)), "append")
