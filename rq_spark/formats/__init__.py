@@ -174,12 +174,38 @@ def _encode_toml(values: Iterable, **_) -> bytes:
     return "".join(_toml_emit.emit(v) for v in values).encode("utf-8")
 
 
+# Unicode line-break characters that PyYAML (allow_unicode=True) writes
+# raw — and then folds into spaces/newlines on load, corrupting the
+# round-trip. serde_yaml escapes these (reference src/value/yaml.rs), so
+# any record containing one is emitted with full escaping instead.
+_YAML_RAW_BREAKS = ("\x85", " ", " ")
+
+
+def _contains_yaml_raw_break(v) -> bool:
+    if isinstance(v, str):
+        return any(c in v for c in _YAML_RAW_BREAKS)
+    if isinstance(v, dict):
+        return any(
+            _contains_yaml_raw_break(k) or _contains_yaml_raw_break(x)
+            for k, x in v.items()
+        )
+    if isinstance(v, (list, tuple)):
+        return any(_contains_yaml_raw_break(x) for x in v)
+    return False
+
+
 def _encode_yaml(values: Iterable, **_) -> bytes:
     import yaml
 
     out = io.StringIO()
     for v in values:
-        yaml.safe_dump(v, out, default_flow_style=False, allow_unicode=True, sort_keys=False)
+        yaml.safe_dump(
+            v,
+            out,
+            default_flow_style=False,
+            allow_unicode=not _contains_yaml_raw_break(v),
+            sort_keys=False,
+        )
     return out.getvalue().encode("utf-8")
 
 

@@ -145,10 +145,16 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
             raise AvroUnsignedU64Error()
         out += _zigzag_encode(v)
     elif t == "float":
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise AvroError(f"expected float, got {type(v).__name__}")
         out += struct.pack("<f", float(v))
     elif t == "double":
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise AvroError(f"expected double, got {type(v).__name__}")
         out += struct.pack("<d", float(v))
     elif t == "bytes":
+        if not isinstance(v, (bytes, bytearray)):
+            raise AvroError(f"expected bytes, got {type(v).__name__}")
         out += _zigzag_encode(len(v))
         out += bytes(v)
     elif t == "string":
@@ -167,12 +173,18 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
                 return
             except (AvroKeyError, AvroUnsignedU64Error):
                 raise
-            except AvroError:
+            # Branch encoders may raise raw TypeError/ValueError on a
+            # value that mismatches the branch (e.g. len() of a non-sized
+            # value, enum .index miss) — treat those as "try next branch"
+            # exactly like AvroError, never as a fatal failure.
+            except (AvroError, TypeError, ValueError):
                 continue
         raise AvroError(f"value {v!r} matches no union branch")
     elif t == "enum":
         out += _zigzag_encode(node["symbols"].index(v))
     elif t == "fixed":
+        if not isinstance(v, (bytes, bytearray)):
+            raise AvroError(f"expected fixed bytes, got {type(v).__name__}")
         if len(v) != node["size"]:
             raise AvroError("fixed size mismatch")
         out += bytes(v)

