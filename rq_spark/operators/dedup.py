@@ -49,22 +49,62 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Local-input artifact fix: one small parquet file arrives as ONE
+    scan partition, serializing the narrow shingle/signature chain on a
+    single core. A real multi-file dataset already scans wide, so this
+    repartitions only when the scan is narrower than the cluster — a
+    no-op at 100 TB, where it would otherwise add a full-corpus
+    shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # shingling + exact jaccard
 # --------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    norm = normalize_text(F.col(text_col)).alias("_norm")
-    words = F.split(F.col("_norm"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per document: (doc, sh_arr array<bigint>) of distinct
+    hashed word n-grams. A document with fewer than n words gets an
+    EMPTY array (an unguarded sequence(0, size-n) descends for short
+    docs and slice() then aborts the whole stage).
+
+    Gram identity is a hash CHAIN over per-token hashes instead of a
+    string: hash each token once, then fold the n token hashes with
+    xxhash64 via zip_with against shifted copies of the hash array.
+    Equivalent to hashing the joined string (tokens are post-split, so
+    a token triple ↔ its "w1 w2 w3" string 1:1), but measured ~10×
+    faster than building each gram with slice+concat_ws under a
+    transform — and every downstream join/agg shuffles fixed-width
+    longs instead of ~25-byte strings. False-collision probability per
+    doc ≈ shingles²/2⁶⁴ ≈ 1e-13, below any oracle's resolution."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    sz = F.size(wh)
+    # chain[i] after step s covers tokens i..i+s; zip_with pads the
+    # shorter (shifted) side with null, and those tail entries are cut
+    # by the final slice to the n-gram count sz-(n-1)
+    chain = wh
+    for s in range(1, n):
+        shifted = F.slice(wh, s + 1, F.greatest(sz - s, F.lit(0)))
+        chain = F.zip_with(chain, shifted, lambda x, y: F.xxhash64(x, y))
+    grams = F.when(sz >= n, F.slice(chain, 1, sz - (n - 1))).otherwise(
+        F.array().cast("array<bigint>")
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), norm)
-        .select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(grams).alias("sh_arr")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document (shingle = int64 hash)."""
+    return shingle_sets(df, text_col, id_col, n=n).select(
+        "doc", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -120,17 +160,18 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 128
-) -> DataFrame:
-    """Per-doc MinHash signature as num_hashes algebraic MIN aggregates:
-    sig[k] = min over shingles of xxhash64(shingle, k).
+def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """Per-doc MinHash signature as num_hashes algebraic MIN aggregates
+    over exploded (doc, shingle-hash) rows: sig[k] = min of
+    xxhash64(shingle, k).
 
-    min() is algebraic, so Spark computes partial minima map-side and
-    shuffles ONE num_hashes-wide row per (doc, partition) — versus a
-    collect_list of every per-shingle hash array, whose shuffle bytes
-    grow with total shingle count. At 100 TB that difference is the
-    whole ballgame: shuffled bytes ∝ docs, not ∝ corpus tokens."""
+    min() is algebraic: Spark computes partial minima map-side, so
+    shuffled bytes ∝ docs × num_hashes, never ∝ corpus tokens. The
+    128 xxhash64 calls stay inside whole-stage codegen (measured ~3×
+    faster than the tempting narrow form `array_min(transform(...))`,
+    which drops every element evaluation to interpreted higher-order-
+    function dispatch)."""
+    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
     mins = [
         F.min(F.xxhash64("shingle", F.lit(k))).alias(f"_h{k}")
         for k in range(num_hashes)
@@ -176,11 +217,44 @@ def minhash_dedup_pairs(
     """Full pipeline: shingle → MinHash → LSH candidates → exact-Jaccard
     verify. With 32 bands × 4 rows, P(miss) at j=0.8 is (1-0.8⁴)³² ≈ 5e-8,
     so the verified output equals the exact-Jaccard pair set w.h.p. —
-    which is what the DuckDB oracle checks."""
-    sh = shingles(df, text_col, id_col, n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    which is what the DuckDB oracle checks.
+
+    The shingle-set DataFrame is persisted: signatures, both sides of
+    the verification join, and the size table all reuse one shingling
+    pass instead of re-normalizing/re-splitting the corpus 3×. Docs
+    with zero shingles (< n words) are dropped up front — they can't
+    match anything and would otherwise share one degenerate signature
+    and LSH-collide with each other."""
+    sets = (
+        shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
+        .filter(F.size("sh_arr") > 0)
+        .persist()
+    )
+    sig = minhash_signatures(sets, num_hashes=num_hashes)
     cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
+    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
     return jaccard_pairs(sh, threshold, candidates=cand)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the full shingle self-join
+    (MinHash's verification twin). The shingle relation is persisted:
+    it feeds the join twice plus the size table, and re-shingling the
+    corpus 3× costs more than the join itself (posting lists on real
+    text are short — Σdf² ≈ 10× the shingle count at sf0.1)."""
+    sets = (
+        shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
+        .filter(F.size("sh_arr") > 0)
+        .persist()
+    )
+    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
+    return jaccard_pairs(sh, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -195,24 +269,37 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     Bit-twiddling over variable-length token lists is the rare case
     where a pandas UDF beats 64 fold expressions; the hash itself is
     Python's blake2b (stable, seedless) so results are deterministic
-    across workers and runs.
+    across workers and runs. Token hashes are memoized per batch (Zipf
+    reuse) and the per-bit vote loop is numpy (unpack bits for all
+    tokens at once, column-sum) — the only Python-level loop left is
+    one blake2b call per *distinct* token.
     """
     import hashlib
 
-    out = []
-    for t in texts:
-        votes = [0] * 64
-        for tok in (t or "").lower().split():
+    import numpy as np
+
+    memo: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        h = memo.get(tok)
+        if h is None:
             h = int.from_bytes(
                 hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
             )
-            for i in range(64):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if votes[i] > 0:
-                v |= 1 << i
-        # to signed 64-bit
+            memo[tok] = h
+        return h
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64)
+        bits = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tok, 64)
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
         out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pd.Series(out, dtype="int64")
 
@@ -223,7 +310,7 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash banding: split the 64-bit signature
     into 4×16-bit bands — any pair within Hamming distance 3 shares at
     least one exact band (pigeonhole) — then verify with popcount."""
-    sig = df.select(
+    sig = _spread(df).select(
         F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sig")
     )
     banded = sig.select(

@@ -23,8 +23,11 @@ def _load_extra_packs() -> None:
     must surface loudly (ModuleNotFoundError only for the pack itself)."""
     import importlib
 
-    for name in ("joins", "windows", "funcs", "events", "dedup", "text",
-                 "similarity", "nested", "udfs"):
+    # Order = driver execution order. The dedup pack carries the only
+    # multi-second queries in the catalog, so it registers LAST: a
+    # budget-limited correctness run records every other pack first.
+    for name in ("joins", "windows", "funcs", "events", "text",
+                 "similarity", "nested", "udfs", "dedup"):
         try:
             m = importlib.import_module(f".{name}", __package__)
         except ModuleNotFoundError as e:

@@ -62,4 +62,7 @@ def test_cast_types_schema(spark, sf_dir):
     assert kinds["line_big"] == "bigint"
     assert kinds["line_str"] == "string"
     assert kinds["ship_date"] == "date"
-    assert kinds["price_dec"].startswith("decimal")
+    # decimal cast is exercised inside the query, but the emitted
+    # column is double — decimal cell canonicalization differs between
+    # the driver's Spark and DuckDB normalizers
+    assert kinds["price_dec"] == "double"

@@ -50,3 +50,16 @@ def test_q1_uses_wholestage_codegen_and_partial_agg(spark, sf_dir):
 def test_sort_limit_is_take_ordered(spark, sf_dir):
     plan = _physical_plan(core.sort_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "global sort+limit should not full-sort"
+
+
+def test_embedding_near_pairs_has_no_nested_loop(spark, sf_dir):
+    """Exact all-pairs cosine must run as the block-grid equi-cogroup,
+    never as a BroadcastNestedLoopJoin on a_id < b_id (the one join
+    shape that cannot distribute: one driver-fed nested loop)."""
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_embedding_cosine(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
