@@ -113,39 +113,88 @@ def lsh_bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def band_bucket_udf(planes: np.ndarray, bands: int, rows: int):
+    """Banded sign-pattern buckets: one numpy matmul per Arrow batch,
+    then r sign bits packed per band → array<int> of length `bands`."""
+
+    @F.pandas_udf("array<int>")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, bands*rows)
+        vals = np.zeros((len(vecs), bands), dtype=np.int32)
+        for b in range(bands):
+            for i in range(rows):
+                vals[:, b] |= bits[:, b * rows + i].astype(np.int32) << i
+        return pd.Series(list(vals))
+
+    return bucket
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    bands: int = 16,
+    rows_per_band: int = 4,
     dim: int = 64,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    # NB: dim here is the (required) vector width for the hyperplane
-    # matrix; it also unrolls the exact-cosine verification.
-    """Approximate top-k: equi-join on LSH bucket, then exact cosine +
-    window inside the bucket. 2^n_planes buckets → candidate set is
-    ~corpus/2^n per query instead of the whole corpus."""
-    bucket = lsh_bucket_udf(hyperplanes(n_planes, dim))
+    """Approximate top-k by banded random-hyperplane LSH with OR
+    amplification: a corpus vector is indexed once per band (bands ×
+    r-bit buckets), a candidate is any corpus vector sharing ≥1 band
+    bucket with the query, and candidates get exact cosine + window
+    top-k.
+
+    Recall for a neighbor at angle θ (bit-agreement p = 1-θ/π) is
+    1-(1-pʳ)^B — with B=16, r=4 that is ≥0.95 at cos 0.45 and ≥0.9999
+    at cos 0.8, versus ~0.03 for the old single 8-bit probe. Knobs:
+    more bands → recall, more rows/band → selectivity. Optional
+    MULTI-PROBE (probe_hamming=1) also probes each query band bucket
+    with one bit flipped — r extra probes per band on the QUERY side
+    only, so the corpus index (the big side at 100 TB) is never
+    re-replicated.
+
+    Scale shape: the corpus is exploded to B rows and equi-joined on
+    (band, bucket) against the broadcast query side; no corpus
+    broadcast, no nested loop; candidate dedup on ids before scoring."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+    bucket = band_bucket_udf(planes, bands, rows_per_band)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec"), dim).alias("cos_sim"),
+    if probe_hamming >= 1:
+        probes = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(rows_per_band)
+                ],
+            )
         )
+        q = q.select(
+            "query_id", "q_vec", "band", F.explode(probes).alias("bucket")
+        )
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -50,9 +50,12 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {_K}
 
 
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (rows-only; recall tested vs brute force)."""
+    """Banded-LSH ANN top-k (rows-only; recall ≥0.9 vs brute force is
+    asserted in tests/test_similarity.py)."""
     corpus = table(spark, sf_dir, "embeddings")
-    return S.ann_topk(corpus, _query_vectors(spark, sf_dir), k=_K, n_planes=4)
+    return S.ann_topk(
+        corpus, _query_vectors(spark, sf_dir), k=_K, bands=24, rows_per_band=4
+    )
 
 
 QUERIES = {
