@@ -16,10 +16,90 @@ pipe; the distributed path is `rq_spark.formats.spark_io` for files.
 from __future__ import annotations
 
 import argparse
+import logging
+import os
 import sys
 
 from .errors import RqError
-from .proto_registry import ProtoRegistry
+from .proto_registry import ProtoRegistry, default_dir
+
+_LOG = logging.getLogger("rq")
+
+# ---------------------------------------------------------------- logging
+# P10: -q / -l / --trace wired to real levels (rq.rs:392-408), with the
+# reference's [LEVEL] [module] message format and per-level ansi_term
+# colors on a tty stderr (rq.rs:423-463).
+
+_LEVELS = {
+    "off": logging.CRITICAL + 10,
+    "error": logging.ERROR,
+    "warn": logging.WARNING,
+    "info": logging.INFO,
+    "debug": logging.DEBUG,
+    "trace": logging.DEBUG,  # python logging has no TRACE tier
+}
+
+_LEVEL_COLORS = {  # (front, back) SGR — rq.rs:434-440
+    logging.ERROR: ("31", "2;31"),
+    logging.WARNING: ("33", "2;33"),
+    logging.INFO: ("34", "2;34"),
+    logging.DEBUG: ("35", "2;35"),
+}
+
+
+class _LogFormatter(logging.Formatter):
+    def format(self, record: logging.LogRecord) -> str:
+        level = "WARN" if record.levelno == logging.WARNING else record.levelname
+        msg = record.getMessage()
+        if sys.stderr.isatty():
+            front, back = _LEVEL_COLORS.get(record.levelno, ("37", "2;37"))
+
+            def f(s):
+                return f"\x1b[{front}m{s}\x1b[0m"
+
+            def b(s):
+                return f"\x1b[{back}m{s}\x1b[0m"
+
+            return f"{b('[')}{f(level)}{b(']')} {b('[')}{f(record.name)}{b(']')} {f(msg)}"
+        return f"[{level}] [{record.name}] {msg}"
+
+
+def setup_log(spec: str | None, quiet: bool) -> None:
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(_LogFormatter())
+    root.addHandler(handler)
+    if quiet:
+        level = _LEVELS["off"]
+    elif spec:
+        level = _LEVELS.get(spec.lower(), logging.INFO)
+    elif os.environ.get("RQ_LOG") or os.environ.get("RUST_LOG"):
+        env = (os.environ.get("RQ_LOG") or os.environ.get("RUST_LOG", "")).lower()
+        level = _LEVELS.get(env, logging.INFO)
+    else:
+        level = logging.INFO  # env_logger default filter (rq.rs:404)
+    root.setLevel(level)
+
+
+# ------------------------------------------------------- first-run warnings
+# P8: "has-ran-help" marker files under the config dir suppress the
+# default-format warnings after --help/--version has been shown once
+# (rq.rs:331-357).
+
+
+def _has_ran(cmd: str) -> bool:
+    return (default_dir() / f"has-ran-{cmd}").exists()
+
+
+def _set_ran(cmd: str) -> None:
+    d = default_dir()
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"has-ran-{cmd}").touch()
+    except OSError:
+        pass  # parity: set_ran_cmd swallows path errors (rq.rs:342-347)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,9 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Y", "--output-yaml", action="store_true", dest="output_yaml")
 
     # logging (rq.rs:88-93)
-    p.add_argument("-l", "--log", dest="flag_log", default=None)
-    p.add_argument("-q", "--quiet", action="store_true", dest="flag_quiet")
-    p.add_argument("--trace", action="store_true", dest="flag_trace")
+    p.add_argument("-l", "--log", dest="flag_log", default=None,
+                   help="log level/filter: off, error, warn, info, debug, trace")
+    p.add_argument("-q", "--quiet", action="store_true", dest="flag_quiet",
+                   help="log nothing")
+    p.add_argument("--trace", action="store_true", dest="flag_trace",
+                   help="include a backtrace in error reports")
+    p.add_argument("--version", action="version", version="rq_spark 1.0.4-spark")
     return p
 
 
@@ -135,6 +219,50 @@ def select_output(ns) -> tuple[str, dict]:
     return "json", {"style": style}  # default + tty inference (rq.rs:216,323-329)
 
 
+def _warn_default_format(ns, argv: list[str], in_fmt: str) -> None:
+    """First-run warnings for implicitly-selected input modes
+    (rq.rs:186-207): bare `-v` CSV mode, or no input flag at all."""
+    if in_fmt == "csv" and "-v" in argv and not _has_ran("help"):
+        _LOG.warning("You started rq -v, which puts it in CSV input mode.")
+        _LOG.warning(
+            "It's now waiting for CSV input, which might not be what you wanted."
+        )
+        _LOG.warning(
+            "Specify --input-csv explicitly or run rq --help once to "
+            "suppress this warning."
+        )
+    elif in_fmt == "json" and not ns.input_json and not _has_ran("help"):
+        _LOG.warning(
+            "You started rq without any input flags, which puts it in "
+            "JSON input mode."
+        )
+        _LOG.warning(
+            "It's now waiting for JSON input, which might not be what you wanted."
+        )
+        _LOG.warning(
+            "Specify (-j|--input-json) explicitly or run rq --help once "
+            "to suppress this warning."
+        )
+
+
+def _log_error(e: BaseException, trace: bool) -> None:
+    """Cause-chain error report (rq.rs:359-390)."""
+    _LOG.error("Encountered: %s", e)
+    cause = e.__cause__
+    while cause is not None:
+        _LOG.error("Caused by: %s", cause)
+        cause = cause.__cause__
+    if trace or os.environ.get("RUST_BACKTRACE") == "1":
+        import traceback
+
+        _LOG.error("")
+        _LOG.error("Backtrace:")
+        for line in "".join(traceback.format_exception(e)).splitlines():
+            _LOG.error("  %s", line)
+    else:
+        _LOG.error("(Re-run with --trace or RUST_BACKTRACE=1 for a backtrace)")
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     sub = _split_subcommand(argv)
@@ -142,21 +270,31 @@ def main(argv: list[str] | None = None) -> int:
         ProtoRegistry().add(sub.schema, base=sub.base)
         return 0
 
-    ns = build_parser().parse_args(argv)
+    try:
+        ns = build_parser().parse_args(argv)
+    except SystemExit as e:
+        # --help/--version displayed → remember, to suppress the
+        # default-format warning from now on (rq.rs:126-131)
+        if e.code == 0:
+            _set_ran("version" if "--version" in argv else "help")
+        return e.code if isinstance(e.code, int) else 0
+
+    setup_log(ns.flag_log, ns.flag_quiet)
     in_fmt, in_opts = select_input(ns)
     out_fmt, out_opts = select_output(ns)
-    if in_fmt == "protobuf":
-        reg = ProtoRegistry()
-        in_opts["registry"] = reg.types()
-    from .formats import transcode
-
+    _warn_default_format(ns, argv, in_fmt)
     try:
+        if in_fmt == "protobuf":
+            reg = ProtoRegistry()
+            in_opts["registry"] = reg.types()
+        from .formats import transcode
+
         data = sys.stdin.buffer.read()
         sys.stdout.buffer.write(transcode(in_fmt, out_fmt, data, in_opts, out_opts))
         sys.stdout.buffer.flush()
     except RqError as e:
         # fail-fast with cause-chain message (rq.rs:359-390)
-        print(f"rq: error: {e}", file=sys.stderr)
+        _log_error(e, ns.flag_trace)
         return 1
     return 0
 

@@ -125,11 +125,15 @@ _DECODERS = {
 
 
 def _encode_json(values: Iterable, style: str = "compact", **_) -> bytes:
+    from . import json_readable as _readable
+
     out = io.StringIO()
     for v in values:
         if style == "compact":
             out.write(_json.dumps(v, separators=(",", ":"), ensure_ascii=False))
-        else:  # readable / indented (K2/K3; ANSI color is a tty concern)
+        elif style == "readable":  # K2: ANSI-colored, 2-space indent
+            out.write(_readable.emit(v))
+        else:  # indented (K3): plain 2-space indent
             out.write(_json.dumps(v, indent=2, ensure_ascii=False))
         out.write("\n")
     return out.getvalue().encode("utf-8")

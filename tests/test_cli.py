@@ -129,6 +129,45 @@ def test_e2e_csv_to_json():
     assert out == b'["a","1"]\n["b","2"]\n'
 
 
+def test_e2e_readable_is_ansi_colored():
+    """K2: --format readable paints with the reference's ansi_term
+    styles (json.rs:115-520) — byte-stable golden for the tutorial
+    record {"a": 2.5}."""
+    out = run_cli(["--format", "readable"], b'null true {"a": 2.5}')
+    R = b"\x1b[0m"
+    golden = (
+        b"\x1b[1;2;3;30mnull" + R + b"\n"  # null: bold dim italic black
+        + b"\x1b[1;3;32mtrue" + R + b"\n"  # true: bold italic green
+        + b"\x1b[1m{" + R + b"\n  "
+        + b'\x1b[2;34m"' + R + b"\x1b[34ma" + R + b'\x1b[2;34m"' + R  # key
+        + b"\x1b[1m: " + R  # colon
+        + b"\x1b[34m2.5" + R + b"\n"  # number: blue
+        + b"\x1b[1m}" + R + b"\n"
+    )
+    assert out == golden
+
+
+def test_e2e_readable_string_escapes_dim():
+    out = run_cli(["--format", "readable"], b'"a\\nb"')
+    # body green, escape dim green, quotes dim green
+    assert (
+        out
+        == b'\x1b[2;32m"\x1b[0m\x1b[32ma\x1b[0m\x1b[2;32m\\n\x1b[0m'
+        b'\x1b[32mb\x1b[0m\x1b[2;32m"\x1b[0m\n'
+    )
+
+
+def test_e2e_readable_empty_containers_inline():
+    out = run_cli(["--format", "readable"], b"[] {}")
+    assert out == b"\x1b[1m[\x1b[0m\x1b[1m]\x1b[0m\n\x1b[1m{\x1b[0m\x1b[1m}\x1b[0m\n"
+
+
+def test_e2e_indented_is_plain():
+    out = run_cli(["--format", "indented"], b'{"a": [1, 2]}')
+    assert b"\x1b" not in out
+    assert out == b'{\n  "a": [\n    1,\n    2\n  ]\n}\n'
+
+
 def test_e2e_error_exit_code():
     r = subprocess.run(
         [sys.executable, "-m", "rq_spark.cli", "-V"],
@@ -157,10 +196,38 @@ def test_protobuf_add_and_decode(tmp_path, monkeypatch):
 
     import shutil
 
-    if shutil.which("protoc") is None:
-        pytest.skip("protoc not installed in this environment")
-    types = reg.types()
-    assert ".example.Person" in types
+    if shutil.which("protoc") is not None:
+        types = reg.types()
+        assert ".example.Person" in types
+    else:
+        # protoc-less fallback (the reference requires protoc; this
+        # engine additionally accepts a pre-compiled descriptor set)
+        with pytest.raises(Exception, match="protoc"):
+            reg.types()
+        dst.unlink()  # drop the source .proto so the side-load wins
+        reg2 = ProtoRegistry()
+        reg2.add_descriptor_set(f"{REPO}/tests/data/example_person.descriptor.pb")
+        assert ".example.Person" in reg2.types()
+
+
+def test_e2e_tutorial_protobuf_person(tmp_path, monkeypatch):
+    """doc/tutorial.md:45-46 golden: rq -p .example.Person < person.pb
+    → {"name":"John","age":34} — via a checked-in descriptor set
+    (tools/make_person_fixture.py), no protoc needed."""
+    from rq_spark.proto_registry import ProtoRegistry
+
+    monkeypatch.setenv("RQ_SYSTEM_DIR", str(tmp_path))
+    ProtoRegistry().add_descriptor_set(
+        f"{REPO}/tests/data/example_person.descriptor.pb"
+    )
+    person = open(f"{REPO}/tests/data/person.pb", "rb").read()
+    r = subprocess.run(
+        [sys.executable, "-m", "rq_spark.cli", "-p", ".example.Person"],
+        input=person, capture_output=True, cwd=REPO,
+        env={**__import__("os").environ, "RQ_SYSTEM_DIR": str(tmp_path)},
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout == b'{"name":"John","age":34}\n'
 
 
 def test_protobuf_add_base_relative(tmp_path, monkeypatch):
@@ -175,3 +242,68 @@ def test_protobuf_add_base_relative(tmp_path, monkeypatch):
     dst = reg.add(proto, base=base)
     # --base keeps the relative layout (doc/protobuf.md:21-34)
     assert dst == reg.proto_dir / "nested" / "x.proto"
+
+
+# --------------------------------------------- P8/P10: warnings + logging
+
+
+def _run_env(argv, stdin: bytes, sysdir: str):
+    import os
+
+    env = {**os.environ, "RQ_SYSTEM_DIR": sysdir}
+    env.pop("RUST_BACKTRACE", None)  # host machines may export it
+    env.pop("RQ_LOG", None)
+    return subprocess.run(
+        [sys.executable, "-m", "rq_spark.cli", *argv],
+        input=stdin, capture_output=True, cwd=REPO, env=env,
+    )
+
+
+def test_default_format_warning_until_help_ran(tmp_path):
+    """rq.rs:186-207 + 331-357: the JSON-default warning fires on every
+    run until --help has been displayed once, then never again."""
+    d = str(tmp_path)
+    r1 = _run_env([], b"1", d)
+    assert b"JSON input mode" in r1.stderr and r1.returncode == 0
+    r2 = _run_env([], b"1", d)
+    assert b"JSON input mode" in r2.stderr  # marker not yet set
+    rh = _run_env(["--help"], b"", d)
+    assert rh.returncode == 0
+    r3 = _run_env([], b"1", d)
+    assert b"JSON input mode" not in r3.stderr
+
+
+def test_csv_short_flag_warning(tmp_path):
+    d = str(tmp_path)
+    r = _run_env(["-v", "-J"], b"a,1\n", d)
+    assert b"CSV input mode" in r.stderr
+    # long spelling doesn't warn (reference checks raw argv for "-v")
+    r2 = _run_env(["--input-csv", "-J"], b"a,1\n", d)
+    assert b"CSV input mode" not in r2.stderr
+
+
+def test_quiet_silences_warning_and_errors(tmp_path):
+    d = str(tmp_path)
+    r = _run_env(["-q"], b"1", d)
+    assert r.stderr == b"" and r.returncode == 0
+    r2 = _run_env(["-q", "-V"], b'{"a": 1}', d)
+    assert r2.stderr == b"" and r2.returncode == 1
+
+
+def test_explicit_input_flag_suppresses_warning(tmp_path):
+    r = _run_env(["-j"], b"1", str(tmp_path))
+    assert b"input mode" not in r.stderr
+
+
+def test_error_report_shape(tmp_path):
+    r = _run_env(["-V"], b'{"a": 1}', str(tmp_path))
+    assert r.returncode == 1
+    assert b"[ERROR] [rq] Encountered:" in r.stderr
+    assert b"Re-run with --trace" in r.stderr
+    rt = _run_env(["-V", "--trace"], b'{"a": 1}', str(tmp_path))
+    assert b"Backtrace:" in rt.stderr
+
+
+def test_log_level_flag(tmp_path):
+    r = _run_env(["-l", "error"], b"1", str(tmp_path))
+    assert b"input mode" not in r.stderr  # warnings filtered at error level
