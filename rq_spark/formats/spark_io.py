@@ -107,21 +107,43 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
     if fmt not in ("cbor", "msgpack", "avro", "toml", "yaml"):
         raise IllegalRecordError(f"unknown output format {fmt!r}")
 
+    # Committed write, FileOutputCommitter-v1 shape: every task attempt
+    # writes its container to _temporary/ under a unique attempt name;
+    # only attempts that SUCCEED return their name to the driver, which
+    # renames the winners into place and drops a _SUCCESS marker. No
+    # partial/duplicate output is ever visible under its final name —
+    # speculative or retried attempts leave only orphan temp files,
+    # removed with _temporary. Requires the output dir to be one
+    # filesystem shared by driver and executors (local mode, NFS, …);
+    # on node-local disks the commit rename fails LOUDLY instead of
+    # silently scattering files per node.
+    import shutil
+    import uuid
+
     os.makedirs(path, exist_ok=True)
+    tmp_dir = os.path.join(path, "_temporary")
+    os.makedirs(tmp_dir, exist_ok=True)
     sort_col = opts.pop("order_by", None)
     if sort_col:
         df = df.orderBy(sort_col)
 
     def write_partition(idx: int, rows: Iterator) -> Iterator:
         values = [r.asDict(recursive=True) for r in rows]
-        if values or idx == 0:
+        if values or idx == 0:  # part-00000 always exists, like Hadoop
             blob = encode_records(fmt, values, **opts)
-            with open(os.path.join(path, f"part-{idx:05d}"), "wb") as f:
+            attempt = os.path.join(tmp_dir, f"part-{idx:05d}-{uuid.uuid4().hex}")
+            with open(attempt, "wb") as f:
                 f.write(blob)
-        return iter(())
+            yield idx, attempt
 
-    # local-fs part files; on a cluster this would target a shared FS
-    df.rdd.mapPartitionsWithIndex(write_partition).count()
+    try:
+        winners = df.rdd.mapPartitionsWithIndex(write_partition).collect()
+        for idx, attempt in winners:
+            os.replace(attempt, os.path.join(path, f"part-{idx:05d}"))
+        with open(os.path.join(path, "_SUCCESS"), "wb"):
+            pass
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def transcode_path(spark: SparkSession, in_fmt: str, in_path: str,

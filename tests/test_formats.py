@@ -365,3 +365,24 @@ def test_spark_write_csv_rejects_nested(spark):
     df = spark.range(1).select(F.array(F.lit(1)).alias("a"))
     with pytest.raises(IllegalSequenceError):
         spark_io.write(df, "csv", "/tmp/never")
+
+
+def test_spark_write_is_committed(spark, tmp_path):
+    """Codec writes are commit-protocol'd: _SUCCESS marker, no
+    _temporary leftovers, containers only under final part names."""
+    import os
+
+    from rq_spark.formats import spark_io
+
+    src = tmp_path / "in.json"
+    src.write_text('{"a": 1}\n{"a": 2}\n')
+    out = tmp_path / "out_cbor"
+    df = spark_io.read(spark, "json", str(src))
+    spark_io.write(df, "cbor", str(out))
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert "_temporary" not in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts
+    back = spark_io.read(spark, "cbor", str(out) + "/part-*")
+    assert sorted(r.a for r in back.collect()) == [1, 2]
