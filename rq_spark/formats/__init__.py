@@ -37,6 +37,7 @@ from ..errors import (
     SyntaxError_,
     UnimplementedError,
 )
+from . import values as _values
 from .codecs import avro as _avro
 from .codecs import cbor as _cbor
 from .codecs import msgpack as _msgpack
@@ -124,15 +125,46 @@ _DECODERS = {
 # ------------------------------------------------------------------ sinks
 
 
+def _contains_pairs(v) -> bool:
+    if isinstance(v, _values.OrderedPairs):
+        return True
+    if isinstance(v, dict):
+        return any(_contains_pairs(x) for x in v.values())
+    if isinstance(v, (list, tuple)):
+        return any(_contains_pairs(x) for x in v)
+    return False
+
+
+def _json_compact_pairs(v) -> str:
+    """Compact JSON with duplicate-key maps emitted textually (JSON
+    tolerates duplicate keys in the grammar; the reference's
+    list-of-pairs Map serializes each pair as written)."""
+    if isinstance(v, (dict, _values.OrderedPairs)):
+        return (
+            "{"
+            + ",".join(
+                f"{_json.dumps(k if isinstance(k, str) else str(k), ensure_ascii=False)}"
+                f":{_json_compact_pairs(x)}"
+                for k, x in v.items()
+            )
+            + "}"
+        )
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_json_compact_pairs(x) for x in v) + "]"
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
 def _encode_json(values: Iterable, style: str = "compact", **_) -> bytes:
     from . import json_readable as _readable
 
     out = io.StringIO()
     for v in values:
-        if style == "compact":
-            out.write(_json.dumps(v, separators=(",", ":"), ensure_ascii=False))
-        elif style == "readable":  # K2: ANSI-colored, 2-space indent
+        if style == "readable":  # K2: ANSI-colored, 2-space indent
             out.write(_readable.emit(v))
+        elif _contains_pairs(v):  # duplicate/ordered-key maps
+            out.write(_json_compact_pairs(v))
+        elif style == "compact":
+            out.write(_json.dumps(v, separators=(",", ":"), ensure_ascii=False))
         else:  # indented (K3): plain 2-space indent
             out.write(_json.dumps(v, indent=2, ensure_ascii=False))
         out.write("\n")

@@ -230,6 +230,30 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
 # ---------------------------------------------------------------- container
 
 
+def _snappy_funcs():
+    """(compress, decompress) via whichever snappy binding exists —
+    gated behind import so the codec lights up when a lib is present
+    (the reference cargo-feature-gates snappy the same way,
+    Cargo.toml:53-55)."""
+    try:
+        import snappy  # python-snappy
+
+        return snappy.compress, snappy.decompress
+    except ImportError:
+        pass
+    try:
+        from cramjam import snappy as _cj
+
+        return (
+            lambda b: bytes(_cj.compress_raw(b)),
+            lambda b: bytes(_cj.decompress_raw(b)),
+        )
+    except ImportError:
+        raise AvroError(
+            "snappy codec requires the python-snappy or cramjam library"
+        ) from None
+
+
 def read_container(buf: bytes) -> tuple[dict, list]:
     """Returns (writer schema, records). Embedded writer schema — no
     user schema needed on read (avro.rs:21-23)."""
@@ -259,6 +283,13 @@ def read_container(buf: bytes) -> tuple[dict, list]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # avro spec: snappy block = compressed data + 4-byte
+            # big-endian CRC32 of the uncompressed data
+            _, decompress = _snappy_funcs()
+            block, crc = decompress(block[:-4]), block[-4:]
+            if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                raise SyntaxError_("avro", "snappy block CRC mismatch")
         elif codec != "null":
             raise AvroError(f"unsupported codec {codec}")
         br = io.BytesIO(block)
@@ -271,13 +302,12 @@ def read_container(buf: bytes) -> tuple[dict, list]:
 
 def write_container(schema_json: str | dict, records, codec: str = "null") -> bytes:
     """Schema-validated container write (rq: -A schema.avsc --codec,
-    rq.rs:241-259). codec ∈ {null, deflate}; snappy needs a lib the
-    environment lacks → explicit AvroError, mirroring the reference's
-    feature gate."""
-    if codec == "snappy":
-        raise AvroError("snappy codec requires the snappy library (unavailable)")
-    if codec not in ("null", "deflate"):
+    rq.rs:241-259). codec ∈ {null, deflate, snappy}; snappy is gated
+    behind an import-try (AvroError when no binding exists — the
+    reference cargo-feature-gates it the same way)."""
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec}")
+    snappy_compress = _snappy_funcs()[0] if codec == "snappy" else None
     schema = parse_schema(schema_json) if isinstance(schema_json, str) else schema_json
     if isinstance(schema, str):
         schema = json.loads(schema)
@@ -291,6 +321,9 @@ def write_container(schema_json: str | dict, records, codec: str = "null") -> by
     if codec == "deflate":
         c = zlib.compressobj(9, zlib.DEFLATED, -15)
         block = c.compress(block) + c.flush()
+    elif codec == "snappy":
+        crc = zlib.crc32(block) & 0xFFFFFFFF
+        block = snappy_compress(block) + crc.to_bytes(4, "big")
     sync = b"rq-spark-sync-16"  # deterministic marker (16 bytes)
     out = bytearray(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}

@@ -18,6 +18,7 @@ import struct
 from collections.abc import Iterator
 
 from ...errors import SyntaxError_
+from .. import values as _values
 
 _MT_UINT, _MT_NINT, _MT_BYTES, _MT_TEXT, _MT_ARRAY, _MT_MAP, _MT_TAG, _MT_SIMPLE = range(8)
 _BREAK = object()
@@ -63,7 +64,7 @@ def _enc(v, out: bytearray) -> None:
         out += _head(_MT_ARRAY, len(v))
         for x in v:
             _enc(x, out)
-    elif isinstance(v, dict):
+    elif isinstance(v, (dict, _values.OrderedPairs)):
         out += _head(_MT_MAP, len(v))
         for k, x in v.items():
             _enc(k, out)
@@ -130,15 +131,17 @@ class _Reader:
                 items = [self.decode_one() for _ in range(arg)]
             return items
         if mt == _MT_MAP:
-            d = {}
+            # order/duplicates/any-key preserved via list-of-pairs
+            # fallback (reference Map semantics, mod.rs:43-44)
+            pairs = []
             if arg is None:
                 while (k := self.decode_one()) is not _BREAK:
-                    d[k] = self.decode_one()
+                    pairs.append((k, self.decode_one()))
             else:
                 for _ in range(arg):
                     k = self.decode_one()
-                    d[k] = self.decode_one()
-            return d
+                    pairs.append((k, self.decode_one()))
+            return _values.map_from_pairs(pairs)
         if mt == _MT_TAG:
             return self.decode_one()  # unwrap tag content
         # simple / float

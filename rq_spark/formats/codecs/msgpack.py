@@ -17,6 +17,7 @@ import struct
 from collections.abc import Iterator
 
 from ...errors import SyntaxError_
+from .. import values as _values
 
 
 def encode(v) -> bytes:
@@ -66,7 +67,7 @@ def _enc(v, out: bytearray) -> None:
             out += b"\xdd" + struct.pack(">I", n)
         for x in v:
             _enc(x, out)
-    elif isinstance(v, dict):
+    elif isinstance(v, (dict, _values.OrderedPairs)):
         n = len(v)
         if n < 16:
             out.append(0x80 | n)
@@ -199,12 +200,11 @@ class _Reader:
     def _arr(self, n: int) -> list:
         return [self.decode_one() for _ in range(n)]
 
-    def _map(self, n: int) -> dict:
-        d = {}
-        for _ in range(n):
-            k = self.decode_one()
-            d[k] = self.decode_one()
-        return d
+    def _map(self, n: int):
+        # order + duplicates + non-string keys preserved, parity with
+        # the reference's list-of-pairs Map (messagepack.rs:88-92)
+        pairs = [(self.decode_one(), self.decode_one()) for _ in range(n)]
+        return _values.map_from_pairs(pairs)
 
 
 def decode_stream(buf: bytes) -> Iterator:

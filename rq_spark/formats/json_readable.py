@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import json as _json
 
+from .values import OrderedPairs
+
 _RESET = "\x1b[0m"
 
 
@@ -107,7 +109,7 @@ def _emit(v, out: list, depth: int) -> None:
         if len(v):
             out.append("\n" + "  " * depth)
         out.append(_PUNCT("]"))
-    elif isinstance(v, dict):
+    elif isinstance(v, (dict, OrderedPairs)):
         out.append(_PUNCT("{"))
         first = True
         for k, x in v.items():

@@ -35,6 +35,12 @@ from . import decode_records, encode_records
 def _bytes_default(o):
     if isinstance(o, (bytes, bytearray)):
         return bytes(o).hex()
+    from .values import OrderedPairs
+
+    if isinstance(o, OrderedPairs):
+        # SURVEY §1.2 item 2: duplicate/ordered-key maps surface as
+        # array<struct<key,value>> on the columnar path
+        return [{"key": k, "value": v} for k, v in o.items()]
     raise TypeError(f"not JSON-serializable: {type(o).__name__}")
 
 

@@ -15,6 +15,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from rq_spark.errors import (
+    AvroError,
     AvroKeyError,
     AvroUnsignedU64Error,
     IllegalRecordError,
@@ -386,3 +387,78 @@ def test_spark_write_is_committed(spark, tmp_path):
     assert parts
     back = spark_io.read(spark, "cbor", str(out) + "/part-*")
     assert sorted(r.a for r in back.collect()) == [1, 2]
+
+
+# ---------------------------------------- ordered/duplicate-key maps (§1.2)
+
+
+def test_msgpack_duplicate_key_map_roundtrip():
+    """Reference Map = ordered list of pairs (mod.rs:43-44): duplicate
+    keys survive a msgpack→msgpack round trip byte-for-byte."""
+    from rq_spark.formats.codecs import msgpack
+    from rq_spark.formats.values import OrderedPairs
+
+    # fixmap{2}: "a":1, "a":2
+    raw = b"\x82\xa1a\x01\xa1a\x02"
+    v = msgpack.decode(raw)
+    assert v == OrderedPairs([("a", 1), ("a", 2)])
+    assert msgpack.encode(v) == raw
+
+
+def test_msgpack_nonstring_key_map():
+    from rq_spark.formats.codecs import msgpack
+
+    # fixmap{1}: 1 -> "x"  (int key stays a dict — hashable + unique)
+    raw = b"\x81\x01\xa1x"
+    assert msgpack.decode(raw) == {1: "x"}
+    assert msgpack.encode({1: "x"}) == raw
+
+
+def test_msgpack_unhashable_key_falls_back_to_pairs():
+    from rq_spark.formats.codecs import msgpack
+    from rq_spark.formats.values import OrderedPairs
+
+    # fixmap{1}: [1] -> 2  (array key: unhashable in python)
+    raw = b"\x81\x91\x01\x02"
+    v = msgpack.decode(raw)
+    assert v == OrderedPairs([([1], 2)])
+    assert msgpack.encode(v) == raw
+
+
+def test_cbor_duplicate_key_map_roundtrip():
+    from rq_spark.formats.codecs import cbor
+    from rq_spark.formats.values import OrderedPairs
+
+    raw = bytes([0xA2, 0x61, ord("a"), 0x01, 0x61, ord("a"), 0x02])
+    v = cbor.decode(raw)
+    assert v == OrderedPairs([("a", 1), ("a", 2)])
+    assert cbor.encode(v) == raw
+
+
+def test_duplicate_key_map_to_json_keeps_both():
+    out = transcode("msgpack", "json", b"\x82\xa1a\x01\xa1a\x02")
+    assert out == b'{"a":1,"a":2}\n'
+
+
+# --------------------------------------------------------- avro snappy gate
+
+
+def test_avro_snappy_gated_behind_import():
+    try:
+        import snappy  # noqa: F401
+
+        have = True
+    except ImportError:
+        try:
+            import cramjam  # noqa: F401
+
+            have = True
+        except ImportError:
+            have = False
+
+    if have:
+        blob = encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
+        assert list(decode_records("avro", blob)) == _people()
+    else:
+        with pytest.raises(AvroError, match="snappy"):
+            encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
