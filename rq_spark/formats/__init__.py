@@ -34,8 +34,11 @@ from collections.abc import Iterable, Iterator
 from ..errors import (
     IllegalRecordError,
     IllegalSequenceError,
+    JsonError,
     SyntaxError_,
+    TomlDeserializeError,
     UnimplementedError,
+    YamlScanError,
 )
 from . import values as _values
 from .codecs import avro as _avro
@@ -62,7 +65,7 @@ def _decode_json(data: bytes, **_) -> Iterator:
         try:
             value, pos = dec.raw_decode(text, pos)
         except ValueError as e:
-            raise SyntaxError_("json", str(e)) from e
+            raise JsonError(str(e)) from e
         yield value
 
 
@@ -83,7 +86,7 @@ def _decode_toml(data: bytes, **_) -> Iterator:
     try:
         yield tomllib.loads(data.decode("utf-8"))  # whole input = 1 record (S7)
     except tomllib.TOMLDecodeError as e:
-        raise SyntaxError_("toml", str(e)) from e
+        raise TomlDeserializeError(str(e)) from e
 
 
 def _decode_yaml(data: bytes, **_) -> Iterator:
@@ -91,10 +94,13 @@ def _decode_yaml(data: bytes, **_) -> Iterator:
 
     # parity: despite "series of documents" help text, only the FIRST
     # document is read (yaml.rs Option<R>::take, SURVEY §2.1 S8)
-    docs = yaml.safe_load_all(data.decode("utf-8"))
-    for doc in docs:
-        yield doc
-        return
+    try:
+        docs = yaml.safe_load_all(data.decode("utf-8"))
+        for doc in docs:
+            yield doc
+            return
+    except yaml.YAMLError as e:  # error.rs YamlScan
+        raise YamlScanError(str(e)) from e
 
 
 def _decode_avro(data: bytes, **_) -> Iterator:

@@ -23,7 +23,13 @@ import struct
 import zlib
 from collections.abc import Iterator
 
-from ...errors import AvroError, AvroKeyError, AvroUnsignedU64Error, SyntaxError_
+from ...errors import (
+    AvroDecodeError,
+    AvroError,
+    AvroKeyError,
+    AvroParseSchemaError,
+    AvroUnsignedU64Error,
+)
 
 MAGIC = b"Obj\x01"
 I64_MAX = (1 << 63) - 1
@@ -49,7 +55,7 @@ def _read_long(r: io.BytesIO) -> int:
     while True:
         c = r.read(1)
         if not c:
-            raise SyntaxError_("avro", "truncated varint")
+            raise AvroDecodeError("truncated varint")
         b = c[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
@@ -125,7 +131,7 @@ def _decode(schema, r: io.BytesIO, named: dict):
         return out
     if t == "record":
         return {f["name"]: _decode(f["type"], r, named) for f in node["fields"]}
-    raise SyntaxError_("avro", f"unsupported schema type {t}")
+    raise AvroParseSchemaError(f"unsupported schema type {t}")
 
 
 # ---------------------------------------------------------------- encode
@@ -259,7 +265,7 @@ def read_container(buf: bytes) -> tuple[dict, list]:
     user schema needed on read (avro.rs:21-23)."""
     r = io.BytesIO(buf)
     if r.read(4) != MAGIC:
-        raise SyntaxError_("avro", "bad container magic")
+        raise AvroDecodeError("bad container magic")
     meta = {}
     while (n := _read_long(r)) != 0:
         if n < 0:
@@ -289,14 +295,14 @@ def read_container(buf: bytes) -> tuple[dict, list]:
             _, decompress = _snappy_funcs()
             block, crc = decompress(block[:-4]), block[-4:]
             if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
-                raise SyntaxError_("avro", "snappy block CRC mismatch")
+                raise AvroDecodeError("snappy block CRC mismatch")
         elif codec != "null":
             raise AvroError(f"unsupported codec {codec}")
         br = io.BytesIO(block)
         for _ in range(count):
             records.append(_decode(schema, br, named))
         if r.read(16) != sync:
-            raise SyntaxError_("avro", "sync marker mismatch")
+            raise AvroDecodeError("sync marker mismatch")
     return schema, records
 
 

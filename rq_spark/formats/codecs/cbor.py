@@ -17,7 +17,7 @@ import math
 import struct
 from collections.abc import Iterator
 
-from ...errors import SyntaxError_
+from ...errors import CborError
 from .. import values as _values
 
 _MT_UINT, _MT_NINT, _MT_BYTES, _MT_TEXT, _MT_ARRAY, _MT_MAP, _MT_TAG, _MT_SIMPLE = range(8)
@@ -31,7 +31,7 @@ def _head(mt: int, arg: int) -> bytes:
                            (26, ">I", 1 << 32), (27, ">Q", 1 << 64)):
         if arg < limit:
             return bytes([(mt << 5) | ai]) + struct.pack(fmt, arg)
-    raise SyntaxError_("cbor", f"integer too large: {arg}")
+    raise CborError(f"integer too large: {arg}")
 
 
 def encode(value) -> bytes:
@@ -70,7 +70,7 @@ def _enc(v, out: bytearray) -> None:
             _enc(k, out)
             _enc(x, out)
     else:
-        raise SyntaxError_("cbor", f"unencodable type {type(v).__name__}")
+        raise CborError(f"unencodable type {type(v).__name__}")
 
 
 class _Reader:
@@ -80,7 +80,7 @@ class _Reader:
 
     def take(self, n: int) -> bytes:
         if self.pos + n > len(self.buf):
-            raise SyntaxError_("cbor", "truncated input")
+            raise CborError("truncated input")
         b = self.buf[self.pos : self.pos + n]
         self.pos += n
         return b
@@ -98,7 +98,7 @@ class _Reader:
             return struct.unpack(">Q", self.take(8))[0]
         if ai == 31:
             return None  # indefinite
-        raise SyntaxError_("cbor", f"reserved additional info {ai}")
+        raise CborError(f"reserved additional info {ai}")
 
     def decode_one(self):
         ib = self.take(1)[0]
@@ -157,7 +157,7 @@ class _Reader:
             return struct.unpack(">f", struct.pack(">I", arg))[0]
         if ai == 27:
             return struct.unpack(">d", struct.pack(">Q", arg))[0]
-        raise SyntaxError_("cbor", f"unsupported simple value {ai}")
+        raise CborError(f"unsupported simple value {ai}")
 
 
 def _decode_f16(h: int) -> float:
@@ -177,13 +177,15 @@ def decode_stream(buf: bytes) -> Iterator:
     while r.pos < len(buf):
         v = r.decode_one()
         if v is _BREAK:
-            raise SyntaxError_("cbor", "unexpected break code")
+            raise CborError("unexpected break code")
         yield v
 
 
 def decode(buf: bytes):
     r = _Reader(buf)
     v = r.decode_one()
+    if v is _BREAK:
+        raise CborError("unexpected break code")
     if r.pos != len(buf):
-        raise SyntaxError_("cbor", "trailing bytes after value")
+        raise CborError("trailing bytes after value")
     return v

@@ -16,7 +16,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
-from ...errors import SyntaxError_
+from ...errors import MessagePackDecodeError, MessagePackEncodeError
 from .. import values as _values
 
 
@@ -79,7 +79,7 @@ def _enc(v, out: bytearray) -> None:
             _enc(k, out)
             _enc(x, out)
     else:
-        raise SyntaxError_("msgpack", f"unencodable type {type(v).__name__}")
+        raise MessagePackEncodeError(f"unencodable type {type(v).__name__}")
 
 
 def _enc_int(v: int, out: bytearray) -> None:
@@ -104,7 +104,7 @@ def _enc_int(v: int, out: bytearray) -> None:
     elif -(1 << 63) <= v < 0:
         out += b"\xd3" + struct.pack(">q", v)
     else:
-        raise SyntaxError_("msgpack", f"integer out of range: {v}")
+        raise MessagePackEncodeError(f"integer out of range: {v}")
 
 
 class _Reader:
@@ -114,7 +114,7 @@ class _Reader:
 
     def take(self, n: int) -> bytes:
         if self.pos + n > len(self.buf):
-            raise SyntaxError_("msgpack", "truncated input")
+            raise MessagePackDecodeError("truncated input")
         b = self.buf[self.pos : self.pos + n]
         self.pos += n
         return b
@@ -124,7 +124,7 @@ class _Reader:
         try:
             return b.decode("utf-8")
         except UnicodeDecodeError as e:  # rq hard-errors here (§1.4)
-            raise SyntaxError_("msgpack", f"invalid UTF-8 string: {e}") from e
+            raise MessagePackDecodeError(f"invalid UTF-8 string: {e}") from e
 
     def decode_one(self):
         b = self.take(1)[0]
@@ -195,7 +195,7 @@ class _Reader:
             return self._map(u(">H", self.take(2))[0])
         if b == 0xDF:
             return self._map(u(">I", self.take(4))[0])
-        raise SyntaxError_("msgpack", f"unknown type byte 0x{b:02x}")
+        raise MessagePackDecodeError(f"unknown type byte 0x{b:02x}")
 
     def _arr(self, n: int) -> list:
         return [self.decode_one() for _ in range(n)]
@@ -217,5 +217,5 @@ def decode(buf: bytes):
     r = _Reader(buf)
     v = r.decode_one()
     if r.pos != len(buf):
-        raise SyntaxError_("msgpack", "trailing bytes after value")
+        raise MessagePackDecodeError("trailing bytes after value")
     return v

@@ -8,7 +8,7 @@ compact TOML output does not exist, rq.rs:267).
 
 from __future__ import annotations
 
-from ...errors import SyntaxError_
+from ...errors import TomlSerializeError
 
 
 def _scalar(v) -> str:
@@ -18,12 +18,12 @@ def _scalar(v) -> str:
         return repr(v)
     if isinstance(v, str):
         return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
-    raise SyntaxError_("toml", f"unencodable scalar {type(v).__name__}")
+    raise TomlSerializeError(f"unencodable scalar {type(v).__name__}")
 
 
 def _key(k) -> str:
     if not isinstance(k, str):
-        raise SyntaxError_("toml", "TOML keys must be strings")
+        raise TomlSerializeError("TOML keys must be strings")
     if k and all(c.isalnum() or c in "-_" for c in k):
         return k
     return _scalar(k)
@@ -33,7 +33,7 @@ def emit(doc: dict) -> str:
     """One TOML document for one record (must be a table at top level,
     same constraint the reference's serializer hits)."""
     if not isinstance(doc, dict):
-        raise SyntaxError_("toml", "top-level TOML value must be a table")
+        raise TomlSerializeError("top-level TOML value must be a table")
     lines: list[str] = []
     _emit_table(doc, [], lines)
     return "\n".join(lines) + "\n"
@@ -46,10 +46,10 @@ def _emit_table(d: dict, path: list[str], lines: list[str]) -> None:
             subtables.append((k, v))
         elif isinstance(v, list):
             if any(isinstance(x, (dict, list)) for x in v):
-                raise SyntaxError_("toml", "nested arrays/tables in array unsupported")
+                raise TomlSerializeError("nested arrays/tables in array unsupported")
             lines.append(f"{_key(k)} = [{', '.join(_scalar(x) for x in v)}]")
         elif v is None:
-            raise SyntaxError_("toml", "TOML has no null value")
+            raise TomlSerializeError("TOML has no null value")
         else:
             lines.append(f"{_key(k)} = {_scalar(v)}")
     for k, v in subtables:

@@ -14,7 +14,7 @@ Reference parity (SURVEY.md §2.1 S6, §3 E2):
 from __future__ import annotations
 
 import struct
-from ..errors import ProtobufSchemaError, SyntaxError_
+from ..errors import NativeProtobufError, ProtobufSchemaError, SyntaxError_
 
 # wire types
 _VARINT, _I64, _LEN, _SGROUP, _EGROUP, _I32 = 0, 1, 2, 3, 4, 5
@@ -32,7 +32,7 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift, acc = 0, 0
     while True:
         if pos >= len(buf):
-            raise SyntaxError_("protobuf", "truncated varint")
+            raise NativeProtobufError("truncated varint")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -40,7 +40,7 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
             return acc, pos
         shift += 7
         if shift > 70:
-            raise SyntaxError_("protobuf", "varint too long")
+            raise NativeProtobufError("varint too long")
 
 
 def parse_fields(buf: bytes):
@@ -59,7 +59,7 @@ def parse_fields(buf: bytes):
         elif wt == _I32:
             v, pos = buf[pos : pos + 4], pos + 4
         else:
-            raise SyntaxError_("protobuf", f"unsupported wire type {wt}")
+            raise NativeProtobufError(f"unsupported wire type {wt}")
         yield fno, wt, v
 
 

@@ -462,3 +462,48 @@ def test_avro_snappy_gated_behind_import():
     else:
         with pytest.raises(AvroError, match="snappy"):
             encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
+
+
+# ------------------------------------------------- error taxonomy (P9)
+
+
+def test_error_taxonomy_routes_to_typed_variants():
+    """error.rs:21-119 parity: format failures surface as their typed
+    variant, every variant under RqError, parse-side ones also under
+    SyntaxError_ (fail-fast catch sites)."""
+    from rq_spark import errors as E
+    from rq_spark.formats.codecs import cbor, msgpack
+
+    with pytest.raises(E.MessagePackDecodeError):
+        msgpack.decode(b"\xc1")  # 0xC1 is never used
+    with pytest.raises(E.MessagePackEncodeError):
+        msgpack.encode(object())
+    with pytest.raises(E.CborError):
+        cbor.decode(b"\xff")  # lone break code
+    with pytest.raises(E.JsonError):
+        list(decode_records("json", b"{broken"))
+    with pytest.raises(E.TomlDeserializeError):
+        list(decode_records("toml", b"= nope"))
+    with pytest.raises(E.YamlScanError):
+        list(decode_records("yaml", b"a: [unclosed"))
+    with pytest.raises(E.AvroDecodeError):
+        list(decode_records("avro", b"NotAvro..."))
+    with pytest.raises(E.NativeProtobufError):
+        from rq_spark.formats.protobuf import read_varint
+
+        read_varint(b"\xff", 0)  # truncated varint
+
+    # hierarchy: parse-side variants are SyntaxError_ (fail-fast) and
+    # every variant roots at RqError
+    for cls in (E.JsonError, E.CborError, E.MessagePackDecodeError,
+                E.YamlScanError, E.TomlDeserializeError, E.CsvError,
+                E.AvroDecodeError, E.NativeProtobufError):
+        assert issubclass(cls, E.SyntaxError_)
+    for name in ("IoError", "Utf8Error", "UnimplementedError",
+                 "IllegalStateError", "FormatError", "InternalError",
+                 "MessageError", "MessagePackEncodeError",
+                 "TomlSerializeError", "GlobError", "GlobPatternError",
+                 "AvroParseSchemaError", "AvroSchemaResolutionError",
+                 "AvroValidationError", "HjsonError"):
+        assert issubclass(getattr(E, name), E.RqError), name
+    assert issubclass(E.AvroDecodeError, E.AvroError)
