@@ -55,8 +55,21 @@ def main() -> None:
     spark = get_spark("rq_spark_bench")
     qs = all_queries()
 
-    # JVM/codegen warmup on a trivial plan (not counted)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM/codegen warmup on a trivial plan (not counted): the agg+join
+    # exercises janino bootstrap, whole-stage codegen classloading and
+    # the shuffle machinery, which otherwise land on the first timed
+    # query (~2s of q1's cost was this, not q1)
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("c"), F.avg("n_nationkey").alias("a"))
+        .orderBy("r_name")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

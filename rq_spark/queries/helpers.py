@@ -61,3 +61,6 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+from ..util import spread  # noqa: E402,F401  — re-export for query packs

@@ -9,13 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as X
-from .helpers import table
+from .helpers import spread, table
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_stats(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return X.token_stats(spread(table(spark, sf_dir, "documents")), "text", "doc_id")
 
 
 _TOKEN_SQL = f"""
@@ -29,7 +29,8 @@ FROM documents
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))  # 13 marker-word
+    # count walks per row: parallelize the narrow chain on local 1-file scans
     return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -59,7 +60,7 @@ def _lang_id_sql() -> str:
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     feats = X.quality_features(F.col("text"))
     return d.select(
         "doc_id",
