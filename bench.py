@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_quality_score",
     "text_lang_id",
+    "corpus_curation",
 ]
 
 

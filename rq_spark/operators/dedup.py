@@ -336,3 +336,63 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node starts labeled with itself; each round every node takes the
+    minimum label among itself and its neighbors, until fixpoint.
+
+    This is how a dedup pipeline turns near-dup PAIRS into duplicate
+    CLUSTERS (one representative per group). Rounds needed ∝ component
+    diameter — near-dup clusters are small quasi-cliques, so 2-4
+    rounds in practice; each round is one shuffle join + min-agg and
+    the data never leaves the cluster (the driver only reads the
+    single convergence counter). max_iter bounds adversarial chains
+    (a path graph needs diameter rounds; raise it for such graphs).
+
+    edges: (a_id, b_id) undirected pairs; nodes: (node). Returns
+    (node, rep) with rep = smallest node id in the component.
+    """
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .persist()
+    )
+    # only nodes that appear in an edge can change labels — singletons
+    # (the vast majority of a dedup corpus) skip the loop entirely
+    edge_nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    labels = edge_nodes.select("node", F.col("node").alias("rep"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("rep").alias("nrep"))
+        )
+        # one join per round: new label + did-it-change in one pass
+        new = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias(
+                    "new_rep"
+                ),
+                (F.coalesce("nrep", F.col("rep")) < F.col("rep")).alias("chg"),
+            )
+            .persist()
+        )
+        changed = new.filter("chg").count()  # materializes the cache too
+        labels = new.select("node", F.col("new_rep").alias("rep"))
+        if changed == 0:
+            break
+    singles = nodes.join(edge_nodes, "node", "left_anti").select(
+        "node", F.col("node").alias("rep")
+    )
+    return labels.unionAll(singles)

@@ -44,18 +44,22 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax over marker counts, ties broken by fixed priority order;
-    'und' when nothing matches."""
+    'und' when nothing matches.
+
+    Implemented as max-of-structs — (score, -priority, lang) compared
+    lexicographically gives strictly-greater displacement with the
+    earlier language winning ties — NOT as a CASE-tower walk: a walk
+    embeds the running best twice per step, a 2^n expression blowup
+    (measured: seconds of per-row work + codegen compile at n=5)."""
     scores = lang_scores(col)
-    order = list(LANG_MARKERS)
-    # walk priority order; only strictly-greater scores displace the
-    # current best, so earlier languages win ties
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in order:
-        is_better = scores[lang] > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return best
+    entries = [
+        F.struct(
+            s.cast("long").alias("s"), F.lit(-i).alias("o"), F.lit(lang).alias("l")
+        )
+        for i, (lang, s) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

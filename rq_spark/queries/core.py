@@ -17,7 +17,7 @@ Scale notes (100 TB design target):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .helpers import DEC, davg, dsum, sql_davg, sql_dsum, table
@@ -191,6 +191,35 @@ _SAMPLE_SQL = """
 SELECT o_orderkey, o_custkey
 FROM orders
 WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly K rows per stratum,
+    chosen by md5 rank within the stratum — the 'balanced subsample
+    per source/language/class' step of a training-data mix. Window
+    top-K per group: each stratum shuffles once, no global sort, and
+    the md5 order makes the draw reproducible across engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("o_orderpriority", "o_orderkey", "rk")
+    )
+
+
+_SAMPLE_STRAT_SQL = """
+SELECT o_orderpriority, o_orderkey, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 100
 """
 
 # --------------------------------------------------------------------------
@@ -381,6 +410,7 @@ QUERIES = {
     "distinct_dims": distinct_dims,
     "sort_limit": sort_limit,
     "sample_deterministic": sample_deterministic,
+    "sample_stratified": sample_stratified,
     "set_union": set_union,
     "set_intersect": set_intersect,
     "set_except": set_except,
@@ -401,6 +431,7 @@ ORACLE = {
     "distinct_dims": _DISTINCT_SQL,
     "sort_limit": _SORT_LIMIT_SQL,
     "sample_deterministic": _SAMPLE_SQL,
+    "sample_stratified": _SAMPLE_STRAT_SQL,
     "set_union": _SET_UNION_SQL,
     "set_intersect": _SET_INTERSECT_SQL,
     "set_except": _SET_EXCEPT_SQL,

@@ -78,6 +78,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
+    the exact-Jaccard pair graph by iterative min-label propagation
+    (operators/dedup.py:connected_components). One row per document,
+    rep_id = smallest doc_id in its duplicate group (itself for
+    singletons) — the canonical 'pick one representative per cluster'
+    step of a dedup pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=_JACCARD_T)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return D.connected_components(pairs, nodes).select(
+        F.col("node").alias("doc_id"), F.col("rep").alias("rep_id")
+    )
+
+
+# recursive-CTE oracle: min reachable doc_id = component representative
+_GROUPS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding near-dup candidates (rows-only check; semantics
     tested against the Jaccard pair set in tests/test_dedup.py)."""
@@ -153,6 +199,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_connected_groups": dedup_connected_groups,
 }
 
 ORACLE = {
@@ -161,6 +208,7 @@ ORACLE = {
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
     "dedup_embedding_cosine": _EMB_COS_SQL,
+    "dedup_connected_groups": _GROUPS_SQL,
     "text_fingerprint": _FP_SQL,
     # dedup_simhash: rows-only by design (Hamming radius, no SQL analog)
 }

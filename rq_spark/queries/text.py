@@ -48,15 +48,33 @@ def _sql_lang_score(lang: str) -> str:
     return " + ".join(_sql_word_count(w) for w in X.LANG_MARKERS[lang])
 
 
-def _lang_id_sql() -> str:
-    # same walk as operators.text.lang_id: strictly-greater displaces
-    exprs = {lang: _sql_lang_score(lang) for lang in X.LANG_MARKERS}
+def _sql_lang_cols() -> str:
+    """Per-language score COLUMNS — evaluated once in a CTE so the
+    CASE walk below duplicates only cheap column refs, never the
+    string-op trees (the inline walk was a 2^n blowup on both
+    engines)."""
+    return ", ".join(
+        f"({_sql_lang_score(lang)}) AS s_{lang}" for lang in X.LANG_MARKERS
+    )
+
+
+def _sql_lang_case() -> str:
+    """Strictly-greater displacement walk over the s_<lang> columns —
+    identical tie/und semantics to operators.text.lang_id (all-int
+    comparisons, so any faithful argmax formulation hash-matches)."""
     best, best_score = "'und'", "0"
     for lang in X.LANG_MARKERS:
-        s = exprs[lang]
+        s = f"s_{lang}"
         best = f"CASE WHEN ({s}) > ({best_score}) THEN '{lang}' ELSE {best} END"
         best_score = f"CASE WHEN ({s}) > ({best_score}) THEN ({s}) ELSE ({best_score}) END"
-    return f"SELECT doc_id, {best} AS lang_guess FROM documents"
+    return best
+
+
+def _lang_id_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {_sql_lang_cols()} FROM documents)
+SELECT doc_id, {_sql_lang_case()} AS lang_guess FROM s
+"""
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,14 +117,83 @@ FROM f
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation filter a training-data pipeline runs:
+    keep documents that (a) look like the target language, (b) clear
+    the quality score, (c) fall inside a token-count band — one
+    composed expression tree, all JVM-side, filters evaluated in a
+    single scan pass."""
+    d = spread(table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    lang = X.lang_id(t)
+    qual = X.quality_score(t)
+    n_words = F.size(F.split(X.normalize_text(t), " "))
+    # The keep-flag carries a nondeterministic no-op term: without it,
+    # Catalyst inlines the flag and pushes the conjuncts below the
+    # repartition onto the (single, local) scan partition, evaluating
+    # the full lang/quality trees twice AND serially — measured 10×
+    # slower. Tainted, the expensive trees are evaluated exactly once,
+    # in the parallel project, and the filter sees a boolean column.
+    keep = (
+        (lang == "en")
+        & (qual >= 0.55)
+        & (n_words >= 20)
+        & (n_words <= 120)
+        & (F.monotonically_increasing_id() >= 0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            lang.alias("lang_guess"),
+            qual.alias("quality"),
+            n_words.alias("n_words"),
+            keep.alias("_keep"),
+        )
+        .filter("_keep")
+        .drop("_keep")
+    )
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, {_sql_lang_cols()} FROM documents
+), f AS (
+  SELECT doc_id,
+         {_sql_lang_case()} AS lang_guess,
+         LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+         LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+           / CAST(LENGTH(text) AS DOUBLE) AS digit_ratio,
+         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_distinct(string_split({_NORM_SQL}, ' '))) AS DOUBLE)
+           / len(string_split({_NORM_SQL}, ' ')) AS uniq_ratio,
+         len(string_split({_NORM_SQL}, ' ')) AS n_words
+  FROM s
+)
+SELECT doc_id, lang_guess,
+       alpha_ratio * 0.5 + uniq_ratio * 0.3
+         + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 AS quality,
+       n_words
+FROM f
+WHERE lang_guess = 'en'
+  AND alpha_ratio * 0.5 + uniq_ratio * 0.3
+        + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 >= 0.55
+  AND n_words BETWEEN 20 AND 120
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
+    "corpus_curation": corpus_curation,
 }
 
 ORACLE = {
     "text_token_stats": _TOKEN_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_quality_score": _QUALITY_SQL,
+    "corpus_curation": _curation_sql(),
 }
