@@ -173,6 +173,17 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return impl(spark, sf_dir)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state) projected to the
+    key columns, so streaming == batch == SELECT DISTINCT."""
+    from ..streaming import stream_dedup_user_type as impl
+
+    return impl(spark, sf_dir)
+
+
+_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 _FIRST_SEEN_SQL = """
 SELECT e.user_id,
        m.first_ts,
@@ -194,6 +205,7 @@ QUERIES = {
     # same semantics, executed by the micro-batch streaming engine
     "stream_tumble_10min": stream_tumble_10min,
     "stream_first_seen": stream_first_seen,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLE = {
@@ -203,4 +215,5 @@ ORACLE = {
     "event_rate_per_user_day": _RATE_SQL,
     "stream_tumble_10min": _TUMBLE_SQL,
     "stream_first_seen": _FIRST_SEEN_SQL,
+    "stream_dedup": _STREAM_DEDUP_SQL,
 }

@@ -226,6 +226,34 @@ GROUP BY l_returnflag
 """
 
 
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType as the per-record dynamic-typing escape
+    hatch (SURVEY §1.3 / known-hard (a)): parse the JSON props column
+    into a variant once, then typed-path extraction — the engine's
+    answer to rq's schemaless Value for columns that refuse a schema.
+    Binary variant encoding stays JVM-side; only typed scalars leave."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("k_missing"),
+    ).filter(F.col("event_id") % 7 == 0)
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k_int,
+       CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+       props->>'$.k' AS k_str,
+       CAST(props->>'$.missing' AS INTEGER) AS k_missing
+FROM events
+WHERE event_id % 7 = 0
+"""
+
+
 def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     price = F.col("o_totalprice")
@@ -263,6 +291,7 @@ QUERIES = {
     "func_array_embedding": func_array_embedding,
     "func_array_agg": func_array_agg,
     "func_conditional": func_conditional,
+    "func_variant": func_variant,
 }
 
 ORACLE = {
@@ -274,4 +303,5 @@ ORACLE = {
     "func_array_embedding": _ARRAY_SQL,
     "func_array_agg": _ARRAY_AGG_SQL,
     "func_conditional": _COND_SQL,
+    "func_variant": _VARIANT_SQL,
 }

@@ -167,3 +167,27 @@ def stream_first_seen_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: stateful first-seen dedup executed end-to-end by
     the micro-batch engine (append mode)."""
     return run_to_memory(first_seen_per_user(stream_events(spark, sf_dir)), "append")
+
+
+# ------------------------------------------------------ streaming dedup
+
+
+def dedup_keys(stream: DataFrame, *cols: str) -> DataFrame:
+    """Streaming exact dedup on a key: ``dropDuplicates`` keeps state
+    per distinct key and emits each key once. The projection down to
+    the KEY COLUMNS ONLY is what makes the result deterministic — which
+    physical row "wins" depends on arrival order, but the emitted key
+    set is exactly the distinct set, so streaming == batch ==
+    SELECT DISTINCT. For unbounded key domains the production variant
+    is ``dropDuplicatesWithinWatermark`` (state bounded by the event
+    horizon); the catalog uses the unbounded form because the oracle
+    compares against a full-history DISTINCT."""
+    return stream.select(*cols).dropDuplicates(list(cols))
+
+
+def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: distinct (user_id, event_type) pairs computed
+    by the streaming engine (append mode)."""
+    return run_to_memory(
+        dedup_keys(stream_events(spark, sf_dir), "user_id", "event_type"), "append"
+    )
