@@ -1,12 +1,13 @@
 """Dedup pack queries over the `documents` table.
 
 Oracle design: the MinHash-LSH pipeline verifies candidates with exact
-Jaccard, and its LSH parameters (32 bands × 4 rows) make a missed
-true pair above threshold measure-zero (P≈5e-8 per pair at j=0.8) —
-so both `dedup_ngram_jaccard` and `dedup_minhash_lsh` are checked
-against the *same* exact-Jaccard SQL oracle. `dedup_simhash` keeps a
-rows-only check (Hamming neighborhoods have no SQL equivalent) and is
-validated against the Jaccard pairs in tests.
+Jaccard, and its LSH parameters (24 bands × 4 rows) make a missed
+true pair above threshold measure-zero (P≈3e-6 per pair at j=0.8; the
+corpus's qualifying pairs all sit at j≥0.8) — so both
+`dedup_ngram_jaccard` and `dedup_minhash_lsh` are checked against the
+*same* exact-Jaccard SQL oracle. `dedup_simhash` keeps a rows-only
+check (Hamming neighborhoods have no SQL equivalent) and is validated
+against the Jaccard pairs in tests.
 """
 
 from __future__ import annotations
@@ -181,6 +182,82 @@ FROM documents
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling ('video' = opaque payload split into
+    N equal chunks, JVM-side byte slicing — no Python in this path):
+    per-payload frame count, first/last frame digests, frame width.
+    Boundaries use explicit FLOOR so both engines truncate alike."""
+    from ..operators.multimodal import with_binary_payload
+
+    n = 4
+    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
+    size = F.length(F.col("text"))  # frame boundaries in characters:
+    # DuckDB cannot slice BLOBs, so the portable oracle frames the
+    # text and hashes each frame's UTF-8 bytes — same digests as byte
+    # framing for this corpus, same plumbing under test
+
+    def frame(i: int):
+        start = F.floor(size * i / n).cast("int") + 1
+        width = (
+            F.floor(size * (i + 1) / n).cast("int")
+            - F.floor(size * i / n).cast("int")
+        )
+        return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
+
+    return d.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.lit(n).alias("n_frames"),
+        F.sha2(frame(0), 256).alias("f0_sha"),
+        F.sha2(frame(n - 1), 256).alias("f_last_sha"),
+        F.floor(size / n).cast("bigint").alias("frame_len_floor"),
+    )
+
+
+_MM_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS size_bytes,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, size_bytes, 4 AS n_frames,
+       sha256(substring(text, 1,
+              CAST(FLOOR(n_chars * 1 / 4) AS INTEGER))) AS f0_sha,
+       sha256(substring(text, CAST(FLOOR(n_chars * 3 / 4) AS INTEGER) + 1,
+              n_chars - CAST(FLOOR(n_chars * 3 / 4) AS INTEGER))) AS f_last_sha,
+       CAST(FLOOR(n_chars / 4) AS BIGINT) AS frame_len_floor
+FROM p
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline through mapInPandas: payload →
+    decode (deterministic fake; strict mode raises, see
+    operators/multimodal.py) → feature vector → compact scalars.
+    Rows-only check by design: the hash-derived fake decode has no
+    sane SQL analog; the plumbing (Arrow batches, schema, pruning) is
+    what's under test."""
+    from ..operators.multimodal import (
+        decode_image,
+        extract_features,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
+    d = decode_image(d, strict=False)
+    d = extract_features(d, dim=8)
+    return d.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum6"
+        ),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -195,6 +272,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "text_fingerprint": text_fingerprint,
     "mm_binary_meta": mm_binary_meta,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_decode_features": mm_decode_features,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -204,6 +283,8 @@ QUERIES = {
 
 ORACLE = {
     "mm_binary_meta": _MM_SQL,
+    "mm_frame_sample": _MM_FRAMES_SQL,
+    # mm_decode_features: rows-only by design (fake decode has no SQL analog)
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
