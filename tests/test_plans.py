@@ -63,3 +63,38 @@ def test_embedding_near_pairs_has_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_curation_filter_stays_above_exchange(spark, sf_dir):
+    """corpus_curation's keep-flag must not be inlined and pushed below
+    the repartition: the expensive lang/quality trees are evaluated
+    once, in the parallel project (queries/text.py explains the
+    nondeterministic taint)."""
+    from rq_spark.queries import text
+
+    df = text.corpus_curation(spark, sf_dir)
+    plan = _physical_plan(df)
+    i_filter, i_exchange = plan.index("Filter"), plan.index("Exchange")
+    assert i_filter < i_exchange, "filter was pushed below the repartition"
+
+
+def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Banded-LSH ANN: the small query side is broadcast; the corpus
+    index is never broadcast and never nested-looped."""
+    from rq_spark.queries import similarity
+
+    df = similarity.sim_ann_lsh_topk(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_has_no_nested_loop_and_partial_agg(spark, sf_dir):
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_minhash_lsh(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # signature agg computes map-side partial minima
+    assert plan.count("HashAggregate") >= 2
