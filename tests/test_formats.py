@@ -507,3 +507,36 @@ def test_error_taxonomy_routes_to_typed_variants():
                  "AvroValidationError", "HjsonError"):
         assert issubclass(getattr(E, name), E.RqError), name
     assert issubclass(E.AvroDecodeError, E.AvroError)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=6) | st.integers(-100, 100), json_values),
+        max_size=5,
+    )
+)
+def test_msgpack_pairs_roundtrip_property(pairs):
+    """ANY pair list — duplicates, mixed key types — round-trips
+    through msgpack with order and multiplicity preserved."""
+    from rq_spark.formats.codecs import msgpack
+    from rq_spark.formats.values import OrderedPairs, map_from_pairs
+
+    v = map_from_pairs(pairs)
+    back = msgpack.decode(msgpack.encode(v))
+    if isinstance(v, OrderedPairs):
+        assert back == v
+    else:
+        assert back == v  # dict path: keys unique+hashable
+
+
+def test_spark_read_preserve_order(spark, tmp_path):
+    """§4 known-hard (c): preserve_order attaches a monotone input
+    index so strict FIFO order can be restored after parallelism."""
+    from rq_spark.formats import spark_io
+
+    src = tmp_path / "in.json"
+    src.write_text("".join(f'{{"i": {i}}}\n' for i in range(100)))
+    df = spark_io.read(spark, "json", str(src), preserve_order=True)
+    rows = df.orderBy("_input_order").collect()
+    assert [r.i for r in rows] == list(range(100))
