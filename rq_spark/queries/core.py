@@ -222,6 +222,42 @@ FROM (
 WHERE rk <= 100
 """
 
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation: result identical to a plain
+    groupBy, but phase 1 shuffles on (key, salt) so a pathologically
+    hot key is spread over 16 reducers, and phase 2 combines the 16
+    tiny partials per key. This is the manual fix for extreme
+    single-key skew that AQE's skew handling (which splits map
+    *partitions*, not reducer keys) cannot address. Hash-identical to
+    the unsalted oracle because partials are exact decimals and
+    decimal addition is associative."""
+    li = table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("q").cast("double").alias("sum_qty"),
+        F.sum("n").alias("n_rows"),
+        F.max("mx").alias("max_price"),
+    )
+
+
+_AGG_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # set operations
 # --------------------------------------------------------------------------
@@ -415,6 +451,7 @@ QUERIES = {
     "set_intersect": set_intersect,
     "set_except": set_except,
     "agg_groupby": agg_groupby,
+    "agg_salted_skew": agg_salted_skew,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "rollup_agg": rollup_agg,
@@ -436,6 +473,7 @@ ORACLE = {
     "set_intersect": _SET_INTERSECT_SQL,
     "set_except": _SET_EXCEPT_SQL,
     "agg_groupby": _AGG_GROUPBY_SQL,
+    "agg_salted_skew": _AGG_SALTED_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "rollup_agg": _ROLLUP_SQL,
     "cube_agg": _CUBE_SQL,
