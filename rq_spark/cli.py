@@ -93,6 +93,10 @@ def _has_ran(cmd: str) -> bool:
     return (default_dir() / f"has-ran-{cmd}").exists()
 
 
+def _warnings_suppressed() -> bool:
+    return _has_ran("help") or _has_ran("version")
+
+
 def _set_ran(cmd: str) -> None:
     d = default_dir()
     try:
@@ -222,7 +226,7 @@ def select_output(ns) -> tuple[str, dict]:
 def _warn_default_format(ns, argv: list[str], in_fmt: str) -> None:
     """First-run warnings for implicitly-selected input modes
     (rq.rs:186-207): bare `-v` CSV mode, or no input flag at all."""
-    if in_fmt == "csv" and "-v" in argv and not _has_ran("help"):
+    if in_fmt == "csv" and "-v" in argv and not _warnings_suppressed():
         _LOG.warning("You started rq -v, which puts it in CSV input mode.")
         _LOG.warning(
             "It's now waiting for CSV input, which might not be what you wanted."
@@ -231,7 +235,7 @@ def _warn_default_format(ns, argv: list[str], in_fmt: str) -> None:
             "Specify --input-csv explicitly or run rq --help once to "
             "suppress this warning."
         )
-    elif in_fmt == "json" and not ns.input_json and not _has_ran("help"):
+    elif in_fmt == "json" and not ns.input_json and not _warnings_suppressed():
         _LOG.warning(
             "You started rq without any input flags, which puts it in "
             "JSON input mode."

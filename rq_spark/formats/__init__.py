@@ -141,23 +141,57 @@ def _contains_pairs(v) -> bool:
     return False
 
 
-def _json_compact_pairs(v) -> str:
-    """Compact JSON with duplicate-key maps emitted textually (JSON
-    tolerates duplicate keys in the grammar; the reference's
-    list-of-pairs Map serializes each pair as written)."""
-    if isinstance(v, (dict, _values.OrderedPairs)):
-        return (
-            "{"
-            + ",".join(
-                f"{_json.dumps(k if isinstance(k, str) else str(k), ensure_ascii=False)}"
-                f":{_json_compact_pairs(x)}"
-                for k, x in v.items()
+def _json_key(k) -> str:
+    """Stringify a map key exactly like json.dumps does on the dict
+    path (true/false/null/number spellings), so the same logical key
+    serializes identically whether or not a duplicate forced the
+    pairs fallback."""
+    if isinstance(k, str):
+        return _json.dumps(k, ensure_ascii=False)
+    if k is True:
+        return '"true"'
+    if k is False:
+        return '"false"'
+    if k is None:
+        return '"null"'
+    if isinstance(k, (int, float)):
+        return '"' + _json.dumps(k) + '"'
+    return _json.dumps(str(k), ensure_ascii=False)
+
+
+def _json_pairs(v, indent: int | None = None, level: int = 0) -> str:
+    """JSON with duplicate-key maps emitted textually (JSON tolerates
+    duplicate keys in the grammar; the reference's list-of-pairs Map
+    serializes each pair as written). indent=None → compact."""
+    if indent is None:
+        if isinstance(v, (dict, _values.OrderedPairs)):
+            return (
+                "{"
+                + ",".join(f"{_json_key(k)}:{_json_pairs(x)}" for k, x in v.items())
+                + "}"
             )
-            + "}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(_json_pairs(x) for x in v) + "]"
+        return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    pad, inner = " " * (indent * level), " " * (indent * (level + 1))
+    if isinstance(v, (dict, _values.OrderedPairs)):
+        if not len(v):
+            return "{}"
+        body = ",\n".join(
+            f"{inner}{_json_key(k)}: {_json_pairs(x, indent, level + 1)}"
+            for k, x in v.items()
         )
+        return "{\n" + body + "\n" + pad + "}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_json_compact_pairs(x) for x in v) + "]"
-    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        if not v:
+            return "[]"
+        body = ",\n".join(f"{inner}{_json_pairs(x, indent, level + 1)}" for x in v)
+        return "[\n" + body + "\n" + pad + "]"
+    return _json.dumps(v, ensure_ascii=False)
+
+
+def _json_compact_pairs(v) -> str:
+    return _json_pairs(v)
 
 
 def _encode_json(values: Iterable, style: str = "compact", **_) -> bytes:
@@ -168,7 +202,7 @@ def _encode_json(values: Iterable, style: str = "compact", **_) -> bytes:
         if style == "readable":  # K2: ANSI-colored, 2-space indent
             out.write(_readable.emit(v))
         elif _contains_pairs(v):  # duplicate/ordered-key maps
-            out.write(_json_compact_pairs(v))
+            out.write(_json_pairs(v, indent=None if style == "compact" else 2))
         elif style == "compact":
             out.write(_json.dumps(v, separators=(",", ":"), ensure_ascii=False))
         else:  # indented (K3): plain 2-space indent
@@ -226,7 +260,7 @@ _YAML_RAW_BREAKS = ("\x85", " ", " ")
 def _contains_yaml_raw_break(v) -> bool:
     if isinstance(v, str):
         return any(c in v for c in _YAML_RAW_BREAKS)
-    if isinstance(v, dict):
+    if isinstance(v, (dict, _values.OrderedPairs)):
         return any(
             _contains_yaml_raw_break(k) or _contains_yaml_raw_break(x)
             for k, x in v.items()
@@ -236,14 +270,40 @@ def _contains_yaml_raw_break(v) -> bool:
     return False
 
 
+_YAML_DUMPER = None
+
+
+def _yaml_dumper():
+    """SafeDumper subclass that can emit ordered/duplicate-key maps
+    (OrderedPairs) as plain YAML mappings — the YAML grammar allows
+    duplicate keys at emission time, matching the reference's
+    list-of-pairs Map serialization (src/value/yaml.rs:47-57)."""
+    global _YAML_DUMPER
+    if _YAML_DUMPER is None:
+        import yaml
+
+        class RqYamlDumper(yaml.SafeDumper):
+            pass
+
+        RqYamlDumper.add_representer(
+            _values.OrderedPairs,
+            lambda dumper, data: dumper.represent_mapping(
+                "tag:yaml.org,2002:map", list(data.items())
+            ),
+        )
+        _YAML_DUMPER = RqYamlDumper
+    return _YAML_DUMPER
+
+
 def _encode_yaml(values: Iterable, **_) -> bytes:
     import yaml
 
     out = io.StringIO()
     for v in values:
-        yaml.safe_dump(
+        yaml.dump(
             v,
             out,
+            Dumper=_yaml_dumper(),
             default_flow_style=False,
             allow_unicode=not _contains_yaml_raw_break(v),
             sort_keys=False,

@@ -187,6 +187,8 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
                 continue
         raise AvroError(f"value {v!r} matches no union branch")
     elif t == "enum":
+        if v not in node["symbols"]:
+            raise AvroError(f"{v!r} is not a symbol of enum {node.get('name', '?')}")
         out += _zigzag_encode(node["symbols"].index(v))
     elif t == "fixed":
         if not isinstance(v, (bytes, bytearray)):
@@ -288,12 +290,22 @@ def read_container(buf: bytes) -> tuple[dict, list]:
         size = _read_long(r)
         block = r.read(size)
         if codec == "deflate":
-            block = zlib.decompress(block, -15)
+            try:
+                block = zlib.decompress(block, -15)
+            except zlib.error as e:
+                raise AvroDecodeError(f"deflate block corrupt: {e}") from e
         elif codec == "snappy":
             # avro spec: snappy block = compressed data + 4-byte
             # big-endian CRC32 of the uncompressed data
+            if len(block) < 4:
+                raise AvroDecodeError("snappy block shorter than its CRC trailer")
             _, decompress = _snappy_funcs()
-            block, crc = decompress(block[:-4]), block[-4:]
+            try:
+                block, crc = decompress(block[:-4]), block[-4:]
+            except AvroError:
+                raise
+            except Exception as e:  # snappy.UncompressError / cramjam errors
+                raise AvroDecodeError(f"snappy block corrupt: {e}") from e
             if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
                 raise AvroDecodeError("snappy block CRC mismatch")
         elif codec != "null":

@@ -9,6 +9,7 @@ compact TOML output does not exist, rq.rs:267).
 from __future__ import annotations
 
 from ...errors import TomlSerializeError
+from ..values import OrderedPairs
 
 
 def _scalar(v) -> str:
@@ -32,6 +33,10 @@ def _key(k) -> str:
 def emit(doc: dict) -> str:
     """One TOML document for one record (must be a table at top level,
     same constraint the reference's serializer hits)."""
+    if isinstance(doc, OrderedPairs):
+        raise TomlSerializeError(
+            "TOML tables cannot hold duplicate or non-string keys"
+        )
     if not isinstance(doc, dict):
         raise TomlSerializeError("top-level TOML value must be a table")
     lines: list[str] = []
@@ -42,6 +47,10 @@ def emit(doc: dict) -> str:
 def _emit_table(d: dict, path: list[str], lines: list[str]) -> None:
     subtables = []
     for k, v in d.items():
+        if isinstance(v, OrderedPairs):
+            raise TomlSerializeError(
+                "TOML tables cannot hold duplicate or non-string keys"
+            )
         if isinstance(v, dict):
             subtables.append((k, v))
         elif isinstance(v, list):

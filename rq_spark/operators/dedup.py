@@ -49,6 +49,9 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+from ..errors import IllegalStateError
+from ..util import persist_tracked as _persist_tracked
+from ..util import release_caches as _release_caches
 from ..util import spread as _spread
 
 
@@ -219,10 +222,10 @@ def minhash_dedup_pairs(
     with zero shingles (< n words) are dropped up front — they can't
     match anything and would otherwise share one degenerate signature
     and LSH-collide with each other."""
-    sets = (
+    _release_caches()
+    sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
         .filter(F.size("sh_arr") > 0)
-        .persist()
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
     cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
@@ -242,10 +245,10 @@ def ngram_jaccard_pairs(
     it feeds the join twice plus the size table, and re-shingling the
     corpus 3× costs more than the join itself (posting lists on real
     text are short — Σdf² ≈ 10× the shingle count at sf0.1)."""
-    sets = (
+    _release_caches()
+    sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
         .filter(F.size("sh_arr") > 0)
-        .persist()
     )
     sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
     return jaccard_pairs(sh, threshold)
@@ -360,16 +363,23 @@ def connected_components(
 
     edges: (a_id, b_id) undirected pairs; nodes: (node). Returns
     (node, rep) with rep = smallest node id in the component.
+
+    Raises IllegalStateError if max_iter rounds do not converge —
+    returning unconverged labels would silently split one true
+    cluster into several. Superseded per-round caches are unpersisted
+    as soon as the next round materializes (only the final round's
+    labels stay cached, backing the returned DataFrame).
     """
-    sym = (
+    sym = _persist_tracked(
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .persist()
     )
     # only nodes that appear in an edge can change labels — singletons
     # (the vast majority of a dedup corpus) skip the loop entirely
-    edge_nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    edge_nodes = _persist_tracked(sym.select(F.col("src").alias("node")).distinct())
     labels = edge_nodes.select("node", F.col("node").alias("rep"))
+    prev = None
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
@@ -377,7 +387,7 @@ def connected_components(
             .agg(F.min("rep").alias("nrep"))
         )
         # one join per round: new label + did-it-change in one pass
-        new = (
+        new = _persist_tracked(
             labels.join(neigh, "node", "left")
             .select(
                 "node",
@@ -386,12 +396,20 @@ def connected_components(
                 ),
                 (F.coalesce("nrep", F.col("rep")) < F.col("rep")).alias("chg"),
             )
-            .persist()
         )
         changed = new.filter("chg").count()  # materializes the cache too
+        if prev is not None:
+            prev.unpersist()
+        prev = new
         labels = new.select("node", F.col("new_rep").alias("rep"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise IllegalStateError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — raise it)"
+        )
     singles = nodes.join(edge_nodes, "node", "left_anti").select(
         "node", F.col("node").alias("rep")
     )

@@ -58,9 +58,21 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse k-means cells + nprobe
+    cell-probed exact rerank (rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py). The data-adaptive
+    complement to the data-oblivious banded-LSH path."""
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        corpus, _query_vectors(spark, sf_dir), k=_K, n_centroids=16, nprobe=8
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_ann_ivf_topk": sim_ann_ivf_topk,
 }
 
 ORACLE = {

@@ -307,3 +307,13 @@ def test_error_report_shape(tmp_path):
 def test_log_level_flag(tmp_path):
     r = _run_env(["-l", "error"], b"1", str(tmp_path))
     assert b"input mode" not in r.stderr  # warnings filtered at error level
+
+
+def test_version_also_suppresses_default_format_warning(tmp_path):
+    """The has-ran-version marker must actually be read back: rq
+    --version suppresses the default-format warning just like --help."""
+    d = str(tmp_path)
+    rv = _run_env(["--version"], b"", d)
+    assert rv.returncode == 0
+    r = _run_env([], b"1", d)
+    assert b"JSON input mode" not in r.stderr

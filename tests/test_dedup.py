@@ -41,3 +41,24 @@ def test_exact_dedup_partitions_corpus(spark):
 def test_jaccard_values_bounded(spark):
     rows = DQ.dedup_ngram_jaccard(spark, SF).collect()
     assert all(0.5 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    import pytest
+
+    from rq_spark.errors import IllegalStateError
+    from rq_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-5: one component, diameter 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    got = {
+        (r.node, r.rep) for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {(i, 0) for i in range(6)} | {(6, 6)}
+
+    # unconverged labels must raise, never be returned silently
+    with pytest.raises(IllegalStateError, match="converge"):
+        connected_components(edges, nodes, max_iter=2).collect()

@@ -540,3 +540,58 @@ def test_spark_read_preserve_order(spark, tmp_path):
     df = spark_io.read(spark, "json", str(src), preserve_order=True)
     rows = df.orderBy("_input_order").collect()
     assert [r.i for r in rows] == list(range(100))
+
+
+# ----------------------------------- pairs across every sink (review r2 fixes)
+
+
+def test_duplicate_key_map_to_yaml_keeps_both():
+    """OrderedPairs must not crash PyYAML (RepresenterError) — YAML
+    emission legally writes duplicate keys, matching serde_yaml."""
+    out = transcode("msgpack", "yaml", b"\x82\xa1a\x01\xa1a\x02")
+    assert out == b"a: 1\na: 2\n"
+
+
+def test_duplicate_key_map_to_json_indented_stays_indented():
+    """--format indented must not silently downgrade to compact when a
+    record holds a dup-key map."""
+    out = transcode(
+        "msgpack", "json", b"\x82\xa1a\x01\xa1a\x02", out_opts={"style": "indented"}
+    )
+    assert out == b'{\n  "a": 1,\n  "a": 2\n}\n'
+
+
+def test_pairs_json_key_coercion_matches_dict_path():
+    """The same logical key serializes identically whether or not a
+    duplicate forced the pairs fallback: true -> \"true\", not \"True\"."""
+    from rq_spark.formats import _json_pairs
+    from rq_spark.formats.values import OrderedPairs
+
+    assert _json_pairs(OrderedPairs([(True, 1), (True, 2)])) == '{"true":1,"true":2}'
+    assert _json_pairs(OrderedPairs([(None, 1), (None, 2)])) == '{"null":1,"null":2}'
+    assert _json_pairs(OrderedPairs([(1, "x"), (1, "y")])) == '{"1":"x","1":"y"}'
+
+
+def test_duplicate_key_map_to_toml_is_typed_error():
+    from rq_spark.errors import TomlSerializeError
+
+    with pytest.raises(TomlSerializeError, match="duplicate"):
+        transcode("msgpack", "toml", b"\x82\xa1a\x01\xa1a\x02")
+    # nested dup-key map inside a table hits the same typed error
+    with pytest.raises(TomlSerializeError, match="duplicate"):
+        transcode("msgpack", "toml", b"\x81\xa1t\x82\xa1a\x01\xa1a\x02")
+
+
+def test_avro_enum_bad_symbol_is_typed_error():
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {
+                "name": "c",
+                "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN"]},
+            }
+        ],
+    }
+    with pytest.raises(AvroError, match="PURPLE"):
+        encode_records("avro", [{"c": "PURPLE"}], schema=schema)
