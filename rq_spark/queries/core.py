@@ -438,6 +438,85 @@ GROUP BY l_returnflag
 """
 
 
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev per group, computed from
+    EXACT decimal moment sums (sum x, sum y, sum xy, sum x², sum y²)
+    cast to double, then an identical double formula on both engines.
+    Built-in corr()/covar_samp() use streaming one-pass updates whose
+    accumulation order differs per engine (and per partition layout),
+    so their last-ulp bits never hash-match; decimal partials are
+    order-independent, making this form deterministic AND the
+    distributed-friendly shape (one shuffle, map-side partials)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    return g.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_qty_price"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("stddev_qty"),
+    )
+
+
+_AGG_STATS_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(12,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1.0) AS covar_qty_price,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_qty
+FROM g
+"""
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot): each part row becomes
+    one row per metric. Narrow op — no shuffle, scales trivially."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retail"),
+    )
+    return p.unpivot("p_partkey", ["size", "retail"], "metric", "val")
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, metric, val
+FROM (SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             CAST(p_retailprice AS DOUBLE) AS retail
+      FROM part)
+UNPIVOT (val FOR metric IN (size, retail))
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "project_compute": project_compute,
@@ -452,6 +531,8 @@ QUERIES = {
     "set_except": set_except,
     "agg_groupby": agg_groupby,
     "agg_salted_skew": agg_salted_skew,
+    "agg_stats_corr": agg_stats_corr,
+    "unpivot_melt": unpivot_melt,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "rollup_agg": rollup_agg,
@@ -474,6 +555,8 @@ ORACLE = {
     "set_except": _SET_EXCEPT_SQL,
     "agg_groupby": _AGG_GROUPBY_SQL,
     "agg_salted_skew": _AGG_SALTED_SQL,
+    "agg_stats_corr": _AGG_STATS_SQL,
+    "unpivot_melt": _UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "rollup_agg": _ROLLUP_SQL,
     "cube_agg": _CUBE_SQL,

@@ -184,10 +184,40 @@ WHERE lang_guess = 'en'
 """
 
 
+# GPT-2-style pretokenizer, minus the \s+(?!\S) lookahead (RE2 — the
+# oracle's regex engine — has no lookahead; Java and RE2 agree on
+# everything kept): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace. Token COUNT under this
+# split is the standard pre-BPE budget estimate (BPE merges only
+# subdivide within these pieces, never across).
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budgets: whitespace words vs BPE-ish
+    pretokenizer pieces (the training-cost estimator). Narrow
+    single-pass expression — codegen'd, no Python, no shuffle."""
+    d = spread(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
+    "text_bpe_token_count": text_bpe_token_count,
     "corpus_curation": corpus_curation,
 }
 
@@ -195,5 +225,6 @@ ORACLE = {
     "text_token_stats": _TOKEN_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_quality_score": _QUALITY_SQL,
+    "text_bpe_token_count": _BPE_SQL,
     "corpus_curation": _curation_sql(),
 }

@@ -184,8 +184,38 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 """
 
 
+def window_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: percent_rank / cume_dist / decile over a
+    total order. Both engines compute these as integer-count ratios in
+    double ((rank-1)/(n-1), peers/n), so values hash-match exactly."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_DIST_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTILE(10) OVER w AS decile
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
+    "window_dist_rank": window_dist_rank,
     "window_rank_dense": window_rank_dense,
     "window_lag_lead": window_lag_lead,
     "window_running_revenue": window_running_revenue,
@@ -195,6 +225,7 @@ QUERIES = {
 
 ORACLE = {
     "window_topk_per_group": _TOPK_SQL,
+    "window_dist_rank": _DIST_SQL,
     "window_rank_dense": _RANK_SQL,
     "window_lag_lead": _LAG_SQL,
     "window_running_revenue": _RUNNING_SQL,
