@@ -98,3 +98,15 @@ def test_minhash_has_no_nested_loop_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # signature agg computes map-side partial minima
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_broadcasts_queries_not_corpus(spark, sf_dir):
+    """IVF ANN search join: cell-id equi-join with the probed query
+    side broadcast — the corpus is never broadcast or nested-looped."""
+    from rq_spark.queries import similarity
+
+    df = similarity.sim_ann_ivf_topk(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
