@@ -282,6 +282,43 @@ WHERE o_orderkey % 9 = 0
 """
 
 
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value extraction (the map scalar pack).
+    Result columns are scalars only — map-typed cells would be
+    unhashable in the driver's canonicalizer, so the map is built,
+    queried, and flattened within the expression."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("discount"), F.col("l_discount").cast("double"),
+        F.lit("tax"), F.col("l_tax").cast("double"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).cast("long").alias("n_entries"),
+    )
+
+
+_MAP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       m['qty'][1] AS qty_val,
+       array_to_string(map_keys(m), ',') AS keys_csv,
+       map_values(m)[1] AS first_val,
+       CAST(cardinality(m) AS BIGINT) AS n_entries
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         MAP(['qty','discount','tax'],
+             [CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
+              CAST(l_tax AS DOUBLE)]) AS m
+  FROM lineitem WHERE l_orderkey % 100 = 0
+)
+"""
+
+
 QUERIES = {
     "func_string": func_string,
     "func_split_part": func_split_part,
@@ -292,6 +329,7 @@ QUERIES = {
     "func_array_agg": func_array_agg,
     "func_conditional": func_conditional,
     "func_variant": func_variant,
+    "func_map": func_map,
 }
 
 ORACLE = {
@@ -304,4 +342,5 @@ ORACLE = {
     "func_array_agg": _ARRAY_AGG_SQL,
     "func_conditional": _COND_SQL,
     "func_variant": _VARIANT_SQL,
+    "func_map": _MAP_SQL,
 }
