@@ -1,0 +1,58 @@
+"""Bucketed-table co-location: the shuffle-free join path for big⋈big.
+
+Broadcast handles small⋈big and salting handles skew; the remaining
+100 TB join shape is big⋈big on a stable key (e.g. orders⋈lineitem on
+orderkey, repeated by every downstream pipeline). Bucketing pays the
+shuffle ONCE at write time: both tables are hash-partitioned into the
+same number of buckets on the join key and sorted within buckets, so
+every subsequent join/aggregation on that key runs as a zero-Exchange
+SortMergeJoin — each task reads bucket i of both sides locally.
+
+This is Spark's native bucketing (`DataFrameWriter.bucketBy` +
+`saveAsTable`); no Hive metastore needed — the bucket spec lives in
+the session catalog's table metadata. The reference has no tables at
+all (stdin pipes, rq.rs:157-159), so this is extension-layer only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Materialize df as a bucketed (and bucket-sorted) catalog table.
+
+    At 100 TB pick buckets so one bucket of the BIGGER table fits an
+    executor's sort budget (e.g. 4096 buckets for ~25 GB each); both
+    join sides must use the SAME bucket count or Spark re-shuffles the
+    mismatched side.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def cojoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key.
+
+    The physical plan is a SortMergeJoin with NO Exchange on either
+    side (asserted in tests/test_plans.py): bucket i of the left reads
+    against bucket i of the right, task-local. With `sort=True` at
+    write time even the per-task Sort disappears for the sorted key.
+    """
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, key, how)

@@ -4,6 +4,8 @@ flagship agg leaves whole-stage codegen."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from rq_spark.queries import core
 
 
@@ -110,3 +112,34 @@ def test_ivf_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Big⋈big co-location: identically-bucketed tables join as a
+    SortMergeJoin with zero Exchange on either side — the write-once
+    shuffle that every downstream join on the key then skips."""
+    from rq_spark import bucketing
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    try:
+        bucketing.write_bucketed(o, "bktest.orders_b", "o_orderkey", buckets=4)
+        bucketing.write_bucketed(li, "bktest.lineitem_b", "o_orderkey", buckets=4)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketing.cojoin(spark, "bktest.orders_b", "bktest.lineitem_b",
+                                 "o_orderkey")
+            assert j.count() > 0
+            plan = _physical_plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
