@@ -184,6 +184,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within
+    60 min) through the micro-batch engine; equals the batch SQL join
+    on bounded input."""
+    from ..streaming import stream_interval_join_view_purchase as impl
+
+    return impl(spark, sf_dir)
+
+
+_STREAM_IJOIN_SQL = """
+SELECT a.user_id,
+       a.event_id AS a_event_id,
+       b.event_id AS b_event_id,
+       a.ts AS a_ts,
+       b.ts AS b_ts,
+       b.value AS b_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+"""
+
+
 _FIRST_SEEN_SQL = """
 SELECT e.user_id,
        m.first_ts,
@@ -206,6 +229,7 @@ QUERIES = {
     "stream_tumble_10min": stream_tumble_10min,
     "stream_first_seen": stream_first_seen,
     "stream_dedup": stream_dedup,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLE = {
@@ -216,4 +240,5 @@ ORACLE = {
     "stream_tumble_10min": _TUMBLE_SQL,
     "stream_first_seen": _FIRST_SEEN_SQL,
     "stream_dedup": _STREAM_DEDUP_SQL,
+    "stream_interval_join": _STREAM_IJOIN_SQL,
 }

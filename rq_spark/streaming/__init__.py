@@ -191,3 +191,71 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         dedup_keys(stream_events(spark, sf_dir), "user_id", "event_type"), "append"
     )
+
+
+# ------------------------------------------- stream-stream interval join
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "60 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    attribute each `right_type` event to the same user's `left_type`
+    events in the preceding `within` minutes (the classic
+    view→purchase attribution shape).
+
+    Both sides carry watermarks and the join condition bounds b_ts
+    relative to a_ts — that pair is what lets the engine PURGE buffered
+    state: a left row can be dropped once the right watermark passes
+    a_ts + within, so state is O(events inside the horizon), not the
+    whole stream. Without the time bound a stream-stream join buffers
+    forever (Spark rejects it in append mode)."""
+    a = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("b_value"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    return a.join(
+        b,
+        F.expr(
+            f"a_user = b_user AND b_ts >= a_ts "
+            f"AND b_ts <= a_ts + interval {within}"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        "a_ts",
+        "b_ts",
+        "b_value",
+    )
+
+
+def stream_interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the attribution join executed end-to-end by the
+    micro-batch engine (append mode — the only mode stream-stream
+    inner joins support). On bounded input nothing is late, so the
+    result equals the batch/SQL interval join exactly."""
+    return run_to_memory(
+        interval_join(stream_events(spark, sf_dir), stream_events(spark, sf_dir)),
+        "append",
+    )
