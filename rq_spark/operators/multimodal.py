@@ -115,3 +115,43 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", n_frames: int = 4
         F.col(payload_col), (size * i / n_frames).cast("int") + 1, (size / n_frames).cast("int")
     )
     return df.withColumn("frames", F.array(*[frame(i) for i in range(n_frames)]))
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """'Resize' payloads to width×height, channels preserved from the
+    (fake) decode — the third multimodal pipeline stage (decode →
+    resize → features). The pixel resample itself is stubbed (no image
+    libs in this container): the resized payload is the input bytes
+    tiled/truncated to exactly width·height·channels bytes, which is
+    deterministic and keeps the REAL plumbing under test — binary in,
+    binary out through Arrow, per-batch memory O(batch·frame), output
+    column sized by data-dependent channels.
+
+    In production the body of the loop becomes
+    ``PIL.Image.open(...).resize((width, height))``.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("out_channels", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized, chans = [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                c = 1 + hashlib.sha256(b).digest()[2] % 4  # _fake_dims channel rule
+                n = width * height * c
+                resized.append((b * (n // max(len(b), 1) + 1))[:n] if b else bytes(n))
+                chans.append(c)
+            yield pdf.assign(resized=resized, out_channels=chans)
+
+    return df.mapInPandas(run, out_schema)

@@ -258,6 +258,34 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline: binary in → binary out
+    through Arrow (operators/multimodal.py:resize_image). resized_len
+    is measured from the ACTUAL resized binary column, so the oracle
+    (which recomputes width·height·channels from the sha256 channel
+    rule in SQL) verifies the real payload plumbing end-to-end."""
+    from ..operators.multimodal import resize_image, with_binary_payload
+
+    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
+    d = resize_image(d, width=64, height=64)
+    return d.select(
+        "doc_id",
+        F.col("out_channels").alias("channels"),
+        F.length("resized").cast("long").alias("resized_len"),
+    )
+
+
+# channel rule = 1 + (third sha256 byte % 4); hex chars 5-6 of the
+# digest, parsed with DuckDB's 0x-literal cast
+_MM_RESIZE_CH = "(1 + (CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 4))"
+_MM_RESIZE_SQL = f"""
+SELECT doc_id,
+       {_MM_RESIZE_CH} AS channels,
+       CAST(64 * 64 * {_MM_RESIZE_CH} AS BIGINT) AS resized_len
+FROM documents
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -274,6 +302,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_decode_features": mm_decode_features,
+    "mm_resize": mm_resize,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -284,6 +313,7 @@ QUERIES = {
 ORACLE = {
     "mm_binary_meta": _MM_SQL,
     "mm_frame_sample": _MM_FRAMES_SQL,
+    "mm_resize": _MM_RESIZE_SQL,
     # mm_decode_features: rows-only by design (fake decode has no SQL analog)
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
