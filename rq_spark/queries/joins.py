@@ -315,6 +315,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join: result identical to a plain orders⋈lineitem,
+    but the big side's shuffle key is (orderkey, salt) — a
+    pathologically hot orderkey lands on 8 reducers instead of one —
+    and the small/dim side is replicated ×8 by an explode. This is the
+    manual hot-KEY fix for joins that AQE's skew handling (splitting
+    oversized map partitions) cannot always reach, e.g. when one key
+    exceeds a single reducer's memory. Salt is derived from the big
+    side's own columns (deterministic, no rand()); aggregated down so
+    the oracle result stays small."""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(n_salt)).cast("int"),
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    j = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["_salt"] == o["_salt"]),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+_SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_broadcast_q3": join_broadcast_q3,
@@ -326,6 +363,7 @@ QUERIES = {
     "join_cross_region_nation": join_cross_region_nation,
     "join_range_price_band": join_range_price_band,
     "join_asof_event": join_asof_event,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLE = {
@@ -339,4 +377,5 @@ ORACLE = {
     "join_cross_region_nation": _CROSS_SQL,
     "join_range_price_band": _RANGE_SQL,
     "join_asof_event": _ASOF_SQL,
+    "join_salted_skew": _SALTED_JOIN_SQL,
 }
