@@ -148,7 +148,7 @@ def resize_image(
             resized, chans = [], []
             for p in pdf[payload_col]:
                 b = bytes(p)
-                c = 1 + hashlib.sha256(b).digest()[2] % 4  # _fake_dims channel rule
+                c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // max(len(b), 1) + 1))[:n] if b else bytes(n))
                 chans.append(c)

@@ -250,7 +250,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_SALTED_SQL = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows,
        MAX(l_extendedprice) AS max_price
 FROM lineitem
@@ -431,8 +431,8 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_sum_qty,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS f_sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS o_sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -476,11 +476,11 @@ _AGG_STATS_SQL = """
 WITH g AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(x) AS DOUBLE) AS sx,
-         CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(x * y) AS DOUBLE) AS sxy,
-         CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(y * y) AS DOUBLE) AS syy
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
   FROM (SELECT l_returnflag,
                CAST(l_quantity AS DECIMAL(12,2)) AS x,
                CAST(l_extendedprice AS DECIMAL(14,2)) AS y
@@ -504,7 +504,12 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size"),
         F.col("p_retailprice").cast("double").alias("retail"),
     )
-    return p.unpivot("p_partkey", ["size", "retail"], "metric", "val")
+    # NULL alignment: Spark unpivot EMITS null-valued rows, DuckDB
+    # UNPIVOT excludes them — filter explicitly on both sides so the
+    # semantics stay identical if the data ever grows NULLs
+    return p.unpivot("p_partkey", ["size", "retail"], "metric", "val").filter(
+        F.col("val").isNotNull()
+    )
 
 
 _UNPIVOT_SQL = """
@@ -514,6 +519,7 @@ FROM (SELECT p_partkey,
              CAST(p_retailprice AS DOUBLE) AS retail
       FROM part)
 UNPIVOT (val FOR metric IN (size, retail))
+WHERE val IS NOT NULL
 """
 
 

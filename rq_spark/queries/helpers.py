@@ -52,13 +52,23 @@ def davg(col: Column | str, alias: str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """DuckDB decimal→double through VARCHAR: DuckDB's direct
+    CAST(DECIMAL AS DOUBLE) double-rounds once the scaled integer
+    exceeds 2^53 (int→double, then /10^scale — each rounds), landing
+    1 ulp off Spark's correctly-rounded BigDecimal.doubleValue.
+    Decimal→string is exact digits and string→double is correctly
+    rounded, so the hop matches Spark bit-for-bit at every magnitude."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    return f"{sql_dec2dbl(f'SUM(CAST({expr} AS DECIMAL(38,6)))')} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f"{sql_dec2dbl(f'SUM(CAST({expr} AS DECIMAL(38,6)))')}"
         f" / COUNT({expr}) AS {alias}"
     )
 

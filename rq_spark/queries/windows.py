@@ -120,9 +120,9 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
             PARTITION BY l_suppkey ORDER BY l_shipdate
-            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
        AS running_qty
 FROM lineitem
 """
@@ -149,7 +149,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAVG_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
          / COUNT(value) OVER w AS mavg7
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -114,7 +114,7 @@ def test_ivf_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Big⋈big co-location: identically-bucketed tables join as a
     SortMergeJoin with zero Exchange on either side — the write-once
     shuffle that every downstream join on the key then skips."""
