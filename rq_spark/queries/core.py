@@ -393,10 +393,13 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("rqs_lineitem_gs")
+    # Spark's own CAST(DECIMAL AS DOUBLE) is correctly rounded, so no
+    # VARCHAR hop here (sql_dsum's hop is a DuckDB-only workaround,
+    # and Spark SQL rejects bare VARCHAR anyway)
     return spark.sql(
-        f"""
+        """
         SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity', 'sum_qty')},
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n
         FROM rqs_lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

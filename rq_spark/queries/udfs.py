@@ -138,14 +138,59 @@ WHERE event_id % 31 = 0
 """
 
 
+# ------------------------------------------------------------- Python UDTF
+
+
+def udf_udtf_split_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 3.5+) — the
+    fourth UDF tier: one input row → many output rows, applied per row
+    via a SQL LATERAL join. Splits each document into its first five
+    normalized terms with positions (the tokenizer-as-UDTF shape).
+
+    Scale: UDTFs run Arrow-batched like pandas UDFs; the lateral join
+    is a narrow per-row expansion, no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, pos int")
+    class SplitTerms:
+        def eval(self, text: str):
+            words = (text or "").lower().split()
+            for i, w in enumerate(words[:5]):
+                yield w, i
+
+    spark.udtf.register("split_terms", SplitTerms)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.pos
+        FROM _udtf_docs d, LATERAL split_terms(d.text) t
+        """
+    )
+
+
+_UDTF_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+)
+SELECT doc_id, w[i] AS term, CAST(i - 1 AS INT) AS pos
+FROM t, (SELECT unnest(generate_series(1, 5)) AS i) g
+WHERE i <= len(w)
+"""
+
+
 QUERIES = {
     "udf_scalar_log1p": udf_scalar_log1p,
     "udf_zscore_by_user": udf_zscore_by_user,
     "udf_map_in_pandas_enrich": udf_map_in_pandas_enrich,
+    "udf_udtf_split_terms": udf_udtf_split_terms,
 }
 
 ORACLE = {
     "udf_scalar_log1p": _SCALAR_SQL,
     "udf_zscore_by_user": _ZSCORE_SQL,
     "udf_map_in_pandas_enrich": _MAP_IN_PANDAS_SQL,
+    "udf_udtf_split_terms": _UDTF_SQL,
 }
