@@ -595,3 +595,50 @@ def test_avro_enum_bad_symbol_is_typed_error():
     }
     with pytest.raises(AvroError, match="PURPLE"):
         encode_records("avro", [{"c": "PURPLE"}], schema=schema)
+
+
+# ------------------------------------------- avro round-trip property
+
+
+_AVRO_PROP_SCHEMA = {
+    "type": "record",
+    "name": "Prop",
+    "fields": [
+        {"name": "u", "type": ["null", "long", "string", "bytes"]},
+        {"name": "d", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "c",
+            "type": {"type": "enum", "name": "PropColor", "symbols": ["R", "G", "B"]},
+        },
+    ],
+}
+
+_avro_union = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+)
+_avro_records = st.fixed_dictionaries(
+    {
+        "u": _avro_union,
+        "d": st.floats(allow_nan=False, width=64),
+        "tags": st.lists(st.text(max_size=10), max_size=4),
+        "m": st.dictionaries(st.text(max_size=8), st.integers(-(2**31), 2**31), max_size=4),
+        "c": st.sampled_from(["R", "G", "B"]),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_avro_records, max_size=5))
+def test_avro_roundtrip_property(records):
+    """Container round trip over a schema that exercises every branch
+    the round-2 fixes touched: 4-way unions (fallthrough on branch-type
+    mismatch), enums, maps, arrays. First-match union semantics mean a
+    bytes value that IS valid for no earlier branch lands on bytes."""
+    blob = encode_records("avro", records, schema=_AVRO_PROP_SCHEMA)
+    out = list(decode_records("avro", blob))
+    assert out == records
