@@ -72,3 +72,33 @@ def test_stateful_counter_converges_to_batch_counts(spark, sf_dir):
         .withColumnRenamed("count", "n").collect()
     }
     assert finals == want
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join on bounded replay
+    must equal the plain batch join (no late data → nothing dropped)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.a_event_id, r.b_event_id)
+        for r in streaming.stream_interval_join_view_purchase(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = {
+        (r.u, r.a_id, r.b_id)
+        for r in a.join(b, "u")
+        .filter(
+            (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 60 minutes"))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
