@@ -324,7 +324,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized map partitions) cannot always reach, e.g. when one key
     exceeds a single reducer's memory. Salt is derived from the big
     side's own columns (deterministic, no rand()); aggregated down so
-    the oracle result stays small."""
+    the oracle result stays small.
+
+    Scale note: this is the always-salt form — it replicates the
+    whole right side ×8, fine when that side is dim-sized. When BOTH
+    sides are big, production splits instead: detect hot keys (tiny
+    count-above-threshold agg, broadcast), salt only the hot slice,
+    plain-join the cold slice, union — replication cost then scales
+    with the hot keys' rows, not the whole table."""
     n_salt = 8
     li = table(spark, sf_dir, "lineitem").withColumn(
         "_salt",
