@@ -499,6 +499,33 @@ FROM g
 """
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 per group (sort-based percentile, linear
+    interpolation — the exact path, not the approx sketch). Both
+    engines interpolate the same two order statistics but with
+    differently-associated formulas ((1-d)·a+d·b vs a+(b-a)·d), so
+    results are rounded to 6 decimals on BOTH sides: the ulp-scale
+    formula difference vanishes, the statistics don't. At scale the
+    exact percentile is a per-group sort — use approx_percentile when
+    a t-digest error bound is acceptable."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("median(l_quantity)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_AGG_PCT_SQL = """
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (the inverse of pivot): each part row becomes
     one row per metric. Narrow op — no shuffle, scales trivially."""
@@ -541,6 +568,7 @@ QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_salted_skew": agg_salted_skew,
     "agg_stats_corr": agg_stats_corr,
+    "agg_percentiles": agg_percentiles,
     "unpivot_melt": unpivot_melt,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -565,6 +593,7 @@ ORACLE = {
     "agg_groupby": _AGG_GROUPBY_SQL,
     "agg_salted_skew": _AGG_SALTED_SQL,
     "agg_stats_corr": _AGG_STATS_SQL,
+    "agg_percentiles": _AGG_PCT_SQL,
     "unpivot_melt": _UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "rollup_agg": _ROLLUP_SQL,
