@@ -499,6 +499,34 @@ FROM g
 """
 
 
+_SUBQ_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM _sq_orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT MAX(o_totalprice) FROM _sq_orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM _sq_customer c
+WHERE EXISTS (SELECT 1 FROM _sq_orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries + EXISTS, the declarative shape
+    Catalyst DECORRELATES into joins (scalar counts → left outer
+    aggregate joins, EXISTS → left semi join) — no per-row re-execution
+    anywhere, which is what makes subqueries viable at 100 TB. The
+    oracle runs the same SQL text, modulo view names."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(_SUBQ_SQL)
+
+
+_SUBQ_ORACLE_SQL = _SUBQ_SQL.replace("_sq_orders", "orders").replace(
+    "_sq_customer", "customer"
+)
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / p90 per group (sort-based percentile, linear
     interpolation — the exact path, not the approx sketch). Both
@@ -569,6 +597,7 @@ QUERIES = {
     "agg_salted_skew": agg_salted_skew,
     "agg_stats_corr": agg_stats_corr,
     "agg_percentiles": agg_percentiles,
+    "subquery_correlated": subquery_correlated,
     "unpivot_melt": unpivot_melt,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -594,6 +623,7 @@ ORACLE = {
     "agg_salted_skew": _AGG_SALTED_SQL,
     "agg_stats_corr": _AGG_STATS_SQL,
     "agg_percentiles": _AGG_PCT_SQL,
+    "subquery_correlated": _SUBQ_ORACLE_SQL,
     "unpivot_melt": _UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "rollup_agg": _ROLLUP_SQL,
