@@ -150,7 +150,7 @@ def resize_image(
                 b = bytes(p)
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
-                resized.append((b * (n // max(len(b), 1) + 1))[:n] if b else bytes(n))
+                resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))
                 chans.append(c)
             yield pdf.assign(resized=resized, out_channels=chans)
 

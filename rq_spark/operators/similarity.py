@@ -53,6 +53,19 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic window top-k over (query_id, neighbor_id, cos_sim):
+    ties broken by neighbor id so results are stable across runs."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def brute_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,14 +93,7 @@ def brute_topk(
             cosine(F.col("q_vec"), F.col("c_vec"), dim).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
@@ -196,14 +202,7 @@ def ann_topk(
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_pairs(
@@ -417,11 +416,4 @@ def ivf_topk(
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _topk_per_query(scored, k)

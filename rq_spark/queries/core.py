@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .helpers import DEC, davg, dsum, sql_davg, sql_dsum, table
+from .helpers import DEC, davg, dsum, sql_davg, sql_dec2dbl, sql_dsum, table
 
 # --------------------------------------------------------------------------
 # flagship: TPC-H Q1-shaped pricing summary
@@ -248,9 +248,9 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AGG_SALTED_SQL = """
+_AGG_SALTED_SQL = f"""
 SELECT l_returnflag,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       {sql_dsum('l_quantity', 'sum_qty')},
        COUNT(*) AS n_rows,
        MAX(l_extendedprice) AS max_price
 FROM lineitem
@@ -432,10 +432,10 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_SQL = """
+_PIVOT_SQL = f"""
 SELECT l_returnflag,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS f_sum_qty,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS o_sum_qty
+       {sql_dec2dbl("SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F')")} AS f_sum_qty,
+       {sql_dec2dbl("SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O')")} AS o_sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -475,15 +475,15 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AGG_STATS_SQL = """
+_AGG_STATS_SQL = f"""
 WITH g AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
-         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
-         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
-         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
-         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+         {sql_dec2dbl('SUM(x)')} AS sx,
+         {sql_dec2dbl('SUM(y)')} AS sy,
+         {sql_dec2dbl('SUM(x * y)')} AS sxy,
+         {sql_dec2dbl('SUM(x * x)')} AS sxx,
+         {sql_dec2dbl('SUM(y * y)')} AS syy
   FROM (SELECT l_returnflag,
                CAST(l_quantity AS DECIMAL(12,2)) AS x,
                CAST(l_extendedprice AS DECIMAL(14,2)) AS y
