@@ -213,9 +213,44 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
+def window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per customer: an interval-bounded RANGE
+    frame (each row sums orders whose date falls in [date-30d, date]).
+    Spark's rangeBetween is numeric-only, so the order key is the
+    day-offset integer — the portable spelling that also keeps the
+    frame deterministic (same-day peers share the value). Exact
+    decimal running sums, VARCHAR-hopped on the oracle side."""
+    o = table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(d.alias("day_off"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d_rev"
+        ),
+    )
+
+
+_TRAILING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       AS trailing_30d_rev
+FROM orders
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
     "window_dist_rank": window_dist_rank,
+    "window_trailing_30d": window_trailing_30d,
     "window_rank_dense": window_rank_dense,
     "window_lag_lead": window_lag_lead,
     "window_running_revenue": window_running_revenue,
@@ -226,6 +261,7 @@ QUERIES = {
 ORACLE = {
     "window_topk_per_group": _TOPK_SQL,
     "window_dist_rank": _DIST_SQL,
+    "window_trailing_30d": _TRAILING_SQL,
     "window_rank_dense": _RANK_SQL,
     "window_lag_lead": _LAG_SQL,
     "window_running_revenue": _RUNNING_SQL,
