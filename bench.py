@@ -25,10 +25,10 @@ HEADLINE = [
     "filter_predicate",
     "agg_groupby",
     "agg_distinct",
-    "cube_agg",
+    "rollup_cube_gsets",
     "pivot_wide",
     "sort_limit",
-    "set_union",
+    "set_ops",
     "join_revenue_by_nation",
     "join_broadcast_q3",
     "join_asof_event",

@@ -263,44 +263,38 @@ GROUP BY l_returnflag
 # --------------------------------------------------------------------------
 
 
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s).distinct()
-
-
-_SET_UNION_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
-UNION
-SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-_SET_INTERSECT_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL EXCEPT (set semantics) — ``subtract``, not ``exceptAll``:
-    part sizes that never occur as a lineitem line number."""
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one tagged result (set semantics:
+    ``distinct`` / ``intersect`` / ``subtract``, not the ALL variants).
+    Each branch is a small dim-key set, so the tag-union costs one
+    distinct-shuffle per branch — same as three separate queries."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("v"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("v"))
     p = table(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
     li = table(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("v"))
-    return p.subtract(li)
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), F.col("v").cast("bigint").alias("v"))
+
+    return (
+        tag(c.unionByName(s).distinct(), "union")
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(p.subtract(li), "except"))
+    )
 
 
-_SET_EXCEPT_SQL = """
-SELECT p_size AS v FROM part
-EXCEPT
-SELECT l_linenumber AS v FROM lineitem
+_SET_OPS_SQL = """
+SELECT 'union' AS op, CAST(v AS BIGINT) AS v FROM (
+  SELECT c_nationkey AS v FROM customer
+  UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, CAST(v AS BIGINT) AS v FROM (
+  SELECT c_nationkey AS v FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, CAST(v AS BIGINT) AS v FROM (
+  SELECT p_size AS v FROM part
+  EXCEPT SELECT l_linenumber FROM lineitem)
 """
 
 # --------------------------------------------------------------------------
@@ -356,63 +350,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one tagged result. All three
+    are Catalyst ``Expand`` plans — each input row is replicated once
+    per grouping set before one partial-agg shuffle, so shuffled bytes
+    stay O(groups), never O(rows). GROUPING SETS uses the Spark 4
+    ``DataFrame.groupingSets`` API (no temp-view mutation)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        F.count(F.lit(1)).alias("n"),
+    aggs = (dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+    keys = ("l_returnflag", "l_linestatus")
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), *keys, "sum_qty", "n")
+
+    return (
+        tag(li.rollup(*keys).agg(*aggs), "rollup")
+        .unionByName(tag(li.cube(*keys).agg(*aggs), "cube"))
+        .unionByName(
+            tag(
+                li.groupingSets(
+                    [["l_returnflag"], ["l_linestatus"], []], *keys
+                ).agg(*aggs),
+                "gsets",
+            )
+        )
     )
 
 
-_ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity', 'sum_qty')},
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-_CUBE_SQL = f"""
-SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity', 'sum_qty')},
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("rqs_lineitem_gs")
-    # Spark's own CAST(DECIMAL AS DOUBLE) is correctly rounded, so no
-    # VARCHAR hop here (sql_dsum's hop is a DuckDB-only workaround,
-    # and Spark SQL rejects bare VARCHAR anyway)
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-               COUNT(*) AS n
-        FROM rqs_lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-_GROUPING_SETS_SQL = f"""
-SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity', 'sum_qty')},
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+_ROLLUP_CUBE_GSETS_SQL = f"""
+SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS op, l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets' AS op, l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
@@ -590,9 +566,7 @@ QUERIES = {
     "sort_limit": sort_limit,
     "sample_deterministic": sample_deterministic,
     "sample_stratified": sample_stratified,
-    "set_union": set_union,
-    "set_intersect": set_intersect,
-    "set_except": set_except,
+    "set_ops": set_ops,
     "agg_groupby": agg_groupby,
     "agg_salted_skew": agg_salted_skew,
     "agg_stats_corr": agg_stats_corr,
@@ -601,9 +575,7 @@ QUERIES = {
     "unpivot_melt": unpivot_melt,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
-    "rollup_agg": rollup_agg,
-    "cube_agg": cube_agg,
-    "grouping_sets_agg": grouping_sets_agg,
+    "rollup_cube_gsets": rollup_cube_gsets,
     "pivot_wide": pivot_wide,
 }
 
@@ -616,9 +588,7 @@ ORACLE = {
     "sort_limit": _SORT_LIMIT_SQL,
     "sample_deterministic": _SAMPLE_SQL,
     "sample_stratified": _SAMPLE_STRAT_SQL,
-    "set_union": _SET_UNION_SQL,
-    "set_intersect": _SET_INTERSECT_SQL,
-    "set_except": _SET_EXCEPT_SQL,
+    "set_ops": _SET_OPS_SQL,
     "agg_groupby": _AGG_GROUPBY_SQL,
     "agg_salted_skew": _AGG_SALTED_SQL,
     "agg_stats_corr": _AGG_STATS_SQL,
@@ -626,9 +596,7 @@ ORACLE = {
     "subquery_correlated": _SUBQ_ORACLE_SQL,
     "unpivot_melt": _UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
-    "rollup_agg": _ROLLUP_SQL,
-    "cube_agg": _CUBE_SQL,
-    "grouping_sets_agg": _GROUPING_SETS_SQL,
+    "rollup_cube_gsets": _ROLLUP_CUBE_GSETS_SQL,
     "pivot_wide": _PIVOT_SQL,
     # agg_approx_distinct: sketch-based, rows-only by design
 }

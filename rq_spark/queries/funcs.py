@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 from .helpers import table
 
 
-def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+def func_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack + split/element access on one customer scan
+    (Spark arrays are 0-based but ``element_at`` is 1-based like
+    DuckDB's list indexing, so the oracle mirrors directly)."""
     c = table(spark, sf_dir, "customer")
+    parts = F.split(F.col("c_name"), "#")
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -37,6 +41,9 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("key_padded"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
         F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.element_at(parts, 1).alias("name_word"),
+        F.element_at(parts, 2).alias("name_num"),
+        F.size(parts).alias("n_parts"),
     ).filter(F.col("c_custkey") % 7 == 0)
 
 
@@ -52,31 +59,12 @@ SELECT c_custkey,
        c_name LIKE 'Customer#0000000%' AS is_low_key,
        LPAD(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
        TRIM('  ' || c_mktsegment || ' ') AS seg_trim,
-       REVERSE(c_mktsegment) AS seg_rev
+       REVERSE(c_mktsegment) AS seg_rev,
+       string_split(c_name, '#')[1] AS name_word,
+       string_split(c_name, '#')[2] AS name_num,
+       len(string_split(c_name, '#')) AS n_parts
 FROM customer
 WHERE c_custkey % 7 = 0
-"""
-
-
-def func_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split + element access (Spark arrays 0-based; element_at 1-based
-    like DuckDB's list indexing, so the SQL mirrors directly)."""
-    p = table(spark, sf_dir, "part")
-    parts = F.split(F.col("p_name"), " ")
-    return p.select(
-        "p_partkey",
-        F.element_at(parts, 1).alias("color"),
-        F.element_at(parts, 2).alias("noun"),
-        F.size(parts).alias("n_words"),
-    )
-
-
-_SPLIT_SQL = """
-SELECT p_partkey,
-       string_split(p_name, ' ')[1] AS color,
-       string_split(p_name, ' ')[2] AS noun,
-       len(string_split(p_name, ' ')) AS n_words
-FROM part
 """
 
 
@@ -320,8 +308,7 @@ FROM (
 
 
 QUERIES = {
-    "func_string": func_string,
-    "func_split_part": func_split_part,
+    "func_string_split": func_string_split,
     "func_math": func_math,
     "func_date": func_date,
     "func_json": func_json,
@@ -333,8 +320,7 @@ QUERIES = {
 }
 
 ORACLE = {
-    "func_string": _STRING_SQL,
-    "func_split_part": _SPLIT_SQL,
+    "func_string_split": _STRING_SQL,
     "func_math": _MATH_SQL,
     "func_date": _DATE_SQL,
     "func_json": _JSON_SQL,

@@ -75,10 +75,13 @@ WINDOW
 """
 
 
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event deltas: lag/lead over a total event-time order."""
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user analytic pack: lag/lead deltas plus first/last/count
+    over the full frame — both frames share ONE partition+sort (same
+    window spec), so Spark plans a single shuffle and a single sort."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return e.select(
         "user_id",
         "event_id",
@@ -86,16 +89,25 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", 1).over(w).alias("prev_value"),
         F.lead("value", 1).over(w).alias("next_value"),
         (F.col("value") - F.lag("value", 1).over(w)).alias("delta"),
+        F.first("value").over(wfull).alias("first_value"),
+        F.last("value").over(wfull).alias("last_value"),
+        F.count(F.lit(1)).over(wfull).alias("n_events"),
     )
 
 
-_LAG_SQL = """
+_ANALYTIC_SQL = """
 SELECT user_id, event_id, value,
        LAG(value, 1) OVER w AS prev_value,
        LEAD(value, 1) OVER w AS next_value,
-       value - LAG(value, 1) OVER w AS delta
+       value - LAG(value, 1) OVER w AS delta,
+       FIRST_VALUE(value) OVER wf AS first_value,
+       LAST_VALUE(value) OVER wf AS last_value,
+       COUNT(*) OVER wf AS n_events
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -154,33 +166,6 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-"""
-
-
-def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last value per partition over a growing frame."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_totalprice").over(wfull).alias("first_price"),
-        F.last("o_totalprice").over(wfull).alias("last_price"),
-        F.count(F.lit(1)).over(wfull).alias("n_orders"),
-    )
-
-
-_FIRST_LAST_SQL = """
-SELECT o_custkey, o_orderkey,
-       FIRST_VALUE(o_totalprice) OVER w AS first_price,
-       LAST_VALUE(o_totalprice) OVER w AS last_price,
-       COUNT(*) OVER w AS n_orders
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -252,10 +237,9 @@ QUERIES = {
     "window_dist_rank": window_dist_rank,
     "window_trailing_30d": window_trailing_30d,
     "window_rank_dense": window_rank_dense,
-    "window_lag_lead": window_lag_lead,
+    "window_analytic": window_analytic,
     "window_running_revenue": window_running_revenue,
     "window_moving_avg": window_moving_avg,
-    "window_first_last": window_first_last,
 }
 
 ORACLE = {
@@ -263,8 +247,7 @@ ORACLE = {
     "window_dist_rank": _DIST_SQL,
     "window_trailing_30d": _TRAILING_SQL,
     "window_rank_dense": _RANK_SQL,
-    "window_lag_lead": _LAG_SQL,
+    "window_analytic": _ANALYTIC_SQL,
     "window_running_revenue": _RUNNING_SQL,
     "window_moving_avg": _MAVG_SQL,
-    "window_first_last": _FIRST_LAST_SQL,
 }

@@ -33,19 +33,29 @@ def test_q1_shape(spark, sf_dir):
 
 
 def test_set_ops_consistency(spark, sf_dir):
-    u = core.set_union(spark, sf_dir).count()
-    i = core.set_intersect(spark, sf_dir).count()
-    c = core.QUERIES["set_union"](spark, sf_dir)  # registry path works
-    assert u >= i
-    assert c.count() == u
+    rows = core.QUERIES["set_ops"](spark, sf_dir).collect()  # registry path works
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r.op, set()).add(r.v)
+    # intersect ⊆ union; branches are set-semantic (no dup values per op)
+    assert by_op["intersect"] <= by_op["union"]
+    assert sum(len(v) for v in by_op.values()) == len(rows)
 
 
 def test_rollup_contains_grand_total(spark, sf_dir):
-    rows = core.rollup_agg(spark, sf_dir).collect()
-    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    rows = core.rollup_cube_gsets(spark, sf_dir).collect()
+    rollup = [r for r in rows if r.op == "rollup"]
+    grand = [r for r in rollup if r.l_returnflag is None and r.l_linestatus is None]
     assert len(grand) == 1
-    total = sum(r.n for r in rows if r.l_returnflag is not None and r.l_linestatus is not None)
+    total = sum(
+        r.n for r in rollup if r.l_returnflag is not None and r.l_linestatus is not None
+    )
     assert grand[0].n == total
+    # cube ⊇ rollup rows; gsets = the two single-dim slices + grand total
+    cube = [r for r in rows if r.op == "cube"]
+    assert len(cube) >= len(rollup)
+    gsets = [r for r in rows if r.op == "gsets"]
+    assert all(r.l_returnflag is None or r.l_linestatus is None for r in gsets)
 
 
 def test_sort_limit_deterministic(spark, sf_dir):
