@@ -102,6 +102,23 @@ def test_minhash_has_no_nested_loop_and_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_connected_groups_edges_are_candidate_bounded(spark, sf_dir):
+    """The clusters query must generate edges via MinHash-LSH (band-hash
+    equi-join), never the quadratic shingle self-join: a join keyed
+    solely on `shingle` is the Σdf² verification twin, which cannot
+    survive 100×."""
+    import re
+
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_connected_groups(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", plan), (
+        "edge generation fell back to the quadratic shingle self-join"
+    )
+    assert "bhash" in plan, "LSH band-hash candidate join missing"
+
+
 def test_ivf_broadcasts_queries_not_corpus(spark, sf_dir):
     """IVF ANN search join: cell-id equi-join with the probed query
     side broadcast — the corpus is never broadcast or nested-looped."""
