@@ -205,6 +205,54 @@ def ann_topk(
     return _topk_per_query(scored, k)
 
 
+def lsh_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via banded
+    random-hyperplane LSH candidates + EXACT cosine verification — the
+    scale path for the true near-dup regime (threshold ≳ 0.9).
+
+    Candidate generation is a self-equi-join on (band, bucket): work ∝
+    colliding pairs, never n². Verification is the unrolled
+    whole-stage-codegen dot product (bit-identical to DuckDB's
+    list_dot_product fold), so verified output equals the exact pair
+    set minus LSH misses: a pair at cosine c collides per band with
+    p^r, p = 1 − arccos(c)/π, so P(miss) = (1 − p^r)^B ≈ 4e-6 at
+    c = 0.9 with B=16, r=4 — and falls off a cliff above (4e-13 at
+    0.99). Below c ≈ 0.6, p^r is no longer selective: use
+    `embedding_near_pairs` (exact block-grid) for low-threshold work.
+    """
+    planes = hyperplanes(bands * rows_per_band, dim)
+    bucket = band_bucket_udf(planes, bands, rows_per_band)
+    banded = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        cosine(F.col("a_vec"), F.col("b_vec"), dim).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= float(threshold))
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     threshold: float,
