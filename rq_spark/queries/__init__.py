@@ -9,7 +9,6 @@ genuinely non-SQL-expressible operators, e.g. MinHash-LSH).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,47 +41,18 @@ def _load_extra_packs() -> None:
 _load_extra_packs()
 
 
-def _last_driver_round() -> dict[str, int]:
-    """Map query key -> latest round whose driver CORRECTNESS file recorded
-    it. The driver caps each round's record at a fixed row budget in
-    ``queries()`` iteration order, so keys it has never reached must be
-    surfaced first (see ``all_queries``). Unknown/missing files are fine:
-    an empty map degrades to plain catalog order."""
-    import glob
-    import json
-    import re
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path, encoding="utf-8") as f:
-                keys = json.load(f).keys()
-        except (OSError, ValueError):
-            continue
-        for k in keys:
-            last[k] = max(last.get(k, -1), rnd)
-    return last
-
-
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Merged catalog, in plain pack/catalog order. The library must not
+    influence which queries an external verification harness samples, so
+    ordering is a pure function of the source (no environment or artifact
+    introspection)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for pack in _PACKS:
         dup = set(out) & set(pack.QUERIES)
         if dup:
             raise ValueError(f"duplicate query keys: {dup}")
         out.update(pack.QUERIES)
-    # Rotate: least-recently-driver-checked first (never-checked = -1),
-    # ties broken by catalog position. With a catalog larger than the
-    # driver's per-round row budget this guarantees every key gets a
-    # current-round driver verdict within ceil(len/budget) rounds.
-    last = _last_driver_round()
-    pos = {k: i for i, k in enumerate(out)}
-    return {k: out[k] for k in sorted(out, key=lambda k: (last.get(k, -1), pos[k]))}
+    return out
 
 
 def all_oracle_sql() -> dict[str, str]:
