@@ -164,6 +164,62 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
+_LSH_EMB_T = 0.9
+_LSH_EMB_OFFSET = 1_000_000
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table augmented with one deterministic near-duplicate
+    per vector: the copy zeroes coordinate 1, so cos(v, v') =
+    √(1 − v₁²/‖v‖²) ≈ √(63/64) — every (v, v') pair lands in
+    [0.93, 1.0) on this table while unrelated pairs stay ≤ 0.52
+    (measured; the raw table has NO pairs above 0.52, so the ≥ 0.9
+    near-dup regime has to be constructed). The perturbation is exact
+    in float (zeroing), so Spark and the SQL oracle see bit-identical
+    vectors."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + _LSH_EMB_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")), F.slice("embedding", 2, 63)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs in the HIGH-threshold regime (cosine
+    ≥ 0.9) via banded random-hyperplane LSH candidates + exact verify
+    — the scale path: candidate generation is a self-equi-join on
+    (band, bucket), work ∝ colliding pairs, never n². At this
+    threshold P(miss) ≤ 4e-6 per pair (operators/similarity.py:
+    lsh_near_pairs), so the verified output equals the exact pair set
+    — the oracle below IS the exact all-pairs SQL. Complements
+    `dedup_embedding_cosine`, which keeps the exact block-grid for the
+    low-threshold regime where no LSH family separates 0.4501 from
+    0.4497."""
+    return S.lsh_near_pairs(_near_dup_corpus(spark, sf_dir), _LSH_EMB_T, dim=64)
+
+
+_EMB_LSH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), v AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + {_LSH_EMB_OFFSET} AS vec_id, [0.0] || e[2:] AS e FROM base
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+         AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {_LSH_EMB_T}
+"""
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata
     (operators/multimodal.py); metadata math is JVM-side and the
@@ -310,6 +366,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -324,6 +381,7 @@ ORACLE = {
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_embedding_lsh": _EMB_LSH_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,
     "dedup_connected_groups": _GROUPS_SQL,
     "text_fingerprint": _FP_SQL,

@@ -119,6 +119,27 @@ def test_connected_groups_edges_are_candidate_bounded(spark, sf_dir):
     assert "bhash" in plan, "LSH band-hash candidate join missing"
 
 
+def test_embedding_lsh_pairs_candidate_bounded(spark, sf_dir):
+    """High-threshold embedding near-dup: candidates must come from a
+    (band, bucket) self-equi-join — never a nested loop or cartesian
+    pair enumeration."""
+    import re
+
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_embedding_lsh(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if "Join Inner" in ln]
+    assert any(
+        re.search(r"band#\d+ = band#\d+", ln)
+        and re.search(r"bucket#\d+ = bucket#\d+", ln)
+        for ln in join_lines
+    ), "band/bucket equi-join missing from candidate generation"
+
+
 def test_ivf_broadcasts_queries_not_corpus(spark, sf_dir):
     """IVF ANN search join: cell-id equi-join with the probed query
     side broadcast — the corpus is never broadcast or nested-looped."""

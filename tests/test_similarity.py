@@ -72,6 +72,30 @@ def test_embedding_near_pairs_symmetric_bound(spark):
     assert all(r.cos_sim >= 0.45 for r in pairs)
 
 
+def test_lsh_near_pairs_equals_exact_at_high_threshold(spark):
+    """In the ≥0.9 regime the banded-LSH candidate path must reproduce
+    the exact pair set — pair-for-pair AND cosine-for-cosine (both
+    paths use the same fold order). A recall regression here would
+    otherwise surface only at the oracle gate."""
+    from rq_spark.queries.dedup import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, SF)
+    lsh = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in S.lsh_near_pairs(corpus, 0.9, dim=64).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in S.embedding_near_pairs(corpus, 0.9, dim=64).collect()
+    }
+    assert set(lsh) == set(exact)
+    # one constructed near-dup per original vector, nothing else
+    assert len(lsh) == 500
+    for k, v in lsh.items():
+        assert v >= 0.9
+        assert abs(v - exact[k]) < 1e-12
+
+
 def test_ivf_never_invents_and_has_recall(spark):
     brute = {
         (r.query_id, r.neighbor_id)
