@@ -297,9 +297,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline through mapInPandas: payload →
     decode (deterministic fake; strict mode raises, see
     operators/multimodal.py) → feature vector → compact scalars.
-    Rows-only check by design: the hash-derived fake decode has no
-    sane SQL analog; the plumbing (Arrow batches, schema, pruning) is
-    what's under test."""
+    Hash-checked: the fake decode is pure sha256 arithmetic, so the
+    oracle recomputes dims from digest bytes and the feature sum from
+    the digest's little-endian uint32 lanes (float32 lanes, double
+    left-fold — both engines see bit-identical values, so the sum is
+    emitted at full precision, no rounding)."""
     from ..operators.multimodal import (
         decode_image,
         extract_features,
@@ -314,9 +316,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "channels",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feat_sum6"
-        ),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
     )
 
 
@@ -336,6 +336,46 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("long").alias("resized_len"),
     )
 
+
+# decode-features oracle: the fake decode (operators/multimodal.py:
+# _fake_dims, extract_features) is sha256 arithmetic — dims from digest
+# bytes 0-2, features = digest as 8 little-endian uint32 lanes cast to
+# float32 and scaled by 2^-32 (exact: power-of-two divide), summed by a
+# double left-fold in lane order, matching F.aggregate's (0.0 + x0) +
+# x1 + … accumulation bit-for-bit.
+
+
+def _mm_u32le(i: int) -> str:
+    def byte_hex(j: int) -> str:
+        return f"substr(h, {8 * i + 2 * j + 1}, 2)"
+
+    return (
+        "CAST('0x' || "
+        + " || ".join(byte_hex(j) for j in (3, 2, 1, 0))
+        + " AS BIGINT)"
+    )
+
+
+def _mm_feat_sum_sql() -> str:
+    lanes = [
+        f"(CAST({_mm_u32le(i)} AS FLOAT) / CAST(4294967296 AS FLOAT))"
+        for i in range(8)
+    ]
+    acc = f"CAST({lanes[0]} AS DOUBLE)"
+    for lane in lanes[1:]:
+        acc = f"({acc} + CAST({lane} AS DOUBLE))"
+    return acc
+
+
+_MM_DECODE_SQL = f"""
+WITH p AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id,
+       16 + (CAST('0x' || substr(h, 1, 2) AS INT) % 240) AS width,
+       16 + (CAST('0x' || substr(h, 3, 2) AS INT) % 240) AS height,
+       1 + (CAST('0x' || substr(h, 5, 2) AS INT) % 4) AS channels,
+       {_mm_feat_sum_sql()} AS feat_sum
+FROM p
+"""
 
 # channel rule = 1 + (third sha256 byte % 4); hex chars 5-6 of the
 # digest, parsed with DuckDB's 0x-literal cast
@@ -377,7 +417,7 @@ ORACLE = {
     "mm_binary_meta": _MM_SQL,
     "mm_frame_sample": _MM_FRAMES_SQL,
     "mm_resize": _MM_RESIZE_SQL,
-    # mm_decode_features: rows-only by design (fake decode has no SQL analog)
+    "mm_decode_features": _MM_DECODE_SQL,
     "dedup_exact": _EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
