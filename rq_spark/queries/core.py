@@ -477,12 +477,12 @@ FROM g
 
 _SUBQ_SQL = """
 SELECT c_custkey, c_name,
-       (SELECT COUNT(*) FROM _sq_orders o
+       (SELECT COUNT(*) FROM {orders} o
         WHERE o.o_custkey = c.c_custkey) AS n_orders,
-       (SELECT MAX(o_totalprice) FROM _sq_orders o
+       (SELECT MAX(o_totalprice) FROM {orders} o
         WHERE o.o_custkey = c.c_custkey) AS max_price
-FROM _sq_customer c
-WHERE EXISTS (SELECT 1 FROM _sq_orders o
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
 """
 
@@ -492,15 +492,21 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst DECORRELATES into joins (scalar counts → left outer
     aggregate joins, EXISTS → left semi join) — no per-row re-execution
     anywhere, which is what makes subqueries viable at 100 TB. The
-    oracle runs the same SQL text, modulo view names."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
-    return spark.sql(_SUBQ_SQL)
+    oracle runs the same SQL text, modulo table references; the scans
+    are inlined parquet paths so no temp view touches the session
+    catalog."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    return spark.sql(
+        _SUBQ_SQL.format(
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
+        )
+    )
 
 
-_SUBQ_ORACLE_SQL = _SUBQ_SQL.replace("_sq_orders", "orders").replace(
-    "_sq_customer", "customer"
-)
+_SUBQ_ORACLE_SQL = _SUBQ_SQL.format(orders="orders", customer="customer")
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

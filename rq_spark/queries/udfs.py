@@ -147,33 +147,51 @@ def udf_udtf_split_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a SQL LATERAL join. Splits each document into its first five
     normalized terms with positions (the tokenizer-as-UDTF shape).
 
+    Whitespace contract (shared verbatim with the oracle): runs of the
+    EXPLICIT ASCII class [ \\t\\n\\f\\r] collapse to one space, edges
+    trimmed, and a document that normalizes to '' yields no rows.
+    Python's bare str.split() (any Unicode whitespace, empty → [])
+    and DuckDB's string_split ('' → ['']) disagree on exactly those
+    edges, so neither appears here.
+
     Scale: UDTFs run Arrow-batched like pandas UDFs; the lateral join
-    is a narrow per-row expansion, no shuffle.
+    is a narrow per-row expansion, no shuffle. The scan is inlined as
+    a parquet path — no temp view, the session catalog stays clean.
     """
     from pyspark.sql.functions import udtf
+
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
 
     @udtf(returnType="term string, pos int")
     class SplitTerms:
         def eval(self, text: str):
-            words = (text or "").lower().split()
-            for i, w in enumerate(words[:5]):
+            import re
+
+            norm = re.sub("[ \t\n\f\r]+", " ", (text or "").lower()).strip(" ")
+            if not norm:
+                return
+            for i, w in enumerate(norm.split(" ")[:5]):
                 yield w, i
 
     spark.udtf.register("split_terms", SplitTerms)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, t.term, t.pos
-        FROM _udtf_docs d, LATERAL split_terms(d.text) t
+        FROM parquet.`{sf_dir}/documents.parquet` d,
+             LATERAL split_terms(d.text) t
         """
     )
 
 
 _UDTF_SQL = """
-WITH t AS (
+WITH n AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS nt
   FROM documents
+), t AS (
+  SELECT doc_id, string_split(nt, ' ') AS w FROM n WHERE nt <> ''
 )
 SELECT doc_id, w[i] AS term, CAST(i - 1 AS INT) AS pos
 FROM t, (SELECT unnest(generate_series(1, 5)) AS i) g

@@ -76,3 +76,9 @@ def test_cast_types_schema(spark, sf_dir):
     # column is double — decimal cell canonicalization differs between
     # the driver's Spark and DuckDB normalizers
     assert kinds["price_dec"] == "double"
+
+
+def test_subquery_correlated_leaves_catalog_clean(spark, sf_dir):
+    before = {v.name for v in spark.catalog.listTables()}
+    assert core.subquery_correlated(spark, sf_dir).count() > 0
+    assert {v.name for v in spark.catalog.listTables()} == before
