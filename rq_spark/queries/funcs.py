@@ -28,6 +28,12 @@ def func_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list indexing, so the oracle mirrors directly)."""
     c = table(spark, sf_dir, "customer")
     parts = F.split(F.col("c_name"), "#")
+    # '0'-split arrays are genuinely variable-length (6-10 parts,
+    # empties included, depending on the key's zero runs) — so size()
+    # varies and element_at past the end is exercised (try_element_at:
+    # NULL out-of-range on both engines; plain element_at errors under
+    # ANSI). This slim schema has no c_address/c_comment to split.
+    zparts = F.split(F.col("c_name"), "0")
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -44,6 +50,9 @@ def func_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 1).alias("name_word"),
         F.element_at(parts, 2).alias("name_num"),
         F.size(parts).alias("n_parts"),
+        F.size(zparts).alias("n_zero_parts"),
+        F.try_element_at(zparts, F.lit(6)).alias("zpart6"),
+        F.try_element_at(zparts, F.lit(9)).alias("zpart9"),
     ).filter(F.col("c_custkey") % 7 == 0)
 
 
@@ -62,7 +71,10 @@ SELECT c_custkey,
        REVERSE(c_mktsegment) AS seg_rev,
        string_split(c_name, '#')[1] AS name_word,
        string_split(c_name, '#')[2] AS name_num,
-       len(string_split(c_name, '#')) AS n_parts
+       len(string_split(c_name, '#')) AS n_parts,
+       len(string_split(c_name, '0')) AS n_zero_parts,
+       string_split(c_name, '0')[6] AS zpart6,
+       string_split(c_name, '0')[9] AS zpart9
 FROM customer
 WHERE c_custkey % 7 = 0
 """
