@@ -349,26 +349,33 @@ def simhash_near_pairs(
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: every
-    node starts labeled with itself; each round every node takes the
-    minimum label among itself and its neighbors, until fixpoint.
+    """Connected components by min-label propagation with pointer
+    jumping: every node starts labeled with itself; each round every
+    node takes the minimum of (its label, its neighbors' labels, its
+    LABEL'S label), until fixpoint. The third term is the path-doubling
+    shortcut — the distance a label travels roughly doubles per round,
+    so convergence needs O(log d) rounds for component diameter d
+    (same regime as the alternating large-star/small-star algorithm)
+    instead of the d rounds plain neighbor propagation needs. Near-dup
+    clusters are small quasi-cliques (2-3 rounds); the default
+    max_iter = 20 therefore covers diameters up to ~2^19, and a
+    pathological chain that still fails raises instead of returning
+    split clusters.
 
-    This is how a dedup pipeline turns near-dup PAIRS into duplicate
-    CLUSTERS (one representative per group). Rounds needed ∝ component
-    diameter — near-dup clusters are small quasi-cliques, so 2-4
-    rounds in practice; each round is one shuffle join + min-agg and
-    the data never leaves the cluster (the driver only reads the
-    single convergence counter). max_iter bounds adversarial chains
-    (a path graph needs diameter rounds; raise it for such graphs).
+    Each round is two shuffle joins + one min-agg, and the data never
+    leaves the cluster — the driver only reads the single convergence
+    counter. Each round's labels are checkpointed (reliable checkpoint
+    when the application has set a checkpoint dir — the fault-tolerant
+    choice on a real cluster — else an executor-local checkpoint), so
+    the query plan stays O(1) deep across rounds instead of nesting
+    one join tree per iteration.
 
     edges: (a_id, b_id) undirected pairs; nodes: (node). Returns
     (node, rep) with rep = smallest node id in the component.
 
     Raises IllegalStateError if max_iter rounds do not converge —
     returning unconverged labels would silently split one true
-    cluster into several. Superseded per-round caches are unpersisted
-    as soon as the next round materializes (only the final round's
-    labels stay cached, backing the returned DataFrame).
+    cluster into several.
     """
     sym = _persist_tracked(
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -378,7 +385,7 @@ def connected_components(
     # (the vast majority of a dedup corpus) skip the loop entirely
     edge_nodes = _persist_tracked(sym.select(F.col("src").alias("node")).distinct())
     labels = edge_nodes.select("node", F.col("node").alias("rep"))
-    prev = None
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -386,21 +393,29 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("rep").alias("nrep"))
         )
-        # one join per round: new label + did-it-change in one pass
-        new = _persist_tracked(
+        # pointer jump: each node also sees its representative's label
+        # (every rep value is itself a node in `labels`)
+        jump = labels.select(
+            F.col("node").alias("rep"), F.col("rep").alias("jrep")
+        )
+        cand = F.least(
+            F.coalesce("nrep", F.col("rep")), F.coalesce("jrep", F.col("rep"))
+        )
+        new = (
             labels.join(neigh, "node", "left")
+            .join(jump, "rep", "left")
             .select(
                 "node",
-                F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias(
-                    "new_rep"
-                ),
-                (F.coalesce("nrep", F.col("rep")) < F.col("rep")).alias("chg"),
+                F.least(F.col("rep"), cand).alias("new_rep"),
+                (cand < F.col("rep")).alias("chg"),
             )
         )
-        changed = new.filter("chg").count()  # materializes the cache too
-        if prev is not None:
-            prev.unpersist()
-        prev = new
+        # checkpoint truncates lineage; eager=False so the convergence
+        # count below is the job that materializes it (one job/round)
+        new = new.checkpoint(eager=False) if reliable else new.localCheckpoint(
+            eager=False
+        )
+        changed = new.filter("chg").count()
         labels = new.select("node", F.col("new_rep").alias("rep"))
         if changed == 0:
             converged = True

@@ -62,3 +62,27 @@ def test_connected_components_chain_and_nonconvergence(spark):
     # unconverged labels must raise, never be returned silently
     with pytest.raises(IllegalStateError, match="converge"):
         connected_components(edges, nodes, max_iter=2).collect()
+
+
+def test_connected_components_long_path_diameter_30(spark):
+    """Worst-case geometry for min-label propagation: a 31-node path
+    (diameter 30) with shuffled ids, so labels must travel the full
+    chain and the minimum sits at an arbitrary position. Converges
+    within max_iter = diameter + margin and labels every node with the
+    component minimum."""
+    import random
+
+    from rq_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1031))
+    rng.shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(30)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "node long")
+    got = {
+        (r.node, r.rep)
+        for r in connected_components(edges, nodes, max_iter=35).collect()
+    }
+    assert got == {(i, min(ids)) for i in ids}
