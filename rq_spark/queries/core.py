@@ -351,24 +351,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + GROUPING SETS in one tagged result. All three
-    are Catalyst ``Expand`` plans — each input row is replicated once
-    per grouping set before one partial-agg shuffle, so shuffled bytes
-    stay O(groups), never O(rows). GROUPING SETS uses the Spark 4
+    """ROLLUP + CUBE + GROUPING SETS in one tagged result, off ONE scan.
+
+    SUM and COUNT are re-aggregable, so lineitem is reduced once to the
+    finest grouping (|returnflag|×|linestatus| ≈ 6 rows, one partial-agg
+    shuffle) and the three Catalyst ``Expand`` plans run over that tiny
+    intermediate — at 100 TB this reads the fact table once instead of
+    three times, and the Expand row-replication happens on O(groups)
+    rows, never O(input). Requires non-null grouping keys (true for the
+    TPC-H flags), else Expand's grouping-nulls would collide with data
+    nulls in the re-aggregation. GROUPING SETS uses the Spark 4
     ``DataFrame.groupingSets`` API (no temp-view mutation)."""
     li = table(spark, sf_dir, "lineitem")
-    aggs = (dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
     keys = ("l_returnflag", "l_linestatus")
+    base = li.groupBy(*keys).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_ps"),
+        F.count(F.lit(1)).alias("_pn"),
+    )
+    # Exact re-aggregation: decimal(38,6) partial sums re-sum exactly;
+    # the double cast happens once at the end, same as dsum().
+    aggs = (
+        F.sum("_ps").cast("double").alias("sum_qty"),
+        F.sum("_pn").alias("n"),
+    )
 
     def tag(df: DataFrame, op: str) -> DataFrame:
         return df.select(F.lit(op).alias("op"), *keys, "sum_qty", "n")
 
     return (
-        tag(li.rollup(*keys).agg(*aggs), "rollup")
-        .unionByName(tag(li.cube(*keys).agg(*aggs), "cube"))
+        tag(base.rollup(*keys).agg(*aggs), "rollup")
+        .unionByName(tag(base.cube(*keys).agg(*aggs), "cube"))
         .unionByName(
             tag(
-                li.groupingSets(
+                base.groupingSets(
                     [["l_returnflag"], ["l_linestatus"], []], *keys
                 ).agg(*aggs),
                 "gsets",

@@ -33,10 +33,23 @@ DEC = "decimal(38,6)"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to µs —
-        # same truncation DuckDB applies — and restore a timestamp col.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Event-time columns must be TIMESTAMP (LTZ) for watermarks and to
+    agree with the UTC-naive oracle under the pinned UTC session zone.
+    Testdata vintages vary: TIMESTAMP(NANOS) arrives as long (under
+    nanosAsLong; truncate to µs, same as DuckDB), TIMESTAMP_NTZ arrives
+    as ntz (cast reinterprets the wall clock in the UTC session zone —
+    the identical instant, and the only type watermarks accept)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -23,7 +23,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.helpers import DEC
+from ..queries.helpers import DEC, normalize_event_time
 from ..session import apply_runtime_confs
 
 _sink_counter = itertools.count()
@@ -31,8 +31,8 @@ _sink_counter = itertools.count()
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded stream (schema from a batch probe;
-    TIMESTAMP(NANOS) arrives as long under nanosAsLong and is converted
-    to a proper event-time column, same as the batch loader)."""
+    event time normalized to TIMESTAMP exactly like the batch loader —
+    see ``normalize_event_time``)."""
     apply_runtime_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file stream sources take a directory; glob-filter to the events file
@@ -42,9 +42,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return s
+    return normalize_event_time(s)
 
 
 def tumble_counts(stream: DataFrame, width: str = "10 minutes",
