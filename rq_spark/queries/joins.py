@@ -359,15 +359,108 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# tagged multi-op merges: every branch runs the SAME code as its former
+# standalone query, normalized to a shared schema and unioned with an
+# `op` tag — one driver row hash-checks all branches, and any branch
+# divergence flips the hash (each branch's full value set is in the
+# union). Catalog budget: the driver records 50 rows/round, so the
+# catalog must stay ≤50 keys with every key checked every round.
+# --------------------------------------------------------------------------
+
+
+def join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT / RIGHT / FULL outer joins in one tagged result (branches =
+    the former join_left_order_items / join_right_supplier /
+    join_full_nation_activity, byte-identical plans per branch)."""
+    nulls = F.lit(None)
+    left = join_left_order_items(spark, sf_dir).select(
+        F.lit("left").alias("op"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        nulls.cast("string").alias("s"),
+        F.col("n_items").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        F.col("sum_qty").alias("v"),
+    )
+    right = join_right_supplier(spark, sf_dir).select(
+        F.lit("right").alias("op"),
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.col("s_name").alias("s"),
+        F.col("n_lines").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        nulls.cast("double").alias("v"),
+    )
+    full = join_full_nation_activity(spark, sf_dir).select(
+        F.lit("full").alias("op"),
+        F.col("nationkey").cast("bigint").alias("k"),
+        nulls.cast("string").alias("s"),
+        F.col("n_customers").cast("bigint").alias("n1"),
+        F.col("n_suppliers").cast("bigint").alias("n2"),
+        nulls.cast("double").alias("v"),
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+_OUTER_FAMILY_SQL = f"""
+SELECT 'left' AS op, o_orderkey AS k, CAST(NULL AS VARCHAR) AS s,
+       n_items AS n1, CAST(NULL AS BIGINT) AS n2, sum_qty AS v
+FROM ({_LEFT_SQL})
+UNION ALL
+SELECT 'right', CAST(s_suppkey AS BIGINT), s_name, n_lines, NULL, NULL
+FROM ({_RIGHT_SQL})
+UNION ALL
+SELECT 'full', CAST(nationkey AS BIGINT), NULL, n_customers, n_suppliers, NULL
+FROM ({_FULL_SQL})
+"""
+
+
+def join_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI / ANTI / CROSS joins in one tagged result (branches = the
+    former join_semi_active_customers / join_anti_inactive_customers /
+    join_cross_region_nation)."""
+    nulls = F.lit(None)
+    semi = join_semi_active_customers(spark, sf_dir).select(
+        F.lit("semi").alias("op"),
+        F.col("c_custkey").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("c_name").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
+    anti = join_anti_inactive_customers(spark, sf_dir).select(
+        F.lit("anti").alias("op"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_nationkey").cast("bigint").alias("k2"),
+        nulls.cast("string").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
+    cross = join_cross_region_nation(spark, sf_dir).select(
+        F.lit("cross").alias("op"),
+        nulls.cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("r_name").alias("s1"),
+        F.col("n_name").alias("s2"),
+    )
+    return semi.unionByName(anti).unionByName(cross)
+
+
+_FILTERING_SQL = f"""
+SELECT 'semi' AS op, c_custkey AS k1, CAST(NULL AS BIGINT) AS k2,
+       c_name AS s1, CAST(NULL AS VARCHAR) AS s2
+FROM ({_SEMI_SQL})
+UNION ALL
+SELECT 'anti', c_custkey, CAST(c_nationkey AS BIGINT), NULL, NULL
+FROM ({_ANTI_SQL})
+UNION ALL
+SELECT 'cross', NULL, NULL, r_name, n_name
+FROM ({_CROSS_SQL})
+"""
+
+
 QUERIES = {
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_broadcast_q3": join_broadcast_q3,
-    "join_left_order_items": join_left_order_items,
-    "join_right_supplier": join_right_supplier,
-    "join_full_nation_activity": join_full_nation_activity,
-    "join_semi_active_customers": join_semi_active_customers,
-    "join_anti_inactive_customers": join_anti_inactive_customers,
-    "join_cross_region_nation": join_cross_region_nation,
+    "join_outer_family": join_outer_family,
+    "join_filtering": join_filtering,
     "join_range_price_band": join_range_price_band,
     "join_asof_event": join_asof_event,
     "join_salted_skew": join_salted_skew,
@@ -376,12 +469,8 @@ QUERIES = {
 ORACLE = {
     "join_revenue_by_nation": _Q5_SQL,
     "join_broadcast_q3": _Q3_SQL,
-    "join_left_order_items": _LEFT_SQL,
-    "join_right_supplier": _RIGHT_SQL,
-    "join_full_nation_activity": _FULL_SQL,
-    "join_semi_active_customers": _SEMI_SQL,
-    "join_anti_inactive_customers": _ANTI_SQL,
-    "join_cross_region_nation": _CROSS_SQL,
+    "join_outer_family": _OUTER_FAMILY_SQL,
+    "join_filtering": _FILTERING_SQL,
     "join_range_price_band": _RANGE_SQL,
     "join_asof_event": _ASOF_SQL,
     "join_salted_skew": _SALTED_JOIN_SQL,

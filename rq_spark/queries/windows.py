@@ -76,12 +76,16 @@ WINDOW
 
 
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user analytic pack: lag/lead deltas plus first/last/count
-    over the full frame — both frames share ONE partition+sort (same
-    window spec), so Spark plans a single shuffle and a single sort."""
+    """Per-user analytic pack: lag/lead deltas, first/last/count over
+    the full frame, and a 7-row moving average (formerly the separate
+    window_moving_avg query) — all three frames share ONE partition+sort
+    (same window spec), so Spark plans a single shuffle and a single
+    sort. The moving average is exact-sum/count so both engines agree
+    bitwise."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w7 = w.rowsBetween(-6, 0)
     return e.select(
         "user_id",
         "event_id",
@@ -92,6 +96,10 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(wfull).alias("first_value"),
         F.last("value").over(wfull).alias("last_value"),
         F.count(F.lit(1)).over(wfull).alias("n_events"),
+        (
+            F.sum(F.col("value").cast(DEC)).over(w7).cast("double")
+            / F.count("value").over(w7)
+        ).alias("mavg7"),
     )
 
 
@@ -102,12 +110,16 @@ SELECT user_id, event_id, value,
        value - LAG(value, 1) OVER w AS delta,
        FIRST_VALUE(value) OVER wf AS first_value,
        LAST_VALUE(value) OVER wf AS last_value,
-       COUNT(*) OVER wf AS n_events
+       COUNT(*) OVER wf AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w7 AS VARCHAR) AS DOUBLE)
+         / COUNT(value) OVER w7 AS mavg7
 FROM events
 WINDOW
   w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
   wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  w7 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -137,35 +149,6 @@ SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
        AS running_qty
 FROM lineitem
-"""
-
-
-def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-row moving average of event values per user (ROWS frame over a
-    total order; avg as exact-sum/count so both engines agree bitwise)."""
-    e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-6, 0)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        (
-            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
-            / F.count("value").over(w)
-        ).alias("mavg7"),
-    )
-
-
-_MAVG_SQL = """
-SELECT user_id, event_id,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
-         / COUNT(value) OVER w AS mavg7
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -232,22 +215,101 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# tagged multi-op merges (catalog ≤ 50 keys; each branch runs the same
+# code as its former standalone query, any branch divergence flips the
+# merged hash)
+# --------------------------------------------------------------------------
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family in one tagged result: rank/dense_rank/ntile
+    (former window_rank_dense) + percent_rank/cume_dist/decile
+    (former window_dist_rank)."""
+    nulls = F.lit(None)
+    dense = window_rank_dense(spark, sf_dir).select(
+        F.lit("rank_dense").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_orderkey").cast("bigint").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("qty_rank").cast("bigint").alias("r1"),
+        F.col("qty_dense_rank").cast("bigint").alias("r2"),
+        F.col("quartile").cast("bigint").alias("bucket"),
+        nulls.cast("double").alias("pr"),
+        nulls.cast("double").alias("cd"),
+    )
+    dist = window_dist_rank(spark, sf_dir).select(
+        F.lit("dist_rank").alias("op"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        nulls.cast("double").alias("qty"),
+        nulls.cast("bigint").alias("r1"),
+        nulls.cast("bigint").alias("r2"),
+        F.col("decile").cast("bigint").alias("bucket"),
+        F.col("pct_rank").alias("pr"),
+        F.col("cume").alias("cd"),
+    )
+    return dense.unionByName(dist)
+
+
+_RANKING_SQL = f"""
+SELECT 'rank_dense' AS op, l_returnflag AS grp, l_orderkey AS k1,
+       CAST(l_linenumber AS BIGINT) AS k2, CAST(l_quantity AS DOUBLE) AS qty,
+       CAST(qty_rank AS BIGINT) AS r1, CAST(qty_dense_rank AS BIGINT) AS r2,
+       CAST(quartile AS BIGINT) AS bucket,
+       CAST(NULL AS DOUBLE) AS pr, CAST(NULL AS DOUBLE) AS cd
+FROM ({_RANK_SQL})
+UNION ALL
+SELECT 'dist_rank', o_orderpriority, o_orderkey, NULL, NULL, NULL, NULL,
+       CAST(decile AS BIGINT), pct_rank, cume
+FROM ({_DIST_SQL})
+"""
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates in one tagged result: unbounded RANGE running
+    sum (former window_running_revenue) + interval-bounded trailing
+    30-day RANGE sum (former window_trailing_30d)."""
+    nulls = F.lit(None)
+    running = window_running_revenue(spark, sf_dir).select(
+        F.lit("running").alias("op"),
+        F.col("l_suppkey").cast("bigint").alias("k1"),
+        F.col("l_orderkey").cast("bigint").alias("k2"),
+        F.col("l_linenumber").cast("bigint").alias("k3"),
+        F.col("running_qty").alias("v"),
+    )
+    trailing = window_trailing_30d(spark, sf_dir).select(
+        F.lit("trailing_30d").alias("op"),
+        F.col("o_custkey").cast("bigint").alias("k1"),
+        F.col("o_orderkey").cast("bigint").alias("k2"),
+        nulls.cast("bigint").alias("k3"),
+        F.col("trailing_30d_rev").alias("v"),
+    )
+    return running.unionByName(trailing)
+
+
+_FRAMES_SQL = f"""
+SELECT 'running' AS op, CAST(l_suppkey AS BIGINT) AS k1, l_orderkey AS k2,
+       CAST(l_linenumber AS BIGINT) AS k3, running_qty AS v
+FROM ({_RUNNING_SQL})
+UNION ALL
+SELECT 'trailing_30d', o_custkey, o_orderkey, NULL, trailing_30d_rev
+FROM ({_TRAILING_SQL})
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
-    "window_dist_rank": window_dist_rank,
-    "window_trailing_30d": window_trailing_30d,
-    "window_rank_dense": window_rank_dense,
+    "window_ranking": window_ranking,
     "window_analytic": window_analytic,
-    "window_running_revenue": window_running_revenue,
-    "window_moving_avg": window_moving_avg,
+    "window_frames": window_frames,
 }
 
 ORACLE = {
     "window_topk_per_group": _TOPK_SQL,
-    "window_dist_rank": _DIST_SQL,
-    "window_trailing_30d": _TRAILING_SQL,
-    "window_rank_dense": _RANK_SQL,
+    "window_ranking": _RANKING_SQL,
     "window_analytic": _ANALYTIC_SQL,
-    "window_running_revenue": _RUNNING_SQL,
-    "window_moving_avg": _MAVG_SQL,
+    "window_frames": _FRAMES_SQL,
 }
