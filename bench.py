@@ -1,47 +1,50 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "runs": N, "warmup": ...}.
 
 Each query is materialized with the `noop` datasource writer so the
 full plan executes (scan → shuffle → agg) without driver-side collect
 overhead polluting the measurement.
+
+Noise control: every query is timed ``runs`` times (default 3) and the
+MEDIAN is reported — a single run on a 32-core box carries a ±0.5 s
+noise band that swallows real regressions. The emitted JSON records
+``runs`` and ``warmup`` so results from different harness
+configurations are never compared as if equivalent.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Headline set: one representative per operator family. Extended as
-# packs land (joins, windows, events, dedup, similarity, text).
+# Headline set: one representative per operator family (post-r5 catalog
+# consolidation: tagged multi-op keys cover their former branches).
 HEADLINE = [
     "q1_pricing_summary",
     "filter_predicate",
-    "agg_groupby",
-    "agg_distinct",
+    "agg_groupby_distinct",
     "rollup_cube_gsets",
     "pivot_wide",
-    "sort_limit",
+    "distinct_sort_sample",
     "set_ops",
     "join_revenue_by_nation",
     "join_broadcast_q3",
     "join_asof_event",
     "window_topk_per_group",
-    "window_running_revenue",
-    "tumble_10min",
-    "session_window_30min",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "window_frames",
+    "window_agg_time",
+    "event_sessions_rate",
+    "dedup_text",
     "sim_topk_cosine",
-    "text_quality_score",
-    "text_lang_id",
+    "text_metrics",
     "corpus_curation",
 ]
 
@@ -49,6 +52,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from rq_spark.queries import all_queries
     from rq_spark.session import get_spark
@@ -62,27 +66,40 @@ def main() -> None:
     # stages (janino cache hit on the timed run) for pennies of data —
     # without it ~1.5 s of first-query cost is classloader/codegen
     # bootstrap, not execution. Falls back to sf_dir if no sibling
-    # sf0.001 exists (then the warmup is the full query, still correct,
-    # just a costlier untimed pass).
+    # sf0.001 exists (then the warmup is the full query AND pre-warms
+    # the OS page cache — recorded in the emitted "warmup" field so
+    # such runs are never compared against sibling-warmup runs).
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warmup_mode = "sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+        warmup_mode = "sf_dir"
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is not None:
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup is best-effort; the timed run surfaces real errors
+            except Exception as e:  # noqa: BLE001 — warmup is best-effort,
+                # but a broken query must be visible NOW, not as a timing
+                # anomaly in the timed pass
+                print(
+                    f"WARN bench warmup failed for {name}: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
+            print(f"WARN bench: no catalog entry for {name}", file=sys.stderr)
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     print(
         json.dumps(
@@ -92,6 +109,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "warmup": warmup_mode,
             }
         )
     )

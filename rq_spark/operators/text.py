@@ -62,7 +62,10 @@ def lang_id(col: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
-def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_stats(df: DataFrame, text_col: str, id_col: str, *extra: Column) -> DataFrame:
+    """Per-document token statistics; ``extra`` columns ride along in
+    the same single-scan projection (used by the merged text_metrics
+    query to score every text signal in one pass)."""
     t = F.col(text_col)
     words = F.split(normalize_text(t), " ")
     return df.select(
@@ -71,6 +74,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(words).alias("n_words"),
         F.regexp_count(t, F.lit(r"\w+")).alias("n_tokens"),
         F.size(F.array_distinct(words)).alias("n_uniq_words"),
+        *extra,
     )
 
 

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
-from ..operators.text import fingerprint
 from .helpers import table
 
 _JACCARD_T = 0.5
@@ -220,62 +219,6 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
-def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary payload + typed metadata
-    (operators/multimodal.py); metadata math is JVM-side and the
-    payload itself never reaches the driver."""
-    from ..operators.multimodal import with_binary_payload
-
-    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
-    return d.select(
-        "doc_id",
-        F.col("media_meta.size_bytes").alias("size_bytes"),
-        F.col("media_meta.sha256").alias("sha256"),
-        F.col("media_meta.mime").alias("mime"),
-    )
-
-
-_MM_SQL = """
-SELECT doc_id,
-       octet_length(encode(text)) AS size_bytes,
-       sha256(text) AS sha256,
-       'text/plain' AS mime
-FROM documents
-"""
-
-
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling ('video' = opaque payload split into
-    N equal chunks, JVM-side byte slicing — no Python in this path):
-    per-payload frame count, first/last frame digests, frame width.
-    Boundaries use explicit FLOOR so both engines truncate alike."""
-    from ..operators.multimodal import with_binary_payload
-
-    n = 4
-    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
-    size = F.length(F.col("text"))  # frame boundaries in characters:
-    # DuckDB cannot slice BLOBs, so the portable oracle frames the
-    # text and hashes each frame's UTF-8 bytes — same digests as byte
-    # framing for this corpus, same plumbing under test
-
-    def frame(i: int):
-        start = F.floor(size * i / n).cast("int") + 1
-        width = (
-            F.floor(size * (i + 1) / n).cast("int")
-            - F.floor(size * i / n).cast("int")
-        )
-        return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
-
-    return d.select(
-        "doc_id",
-        F.col("media_meta.size_bytes").alias("size_bytes"),
-        F.lit(n).alias("n_frames"),
-        F.sha2(frame(0), 256).alias("f0_sha"),
-        F.sha2(frame(n - 1), 256).alias("f_last_sha"),
-        F.floor(size / n).cast("bigint").alias("frame_len_floor"),
-    )
-
-
 _MM_FRAMES_SQL = """
 WITH p AS (
   SELECT doc_id, text,
@@ -293,46 +236,61 @@ FROM p
 """
 
 
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline through mapInPandas: payload →
-    decode (deterministic fake; strict mode raises, see
-    operators/multimodal.py) → feature vector → compact scalars.
-    Hash-checked: the fake decode is pure sha256 arithmetic, so the
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multimodal pipeline in one chained pass (former
+    mm_binary_meta + mm_frame_sample + mm_decode_features + mm_resize,
+    column-merged): payload attach → decode (deterministic fake;
+    strict mode raises, operators/multimodal.py) → feature extraction
+    → resize, plus JVM-side frame sampling — every former output
+    column still present and hash-checked off ONE scan. Payloads stay
+    on executors through three chained mapInPandas stages (Arrow both
+    ways); at 100 TB the corpus is read once, not four times.
+
+    Hash-exactness: the fake decode is pure sha256 arithmetic, so the
     oracle recomputes dims from digest bytes and the feature sum from
     the digest's little-endian uint32 lanes (float32 lanes, double
-    left-fold — both engines see bit-identical values, so the sum is
-    emitted at full precision, no rounding)."""
+    left-fold — bit-identical on both engines). resized_len is
+    measured from the ACTUAL resized binary column, verifying the
+    binary-out plumbing against the SQL-recomputed w·h·c."""
     from ..operators.multimodal import (
         decode_image,
         extract_features,
+        resize_image,
         with_binary_payload,
     )
 
+    n = 4
     d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
     d = decode_image(d, strict=False)
     d = extract_features(d, dim=8)
+    d = resize_image(d, width=64, height=64)
+
+    size = F.length(F.col("text"))  # frame boundaries in characters:
+    # DuckDB cannot slice BLOBs, so the portable oracle frames the
+    # text and hashes each frame's UTF-8 bytes — same digests as byte
+    # framing for this corpus, same plumbing under test
+
+    def frame(i: int):
+        start = F.floor(size * i / n).cast("int") + 1
+        width = (
+            F.floor(size * (i + 1) / n).cast("int")
+            - F.floor(size * i / n).cast("int")
+        )
+        return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
+
     return d.select(
         "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.col("media_meta.mime").alias("mime"),
+        F.lit(n).alias("n_frames"),
+        F.sha2(frame(0), 256).alias("f0_sha"),
+        F.sha2(frame(n - 1), 256).alias("f_last_sha"),
+        F.floor(size / n).cast("bigint").alias("frame_len_floor"),
         "width",
         "height",
         "channels",
         F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
-    )
-
-
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage of the multimodal pipeline: binary in → binary out
-    through Arrow (operators/multimodal.py:resize_image). resized_len
-    is measured from the ACTUAL resized binary column, so the oracle
-    (which recomputes width·height·channels from the sha256 channel
-    rule in SQL) verifies the real payload plumbing end-to-end."""
-    from ..operators.multimodal import resize_image, with_binary_payload
-
-    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
-    d = resize_image(d, width=64, height=64)
-    return d.select(
-        "doc_id",
-        F.col("out_channels").alias("channels"),
         F.length("resized").cast("long").alias("resized_len"),
     )
 
@@ -380,50 +338,97 @@ FROM p
 # channel rule = 1 + (third sha256 byte % 4); hex chars 5-6 of the
 # digest, parsed with DuckDB's 0x-literal cast
 _MM_RESIZE_CH = "(1 + (CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 4))"
-_MM_RESIZE_SQL = f"""
-SELECT doc_id,
-       {_MM_RESIZE_CH} AS channels,
-       CAST(64 * 64 * {_MM_RESIZE_CH} AS BIGINT) AS resized_len
-FROM documents
+
+# composed oracle for the merged pipeline: meta + frames + decode +
+# resize branches joined on doc_id (each branch's SQL reused verbatim,
+# so a divergence in any stage flips the merged hash)
+_MM_PIPELINE_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS size_bytes,
+         sha256(text) AS sha256,
+         'text/plain' AS mime
+  FROM documents
+),
+frames AS ({_MM_FRAMES_SQL}),
+decoded AS ({_MM_DECODE_SQL}),
+resized AS (
+  SELECT doc_id,
+         CAST(64 * 64 * {_MM_RESIZE_CH} AS BIGINT) AS resized_len
+  FROM documents
+)
+SELECT meta.doc_id, meta.size_bytes, meta.sha256, meta.mime,
+       frames.n_frames, frames.f0_sha, frames.f_last_sha,
+       frames.frame_len_floor,
+       decoded.width, decoded.height, decoded.channels, decoded.feat_sum,
+       resized.resized_len
+FROM meta
+JOIN frames  USING (doc_id)
+JOIN decoded USING (doc_id)
+JOIN resized USING (doc_id)
 """
 
 
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text dedup family in one tagged result: exact normalized-hash
+    groups + MinHash-LSH near-dup pairs + exact n-gram-Jaccard pairs
+    (branches = the former dedup_exact, dedup_minhash_lsh,
+    dedup_ngram_jaccard). The minhash and ngram branches share one
+    exact-Jaccard oracle (the LSH parameters make a missed true pair
+    measure-zero, module docstring), so the merged oracle emits the
+    pair SQL twice under both tags, and the exact branch's group SQL
+    once."""
+    nulls = F.lit(None)
+    exact = dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("op"),
+        F.col("rep_id").cast("bigint").alias("a_id"),
+        nulls.cast("bigint").alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("n_dups").cast("bigint").alias("n"),
+    )
+
+    def pairs(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("a_id").cast("bigint").alias("a_id"),
+            F.col("b_id").cast("bigint").alias("b_id"),
+            F.col("jaccard").cast("double").alias("jaccard"),
+            nulls.cast("bigint").alias("n"),
+        )
+
+    return (
+        exact.unionByName(pairs(dedup_minhash_lsh(spark, sf_dir), "minhash_lsh"))
+        .unionByName(pairs(dedup_ngram_jaccard(spark, sf_dir), "ngram_jaccard"))
+    )
 
 
-_FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+_DEDUP_TEXT_SQL = f"""
+SELECT 'exact' AS op, rep_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+       CAST(NULL AS DOUBLE) AS jaccard, n_dups AS n
+FROM ({_EXACT_SQL})
+UNION ALL
+SELECT 'minhash_lsh', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
+UNION ALL
+SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
+"""
 
 
 # Registration order = driver execution order: cheap queries first so a
 # budget-limited correctness run records them before the heavy joins.
 QUERIES = {
-    "dedup_exact": dedup_exact,
-    "text_fingerprint": text_fingerprint,
-    "mm_binary_meta": mm_binary_meta,
-    "mm_frame_sample": mm_frame_sample,
-    "mm_decode_features": mm_decode_features,
-    "mm_resize": mm_resize,
+    "mm_pipeline": mm_pipeline,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_text": dedup_text,
     "dedup_connected_groups": dedup_connected_groups,
 }
 
 ORACLE = {
-    "mm_binary_meta": _MM_SQL,
-    "mm_frame_sample": _MM_FRAMES_SQL,
-    "mm_resize": _MM_RESIZE_SQL,
-    "mm_decode_features": _MM_DECODE_SQL,
-    "dedup_exact": _EXACT_SQL,
-    "dedup_ngram_jaccard": _JACCARD_ORACLE,
-    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "mm_pipeline": _MM_PIPELINE_SQL,
+    "dedup_text": _DEDUP_TEXT_SQL,
     "dedup_embedding_lsh": _EMB_LSH_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,
     "dedup_connected_groups": _GROUPS_SQL,
-    "text_fingerprint": _FP_SQL,
     # dedup_simhash: rows-only by design (Hamming radius, no SQL analog)
 }

@@ -220,25 +220,165 @@ GROUP BY e.user_id, m.first_ts
 """
 
 
+# --------------------------------------------------------------------------
+# tagged multi-op merges (catalog ≤ 50 keys; every branch still runs
+# its original code — incl. a full micro-batch streaming query per
+# stream_* branch — and any divergence flips the merged hash)
+# --------------------------------------------------------------------------
+
+
+def window_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding event-time windows in one tagged result
+    (branches = the former tumble_10min, slide_10min_5min; identical
+    per-branch schemas, so the merge is a pure tag-union)."""
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "*")
+
+    return tag(tumble_10min(spark, sf_dir), "tumble").unionByName(
+        tag(slide_10min_5min(spark, sf_dir), "slide")
+    )
+
+
+_WINDOW_AGG_TIME_SQL = f"""
+SELECT 'tumble' AS op, * FROM ({_TUMBLE_SQL})
+UNION ALL
+SELECT 'slide' AS op, * FROM ({_SLIDE_SQL})
+"""
+
+
+def stream_agg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation + streaming exact dedup in one
+    tagged result (branches = the former stream_tumble_10min,
+    stream_dedup — each still executes its own micro-batch streaming
+    query end-to-end)."""
+    nulls = F.lit(None)
+    tumble = stream_tumble_10min(spark, sf_dir).select(
+        F.lit("tumble").alias("op"),
+        F.col("window_start"),
+        nulls.cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+    )
+    dedup = stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("op"),
+        nulls.cast(dict(tumble.dtypes)["window_start"]).alias("window_start"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        nulls.cast("bigint").alias("n"),
+        nulls.cast("double").alias("sum_value"),
+    )
+    return tumble.unionByName(dedup)
+
+
+_STREAM_AGG_DEDUP_SQL = f"""
+SELECT 'tumble' AS op, window_start, CAST(NULL AS BIGINT) AS user_id,
+       event_type, n, sum_value
+FROM ({_TUMBLE_SQL})
+UNION ALL
+SELECT 'dedup', NULL, user_id, event_type, NULL, NULL
+FROM ({_STREAM_DEDUP_SQL})
+"""
+
+
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState first-seen) +
+    stream-stream interval join in one tagged result (branches = the
+    former stream_first_seen, stream_interval_join — each still runs
+    its own streaming query with real state/watermarks)."""
+    nulls = F.lit(None)
+    first_df = stream_first_seen(spark, sf_dir)
+    ts_type = dict(first_df.dtypes)["first_ts"]
+    first = first_df.select(
+        F.lit("first_seen").alias("op"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("first_event_id").cast("bigint").alias("e1"),
+        nulls.cast("bigint").alias("e2"),
+        F.col("first_ts").alias("t1"),
+        nulls.cast(ts_type).alias("t2"),
+        F.col("first_event_type").alias("etype"),
+        F.col("first_value").cast("double").alias("v"),
+    )
+    ijoin = stream_interval_join(spark, sf_dir).select(
+        F.lit("interval_join").alias("op"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("a_event_id").cast("bigint").alias("e1"),
+        F.col("b_event_id").cast("bigint").alias("e2"),
+        F.col("a_ts").alias("t1"),
+        F.col("b_ts").alias("t2"),
+        nulls.cast("string").alias("etype"),
+        F.col("b_value").cast("double").alias("v"),
+    )
+    return first.unionByName(ijoin)
+
+
+_STREAM_STATEFUL_SQL = f"""
+SELECT 'first_seen' AS op, user_id, first_event_id AS e1,
+       CAST(NULL AS BIGINT) AS e2, first_ts AS t1,
+       CAST(NULL AS TIMESTAMP) AS t2, first_event_type AS etype,
+       first_value AS v
+FROM ({_FIRST_SEEN_SQL})
+UNION ALL
+SELECT 'interval_join', user_id, a_event_id, b_event_id, a_ts, b_ts, NULL, b_value
+FROM ({_STREAM_IJOIN_SQL})
+"""
+
+
+def event_sessions_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows + daily per-user rollup in one tagged result
+    (branches = the former session_window_30min,
+    event_rate_per_user_day)."""
+    nulls = F.lit(None)
+    sess_df = session_window_30min(spark, sf_dir)
+    ts_type = dict(sess_df.dtypes)["session_start"]
+    sess = sess_df.select(
+        F.lit("session").alias("op"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_start").alias("t1"),
+        F.col("session_end").alias("t2"),
+        nulls.cast("date").alias("day"),
+        F.col("n_events").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        "sum_value",
+        F.col("first_ts").alias("t3"),
+    )
+    rate = event_rate_per_user_day(spark, sf_dir).select(
+        F.lit("rate").alias("op"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        nulls.cast(ts_type).alias("t1"),
+        nulls.cast(ts_type).alias("t2"),
+        F.col("day"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.col("n_types").cast("bigint").alias("n2"),
+        "sum_value",
+        nulls.cast(ts_type).alias("t3"),
+    )
+    return sess.unionByName(rate)
+
+
+_EVENT_SESSIONS_RATE_SQL = f"""
+SELECT 'session' AS op, user_id, session_start AS t1, session_end AS t2,
+       CAST(NULL AS DATE) AS day, n_events AS n1, CAST(NULL AS BIGINT) AS n2,
+       sum_value, first_ts AS t3
+FROM ({_SESSION_SQL})
+UNION ALL
+SELECT 'rate', user_id, NULL, NULL, day, n, n_types, sum_value, NULL
+FROM ({_RATE_SQL})
+"""
+
+
 QUERIES = {
-    "tumble_10min": tumble_10min,
-    "slide_10min_5min": slide_10min_5min,
-    "session_window_30min": session_window_30min,
-    "event_rate_per_user_day": event_rate_per_user_day,
+    "window_agg_time": window_agg_time,
+    "event_sessions_rate": event_sessions_rate,
     # same semantics, executed by the micro-batch streaming engine
-    "stream_tumble_10min": stream_tumble_10min,
-    "stream_first_seen": stream_first_seen,
-    "stream_dedup": stream_dedup,
-    "stream_interval_join": stream_interval_join,
+    "stream_agg_dedup": stream_agg_dedup,
+    "stream_stateful": stream_stateful,
 }
 
 ORACLE = {
-    "tumble_10min": _TUMBLE_SQL,
-    "slide_10min_5min": _SLIDE_SQL,
-    "session_window_30min": _SESSION_SQL,
-    "event_rate_per_user_day": _RATE_SQL,
-    "stream_tumble_10min": _TUMBLE_SQL,
-    "stream_first_seen": _FIRST_SEEN_SQL,
-    "stream_dedup": _STREAM_DEDUP_SQL,
-    "stream_interval_join": _STREAM_IJOIN_SQL,
+    "window_agg_time": _WINDOW_AGG_TIME_SQL,
+    "event_sessions_rate": _EVENT_SESSIONS_RATE_SQL,
+    "stream_agg_dedup": _STREAM_AGG_DEDUP_SQL,
+    "stream_stateful": _STREAM_STATEFUL_SQL,
 }

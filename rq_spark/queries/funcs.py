@@ -80,9 +80,19 @@ WHERE c_custkey % 7 = 0
 """
 
 
-def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+def func_math_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar pack + map construction/extraction on ONE lineitem
+    scan (former func_math + func_map, column-merged: every former
+    column is still hash-checked, and the fact table is read once).
+    Map results are flattened to scalars — map-typed cells would be
+    unhashable in the driver's canonicalizer."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
     price = F.col("l_extendedprice")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("discount"), F.col("l_discount").cast("double"),
+        F.lit("tax"), F.col("l_tax").cast("double"),
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -96,10 +106,14 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(price - 50000).cast("int").alias("dev_sign"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g_val"),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("l_val"),
+        F.element_at(m, "qty").alias("qty_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).cast("long").alias("n_entries"),
     )
 
 
-_MATH_SQL = """
+_MATH_MAP_SQL = """
 SELECT l_orderkey, l_linenumber,
        ABS(l_extendedprice - 50000) AS abs_dev,
        CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
@@ -110,15 +124,27 @@ SELECT l_orderkey, l_linenumber,
        l_quantity % 7 AS qty_mod7,
        CAST(SIGN(l_extendedprice - 50000) AS INTEGER) AS dev_sign,
        GREATEST(l_quantity, l_discount * 100) AS g_val,
-       LEAST(l_quantity, l_discount * 100) AS l_val
-FROM lineitem
-WHERE l_orderkey % 20 = 0
+       LEAST(l_quantity, l_discount * 100) AS l_val,
+       m['qty'][1] AS qty_val,
+       array_to_string(map_keys(m), ',') AS keys_csv,
+       map_values(m)[1] AS first_val,
+       CAST(cardinality(m) AS BIGINT) AS n_entries
+FROM (
+  SELECT *, MAP(['qty','discount','tax'],
+                [CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
+                 CAST(l_tax AS DOUBLE)]) AS m
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
 """
 
 
-def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+def func_date_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar pack + conditional scalar pack on ONE orders scan
+    (former func_date + func_conditional, column-merged; the shared
+    filter keeps both former column families hash-checked)."""
     o = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
+    price = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
         F.year(d).alias("y"),
@@ -130,10 +156,18 @@ def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         F.date_add(d.cast("date"), 30).alias("due_date"),
         F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
-    ).filter(F.col("o_orderkey") % 10 == 0)
+        F.when(price > 300000, "high")
+        .when(price > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")).alias(
+            "status_np"
+        ),
+        F.when(F.col("o_orderstatus") == "O", price).alias("open_price"),
+    ).filter(F.col("o_orderkey") % 9 == 0)
 
 
-_DATE_SQL = """
+_DATE_COND_SQL = """
 SELECT o_orderkey,
        date_part('year', o_orderdate) AS y,
        date_part('month', o_orderdate) AS m,
@@ -143,30 +177,48 @@ SELECT o_orderkey,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
        last_day(o_orderdate) AS month_end,
        CAST(o_orderdate AS DATE) + 30 AS due_date,
-       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_P') AS status_np,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
 FROM orders
-WHERE o_orderkey % 10 = 0
+WHERE o_orderkey % 9 = 0
 """
 
 
-def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read JSON (rq's core trick, SURVEY §1.3): typed
-    extraction from a JSON string column via from_json."""
+def func_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON (rq's core trick, SURVEY §1.3) + Spark 4
+    VariantType on ONE events scan (former func_json + func_variant,
+    column-merged): typed extraction via from_json/get_json_object
+    alongside parse_json → variant_get typed paths — the engine's two
+    answers to rq's schemaless Value, checked against one oracle row.
+    Binary variant encoding stays JVM-side; only typed scalars leave."""
     e = table(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k INT")
+    v = F.parse_json(F.col("props"))
     return e.select(
         "event_id",
         parsed.getField("k").alias("prop_k"),
         F.get_json_object(F.col("props"), "$.k").alias("prop_k_str"),
         (parsed.getField("k") % 10 == 0).alias("k_decade"),
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("k_missing"),
     ).filter(F.col("event_id") % 5 == 0)
 
 
-_JSON_SQL = """
+_JSON_VARIANT_SQL = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
        json_extract_string(props, '$.k') AS prop_k_str,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0 AS k_decade
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0 AS k_decade,
+       CAST(props->>'$.k' AS INTEGER) AS k_int,
+       CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+       props->>'$.k' AS k_str,
+       CAST(props->>'$.missing' AS INTEGER) AS k_missing
 FROM events
 WHERE event_id % 5 = 0
 """
@@ -226,119 +278,61 @@ GROUP BY l_returnflag
 """
 
 
-def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VariantType as the per-record dynamic-typing escape
-    hatch (SURVEY §1.3 / known-hard (a)): parse the JSON props column
-    into a variant once, then typed-path extraction — the engine's
-    answer to rq's schemaless Value for columns that refuse a schema.
-    Binary variant encoding stays JVM-side; only typed scalars leave."""
-    e = table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    return e.select(
-        "event_id",
-        F.variant_get(v, "$.k", "int").alias("k_int"),
-        F.variant_get(v, "$.k", "double").alias("k_dbl"),
-        F.variant_get(v, "$.k", "string").alias("k_str"),
-        F.variant_get(v, "$.missing", "int").alias("k_missing"),
-    ).filter(F.col("event_id") % 7 == 0)
-
-
-_VARIANT_SQL = """
-SELECT event_id,
-       CAST(props->>'$.k' AS INTEGER) AS k_int,
-       CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
-       props->>'$.k' AS k_str,
-       CAST(props->>'$.missing' AS INTEGER) AS k_missing
-FROM events
-WHERE event_id % 7 = 0
-"""
-
-
-def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    price = F.col("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        F.when(price > 300000, "high")
-        .when(price > 100000, "mid")
-        .otherwise("low")
-        .alias("price_band"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")).alias(
-            "status_np"
-        ),
-        F.when(F.col("o_orderstatus") == "O", price).alias("open_price"),
-    ).filter(F.col("o_orderkey") % 9 == 0)
-
-
-_COND_SQL = """
-SELECT o_orderkey,
-       CASE WHEN o_totalprice > 300000 THEN 'high'
-            WHEN o_totalprice > 100000 THEN 'mid'
-            ELSE 'low' END AS price_band,
-       COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_P') AS status_np,
-       CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS open_price
-FROM orders
-WHERE o_orderkey % 9 = 0
-"""
-
-
-def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + key/value extraction (the map scalar pack).
-    Result columns are scalars only — map-typed cells would be
-    unhashable in the driver's canonicalizer, so the map is built,
-    queried, and flattened within the expression."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
-    m = F.create_map(
-        F.lit("qty"), F.col("l_quantity").cast("double"),
-        F.lit("discount"), F.col("l_discount").cast("double"),
-        F.lit("tax"), F.col("l_tax").cast("double"),
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar ops (per-row, embeddings) + array aggregation
+    (collect_set, lineitem) in one tagged result (branches = the
+    former func_array_embedding, func_array_agg)."""
+    nulls = F.lit(None)
+    per_row = func_array_embedding(spark, sf_dir).select(
+        F.lit("element").alias("op"),
+        F.col("vec_id").cast("bigint").alias("k"),
+        nulls.cast("string").alias("grp"),
+        nulls.cast("string").alias("s"),
+        F.col("dim").cast("bigint").alias("n"),
+        F.col("x0").alias("v1"),
+        F.col("x_last").alias("v2"),
+        F.col("head4_sum").alias("v3"),
+        F.col("vmax").alias("v4"),
+        F.col("vmin").alias("v5"),
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.element_at(m, "qty").alias("qty_val"),
-        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
-        F.element_at(F.map_values(m), 1).alias("first_val"),
-        F.size(m).cast("long").alias("n_entries"),
+    agg = func_array_agg(spark, sf_dir).select(
+        F.lit("agg").alias("op"),
+        nulls.cast("bigint").alias("k"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("statuses").alias("s"),
+        F.col("n_statuses").cast("bigint").alias("n"),
+        nulls.cast("double").alias("v1"),
+        nulls.cast("double").alias("v2"),
+        nulls.cast("double").alias("v3"),
+        nulls.cast("double").alias("v4"),
+        nulls.cast("double").alias("v5"),
     )
+    return per_row.unionByName(agg)
 
 
-_MAP_SQL = """
-SELECT l_orderkey, l_linenumber,
-       m['qty'][1] AS qty_val,
-       array_to_string(map_keys(m), ',') AS keys_csv,
-       map_values(m)[1] AS first_val,
-       CAST(cardinality(m) AS BIGINT) AS n_entries
-FROM (
-  SELECT l_orderkey, l_linenumber,
-         MAP(['qty','discount','tax'],
-             [CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
-              CAST(l_tax AS DOUBLE)]) AS m
-  FROM lineitem WHERE l_orderkey % 100 = 0
-)
+_ARRAY_MERGED_SQL = f"""
+SELECT 'element' AS op, CAST(vec_id AS BIGINT) AS k, CAST(NULL AS VARCHAR) AS grp,
+       CAST(NULL AS VARCHAR) AS s, CAST(dim AS BIGINT) AS n,
+       x0 AS v1, x_last AS v2, head4_sum AS v3, vmax AS v4, vmin AS v5
+FROM ({_ARRAY_SQL})
+UNION ALL
+SELECT 'agg', NULL, l_returnflag, statuses, n_statuses, NULL, NULL, NULL, NULL, NULL
+FROM ({_ARRAY_AGG_SQL})
 """
 
 
 QUERIES = {
     "func_string_split": func_string_split,
-    "func_math": func_math,
-    "func_date": func_date,
-    "func_json": func_json,
-    "func_array_embedding": func_array_embedding,
-    "func_array_agg": func_array_agg,
-    "func_conditional": func_conditional,
-    "func_variant": func_variant,
-    "func_map": func_map,
+    "func_math_map": func_math_map,
+    "func_date_cond": func_date_cond,
+    "func_json_variant": func_json_variant,
+    "func_array": func_array,
 }
 
 ORACLE = {
     "func_string_split": _STRING_SQL,
-    "func_math": _MATH_SQL,
-    "func_date": _DATE_SQL,
-    "func_json": _JSON_SQL,
-    "func_array_embedding": _ARRAY_SQL,
-    "func_array_agg": _ARRAY_AGG_SQL,
-    "func_conditional": _COND_SQL,
-    "func_variant": _VARIANT_SQL,
-    "func_map": _MAP_SQL,
+    "func_math_map": _MATH_MAP_SQL,
+    "func_date_cond": _DATE_COND_SQL,
+    "func_json_variant": _JSON_VARIANT_SQL,
+    "func_array": _ARRAY_MERGED_SQL,
 }

@@ -133,16 +133,85 @@ WHERE c_custkey % 11 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# tagged multi-op merges (catalog ≤ 50 keys; branches run the original
+# code, any divergence flips the merged hash)
+# --------------------------------------------------------------------------
+
+
+def explode_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over a physical array + explode_outer over a computed
+    array in one tagged result (branches = the former
+    explode_embedding, explode_tokens_outer)."""
+    nulls = F.lit(None)
+    emb = explode_embedding(spark, sf_dir).select(
+        F.lit("posexplode").alias("op"),
+        F.col("vec_id").cast("bigint").alias("k"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("val").alias("val"),
+        nulls.cast("string").alias("token"),
+    )
+    toks = explode_tokens_outer(spark, sf_dir).select(
+        F.lit("explode_outer").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        nulls.cast("bigint").alias("pos"),
+        nulls.cast("double").alias("val"),
+        F.col("token"),
+    )
+    return emb.unionByName(toks)
+
+
+_EXPLODE_OPS_SQL = f"""
+SELECT 'posexplode' AS op, CAST(vec_id AS BIGINT) AS k, CAST(pos AS BIGINT) AS pos,
+       val, CAST(NULL AS VARCHAR) AS token
+FROM ({_EXPLODE_SQL})
+UNION ALL
+SELECT 'explode_outer', doc_id, NULL, NULL, token
+FROM ({_EXPLODE_TOKENS_SQL})
+"""
+
+
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withField/dropFields editing + struct build/flatten round trip
+    in one tagged result (branches = the former struct_with_field,
+    flatten_struct_star)."""
+    nulls = F.lit(None)
+    edit = struct_with_field(spark, sf_dir).select(
+        F.lit("with_field").alias("op"),
+        F.col("key").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("price").cast("double").alias("v"),
+        F.col("price_band").cast("bigint").alias("band"),
+        nulls.cast("string").alias("s"),
+    )
+    flat = flatten_struct_star(spark, sf_dir).select(
+        F.lit("flatten").alias("op"),
+        F.col("custkey").cast("bigint").alias("k1"),
+        F.col("nationkey").cast("bigint").alias("k2"),
+        nulls.cast("double").alias("v"),
+        nulls.cast("bigint").alias("band"),
+        F.col("segment").alias("s"),
+    )
+    return edit.unionByName(flat)
+
+
+_STRUCT_OPS_SQL = f"""
+SELECT 'with_field' AS op, key AS k1, CAST(NULL AS BIGINT) AS k2,
+       CAST(price AS DOUBLE) AS v, CAST(price_band AS BIGINT) AS band,
+       CAST(NULL AS VARCHAR) AS s
+FROM ({_WITH_FIELD_SQL})
+UNION ALL
+SELECT 'flatten', custkey, CAST(nationkey AS BIGINT), NULL, NULL, segment
+FROM ({_FLATTEN_SQL})
+"""
+
+
 QUERIES = {
-    "explode_embedding": explode_embedding,
-    "explode_tokens_outer": explode_tokens_outer,
-    "struct_with_field": struct_with_field,
-    "flatten_struct_star": flatten_struct_star,
+    "explode_ops": explode_ops,
+    "struct_ops": struct_ops,
 }
 
 ORACLE = {
-    "explode_embedding": _EXPLODE_SQL,
-    "explode_tokens_outer": _EXPLODE_TOKENS_SQL,
-    "struct_with_field": _WITH_FIELD_SQL,
-    "flatten_struct_star": _FLATTEN_SQL,
+    "explode_ops": _EXPLODE_OPS_SQL,
+    "struct_ops": _STRUCT_OPS_SQL,
 }

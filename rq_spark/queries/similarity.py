@@ -69,13 +69,25 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN families in one tagged result (branches = the former
+    sim_ann_lsh_topk, sim_ann_ivf_topk; approximate by construction →
+    rows-only driver check, per-branch recall asserted in tests)."""
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "*")
+
+    return tag(sim_ann_lsh_topk(spark, sf_dir), "lsh").unionByName(
+        tag(sim_ann_ivf_topk(spark, sf_dir), "ivf")
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
-    "sim_ann_lsh_topk": sim_ann_lsh_topk,
-    "sim_ann_ivf_topk": sim_ann_ivf_topk,
+    "sim_ann_topk": sim_ann_topk,
 }
 
 ORACLE = {
     "sim_topk_cosine": _TOPK_SQL,
-    # sim_ann_lsh_topk: approximate by construction → rows-only
+    # sim_ann_topk: approximate by construction → rows-only
 }

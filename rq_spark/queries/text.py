@@ -14,10 +14,6 @@ from .helpers import spread, table
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_stats(spread(table(spark, sf_dir, "documents")), "text", "doc_id")
-
-
 _TOKEN_SQL = f"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_raw,
@@ -26,12 +22,6 @@ SELECT doc_id,
        len(list_distinct(string_split({_NORM_SQL}, ' '))) AS n_uniq_words
 FROM documents
 """
-
-
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"))  # 13 marker-word
-    # count walks per row: parallelize the narrow chain on local 1-file scans
-    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
 def _sql_word_count(word: str) -> str:
@@ -75,20 +65,6 @@ def _lang_id_sql() -> str:
 WITH s AS (SELECT doc_id, {_sql_lang_cols()} FROM documents)
 SELECT doc_id, {_sql_lang_case()} AS lang_guess FROM s
 """
-
-
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"))
-    feats = X.quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["alpha_ratio"].alias("alpha_ratio"),
-        feats["space_ratio"].alias("space_ratio"),
-        feats["uniq_ratio"].alias("uniq_ratio"),
-        feats["mean_word_len"].alias("mean_word_len"),
-        X.quality_score(F.col("text")).alias("quality"),
-    )
 
 
 _QUALITY_SQL = f"""
@@ -193,18 +169,6 @@ WHERE lang_guess = 'en'
 _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
 
 
-def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token budgets: whitespace words vs BPE-ish
-    pretokenizer pieces (the training-cost estimator). Narrow
-    single-pass expression — codegen'd, no Python, no shuffle."""
-    d = spread(table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"),
-    )
-
-
 _BPE_SQL = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
@@ -212,19 +176,69 @@ SELECT doc_id,
 FROM documents
 """
 
+_FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text signal in ONE single-scan projection
+    (former text_token_stats + text_lang_id + text_quality_score +
+    text_bpe_token_count + text_fingerprint, column-merged): token
+    stats, language ID, quality features + score, whitespace/BPE-ish
+    token budgets, and the md5 fingerprint. All codegen'd expressions,
+    no Python, no shuffle — at 100 TB this is the 'score every document
+    once' pass, and reading the corpus once instead of five times is
+    the difference that matters. Every former output column is still
+    present and hash-checked."""
+    d = spread(table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    feats = X.quality_features(t)
+    return X.token_stats(
+        d,
+        "text",
+        "doc_id",
+        X.lang_id(t).alias("lang_guess"),
+        feats["n_chars"].alias("n_chars"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["uniq_ratio"].alias("uniq_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        X.quality_score(t).alias("quality"),
+        F.regexp_count(t, F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        X.fingerprint(t).alias("fp"),
+    )
+
+
+def _text_metrics_sql() -> str:
+    """Join the former standalone oracles on doc_id — each branch's SQL
+    text is reused verbatim as a CTE, so a divergence in any branch
+    still flips the merged hash."""
+    return f"""
+WITH t AS ({_TOKEN_SQL}),
+     l AS ({_lang_id_sql()}),
+     q AS ({_QUALITY_SQL}),
+     b AS ({_BPE_SQL}),
+     fp AS ({_FP_SQL})
+SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
+       l.lang_guess,
+       q.n_chars, q.alpha_ratio, q.space_ratio, q.uniq_ratio,
+       q.mean_word_len, q.quality,
+       b.n_ws_tokens, b.n_bpe_tokens,
+       fp.fp
+FROM t
+JOIN l  USING (doc_id)
+JOIN q  USING (doc_id)
+JOIN b  USING (doc_id)
+JOIN fp USING (doc_id)
+"""
+
 
 QUERIES = {
-    "text_token_stats": text_token_stats,
-    "text_lang_id": text_lang_id,
-    "text_quality_score": text_quality_score,
-    "text_bpe_token_count": text_bpe_token_count,
+    "text_metrics": text_metrics,
     "corpus_curation": corpus_curation,
 }
 
 ORACLE = {
-    "text_token_stats": _TOKEN_SQL,
-    "text_lang_id": _lang_id_sql(),
-    "text_quality_score": _QUALITY_SQL,
-    "text_bpe_token_count": _BPE_SQL,
+    "text_metrics": _text_metrics_sql(),
     "corpus_curation": _curation_sql(),
 }

@@ -199,16 +199,87 @@ WHERE i <= len(w)
 """
 
 
+# --------------------------------------------------------------------------
+# tagged multi-op merges (catalog ≤ 50 keys; each branch still runs
+# its original Arrow-batched UDF path, any divergence flips the hash)
+# --------------------------------------------------------------------------
+
+
+def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Arrow UDF tiers in one tagged result: scalar pandas_udf
+    + mapInPandas (branches = the former udf_scalar_log1p,
+    udf_map_in_pandas_enrich)."""
+    nulls = F.lit(None)
+    scalar = udf_scalar_log1p(spark, sf_dir).select(
+        F.lit("pandas_udf").alias("op"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("log1p_value").alias("v"),
+        nulls.cast("string").alias("event_type"),
+        nulls.cast("bigint").alias("k"),
+        nulls.cast("bigint").alias("n_props"),
+    )
+    mip = udf_map_in_pandas_enrich(spark, sf_dir).select(
+        F.lit("map_in_pandas").alias("op"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        nulls.cast("double").alias("v"),
+        F.col("event_type"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_props").cast("bigint").alias("n_props"),
+    )
+    return scalar.unionByName(mip)
+
+
+_UDF_VECTORIZED_SQL = f"""
+SELECT 'pandas_udf' AS op, event_id, log1p_value AS v,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS n_props
+FROM ({_SCALAR_SQL})
+UNION ALL
+SELECT 'map_in_pandas', event_id, NULL, event_type, k, CAST(n_props AS BIGINT)
+FROM ({_MAP_IN_PANDAS_SQL})
+"""
+
+
+def udf_grouped_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped + table UDF tiers in one tagged result: applyInPandas
+    z-score + Python UDTF lateral split (branches = the former
+    udf_zscore_by_user, udf_udtf_split_terms)."""
+    nulls = F.lit(None)
+    grouped = udf_zscore_by_user(spark, sf_dir).select(
+        F.lit("apply_in_pandas").alias("op"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        F.col("event_id").cast("bigint").alias("k2"),
+        F.col("zscore").alias("z"),
+        nulls.cast("string").alias("term"),
+        nulls.cast("bigint").alias("pos"),
+    )
+    udtf = udf_udtf_split_terms(spark, sf_dir).select(
+        F.lit("udtf").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        nulls.cast("double").alias("z"),
+        F.col("term"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+    return grouped.unionByName(udtf)
+
+
+_UDF_GROUPED_TABLE_SQL = f"""
+SELECT 'apply_in_pandas' AS op, user_id AS k1, event_id AS k2, zscore AS z,
+       CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS pos
+FROM ({_ZSCORE_SQL})
+UNION ALL
+SELECT 'udtf', doc_id, NULL, NULL, term, CAST(pos AS BIGINT)
+FROM ({_UDTF_SQL})
+"""
+
+
 QUERIES = {
-    "udf_scalar_log1p": udf_scalar_log1p,
-    "udf_zscore_by_user": udf_zscore_by_user,
-    "udf_map_in_pandas_enrich": udf_map_in_pandas_enrich,
-    "udf_udtf_split_terms": udf_udtf_split_terms,
+    "udf_vectorized": udf_vectorized,
+    "udf_grouped_table": udf_grouped_table,
 }
 
 ORACLE = {
-    "udf_scalar_log1p": _SCALAR_SQL,
-    "udf_zscore_by_user": _ZSCORE_SQL,
-    "udf_map_in_pandas_enrich": _MAP_IN_PANDAS_SQL,
-    "udf_udtf_split_terms": _UDTF_SQL,
+    "udf_vectorized": _UDF_VECTORIZED_SQL,
+    "udf_grouped_table": _UDF_GROUPED_TABLE_SQL,
 }

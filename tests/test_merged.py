@@ -1,0 +1,87 @@
+"""Branch falsifiability of the tagged multi-op catalog queries
+(r5 consolidation: catalog ≤ 50 keys so the driver's 50-row budget
+hash-checks every key every round).
+
+Two invariants make a merged query a valid evidence channel:
+
+* every ``op`` branch contributes >0 rows — an accidentally-empty
+  branch would otherwise pass the oracle trivially (both sides empty);
+* column-merged queries carry every former standalone column, so each
+  absorbed query's values stay inside the hashed result.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rq_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+# key -> set of op tags that must each contribute rows
+TAGGED = {
+    "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified"},
+    "agg_groupby_distinct": {"groupby", "distinct"},
+    "agg_stats": {"corr", "percentile"},
+    "set_ops": {"union", "intersect", "except"},
+    "rollup_cube_gsets": {"rollup", "cube", "gsets"},
+    "join_outer_family": {"left", "right", "full"},
+    "join_filtering": {"semi", "anti", "cross"},
+    "window_ranking": {"rank_dense", "dist_rank"},
+    "window_frames": {"running", "trailing_30d"},
+    "func_array": {"element", "agg"},
+    "window_agg_time": {"tumble", "slide"},
+    "event_sessions_rate": {"session", "rate"},
+    "stream_agg_dedup": {"tumble", "dedup"},
+    "stream_stateful": {"first_seen", "interval_join"},
+    "explode_ops": {"posexplode", "explode_outer"},
+    "struct_ops": {"with_field", "flatten"},
+    "udf_vectorized": {"pandas_udf", "map_in_pandas"},
+    "udf_grouped_table": {"apply_in_pandas", "udtf"},
+    "sim_ann_topk": {"lsh", "ivf"},
+    "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard"},
+}
+
+# key -> columns absorbed from former standalone queries (column-merge)
+COLUMN_MERGED = {
+    "text_metrics": {
+        "n_chars_raw", "n_words", "n_tokens", "n_uniq_words",  # token stats
+        "lang_guess",                                          # lang id
+        "alpha_ratio", "uniq_ratio", "mean_word_len", "quality",  # quality
+        "n_ws_tokens", "n_bpe_tokens",                         # BPE budget
+        "fp",                                                  # fingerprint
+    },
+    "mm_pipeline": {
+        "size_bytes", "sha256", "mime",                        # binary meta
+        "n_frames", "f0_sha", "f_last_sha", "frame_len_floor",  # frames
+        "width", "height", "channels", "feat_sum",             # decode+feat
+        "resized_len",                                         # resize
+    },
+    "func_math_map": {"abs_dev", "price_sqrt6", "qty_val", "keys_csv"},
+    "func_date_cond": {"y", "month_end", "price_band", "status_np"},
+    "func_json_variant": {"prop_k", "k_decade", "k_int", "k_missing"},
+    "window_analytic": {"prev_value", "first_value", "mavg7"},
+}
+
+
+@pytest.mark.parametrize("key", sorted(TAGGED))
+def test_every_tagged_branch_contributes_rows(spark, key):
+    df = all_queries()[key](spark, SF)
+    counts = {r["op"]: r["n"] for r in df.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+    missing = TAGGED[key] - {op for op, n in counts.items() if n > 0}
+    assert not missing, f"{key}: empty/missing branches {missing} (got {counts})"
+    unexpected = set(counts) - TAGGED[key]
+    assert not unexpected, f"{key}: unknown op tags {unexpected}"
+
+
+@pytest.mark.parametrize("key", sorted(COLUMN_MERGED))
+def test_column_merged_queries_keep_absorbed_columns(spark, key):
+    df = all_queries()[key](spark, SF)
+    missing = COLUMN_MERGED[key] - set(df.columns)
+    assert not missing, f"{key}: absorbed columns missing {missing}"
+
+
+def test_catalog_within_driver_budget():
+    """The driver records 50 correctness rows per round; every catalog
+    key must get one, so the catalog must never exceed 50 keys."""
+    assert len(all_queries()) <= 50
