@@ -115,3 +115,42 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
+
+
+def token_hash_vectors(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Dense token-bucket count vectors — the hashing-trick featurizer
+    (one dim per hash bucket, value = token occurrences). Near-duplicate
+    documents share most tokens, so their vectors land at cosine ≈ 1:
+    this is the text→embedding bridge that gives the embedding-dedup
+    operators ORGANIC near-dup geometry instead of synthetic fixtures.
+
+    Engine-portable and bit-exact: the bucket is md5-derived (identical
+    on any engine, unlike murmur3), and counts are small integers, so
+    dot products and norms are exact in double on both sides.
+
+    Scale shape: explode → count per (doc, bucket) with map-side
+    partials → ≤dim entries per doc assembled into a map → dense array.
+    Two shuffles, both keyed on doc_id (high-cardinality, unskewed);
+    state per doc is O(dim).
+
+    Returns (id_col, embedding: array<double>).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % dim)
+    counts = toks.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("double"),
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m"))
+        .select(F.col(id_col), dense.alias("embedding"))
+    )

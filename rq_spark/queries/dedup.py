@@ -164,26 +164,23 @@ WHERE list_dot_product(a.e, b.e)
 
 
 _LSH_EMB_T = 0.9
-_LSH_EMB_OFFSET = 1_000_000
+_LSH_EMB_DIM = 64
 
 
-def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings table augmented with one deterministic near-duplicate
-    per vector: the copy zeroes coordinate 1, so cos(v, v') =
-    √(1 − v₁²/‖v‖²) ≈ √(63/64) — every (v, v') pair lands in
-    [0.93, 1.0) on this table while unrelated pairs stay ≤ 0.52
-    (measured; the raw table has NO pairs above 0.52, so the ≥ 0.9
-    near-dup regime has to be constructed). The perturbation is exact
-    in float (zeroing), so Spark and the SQL oracle see bit-identical
-    vectors."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pert = emb.select(
-        (F.col("vec_id") + _LSH_EMB_OFFSET).alias("vec_id"),
-        F.concat(
-            F.array(F.lit(0.0).cast("float")), F.slice("embedding", 2, 63)
-        ).alias("embedding"),
+def _token_hash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORGANIC near-dup embedding corpus: token-bucket count vectors of
+    the documents table (operators/text.py:token_hash_vectors). The
+    corpus's real near-duplicate documents land at cosine ≈ 1 — ~1000
+    pairs above 0.9 at sf0.01, with a continuum below — so the ≥ 0.9
+    regime exists natively, no synthetic perturbation. Counts are small
+    integers, so dot products and norms are bit-exact in double on both
+    engines (no boundary-pair ambiguity at the threshold)."""
+    from ..operators.text import token_hash_vectors
+
+    docs = table(spark, sf_dir, "documents")
+    return token_hash_vectors(docs, "text", "doc_id", dim=_LSH_EMB_DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
     )
-    return emb.unionByName(pert)
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,20 +190,33 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket), work ∝ colliding pairs, never n². At this
     threshold P(miss) ≤ 4e-6 per pair (operators/similarity.py:
     lsh_near_pairs), so the verified output equals the exact pair set
-    — the oracle below IS the exact all-pairs SQL. Complements
-    `dedup_embedding_cosine`, which keeps the exact block-grid for the
-    low-threshold regime where no LSH family separates 0.4501 from
-    0.4497."""
-    return S.lsh_near_pairs(_near_dup_corpus(spark, sf_dir), _LSH_EMB_T, dim=64)
+    — the oracle below IS the exact all-pairs SQL over the same
+    token-hash vectors. Complements `dedup_embedding_cosine`, which
+    keeps the exact block-grid for the low-threshold regime where no
+    LSH family separates 0.4501 from 0.4497."""
+    return S.lsh_near_pairs(
+        _token_hash_corpus(spark, sf_dir), _LSH_EMB_T, dim=_LSH_EMB_DIM
+    )
 
 
 _EMB_LSH_SQL = f"""
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm
+), bc AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % {_LSH_EMB_DIM}
+           AS bucket,
+         COUNT(*) AS c
+  FROM toks GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM documents) d,
+       (SELECT unnest(generate_series(0, {_LSH_EMB_DIM - 1})) AS i) g
 ), v AS (
-  SELECT vec_id, e FROM base
-  UNION ALL
-  SELECT vec_id + {_LSH_EMB_OFFSET} AS vec_id, [0.0] || e[2:] AS e FROM base
+  SELECT grid.doc_id AS vec_id,
+         list(CAST(COALESCE(bc.c, 0) AS DOUBLE) ORDER BY grid.i) AS e
+  FROM grid LEFT JOIN bc ON bc.doc_id = grid.doc_id AND bc.bucket = grid.i
+  GROUP BY grid.doc_id
 )
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        list_dot_product(a.e, b.e)

@@ -75,11 +75,14 @@ def test_embedding_near_pairs_symmetric_bound(spark):
 def test_lsh_near_pairs_equals_exact_at_high_threshold(spark):
     """In the ≥0.9 regime the banded-LSH candidate path must reproduce
     the exact pair set — pair-for-pair AND cosine-for-cosine (both
-    paths use the same fold order). A recall regression here would
-    otherwise surface only at the oracle gate."""
-    from rq_spark.queries.dedup import _near_dup_corpus
+    paths use the same fold order) — on ORGANIC geometry: token-hash
+    count vectors of the documents corpus, whose real near-duplicates
+    form a continuum through the threshold (~1000 qualifying pairs).
+    A recall regression here would otherwise surface only at the
+    oracle gate."""
+    from rq_spark.queries.dedup import _token_hash_corpus
 
-    corpus = _near_dup_corpus(spark, SF)
+    corpus = _token_hash_corpus(spark, SF)
     lsh = {
         (r.a_id, r.b_id): r.cos_sim
         for r in S.lsh_near_pairs(corpus, 0.9, dim=64).collect()
@@ -89,8 +92,8 @@ def test_lsh_near_pairs_equals_exact_at_high_threshold(spark):
         for r in S.embedding_near_pairs(corpus, 0.9, dim=64).collect()
     }
     assert set(lsh) == set(exact)
-    # one constructed near-dup per original vector, nothing else
-    assert len(lsh) == 500
+    # organic near-dup pairs must actually exist, in volume
+    assert len(lsh) > 100
     for k, v in lsh.items():
         assert v >= 0.9
         assert abs(v - exact[k]) < 1e-12
