@@ -179,12 +179,20 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
                 return
             except (AvroKeyError, AvroUnsignedU64Error):
                 raise
-            # Branch encoders may raise raw TypeError/ValueError on a
-            # value that mismatches the branch (e.g. len() of a non-sized
-            # value, enum .index miss) — treat those as "try next branch"
-            # exactly like AvroError, never as a fatal failure.
-            except (AvroError, TypeError, ValueError):
+            # Every branch encoder pre-validates its value type and
+            # raises AvroError on mismatch, so AvroError is the ONLY
+            # "try next branch" signal. A raw TypeError/ValueError can
+            # therefore only mean a defect in a branch encoder itself —
+            # surface it as InternalError instead of swallowing it into
+            # a misleading "matches no union branch".
+            except AvroError:
                 continue
+            except (TypeError, ValueError) as e:
+                from ...errors import InternalError
+
+                raise InternalError(
+                    f"avro union branch encoder failed on {type(v).__name__}: {e}"
+                ) from e
         raise AvroError(f"value {v!r} matches no union branch")
     elif t == "enum":
         if v not in node["symbols"]:

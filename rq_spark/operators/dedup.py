@@ -222,10 +222,11 @@ def minhash_dedup_pairs(
     with zero shingles (< n words) are dropped up front — they can't
     match anything and would otherwise share one degenerate signature
     and LSH-collide with each other."""
-    _release_caches()
+    _release_caches("minhash")
     sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
-        .filter(F.size("sh_arr") > 0)
+        .filter(F.size("sh_arr") > 0),
+        scope="minhash",
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
     cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
@@ -245,10 +246,11 @@ def ngram_jaccard_pairs(
     it feeds the join twice plus the size table, and re-shingling the
     corpus 3× costs more than the join itself (posting lists on real
     text are short — Σdf² ≈ 10× the shingle count at sf0.1)."""
-    _release_caches()
+    _release_caches("ngram")
     sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
-        .filter(F.size("sh_arr") > 0)
+        .filter(F.size("sh_arr") > 0),
+        scope="ngram",
     )
     sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
     return jaccard_pairs(sh, threshold)
@@ -377,13 +379,17 @@ def connected_components(
     returning unconverged labels would silently split one true
     cluster into several.
     """
+    _release_caches("components")
     sym = _persist_tracked(
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))),
+        scope="components",
     )
     # only nodes that appear in an edge can change labels — singletons
     # (the vast majority of a dedup corpus) skip the loop entirely
-    edge_nodes = _persist_tracked(sym.select(F.col("src").alias("node")).distinct())
+    edge_nodes = _persist_tracked(
+        sym.select(F.col("src").alias("node")).distinct(), scope="components"
+    )
     labels = edge_nodes.select("node", F.col("node").alias("rep"))
     reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
     converged = False

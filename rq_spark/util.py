@@ -5,26 +5,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-# Persisted-DataFrame registry. Pipelines that persist for in-plan
-# reuse (shingle sets, label-propagation rounds) return LAZY results,
-# so they cannot unpersist before the caller's action runs; without
-# cleanup each catalog query pins its caches for the session's
-# lifetime (Spark's CacheManager is keyed by plan, never GC'd). Each
-# pipeline calls release_caches() on entry, bounding live cache to one
-# query's working set instead of the whole session's.
-_PERSISTED: list[DataFrame] = []
+# Persisted-DataFrame registry, SCOPED per pipeline. Pipelines that
+# persist for in-plan reuse (shingle sets, label-propagation rounds)
+# return LAZY results, so they cannot unpersist before the caller's
+# action runs; without cleanup each catalog query pins its caches for
+# the session's lifetime (Spark's CacheManager is keyed by plan, never
+# GC'd). Each pipeline calls release_caches(scope) with its OWN scope
+# on entry: a re-invocation frees the previous invocation's working
+# set (whose lazy result the caller has by then consumed), while a
+# DIFFERENT pipeline's still-pending lazy result keeps its caches —
+# the cross-pipeline unpersist race of a global registry cannot occur.
+# Live cache stays bounded by one working set per pipeline.
+_PERSISTED: dict[str, list[DataFrame]] = {}
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
+def persist_tracked(df: DataFrame, scope: str) -> DataFrame:
     df.persist()
-    _PERSISTED.append(df)
+    _PERSISTED.setdefault(scope, []).append(df)
     return df
 
 
-def release_caches() -> None:
-    while _PERSISTED:
+def release_caches(scope: str) -> None:
+    for df in _PERSISTED.pop(scope, []):
         try:
-            _PERSISTED.pop().unpersist()
+            df.unpersist()
         except Exception:
             pass
 

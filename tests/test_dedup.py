@@ -86,3 +86,20 @@ def test_connected_components_long_path_diameter_30(spark):
         for r in connected_components(edges, nodes, max_iter=35).collect()
     }
     assert got == {(i, min(ids)) for i in ids}
+
+
+def test_persist_registry_is_scope_isolated(spark):
+    """Pipeline B's cache cleanup must not unpersist pipeline A's
+    still-lazy working set (the r2-r4 global-registry hazard, fixed r5
+    with per-pipeline scopes)."""
+    from rq_spark.util import persist_tracked, release_caches
+
+    a = persist_tracked(spark.range(10), scope="_test_pipeA")
+    b = persist_tracked(spark.range(5), scope="_test_pipeB")
+    try:
+        release_caches("_test_pipeB")
+        assert a.storageLevel.useMemory, "scope B release unpersisted scope A"
+        assert not b.storageLevel.useMemory
+    finally:
+        release_caches("_test_pipeA")
+    assert not a.storageLevel.useMemory

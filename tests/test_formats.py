@@ -642,3 +642,29 @@ def test_avro_roundtrip_property(records):
     blob = encode_records("avro", records, schema=_AVRO_PROP_SCHEMA)
     out = list(decode_records("avro", blob))
     assert out == records
+
+
+def test_avro_union_mismatch_still_reports_no_branch():
+    """A value that genuinely matches no branch keeps the classic
+    error — the narrowed union catch only changes BUG handling."""
+    from rq_spark.errors import AvroError
+
+    out = bytearray()
+    with pytest.raises(AvroError, match="matches no union branch"):
+        avro_codec._encode(["null", "long"], "not-a-long", out, {})
+
+
+def test_avro_union_branch_bug_surfaces_as_internal_error(monkeypatch):
+    """A defective branch encoder (simulated: varint encoder raising
+    TypeError AFTER the branch's type pre-check passed) must surface
+    as InternalError — not be swallowed into a misleading 'matches no
+    union branch' (ADVICE r2-r4, fixed r5)."""
+    from rq_spark.errors import InternalError
+
+    def buggy(n):
+        raise TypeError("simulated encoder defect")
+
+    monkeypatch.setattr(avro_codec, "_zigzag_encode", buggy)
+    out = bytearray()
+    with pytest.raises(InternalError, match="union branch encoder failed"):
+        avro_codec._encode(["null", "long"], 7, out, {})
