@@ -95,6 +95,15 @@ def _atomic_only(df: DataFrame) -> None:
 
 
 def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
+    # Order preservation (SURVEY §4): a global sort's range partitions
+    # are written as part files in partition order on EVERY output
+    # path (Spark-native writers and the codec committer below alike),
+    # so concatenating parts in name order reproduces the reference
+    # pipe's byte order. Hoisted here because the native json/csv/raw
+    # branches would otherwise silently drop the option.
+    sort_col = opts.pop("order_by", None)
+    if sort_col:
+        df = df.orderBy(sort_col)
     if fmt == "json":
         df.write.mode(opts.pop("mode", "overwrite")).json(path)
         return
@@ -129,9 +138,6 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
     os.makedirs(path, exist_ok=True)
     tmp_dir = os.path.join(path, "_temporary")
     os.makedirs(tmp_dir, exist_ok=True)
-    sort_col = opts.pop("order_by", None)
-    if sort_col:
-        df = df.orderBy(sort_col)
 
     def write_partition(idx: int, rows: Iterator) -> Iterator:
         values = [r.asDict(recursive=True) for r in rows]

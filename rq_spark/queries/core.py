@@ -364,7 +364,24 @@ def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DataFrame.groupingSets`` API (no temp-view mutation)."""
     li = table(spark, sf_dir, "lineitem")
     keys = ("l_returnflag", "l_linestatus")
-    base = li.groupBy(*keys).agg(
+
+    # Loud guard for the documented precondition: a NULL grouping key
+    # would collide with Expand's grouping-nulls in the re-aggregation
+    # and silently corrupt subtotals. raise_error inside the key
+    # expression can't be pruned away and costs one null check per row
+    # inside codegen.
+    def guarded(c: str):
+        return F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"rollup_cube_gsets: NULL grouping key {c} violates the "
+                    "single-scan re-aggregation precondition (grouping-null "
+                    "vs data-null collision)"
+                )
+            )
+        ).alias(c)
+
+    base = li.groupBy(*(guarded(k) for k in keys)).agg(
         F.sum(F.col("l_quantity").cast(DEC)).alias("_ps"),
         F.count(F.lit(1)).alias("_pn"),
     )

@@ -49,6 +49,18 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     if dt == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dt == "timestamp_ntz":
+        # The ntz→ltz cast is instant-preserving ONLY under the UTC
+        # session zone; apply_runtime_confs tolerates a failed set (conf
+        # may be static), so verify here and fail loudly rather than
+        # silently shifting every event time on a non-UTC host.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            from ..errors import IllegalStateError
+
+            raise IllegalStateError(
+                f"normalize_event_time requires spark.sql.session.timeZone="
+                f"UTC for the ntz->timestamp cast, got {tz!r}"
+            )
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

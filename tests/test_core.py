@@ -82,3 +82,39 @@ def test_subquery_correlated_leaves_catalog_clean(spark, sf_dir):
     before = {v.name for v in spark.catalog.listTables()}
     assert core.subquery_correlated(spark, sf_dir).count() > 0
     assert {v.name for v in spark.catalog.listTables()} == before
+
+
+def test_rollup_null_grouping_key_fails_loudly(spark, tmp_path):
+    """The single-scan ROLLUP/CUBE re-aggregation requires non-null
+    grouping keys (Expand's grouping-nulls would merge with data
+    nulls); a violated precondition must raise, not corrupt subtotals."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [("A", "F", 1.0), (None, "O", 2.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(Exception, match="NULL grouping key"):
+        core.rollup_cube_gsets(spark, str(tmp_path)).collect()
+
+
+def test_normalize_event_time_requires_utc(spark):
+    """The ntz->timestamp cast silently shifts instants under a
+    non-UTC session zone; normalize_event_time must refuse instead."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.errors import IllegalStateError
+    from rq_spark.queries.helpers import normalize_event_time
+
+    df = spark.range(1).select(
+        F.lit("2024-01-01 12:00:00").cast("timestamp_ntz").alias("ts")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(IllegalStateError, match="UTC"):
+            normalize_event_time(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # restored: the cast is accepted again
+    assert dict(normalize_event_time(df).dtypes)["ts"] == "timestamp"

@@ -668,3 +668,38 @@ def test_avro_union_branch_bug_surfaces_as_internal_error(monkeypatch):
     out = bytearray()
     with pytest.raises(InternalError, match="union branch encoder failed"):
         avro_codec._encode(["null", "long"], 7, out, {})
+
+
+@pytest.mark.parametrize("fmt", ["json", "cbor"])
+def test_spark_write_order_preserving_byte_parity(spark, tmp_path, fmt):
+    """SURVEY §4 order preservation: a MULTI-partition distributed
+    write with order_by must be byte-identical to the reference's
+    single-threaded identity pipe over the same records — on both the
+    Spark-native writer path (json) and the codec committer path
+    (cbor). AQE partition coalescing is disabled for the write so the
+    global sort genuinely lands in several range partitions (at real
+    scale it always does); range partitions written in part order
+    reproduce the total order by construction."""
+    from rq_spark.formats import spark_io
+
+    records = [{"i": i, "s": f"row-{i:03d}"} for i in range(100)]
+    src = tmp_path / "in.json"
+    src.write_text("".join(json.dumps(r) + "\n" for r in records))
+
+    out = tmp_path / f"ordered_{fmt}"
+    df = spark_io.read(spark, "json", str(src)).repartition(8)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        spark_io.write(df, fmt, str(out), order_by="i")
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    parts = sorted(
+        p for p in out.iterdir()
+        if p.name.startswith("part-") and not p.name.endswith(".crc")
+    )
+    assert len(parts) >= 2, "round trip must actually exercise multiple partitions"
+    got = b"".join(p.read_bytes() for p in parts)
+    # both formats are headerless concatenated-value streams, so the
+    # per-partition blobs concatenate to the single-process encoding
+    assert got == encode_records(fmt, records)
