@@ -234,6 +234,35 @@ def minhash_dedup_pairs(
     return jaccard_pairs(sh, threshold, candidates=cand)
 
 
+def text_dedup_bundle(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 96,
+    bands: int = 24,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(minhash_pairs, exact_pairs) off ONE shared shingling pass —
+    algorithmically identical to `minhash_dedup_pairs` and
+    `ngram_jaccard_pairs` (same params, same verify), but the corpus is
+    read/normalized/shingled ONCE and the persisted shingle relation
+    feeds both pipelines. At 100 TB shingling dominates both costs, so
+    running the scale path and its exact verification twin together
+    halves the expensive pass; used by the merged `dedup_text` catalog
+    query, whose one action consumes both lazy results."""
+    _release_caches("text_bundle")
+    sets = _persist_tracked(
+        shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
+        .filter(F.size("sh_arr") > 0),
+        scope="text_bundle",
+    )
+    sig = minhash_signatures(sets, num_hashes=num_hashes)
+    cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
+    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
+    return jaccard_pairs(sh, threshold, candidates=cand), jaccard_pairs(sh, threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

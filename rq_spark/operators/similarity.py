@@ -213,6 +213,7 @@ def lsh_near_pairs(
     dim: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
+    verify_unrolled: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold) via banded
     random-hyperplane LSH candidates + EXACT cosine verification — the
@@ -228,12 +229,22 @@ def lsh_near_pairs(
     0.99). Below c ≈ 0.6, p^r is no longer selective: use
     `embedding_near_pairs` (exact block-grid) for low-threshold work.
     """
+    from ..util import persist_tracked, release_caches
+
     planes = hyperplanes(bands * rows_per_band, dim)
     bucket = band_bucket_udf(planes, bands, rows_per_band)
-    banded = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+    # persisted: the self-join reads this relation twice, and without a
+    # cache the whole upstream (corpus featurization + the banding UDF)
+    # executes twice — the banded relation is O(rows·bands), tiny next
+    # to recomputing the corpus pipeline
+    release_caches("lsh_near_pairs")
+    banded = persist_tracked(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+        ),
+        scope="lsh_near_pairs",
     )
     a = banded.select(
         F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), "band", "bucket"
@@ -246,10 +257,17 @@ def lsh_near_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    # verify_unrolled=False uses the fold-based dot: for wide vectors
+    # (dim ≳ 128) the unrolled 3·dim-term expression costs more in
+    # janino compile than it saves on a candidate-bounded verify, and
+    # for integer-valued vectors the fold is bit-identical anyway
+    # (exact sums, order-independent)
     return cand.select(
         "a_id",
         "b_id",
-        cosine(F.col("a_vec"), F.col("b_vec"), dim).alias("cos_sim"),
+        cosine(
+            F.col("a_vec"), F.col("b_vec"), dim if verify_unrolled else None
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= float(threshold))
 
 

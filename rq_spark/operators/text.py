@@ -118,17 +118,29 @@ def fingerprint(col: Column) -> Column:
 
 
 def token_hash_vectors(
-    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64, ngram: int = 1
 ) -> DataFrame:
-    """Dense token-bucket count vectors — the hashing-trick featurizer
-    (one dim per hash bucket, value = token occurrences). Near-duplicate
-    documents share most tokens, so their vectors land at cosine ≈ 1:
+    """Dense n-gram-bucket count vectors — the hashing-trick featurizer
+    (one dim per hash bucket, value = gram occurrences). Near-duplicate
+    documents share most grams, so their vectors land at cosine ≈ 1:
     this is the text→embedding bridge that gives the embedding-dedup
     operators ORGANIC near-dup geometry instead of synthetic fixtures.
 
+    Feature choice drives GEOMETRY, and geometry drives LSH
+    selectivity: unigrams (ngram=1) put every pair of same-language
+    docs at cosine ≈ 0.85 (shared stopword mass — a continuum, no
+    family separates it), while word 3-grams are near-disjoint between
+    unrelated docs, yielding a bimodal distribution (near-dups ≥ 0.95,
+    background < 0.5 at dim=256, NOTHING between — measured on the
+    documents corpus). Use ngram=3/dim=256 for dedup; dim must be
+    large enough that birthday collisions don't lift the background
+    (64 buckets put it at ~0.5, 256 at ~0.16).
+
     Engine-portable and bit-exact: the bucket is md5-derived (identical
     on any engine, unlike murmur3), and counts are small integers, so
-    dot products and norms are exact in double on both sides.
+    dot products and norms are exact in double on both sides. Docs
+    with fewer than `ngram` words produce no grams and are excluded
+    (same rule as the MinHash pipeline's zero-shingle drop).
 
     Scale shape: explode → count per (doc, bucket) with map-side
     partials → ≤dim entries per doc assembled into a map → dense array.
@@ -137,10 +149,19 @@ def token_hash_vectors(
 
     Returns (id_col, embedding: array<double>).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    if ngram == 1:
+        grams = words
+    else:
+        # sequence(1, n) is DESCENDING when n < 1 — guard short docs
+        grams = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
+                lambda i: F.array_join(F.slice(words, i, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
     bucket = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % dim)
     counts = toks.groupBy(id_col, bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("c")

@@ -4,7 +4,13 @@
 Each pack module exposes ``QUERIES: dict[str, callable]`` and
 ``ORACLE: dict[str, str]``; this module merges them. Keys without an
 ORACLE entry get the driver's weaker rows-only check (reserved for
-genuinely non-SQL-expressible operators, e.g. MinHash-LSH).
+genuinely non-SQL-expressible operators, e.g. approximate ANN).
+
+The catalog is kept ≤50 keys (the driver's per-round correctness-row
+budget) by merging related operators into tagged multi-op queries —
+SURVEY.md §2.2 "Catalog key consolidation (r5)" maps consolidated keys
+to their former standalone branches; tests/test_merged.py asserts the
+budget and per-branch falsifiability.
 """
 
 from __future__ import annotations

@@ -164,53 +164,67 @@ WHERE list_dot_product(a.e, b.e)
 
 
 _LSH_EMB_T = 0.9
-_LSH_EMB_DIM = 64
+_LSH_EMB_DIM = 256
+_LSH_EMB_BANDS = 16
+_LSH_EMB_ROWS = 8
 
 
 def _token_hash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORGANIC near-dup embedding corpus: token-bucket count vectors of
-    the documents table (operators/text.py:token_hash_vectors). The
-    corpus's real near-duplicate documents land at cosine ≈ 1 — ~1000
-    pairs above 0.9 at sf0.01, with a continuum below — so the ≥ 0.9
-    regime exists natively, no synthetic perturbation. Counts are small
-    integers, so dot products and norms are bit-exact in double on both
-    engines (no boundary-pair ambiguity at the threshold)."""
+    """ORGANIC near-dup embedding corpus: word-3-gram-bucket count
+    vectors of the documents table (operators/text.py:
+    token_hash_vectors, ngram=3, dim=256). The corpus's real
+    near-duplicates land at cosine ≥ 0.94 while unrelated docs stay
+    below 0.48 with NOTHING between (measured at sf0.01/sf0.001) — a
+    bimodal geometry where banded LSH is genuinely selective, unlike
+    unigram vectors whose shared stopword mass puts every pair on a
+    continuum around 0.85. Counts are small integers, so dot products
+    and norms are bit-exact in double on both engines (no boundary-pair
+    ambiguity at the threshold)."""
     from ..operators.text import token_hash_vectors
 
     docs = table(spark, sf_dir, "documents")
-    return token_hash_vectors(docs, "text", "doc_id", dim=_LSH_EMB_DIM).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
-    )
+    return token_hash_vectors(
+        docs, "text", "doc_id", dim=_LSH_EMB_DIM, ngram=3
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs in the HIGH-threshold regime (cosine
     ≥ 0.9) via banded random-hyperplane LSH candidates + exact verify
     — the scale path: candidate generation is a self-equi-join on
-    (band, bucket), work ∝ colliding pairs, never n². At this
-    threshold P(miss) ≤ 4e-6 per pair (operators/similarity.py:
-    lsh_near_pairs), so the verified output equals the exact pair set
-    — the oracle below IS the exact all-pairs SQL over the same
-    token-hash vectors. Complements `dedup_embedding_cosine`, which
-    keeps the exact block-grid for the low-threshold regime where no
-    LSH family separates 0.4501 from 0.4497."""
+    (band, bucket), work ∝ colliding pairs, never n². 16 bands × 8
+    rows on the bimodal 3-gram geometry: qualifying pairs (≥ 0.94
+    measured; worst 0.9487) collide with P(miss) ≤ 1.5e-4, background
+    pairs (≲ 0.48) band-collide rarely, so candidates ≈ 10% of n²
+    at sf0.01 instead of the ~100% a unigram continuum forces. The
+    verified output equals the exact pair set — the oracle below IS
+    the exact all-pairs SQL over the same 3-gram vectors. Complements
+    `dedup_embedding_cosine`, which keeps the exact block-grid for the
+    low-threshold regime where no LSH family separates 0.4501 from
+    0.4497."""
     return S.lsh_near_pairs(
-        _token_hash_corpus(spark, sf_dir), _LSH_EMB_T, dim=_LSH_EMB_DIM
+        _token_hash_corpus(spark, sf_dir),
+        _LSH_EMB_T,
+        dim=_LSH_EMB_DIM,
+        bands=_LSH_EMB_BANDS,
+        rows_per_band=_LSH_EMB_ROWS,
+        verify_unrolled=False,  # dim=256: fold verify, identical bits
     )
 
 
 _EMB_LSH_SQL = f"""
 WITH norm AS (
-  SELECT doc_id, {_NORM_SQL} AS nt FROM documents
-), toks AS (
-  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM norm)
 ), bc AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % {_LSH_EMB_DIM}
            AS bucket,
          COUNT(*) AS c
-  FROM toks GROUP BY 1, 2
+  FROM sh GROUP BY 1, 2
 ), grid AS (
-  SELECT d.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM documents) d,
+  SELECT d.doc_id, g.i FROM (SELECT DISTINCT doc_id FROM sh) d,
        (SELECT unnest(generate_series(0, {_LSH_EMB_DIM - 1})) AS i) g
 ), v AS (
   SELECT grid.doc_id AS vec_id,
@@ -406,9 +420,15 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             nulls.cast("bigint").alias("n"),
         )
 
+    # one shared shingling pass feeds both pair branches
+    # (operators/dedup.py:text_dedup_bundle — same algorithms/params as
+    # the standalone operators, corpus shingled once instead of twice)
+    mh, ex = D.text_dedup_bundle(
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+    )
     return (
-        exact.unionByName(pairs(dedup_minhash_lsh(spark, sf_dir), "minhash_lsh"))
-        .unionByName(pairs(dedup_ngram_jaccard(spark, sf_dir), "ngram_jaccard"))
+        exact.unionByName(pairs(mh, "minhash_lsh"))
+        .unionByName(pairs(ex, "ngram_jaccard"))
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .helpers import DEC, dsum, sql_dsum, table
+from .helpers import dsum, sql_dsum, table
 
 _MK_WINDOW_START = (
     "make_timestamp(CAST(floor(epoch(ts)/{sec}) AS BIGINT) * {sec} * 1000000)"

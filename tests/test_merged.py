@@ -85,3 +85,15 @@ def test_catalog_within_driver_budget():
     """The driver records 50 correctness rows per round; every catalog
     key must get one, so the catalog must never exceed 50 keys."""
     assert len(all_queries()) <= 50
+
+
+@pytest.mark.parametrize(
+    "key", ["text_metrics", "func_math_map", "func_date_cond", "func_json_variant", "mm_pipeline"]
+)
+def test_column_merged_queries_scan_once(spark, key):
+    """The point of a column-merge is reading the table ONCE — a
+    regression to per-family scans would re-read the corpus 4-5× at
+    100 TB."""
+    df = all_queries()[key](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, f"{key} reads its table more than once"
