@@ -285,9 +285,6 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 4
     d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
-    d = decode_image(d, strict=False)
-    d = extract_features(d, dim=8)
-    d = resize_image(d, width=64, height=64)
 
     size = F.length(F.col("text"))  # frame boundaries in characters:
     # DuckDB cannot slice BLOBs, so the portable oracle frames the
@@ -302,8 +299,14 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
 
-    return d.select(
+    # All JVM-computable columns (metadata, frame digests) are resolved
+    # BEFORE the Python stages, and `text` is dropped: only
+    # (doc_id, payload, scalars) crosses the Arrow boundary — at 100 TB
+    # shipping the raw text through three Python round-trips would
+    # double every stage's serialization volume for no reason.
+    d = d.select(
         "doc_id",
+        "payload",
         F.col("media_meta.size_bytes").alias("size_bytes"),
         F.col("media_meta.sha256").alias("sha256"),
         F.col("media_meta.mime").alias("mime"),
@@ -311,6 +314,20 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(frame(0), 256).alias("f0_sha"),
         F.sha2(frame(n - 1), 256).alias("f_last_sha"),
         F.floor(size / n).cast("bigint").alias("frame_len_floor"),
+    )
+    d = decode_image(d, strict=False)
+    d = extract_features(d, dim=8)
+    d = resize_image(d, width=64, height=64)
+
+    return d.select(
+        "doc_id",
+        "size_bytes",
+        "sha256",
+        "mime",
+        "n_frames",
+        "f0_sha",
+        "f_last_sha",
+        "frame_len_floor",
         "width",
         "height",
         "channels",
