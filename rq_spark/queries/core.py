@@ -341,13 +341,38 @@ GROUP BY l_returnflag
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — sketch-based, so no cross-engine
-    oracle (DuckDB's approx sketch differs); rows-only check. At scale
-    this replaces the exact distinct's second shuffle with O(1) state."""
+    """HLL++ approximate distinct, HASH-CHECKED as an assertion: the
+    raw sketch value has no cross-engine oracle (DuckDB's sketch
+    differs), so the query emits the exact distinct count (oracle =
+    COUNT(DISTINCT)) plus a sketch-within-tolerance flag the oracle
+    asserts TRUE. The sketch is deterministic for a fixed dataset, so
+    the flag is stable — a regression in the sketch's error shows up
+    as a hash mismatch instead of hiding behind a rows-only check. At
+    scale approx_count_distinct replaces the exact distinct's second
+    shuffle with O(1) state per group."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
     )
+    return g.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= 0.05
+        ).alias("sketch_within_5pct"),
+    )
+
+
+_AGG_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts_exact,
+       TRUE AS sketch_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,5 +786,5 @@ ORACLE = {
     "unpivot_melt": _UNPIVOT_SQL,
     "rollup_cube_gsets": _ROLLUP_CUBE_GSETS_SQL,
     "pivot_wide": _PIVOT_SQL,
-    # agg_approx_distinct: sketch-based, rows-only by design
+    "agg_approx_distinct": _AGG_APPROX_SQL,
 }

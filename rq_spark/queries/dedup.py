@@ -131,11 +131,40 @@ SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup candidates (rows-only check; semantics
-    tested against the Jaccard pair set in tests/test_dedup.py)."""
-    return D.simhash_near_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    """SimHash banding near-dup candidates, HASH-CHECKED as an
+    assertion: Hamming neighborhoods have no SQL analog, so the query
+    emits the exact-Jaccard pair count (oracle = the pair SQL's
+    COUNT(*) — a real cross-engine value) plus two flags the oracle
+    asserts TRUE: every emitted pair is within the Hamming radius, and
+    SimHash recovers at least half of the exact near-dup pairs (the
+    token-multiset vs 3-gram-set agreement bound from
+    tests/test_dedup.py). SimHash is deterministic for a fixed corpus,
+    so the flags are stable — a banding/recall regression now flips
+    the driver hash instead of hiding behind a rows-only check."""
+    docs = table(spark, sf_dir, "documents")
+    sim = D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    exact = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=_JACCARD_T)
+    hits = exact.join(sim.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(sim.agg(F.coalesce(F.max("hamming"), F.lit(0)).alias("_max_h")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_max_h") <= 3).alias("hamming_within_radius"),
+            (F.col("_n_hits") * 2 >= F.col("n_exact_pairs")).alias(
+                "recall_ge_half"
+            ),
+        )
     )
+
+
+_SIMHASH_SQL = f"""
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS hamming_within_radius,
+       TRUE AS recall_ge_half
+FROM ({_JACCARD_ORACLE})
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,8 +503,8 @@ QUERIES = {
 ORACLE = {
     "mm_pipeline": _MM_PIPELINE_SQL,
     "dedup_text": _DEDUP_TEXT_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_lsh": _EMB_LSH_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,
     "dedup_connected_groups": _GROUPS_SQL,
-    # dedup_simhash: rows-only by design (Hamming radius, no SQL analog)
 }

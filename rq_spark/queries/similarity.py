@@ -69,17 +69,55 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# recall floors asserted by the merged ANN query; the same bounds are
+# tested per-branch in tests/test_similarity.py. LSH with 24×4 OR-
+# amplification recovers ≈ all true neighbors; IVF recall tracks the
+# probed fraction on this near-uniform testdata (nprobe/n_centroids =
+# 0.5) — see test_ivf_never_invents_and_has_recall for the analysis.
+_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65}
+
+
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN families in one tagged result (branches = the former
-    sim_ann_lsh_topk, sim_ann_ivf_topk; approximate by construction →
-    rows-only driver check, per-branch recall asserted in tests)."""
+    """Both ANN families in one tagged result, HASH-CHECKED as an
+    assertion (branches = the former sim_ann_lsh_topk,
+    sim_ann_ivf_topk): approximate output has no SQL oracle, so per
+    (op, query) the query emits the result count (oracle = the literal
+    k — asserts every query returns a full top-k) and a recall-vs-
+    brute-force flag the oracle asserts TRUE. Brute-force ground truth
+    is computed by the hash-verified exact operator (sim_topk_cosine's
+    path), and both ANN families are deterministic (seeded
+    hyperplanes, deterministic Lloyd init) for a fixed dataset, so the
+    flags are stable — a recall regression now flips the driver hash
+    instead of hiding behind a rows-only check."""
+    brute = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
 
-    def tag(df: DataFrame, op: str) -> DataFrame:
-        return df.select(F.lit(op).alias("op"), "*")
+    def scored(df: DataFrame, op: str) -> DataFrame:
+        # recall is asserted at the op level (hits across all queries /
+        # k·n_queries), the same granularity the floor is derived at —
+        # individual queries legitimately fluctuate around it
+        hits = df.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_results"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("_hits")))
+            .select(
+                F.lit(op).alias("op"),
+                F.col("n_results").cast("bigint").alias("n_results"),
+                (
+                    F.col("_hits") / F.lit(_K * _N_QUERIES)
+                    >= _ANN_RECALL_FLOOR[op]
+                ).alias("recall_ok"),
+            )
+        )
 
-    return tag(sim_ann_lsh_topk(spark, sf_dir), "lsh").unionByName(
-        tag(sim_ann_ivf_topk(spark, sf_dir), "ivf")
+    return scored(sim_ann_lsh_topk(spark, sf_dir), "lsh").unionByName(
+        scored(sim_ann_ivf_topk(spark, sf_dir), "ivf")
     )
+
+
+_ANN_SQL = f"""
+SELECT op, CAST({_K * _N_QUERIES} AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM (SELECT unnest(['lsh', 'ivf']) AS op)
+"""
 
 
 QUERIES = {
@@ -89,5 +127,5 @@ QUERIES = {
 
 ORACLE = {
     "sim_topk_cosine": _TOPK_SQL,
-    # sim_ann_topk: approximate by construction → rows-only
+    "sim_ann_topk": _ANN_SQL,
 }

@@ -22,13 +22,26 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
 
 
 def test_simhash_finds_most_planted_dups(spark):
+    from rq_spark.operators.dedup import simhash_near_pairs
+
     exact = _pairs(DQ.dedup_ngram_jaccard(spark, SF))
-    sim = DQ.dedup_simhash(spark, SF).collect()
+    sim = simhash_near_pairs(
+        table(spark, SF, "documents"), "text", "doc_id", max_hamming=3
+    ).collect()
     simp = {(r.a_id, r.b_id) for r in sim}
     assert all(r.hamming <= 3 for r in sim)
     # different similarity notion (token multiset vs 3-gram sets):
     # expect substantial but not perfect agreement
     assert len(exact & simp) >= len(exact) // 2
+
+
+def test_simhash_assertion_query_flags_true(spark):
+    """The catalog's dedup_simhash emits the assertions the oracle
+    expects — both flags must genuinely hold on the corpus."""
+    [row] = DQ.dedup_simhash(spark, SF).collect()
+    assert row.n_exact_pairs > 0
+    assert row.hamming_within_radius is True
+    assert row.recall_ge_half is True
 
 
 def test_exact_dedup_partitions_corpus(spark):
