@@ -9,8 +9,9 @@ Reference-parity (SURVEY.md §1.4, src/value/avro.rs):
 * write: ints widen to the schema type; unsigned values above
   i64::MAX raise AvroUnsignedU64Error (avro.rs:94-113); map keys must
   be strings → AvroKeyError (avro.rs:127-146);
-* codecs: null, deflate (zlib raw); snappy raises (the reference gates
-  it behind a cargo feature, Cargo.toml:53-55 — here the lib is absent);
+* codecs: null, deflate (zlib raw); snappy via a native binding when
+  importable (the reference cargo-feature-gates snappy the same way,
+  Cargo.toml:53-55), else the bundled pure-Python block-format codec;
 * container: blocks flushed with sync markers (avro.rs:166-176).
 """
 
@@ -247,10 +248,11 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
 
 
 def _snappy_funcs():
-    """(compress, decompress) via whichever snappy binding exists —
-    gated behind import so the codec lights up when a lib is present
-    (the reference cargo-feature-gates snappy the same way,
-    Cargo.toml:53-55)."""
+    """(compress, decompress): a native snappy binding when one is
+    importable (the reference cargo-feature-gates snappy the same way,
+    Cargo.toml:53-55), else the bundled pure-Python block-format codec
+    (snappy_pure.py, written from the public format description) — the
+    codec works everywhere; native libs only make it faster/denser."""
     try:
         import snappy  # python-snappy
 
@@ -265,9 +267,9 @@ def _snappy_funcs():
             lambda b: bytes(_cj.decompress_raw(b)),
         )
     except ImportError:
-        raise AvroError(
-            "snappy codec requires the python-snappy or cramjam library"
-        ) from None
+        from . import snappy_pure
+
+        return snappy_pure.compress, snappy_pure.decompress
 
 
 def read_container(buf: bytes) -> tuple[dict, list]:
@@ -328,9 +330,9 @@ def read_container(buf: bytes) -> tuple[dict, list]:
 
 def write_container(schema_json: str | dict, records, codec: str = "null") -> bytes:
     """Schema-validated container write (rq: -A schema.avsc --codec,
-    rq.rs:241-259). codec ∈ {null, deflate, snappy}; snappy is gated
-    behind an import-try (AvroError when no binding exists — the
-    reference cargo-feature-gates it the same way)."""
+    rq.rs:241-259). codec ∈ {null, deflate, snappy}; snappy uses a
+    native binding when importable, else the bundled pure-Python
+    block-format codec (snappy_pure.py)."""
     if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec}")
     snappy_compress = _snappy_funcs()[0] if codec == "snappy" else None

@@ -443,25 +443,56 @@ def test_duplicate_key_map_to_json_keeps_both():
 # --------------------------------------------------------- avro snappy gate
 
 
-def test_avro_snappy_gated_behind_import():
-    try:
-        import snappy  # noqa: F401
+def test_avro_snappy_roundtrip():
+    """Snappy container golden: works on every host — native binding
+    when importable, else the bundled pure-Python block-format codec
+    (r5; previously env-gated to an AvroError)."""
+    blob = encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
+    assert list(decode_records("avro", blob)) == _people()
 
-        have = True
-    except ImportError:
-        try:
-            import cramjam  # noqa: F401
 
-            have = True
-        except ImportError:
-            have = False
+def test_avro_snappy_crc_mismatch_detected():
+    from rq_spark.errors import AvroDecodeError
 
-    if have:
-        blob = encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
-        assert list(decode_records("avro", blob)) == _people()
-    else:
-        with pytest.raises(AvroError, match="snappy"):
-            encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
+    blob = bytearray(
+        encode_records("avro", _people(), schema=PERSON_SCHEMA, codec="snappy")
+    )
+    # layout: ... block-bytes, CRC32 (last 4 of block), sync (16)
+    blob[-17] ^= 0xFF  # flip a CRC byte
+    with pytest.raises(AvroDecodeError, match="CRC"):
+        list(decode_records("avro", bytes(blob)))
+
+
+def test_pure_snappy_full_tag_set():
+    """The bundled codec must decode the FULL public tag set (real
+    compressors emit copies), not just its own all-literal output."""
+    from rq_spark.errors import AvroDecodeError
+    from rq_spark.formats.codecs import snappy_pure as sp
+
+    for payload in (b"", b"x", b"abc" * 10000, bytes(range(256)) * 300):
+        assert sp.decompress(sp.compress(payload)) == payload
+
+    # handcrafted: literal "ab" + copy-1(offset=2, len=6) — an
+    # OVERLAPPING copy, byte-at-a-time semantics
+    stream = bytes([8, (2 - 1) << 2]) + b"ab" + bytes([(2 << 2) | 1, 2])
+    assert sp.decompress(stream) == b"abababab"
+
+    # literal "abcd" + copy-2(offset=4, len=4)
+    stream2 = (
+        bytes([8, (4 - 1) << 2]) + b"abcd"
+        + bytes([(3 << 2) | 2]) + (4).to_bytes(2, "little")
+    )
+    assert sp.decompress(stream2) == b"abcdabcd"
+
+    # literal with a 1-byte explicit length (tag 60<<2)
+    body = b"z" * 100
+    stream3 = bytes([100, 60 << 2, 99]) + body
+    assert sp.decompress(stream3) == body
+
+    with pytest.raises(AvroDecodeError):
+        sp.decompress(bytes([5, 0xFF, 0xFF]))  # truncated
+    with pytest.raises(AvroDecodeError):
+        sp.decompress(bytes([3, (1 << 2) | 1, 9]))  # offset beyond output
 
 
 # ------------------------------------------------- error taxonomy (P9)
