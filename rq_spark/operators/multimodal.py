@@ -1,15 +1,20 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed two ways (SURVEY.md build brief):
+Decode is REAL for PNG payloads (operators/png.py — a pure-Python
+codec from the public PNG spec; zlib + numpy, no image libs needed):
+``decode_image`` reads true dimensions/channels, ``resize_image``
+nearest-neighbor-resamples actual pixels and re-encodes, and
+``extract_features`` computes a normalized grayscale histogram of the
+decoded image. Other formats (JPEG etc.) still need a codec lib, so
+they keep the two documented stub modes (SURVEY.md build brief):
 
-* ``decode_image(strict=True)`` raises ``NotImplementedError`` — the
-  honest production placeholder;
+* ``decode_image(strict=True)`` raises ``NotImplementedError`` for
+  non-PNG payloads — the honest production placeholder;
 * ``decode_image(strict=False)`` produces a deterministic fake
   (dimensions derived from the payload hash) so the Spark-side
   plumbing — schema, batching, partitioning, UDF signatures — is real
-  and testable end-to-end.
+  and testable end-to-end for any payload.
 
 Scale notes: payloads stay in executors (never collected); mapInPandas
 streams Arrow batches so one task holds O(batch) payloads, not
@@ -49,11 +54,15 @@ def with_binary_payload(df: DataFrame, text_col: str, mime: str = "text/plain") 
 def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = True) -> DataFrame:
     """Decode payloads to (width, height, channels) via mapInPandas.
 
-    strict=True raises NotImplementedError (no codec libs in this
-    container — wire Pillow/libvips here in production). strict=False
-    derives deterministic fake dimensions from the payload hash so the
-    distributed plumbing is exercised for real.
+    PNG payloads decode for REAL (operators/png.py — true header +
+    pixel validation, not just magic sniffing). For other formats:
+    strict=True raises NotImplementedError (wire Pillow/libvips here
+    in production), strict=False derives deterministic fake dimensions
+    from the payload hash so the distributed plumbing is exercised for
+    real on any payload.
     """
+    from . import png
+
     # copy: StructType.add mutates in place (would corrupt df's schema)
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -64,20 +73,26 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         ]
     )
 
+    def dims(p) -> tuple[int, int, int]:
+        b = bytes(p)
+        if png.is_png(b):
+            arr = png.decode(b)
+            return arr.shape[1], arr.shape[0], arr.shape[2]
+        if strict:
+            raise NotImplementedError(
+                "only PNG decodes without a codec library; wire "
+                "Pillow/libvips here for other formats"
+            )
+        return _fake_dims(b)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec library (Pillow/libvips); "
-                    "not available in this environment"
-                )
-            dims = [_fake_dims(p) for p in pdf[payload_col]]
-            pdf = pdf.assign(
-                width=[d[0] for d in dims],
-                height=[d[1] for d in dims],
-                channels=[d[2] for d in dims],
+            out = [dims(p) for p in pdf[payload_col]]
+            yield pdf.assign(
+                width=[d[0] for d in out],
+                height=[d[1] for d in out],
+                channels=[d[2] for d in out],
             )
-            yield pdf
 
     return df.mapInPandas(run, out_schema)
 
@@ -88,21 +103,33 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
-    """Deterministic feature vector per payload (stands in for a model
-    forward pass; Arrow-batched so a real model would amortize per batch)."""
+    """Feature vector per payload. PNG payloads get REAL content
+    features: the dim-bin normalized grayscale histogram of the decoded
+    pixels (deterministic, resolution-invariant — the classic cheap
+    visual signature). Other payloads get the deterministic sha256
+    fake (stands in for a model forward pass; Arrow-batched so a real
+    model would amortize per batch)."""
+    from . import png
+
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
+    def feat(p) -> list[float]:
+        b = bytes(p)
+        if png.is_png(b):
+            arr = png.decode(b)
+            gray = arr.mean(axis=2, dtype=np.float64).ravel()
+            hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+            return (hist.astype(np.float32) / np.float32(max(gray.size, 1))).tolist()
+        d = hashlib.sha256(b).digest()
+        arr = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype="<u4")
+        return (arr.astype(np.float32) / np.float32(2**32)).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for p in pdf[payload_col]:
-                d = hashlib.sha256(bytes(p)).digest()
-                arr = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype="<u4")
-                feats.append((arr.astype(np.float32) / np.float32(2**32)).tolist())
-            yield pdf.assign(features=feats)
+            yield pdf.assign(features=[feat(p) for p in pdf[payload_col]])
 
     return df.mapInPandas(run, out_schema)
 
@@ -123,18 +150,20 @@ def resize_image(
     width: int = 64,
     height: int = 64,
 ) -> DataFrame:
-    """'Resize' payloads to width×height, channels preserved from the
-    (fake) decode — the third multimodal pipeline stage (decode →
-    resize → features). The pixel resample itself is stubbed (no image
-    libs in this container): the resized payload is the input bytes
-    tiled/truncated to exactly width·height·channels bytes, which is
-    deterministic and keeps the REAL plumbing under test — binary in,
-    binary out through Arrow, per-batch memory O(batch·frame), output
-    column sized by data-dependent channels.
-
-    In production the body of the loop becomes
+    """Resize payloads to width×height, channels preserved — the third
+    multimodal pipeline stage (decode → resize → features). PNG
+    payloads are resized for REAL: decoded, nearest-neighbor
+    resampled, and re-encoded as PNG (operators/png.py — binary in,
+    binary out, true pixels). Other payloads keep the stub (the input
+    bytes tiled/truncated to exactly width·height·channels bytes,
+    channels from the shared fake-decode rule), which is deterministic
+    and keeps the plumbing under test for any payload: Arrow both
+    ways, per-batch memory O(batch·frame), output column sized by
+    data-dependent channels. In production the non-PNG branch becomes
     ``PIL.Image.open(...).resize((width, height))``.
     """
+    from . import png
+
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -148,6 +177,11 @@ def resize_image(
             resized, chans = [], []
             for p in pdf[payload_col]:
                 b = bytes(p)
+                if png.is_png(b):
+                    arr = png.decode(b)
+                    resized.append(png.encode(png.resize_nearest(arr, width, height)))
+                    chans.append(arr.shape[2])
+                    continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))

@@ -1,0 +1,139 @@
+"""Pure-Python PNG codec + real-decode multimodal path (r5: closes the
+'decode is a stub' gap for PNG payloads — zlib + numpy, no image libs)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rq_spark.operators import multimodal as M
+from rq_spark.operators import png
+
+
+def _rand(h, w, c, seed):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    arr = _rand(13, 7, channels, seed=channels)
+    out = png.decode(png.encode(arr))
+    assert out.shape == (13, 7, channels)
+    assert np.array_equal(out, arr)
+
+
+def test_png_decodes_all_filter_types():
+    """Our encoder only emits filter 0; a conforming decoder must also
+    un-filter Sub/Up/Average/Paeth (real encoders use them). Build the
+    filtered streams by hand from the spec's filter definitions."""
+    arr = _rand(6, 5, 3, seed=42)
+    h, w, c = arr.shape
+    flat = arr.reshape(h, w * c).astype(np.int16)
+
+    def filtered_rows(ftype):
+        rows = []
+        for y in range(h):
+            line = flat[y]
+            prev = flat[y - 1] if y else np.zeros_like(line)
+            a = np.concatenate([np.zeros(c, np.int16), line[:-c]])
+            b = prev
+            cc = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+            if ftype == 1:
+                out = line - a
+            elif ftype == 2:
+                out = line - b
+            elif ftype == 3:
+                out = line - (a + b) // 2
+            else:  # Paeth
+                pred = np.array(
+                    [png._paeth(int(x), int(y_), int(z)) for x, y_, z in zip(a, b, cc)],
+                    dtype=np.int16,
+                )
+                out = line - pred
+            rows.append(bytes([ftype]) + (out & 0xFF).astype(np.uint8).tobytes())
+        return b"".join(rows)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    for ftype in (1, 2, 3, 4):
+        blob = (
+            png.PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(filtered_rows(ftype)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(png.decode(blob), arr), f"filter {ftype}"
+
+
+def test_png_rejects_unsupported_profiles():
+    arr = _rand(4, 4, 3, seed=1)
+    blob = bytearray(png.encode(arr))
+    with pytest.raises(png.PngFormatError, match="signature"):
+        png.decode(b"JFIF" + bytes(blob))
+    # corrupt the IHDR CRC
+    bad = bytearray(blob)
+    bad[-14] ^= 0xFF  # a byte inside IEND/IDAT region → CRC mismatch
+    with pytest.raises(png.PngFormatError, match="CRC"):
+        png.decode(bytes(bad))
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF
+    blob16 = (
+        png.PNG_MAGIC
+        + struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16 + struct.pack(">I", crc)
+    )
+    with pytest.raises(png.PngFormatError, match="depth"):
+        png.decode(blob16)
+
+
+def test_resize_nearest_shapes_and_identity():
+    arr = _rand(8, 6, 3, seed=3)
+    assert np.array_equal(png.resize_nearest(arr, 6, 8), arr)  # same size
+    small = png.resize_nearest(arr, 3, 4)
+    assert small.shape == (4, 3, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    assert np.array_equal(small, arr[::2, ::2])
+
+
+def _png_df(spark, images):
+    return spark.createDataFrame(
+        [(i, bytearray(png.encode(a))) for i, a in enumerate(images)],
+        "img_id long, payload binary",
+    )
+
+
+def test_spark_decode_real_png_strict(spark):
+    """decode_image(strict=True) must decode PNG payloads for REAL —
+    true dimensions/channels from the header+pixels, no fake."""
+    imgs = [_rand(10, 20, 3, seed=7), _rand(33, 5, 1, seed=8), _rand(9, 9, 4, seed=9)]
+    rows = {r.img_id: r for r in M.decode_image(_png_df(spark, imgs), strict=True).collect()}
+    for i, a in enumerate(imgs):
+        assert (rows[i].width, rows[i].height, rows[i].channels) == (
+            a.shape[1], a.shape[0], a.shape[2],
+        )
+
+
+def test_spark_resize_real_png_roundtrip(spark):
+    imgs = [_rand(40, 30, 3, seed=11), _rand(16, 16, 1, seed=12)]
+    rows = {r.img_id: r for r in M.resize_image(_png_df(spark, imgs), width=8, height=6).collect()}
+    for i, a in enumerate(imgs):
+        out = png.decode(bytes(rows[i].resized))
+        assert out.shape == (6, 8, a.shape[2])
+        assert rows[i].out_channels == a.shape[2]
+        assert np.array_equal(out, png.resize_nearest(a, 8, 6))
+
+
+def test_spark_features_real_png_histogram(spark):
+    imgs = [np.full((4, 4, 1), 0, dtype=np.uint8), np.full((4, 4, 1), 255, dtype=np.uint8)]
+    rows = {r.img_id: r.features for r in M.extract_features(_png_df(spark, imgs), dim=8).collect()}
+    # all-black: every pixel in bin 0; all-white: every pixel in last bin
+    assert rows[0][0] == pytest.approx(1.0)
+    assert sum(rows[0]) == pytest.approx(1.0)
+    assert rows[1][-1] == pytest.approx(1.0)
