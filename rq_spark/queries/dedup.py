@@ -439,6 +439,116 @@ JOIN resized USING (doc_id)
 """
 
 
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal codecs under the driver hash: for every document,
+    synthesize a PNG (16px-wide grayscale image of the text bytes), a
+    WAV (16-bit mono PCM of the text bytes at 8 kHz) and an MP4
+    (duration = byte count in ms) — then run the REAL decoders
+    (operators/png.py spec codec, stdlib wave, the ISO-BMFF box walk)
+    in STRICT mode and emit their outputs. Every output column derives
+    arithmetically from the text's byte length, so the oracle
+    recomputes all of it in SQL: a regression in any real codec (or in
+    the strict-mode dispatch) flips the hash. Payloads are built and
+    decoded executor-side in Arrow batches; nothing but scalars leaves."""
+    import math
+
+    import pandas as pd
+
+    from ..operators import png as png_codec
+    from ..operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video_meta,
+        extract_features,
+        mp4_stub_bytes,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            pngs, wavs, mp4s = [], [], []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                w = 16
+                h = max(1, math.ceil(len(b) / w))
+                arr = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
+                pngs.append(png_codec.encode(arr.reshape(h, w, 1)))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(b[: len(b) // 2 * 2])
+                wavs.append(buf.getvalue())
+                mp4s.append(mp4_stub_bytes(duration_ms=len(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png_payload": pngs,
+                    "wav_payload": wavs,
+                    "mp4_payload": mp4s,
+                }
+            )
+
+    d = docs.mapInPandas(
+        synth,
+        "doc_id long, png_payload binary, wav_payload binary, mp4_payload binary",
+    )
+    d = decode_image(d, "png_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {"width": "png_width", "height": "png_height", "channels": "png_channels"}
+    )
+    d = extract_features(d, "png_payload", dim=8)
+    d = decode_audio(d, "wav_payload", strict=True)
+    d = d.withColumnRenamed("duration_s", "wav_duration_s")
+    d = decode_video_meta(d, "mp4_payload", strict=True)
+    return d.select(
+        "doc_id",
+        "png_width",
+        "png_height",
+        F.col("png_channels").cast("int").alias("png_channels"),
+        # normalized grayscale histogram must sum to 1 (float32 lanes,
+        # double fold — assert with tolerance, not bit equality)
+        (
+            F.abs(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x) - 1.0
+            )
+            < 1e-4
+        ).alias("png_hist_ok"),
+        F.col("sample_rate").alias("wav_sample_rate"),
+        F.col("n_samples").alias("wav_n_samples"),
+        "wav_duration_s",
+        F.col("duration_s").alias("mp4_duration_s"),
+        F.col("width").alias("mp4_width"),
+        F.col("height").alias("mp4_height"),
+        F.col("n_tracks").alias("mp4_tracks"),
+    )
+
+
+_MM_REAL_SQL = """
+WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+SELECT doc_id,
+       16 AS png_width,
+       GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS png_height,
+       1 AS png_channels,
+       TRUE AS png_hist_ok,
+       8000 AS wav_sample_rate,
+       CAST(nb // 2 AS BIGINT) AS wav_n_samples,
+       (nb // 2) / 8000.0 AS wav_duration_s,
+       nb / 1000.0 AS mp4_duration_s,
+       64 AS mp4_width,
+       32 AS mp4_height,
+       1 AS mp4_tracks
+FROM n
+"""
+
+
 def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text dedup family in one tagged result: exact normalized-hash
     groups + MinHash-LSH near-dup pairs + exact n-gram-Jaccard pairs
@@ -493,6 +603,7 @@ SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
 # budget-limited correctness run records them before the heavy joins.
 QUERIES = {
     "mm_pipeline": mm_pipeline,
+    "mm_real_decode": mm_real_decode,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -502,6 +613,7 @@ QUERIES = {
 
 ORACLE = {
     "mm_pipeline": _MM_PIPELINE_SQL,
+    "mm_real_decode": _MM_REAL_SQL,
     "dedup_text": _DEDUP_TEXT_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_lsh": _EMB_LSH_SQL,

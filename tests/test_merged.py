@@ -88,7 +88,15 @@ def test_catalog_within_driver_budget():
 
 
 @pytest.mark.parametrize(
-    "key", ["text_metrics", "func_math_map", "func_date_cond", "func_json_variant", "mm_pipeline"]
+    "key",
+    [
+        "text_metrics",
+        "func_math_map",
+        "func_date_cond",
+        "func_json_variant",
+        "mm_pipeline",
+        "mm_real_decode",
+    ],
 )
 def test_column_merged_queries_scan_once(spark, key):
     """The point of a column-merge is reading the table ONCE — a

@@ -54,3 +54,120 @@ def test_frame_sampling_covers_payload(spark, sf_dir):
     for r in rows:
         assert len(r.frames) == 4
         assert sum(len(bytes(f)) for f in r.frames) <= r.media_meta.size_bytes
+
+
+# ------------------------------------------------- real audio (WAV/PCM)
+
+
+def _wav_bytes(rate=8000, channels=1, seconds=0.5, freq=440.0):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = int(20000 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", v) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_spark_decode_real_wav(spark):
+    wavs = [_wav_bytes(8000, 1, 0.5), _wav_bytes(16000, 2, 0.25)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(wavs)],
+        "audio_id long, payload binary",
+    )
+    rows = {r.audio_id: r for r in M.decode_audio(df, strict=True).collect()}
+    assert (rows[0].sample_rate, rows[0].n_channels, rows[0].n_samples) == (8000, 1, 4000)
+    assert rows[0].duration_s == pytest.approx(0.5)
+    assert (rows[1].sample_rate, rows[1].n_channels) == (16000, 2)
+    assert rows[1].duration_s == pytest.approx(0.25)
+
+
+def test_spark_audio_features_real_signal(spark):
+    import numpy as np
+
+    loud = _wav_bytes(8000, 1, 0.25, freq=440.0)
+    silent_n = 2000
+    import io
+    import wave as _w
+
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * silent_n)
+    silent = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(loud)), (1, bytearray(silent))],
+        "audio_id long, payload binary",
+    )
+    rows = {r.audio_id: r for r in M.extract_audio_features(df, n_windows=4).collect()}
+    # a 440 Hz sine at amplitude 20000/32768 has RMS ≈ 0.43 per window
+    assert all(v == pytest.approx(0.43, abs=0.05) for v in rows[0].rms_windows)
+    assert rows[0].zero_cross_rate == pytest.approx(2 * 440 / 8000, rel=0.1)
+    assert all(v == 0.0 for v in rows[1].rms_windows)
+
+
+def test_decode_audio_strict_raises_on_non_wav(spark, sf_dir):
+    df = M.decode_audio(_docs(spark, sf_dir), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        df.collect()
+    # non-strict: deterministic fake
+    a = {(r.doc_id, r.sample_rate, r.n_samples)
+         for r in M.decode_audio(_docs(spark, sf_dir), strict=False).collect()}
+    b = {(r.doc_id, r.sample_rate, r.n_samples)
+         for r in M.decode_audio(_docs(spark, sf_dir), strict=False).collect()}
+    assert a == b
+
+
+# --------------------------------------------- real video metadata (MP4)
+
+
+def _mp4_bytes(timescale=1000, duration=7500, width=640, height=360, n_trak=2):
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # ctime, mtime
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", duration)
+        + bytes(80),                  # rate..matrix..next_track_id
+    )
+    tkhd_body = (
+        bytes(4) + bytes(8) + bytes(4) + bytes(4) + bytes(4) + bytes(8)
+        + bytes(8) + bytes(36)        # layer..matrix
+        + struct.pack(">I", width << 16)
+        + struct.pack(">I", height << 16)
+    )
+    traks = b"".join(box(b"trak", box(b"tkhd", tkhd_body)) for _ in range(n_trak))
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def test_spark_decode_real_mp4_metadata(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(_mp4_bytes()))], "vid long, payload binary"
+    )
+    [r] = M.decode_video_meta(df, strict=True).collect()
+    assert r.duration_s == pytest.approx(7.5)
+    assert (r.width, r.height, r.n_tracks) == (640, 360, 2)
+
+
+def test_decode_video_strict_raises_on_non_mp4(spark, sf_dir):
+    df = M.decode_video_meta(_docs(spark, sf_dir), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        df.collect()
