@@ -78,10 +78,16 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         if png.is_png(b):
             arr = png.decode(b)
             return arr.shape[1], arr.shape[0], arr.shape[2]
+        jpeg = _jpeg_dims(b)
+        if jpeg is not None:
+            return jpeg
+        gif = _gif_dims(b)
+        if gif is not None:
+            return gif
         if strict:
             raise NotImplementedError(
-                "only PNG decodes without a codec library; wire "
-                "Pillow/libvips here for other formats"
+                "only PNG/JPEG/GIF headers parse without a codec "
+                "library; wire Pillow/libvips here for other formats"
             )
         return _fake_dims(b)
 
@@ -100,6 +106,47 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     h = hashlib.sha256(bytes(payload)).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the first JFIF SOF segment
+    (public JPEG marker layout: segments = 0xFF marker + 2-byte
+    big-endian length; SOF0-15 excl. DHT/DAC/RST carry
+    precision, height, width, components). None if not a JPEG."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":  # SOI
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            pos += 2
+            continue
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > len(b):
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = b[pos + 4 : pos + 2 + seglen]
+            if len(body) < 6:
+                return None
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            channels = body[5]
+            return width, height, channels
+        pos += 2 + seglen
+    return None
+
+
+def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the GIF logical screen descriptor
+    (public GIF89a/87a layout: 6-byte signature + 2×u16le dims).
+    Channels reported as 3 (palette RGB)."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    return width, height, 3
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:

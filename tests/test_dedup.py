@@ -116,3 +116,43 @@ def test_persist_registry_is_scope_isolated(spark):
     finally:
         release_caches("_test_pipeA")
     assert not a.storageLevel.useMemory
+
+
+def test_token_hash_vectors_match_python_reference(spark):
+    """The hashing-trick featurizer anchors dedup_embedding_lsh's
+    oracle agreement: pin its bucketing (md5 % dim), 3-gram
+    construction, short-doc exclusion, and dense assembly against a
+    direct Python reference on adversarial texts."""
+    import hashlib as _h
+    import re as _re
+
+    from rq_spark.operators.text import token_hash_vectors
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "  the   quick\tbrown\nfox  "),  # whitespace noise, 4 words
+        (3, "one two"),          # < 3 words -> no 3-grams -> excluded
+        (4, ""),                 # empty -> excluded
+        (5, "a b c a b c a b c"),  # repeated grams -> counts > 1
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in token_hash_vectors(df, "text", "doc_id", dim=32, ngram=3).collect()
+    }
+
+    def ref(t, dim=32, n=3):
+        words = _re.sub(r"\s+", " ", t.lower()).strip(" ").split(" ")
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        v = [0.0] * dim
+        for g in grams:
+            v[int(_h.md5(g.encode()).hexdigest()[:4], 16) % dim] += 1.0
+        return v
+
+    assert set(got) == {0, 1, 2, 5}, "short/empty docs must be excluded"
+    for i, t in texts:
+        if i in got:
+            assert got[i] == ref(t), f"doc {i} vector mismatch"
+    assert got[0] == got[1]
+    assert sum(got[5]) == 7.0  # 9 words -> 7 grams incl. repeats

@@ -171,3 +171,30 @@ def test_decode_video_strict_raises_on_non_mp4(spark, sf_dir):
     df = M.decode_video_meta(_docs(spark, sf_dir), strict=True)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         df.collect()
+
+
+# ------------------------------------- real image header dims (JPEG/GIF)
+
+
+def _jpeg_bytes(width=320, height=240, channels=3):
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + bytes(6)
+    sof0_body = b"\x08" + struct.pack(">HH", height, width) + bytes([channels]) + bytes(3 * channels)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_body)) + sof0_body
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
+def test_spark_decode_jpeg_gif_header_dims(spark):
+    gif = b"GIF89a" + (100).to_bytes(2, "little") + (50).to_bytes(2, "little") + bytes(3)
+    df = spark.createDataFrame(
+        [(0, bytearray(_jpeg_bytes(320, 240, 3))),
+         (1, bytearray(_jpeg_bytes(64, 8, 1))),
+         (2, bytearray(gif))],
+        "img_id long, payload binary",
+    )
+    rows = {r.img_id: r for r in M.decode_image(df, strict=True).collect()}
+    assert (rows[0].width, rows[0].height, rows[0].channels) == (320, 240, 3)
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (64, 8, 1)
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (100, 50, 3)
