@@ -78,15 +78,13 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         if png.is_png(b):
             arr = png.decode(b)
             return arr.shape[1], arr.shape[0], arr.shape[2]
-        jpeg = _jpeg_dims(b)
-        if jpeg is not None:
-            return jpeg
-        gif = _gif_dims(b)
-        if gif is not None:
-            return gif
+        for sniff in (_jpeg_dims, _gif_dims, _bmp_dims):
+            d = sniff(b)
+            if d is not None:
+                return d
         if strict:
             raise NotImplementedError(
-                "only PNG/JPEG/GIF headers parse without a codec "
+                "only PNG/JPEG/GIF/BMP headers parse without a codec "
                 "library; wire Pillow/libvips here for other formats"
             )
         return _fake_dims(b)
@@ -136,6 +134,27 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
             return width, height, channels
         pos += 2 + seglen
     return None
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the BMP BITMAPINFOHEADER (public
+    layout: 'BM' + file header 14 bytes + DIB header with i32le
+    width/height at 18/22 and u16le bit count at 28; height may be
+    negative for top-down rows). The 2-byte magic alone is too weak a
+    sniff (any text starting 'BM…' would match), so the zeroed
+    reserved fields and a known DIB header size are required too."""
+    if len(b) < 30 or b[:2] != b"BM":
+        return None
+    if b[6:10] != bytes(4):  # reserved fields must be zero
+        return None
+    dib = int.from_bytes(b[14:18], "little")
+    if dib not in (12, 40, 52, 56, 108, 124):  # known DIB header sizes
+        return None
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bits = int.from_bytes(b[28:30], "little")
+    channels = max(1, bits // 8)
+    return width, height, channels
 
 
 def _gif_dims(b: bytes) -> tuple[int, int, int] | None:

@@ -734,3 +734,11 @@ def test_spark_write_order_preserving_byte_parity(spark, tmp_path, fmt):
     # both formats are headerless concatenated-value streams, so the
     # per-partition blobs concatenate to the single-process encoding
     assert got == encode_records(fmt, records)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=4096))
+def test_pure_snappy_roundtrip_property(payload):
+    from rq_spark.formats.codecs import snappy_pure as sp
+
+    assert sp.decompress(sp.compress(payload)) == payload

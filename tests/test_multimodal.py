@@ -198,3 +198,14 @@ def test_spark_decode_jpeg_gif_header_dims(spark):
     assert (rows[0].width, rows[0].height, rows[0].channels) == (320, 240, 3)
     assert (rows[1].width, rows[1].height, rows[1].channels) == (64, 8, 1)
     assert (rows[2].width, rows[2].height, rows[2].channels) == (100, 50, 3)
+
+
+def test_spark_decode_bmp_header_dims(spark):
+    import struct
+
+    # minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    dib = struct.pack("<IiiHH", 40, 200, -120, 1, 24) + bytes(20)  # top-down
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+    df = spark.createDataFrame([(0, bytearray(bmp))], "img_id long, payload binary")
+    [r] = M.decode_image(df, strict=True).collect()
+    assert (r.width, r.height, r.channels) == (200, 120, 3)

@@ -137,3 +137,17 @@ def test_spark_features_real_png_histogram(spark):
     assert rows[0][0] == pytest.approx(1.0)
     assert sum(rows[0]) == pytest.approx(1.0)
     assert rows[1][-1] == pytest.approx(1.0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    arr = _rand(h, w, c, seed % 2**31)
+    assert np.array_equal(png.decode(png.encode(arr)), arr)
