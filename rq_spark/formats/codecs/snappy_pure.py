@@ -53,7 +53,7 @@ def _uvarint_decode(data: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return acc, pos
         shift += 7
-        if shift > 35:
+        if shift > 28:  # uncompressed length is a 32-bit quantity
             raise AvroDecodeError("snappy: preamble varint too long")
 
 
@@ -107,6 +107,10 @@ def decompress(data: bytes) -> bytes:
             n += 1
             if pos + n > len(data):
                 raise AvroDecodeError("snappy: truncated literal body")
+            if len(out) + n > want:  # bound growth inside the loop —
+                # a crafted stream must not balloon past the preamble
+                # length before the final check (decompression bomb)
+                raise AvroDecodeError("snappy: output exceeds preamble length")
             out += data[pos : pos + n]
             pos += n
             continue
@@ -130,6 +134,8 @@ def decompress(data: bytes) -> bytes:
             pos += 4
         if offset == 0 or offset > len(out):
             raise AvroDecodeError("snappy: copy offset out of range")
+        if len(out) + length > want:  # same bomb bound for copies
+            raise AvroDecodeError("snappy: output exceeds preamble length")
         if offset >= length:
             start = len(out) - offset
             out += out[start : start + length]

@@ -78,11 +78,16 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         if png.is_png(b):
             arr = png.decode(b)
             return arr.shape[1], arr.shape[0], arr.shape[2]
-        for sniff in (_jpeg_dims, _gif_dims, _bmp_dims):
-            d = sniff(b)
-            if d is not None:
-                return d
         if strict:
+            # header-only sniffs (no pixel decode) are STRICT-mode
+            # only: in strict=False the fake-dims contract must hold
+            # unconditionally for every non-PNG payload, or a text
+            # document that happens to start with 'GIF87a'/'BM'
+            # would silently diverge from the sha256-derived oracle.
+            for sniff in (_jpeg_dims, _gif_dims, _bmp_dims):
+                d = sniff(b)
+                if d is not None:
+                    return d
             raise NotImplementedError(
                 "only PNG/JPEG/GIF/BMP headers parse without a codec "
                 "library; wire Pillow/libvips here for other formats"
@@ -117,7 +122,12 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
+        # the spec allows runs of 0xFF fill bytes before a marker
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
+        if marker == 0xD9:  # EOI terminates the stream
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             pos += 2
             continue
@@ -137,22 +147,31 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
 
 
 def _bmp_dims(b: bytes) -> tuple[int, int, int] | None:
-    """(width, height, channels) from the BMP BITMAPINFOHEADER (public
-    layout: 'BM' + file header 14 bytes + DIB header with i32le
-    width/height at 18/22 and u16le bit count at 28; height may be
-    negative for top-down rows). The 2-byte magic alone is too weak a
-    sniff (any text starting 'BM…' would match), so the zeroed
-    reserved fields and a known DIB header size are required too."""
-    if len(b) < 30 or b[:2] != b"BM":
+    """(width, height, channels) from the BMP DIB header (public
+    layout: 'BM' + 14-byte file header, then either BITMAPCOREHEADER
+    — size 12, u16le width/height at 18/20, bit count at 24 — or the
+    INFO-family headers with i32le width/height at 18/22 and u16le
+    bit count at 28; height may be negative for top-down rows). The
+    2-byte magic alone is too weak a sniff (any text starting 'BM…'
+    would match), so the zeroed reserved fields and a known DIB
+    header size are required too."""
+    if len(b) < 26 or b[:2] != b"BM":
         return None
     if b[6:10] != bytes(4):  # reserved fields must be zero
         return None
     dib = int.from_bytes(b[14:18], "little")
-    if dib not in (12, 40, 52, 56, 108, 124):  # known DIB header sizes
+    if dib == 12:  # OS/2 BITMAPCOREHEADER: u16 fields, no negatives
+        width = int.from_bytes(b[18:20], "little")
+        height = int.from_bytes(b[20:22], "little")
+        bits = int.from_bytes(b[24:26], "little")
+    elif dib in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+        if len(b) < 30:
+            return None
+        width = int.from_bytes(b[18:22], "little", signed=True)
+        height = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bits = int.from_bytes(b[28:30], "little")
+    else:
         return None
-    width = int.from_bytes(b[18:22], "little", signed=True)
-    height = abs(int.from_bytes(b[22:26], "little", signed=True))
-    bits = int.from_bytes(b[28:30], "little")
     channels = max(1, bits // 8)
     return width, height, channels
 

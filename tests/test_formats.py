@@ -495,6 +495,29 @@ def test_pure_snappy_full_tag_set():
         sp.decompress(bytes([3, (1 << 2) | 1, 9]))  # offset beyond output
 
 
+def test_pure_snappy_bomb_bounded():
+    """r6 ADVICE fix: output growth is bounded INSIDE the decode loop —
+    a crafted stream of repeated max-length copies must fail fast at
+    the preamble length, not balloon memory first."""
+    from rq_spark.errors import AvroDecodeError
+    from rq_spark.formats.codecs import snappy_pure as sp
+
+    # preamble says 4 bytes; stream emits a literal of 4 then tries to
+    # keep copying 64-byte runs — must raise on the first excess copy
+    bomb = (
+        bytes([4, (4 - 1) << 2]) + b"abcd"
+        + bytes([(63 << 2) | 2]) + (4).to_bytes(2, "little") * 1
+    )
+    with pytest.raises(AvroDecodeError, match="exceeds preamble"):
+        sp.decompress(bomb)
+    # oversized literal is bounded too
+    with pytest.raises(AvroDecodeError, match="exceeds preamble"):
+        sp.decompress(bytes([1, (3 - 1) << 2]) + b"xyz")
+    # 64-bit-scale preamble varints are rejected outright
+    with pytest.raises(AvroDecodeError, match="varint too long"):
+        sp.decompress(bytes([0x80] * 5 + [0x01]))
+
+
 # ------------------------------------------------- error taxonomy (P9)
 
 

@@ -209,3 +209,27 @@ def test_spark_decode_bmp_header_dims(spark):
     df = spark.createDataFrame([(0, bytearray(bmp))], "img_id long, payload binary")
     [r] = M.decode_image(df, strict=True).collect()
     assert (r.width, r.height, r.channels) == (200, 120, 3)
+
+
+def test_bmp_core_header_layout():
+    """r6 ADVICE fix: OS/2 BITMAPCOREHEADER (DIB size 12) uses u16
+    width/height at 18/20 and bit count at 24 — not the INFO layout."""
+    import struct
+
+    core = struct.pack("<IHHHH", 12, 320, 200, 1, 24)
+    bmp = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + core
+    assert M._bmp_dims(bmp) == (320, 200, 3)
+
+
+def test_jpeg_dims_fill_bytes_and_eoi():
+    """r6 ADVICE fix: 0xFF fill bytes before a marker are legal and
+    must be skipped; EOI terminates the scan without dims."""
+    import struct
+
+    soi = b"\xff\xd8"
+    sof_body = b"\x08" + struct.pack(">HH", 77, 99) + b"\x03" + bytes(9)
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    padded = soi + b"\xff\xff\xff" + sof  # fill bytes before SOF
+    assert M._jpeg_dims(padded) == (99, 77, 3)
+    # EOI before any SOF → no dims, not a bogus read
+    assert M._jpeg_dims(soi + b"\xff\xd9" + sof) is None
