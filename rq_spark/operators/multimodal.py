@@ -2,12 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 Decode is REAL for PNG payloads (operators/png.py — a pure-Python
-codec from the public PNG spec; zlib + numpy, no image libs needed):
-``decode_image`` reads true dimensions/channels, ``resize_image``
-nearest-neighbor-resamples actual pixels and re-encodes, and
-``extract_features`` computes a normalized grayscale histogram of the
-decoded image. Other formats (JPEG etc.) still need a codec lib, so
-they keep the two documented stub modes (SURVEY.md build brief):
+codec from the public PNG spec; zlib + numpy, no image libs needed)
+and, since r6, for baseline JPEG payloads (operators/jpeg.py — the
+ITU-T T.81 spec codec): ``decode_image`` reads true
+dimensions/channels, ``resize_image`` nearest-neighbor-resamples
+actual pixels and re-encodes, and ``extract_features`` computes a
+normalized grayscale histogram of the decoded image. Other formats
+still need a codec lib, so they keep the two documented stub modes
+(SURVEY.md build brief):
 
 * ``decode_image(strict=True)`` raises ``NotImplementedError`` for
   non-PNG payloads — the honest production placeholder;
@@ -194,7 +196,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
     visual signature). Other payloads get the deterministic sha256
     fake (stands in for a model forward pass; Arrow-batched so a real
     model would amortize per batch)."""
-    from . import png
+    from . import jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -203,8 +205,12 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
 
     def feat(p) -> list[float]:
         b = bytes(p)
+        arr = None
         if png.is_png(b):
             arr = png.decode(b)
+        elif jpeg.is_jpeg(b):
+            arr = jpeg.decode(b)
+        if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
             return (hist.astype(np.float32) / np.float32(max(gray.size, 1))).tolist()
@@ -472,18 +478,19 @@ def resize_image(
     height: int = 64,
 ) -> DataFrame:
     """Resize payloads to width×height, channels preserved — the third
-    multimodal pipeline stage (decode → resize → features). PNG
-    payloads are resized for REAL: decoded, nearest-neighbor
-    resampled, and re-encoded as PNG (operators/png.py — binary in,
-    binary out, true pixels). Other payloads keep the stub (the input
+    multimodal pipeline stage (decode → resize → features). PNG and
+    baseline-JPEG payloads are resized for REAL: decoded,
+    nearest-neighbor resampled, and re-encoded in their own format
+    (operators/png.py, operators/jpeg.py — binary in, binary out,
+    true pixels). Other payloads keep the stub (the input
     bytes tiled/truncated to exactly width·height·channels bytes,
     channels from the shared fake-decode rule), which is deterministic
     and keeps the plumbing under test for any payload: Arrow both
     ways, per-batch memory O(batch·frame), output column sized by
-    data-dependent channels. In production the non-PNG branch becomes
-    ``PIL.Image.open(...).resize((width, height))``.
+    data-dependent channels. In production the remaining branch
+    becomes ``PIL.Image.open(...).resize((width, height))``.
     """
-    from . import png
+    from . import jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -501,6 +508,14 @@ def resize_image(
                 if png.is_png(b):
                     arr = png.decode(b)
                     resized.append(png.encode(png.resize_nearest(arr, width, height)))
+                    chans.append(arr.shape[2])
+                    continue
+                if jpeg.is_jpeg(b):
+                    arr = jpeg.decode(b)
+                    small = png.resize_nearest(arr, width, height)
+                    resized.append(
+                        jpeg.encode(small[:, :, 0] if small.shape[2] == 1 else small)
+                    )
                     chans.append(arr.shape[2])
                     continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -439,26 +440,52 @@ JOIN resized USING (doc_id)
 """
 
 
+def _jpeg_source_pixels(nb: int):
+    """Deterministic smooth grayscale test image derived from a byte
+    count — shared by the synth and verify stages of mm_real_decode so
+    the decoded pixels have a recomputable ground truth."""
+    import numpy as np
+
+    w = 16
+    h = max(1, -(-nb // w))
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.round(
+        128 + 80 * np.sin((xx + (nb % 11)) / 5.0) * np.cos(yy / 4.0)
+    ).astype(np.uint8)
+
+
 def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal codecs under the driver hash: for every document,
     synthesize a PNG (16px-wide grayscale image of the text bytes), a
-    WAV (16-bit mono PCM of the text bytes at 8 kHz) and an MP4
-    (duration = byte count in ms) — then run the REAL decoders
-    (operators/png.py spec codec, stdlib wave, the ISO-BMFF box walk)
-    in STRICT mode and emit their outputs. Every output column derives
-    arithmetically from the text's byte length, so the oracle
-    recomputes all of it in SQL: a regression in any real codec (or in
-    the strict-mode dispatch) flips the hash. Payloads are built and
-    decoded executor-side in Arrow batches; nothing but scalars leaves."""
+    baseline JPEG (smooth 16px-wide grayscale derived from the byte
+    count), a WAV (16-bit mono PCM of the text bytes at 8 kHz), a
+    square-wave tone WAV (amplitude/period derived from the byte
+    count), and an MP4 (duration = byte count in ms) — then run the
+    REAL decoders (operators/png.py + operators/jpeg.py spec codecs,
+    stdlib wave, the ISO-BMFF box walk) in STRICT mode and emit their
+    outputs. Every output column derives arithmetically from the
+    text's byte length, so the oracle recomputes all of it in SQL: a
+    regression in any real codec (or in the strict-mode dispatch)
+    flips the hash. The lossy JPEG branch emits a pixel-tolerance
+    assertion (decode(encode(x)) within the quantization bound of x,
+    the dedup_simhash pattern); the tone branch emits EXACT columns —
+    the windowed RMS of a ±A square wave is exactly A/32768 in IEEE
+    arithmetic (every step representable), so round(rms·32768) == A,
+    and the zero-crossing rate is the exact rational ⌊(N−1)/k⌋/(N−1)
+    both engines compute with one double division. Payloads are built
+    and decoded executor-side in Arrow batches; nothing but scalars
+    leaves."""
     import math
 
     import pandas as pd
 
+    from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
     from ..operators.multimodal import (
         decode_audio,
         decode_image,
         decode_video_meta,
+        extract_audio_features,
         extract_features,
         mp4_stub_bytes,
     )
@@ -471,42 +498,87 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
+        def wav_bytes(frames: bytes) -> bytes:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(8000)
+                wv.writeframes(frames)
+            return buf.getvalue()
+
         for pdf in batches:
-            pngs, wavs, mp4s = [], [], []
+            pngs, jpegs, wavs, tones, mp4s = [], [], [], [], []
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
+                nb = len(b)
                 w = 16
-                h = max(1, math.ceil(len(b) / w))
+                h = max(1, math.ceil(nb / w))
                 arr = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
                 pngs.append(png_codec.encode(arr.reshape(h, w, 1)))
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as wv:
-                    wv.setnchannels(1)
-                    wv.setsampwidth(2)
-                    wv.setframerate(8000)
-                    wv.writeframes(b[: len(b) // 2 * 2])
-                wavs.append(buf.getvalue())
-                mp4s.append(mp4_stub_bytes(duration_ms=len(b)))
+                jpegs.append(
+                    jpeg_codec.encode(_jpeg_source_pixels(nb), quality=95)
+                )
+                wavs.append(wav_bytes(b[: nb // 2 * 2]))
+                n_s = 64 + nb % 64
+                k = 1 + nb % 7
+                amp = 1000 + (nb % 100) * 300
+                sign = 1 - 2 * ((np.arange(n_s) // k) % 2)
+                tones.append(wav_bytes((amp * sign).astype("<i2").tobytes()))
+                mp4s.append(mp4_stub_bytes(duration_ms=nb))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "text": pdf["text"],  # kept for the verify stage
                     "png_payload": pngs,
+                    "jpeg_payload": jpegs,
                     "wav_payload": wavs,
+                    "tone_payload": tones,
                     "mp4_payload": mp4s,
                 }
             )
 
     d = docs.mapInPandas(
         synth,
-        "doc_id long, png_payload binary, wav_payload binary, mp4_payload binary",
+        "doc_id long, text string, png_payload binary, jpeg_payload binary, "
+        "wav_payload binary, tone_payload binary, mp4_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
         {"width": "png_width", "height": "png_height", "channels": "png_channels"}
     )
     d = extract_features(d, "png_payload", dim=8)
+
+    # JPEG: real header parse for dims, then a full spec-codec decode
+    # verified against the deterministic source pixels
+    d = decode_image(d, "jpeg_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {"width": "jpeg_width", "height": "jpeg_height", "channels": "jpeg_channels"}
+    )
+
+    def jpeg_verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            oks = []
+            for p, t in zip(pdf["jpeg_payload"], pdf["text"]):
+                nb = len((t or "").encode("utf-8"))
+                decoded = jpeg_codec.decode(bytes(p))[:, :, 0]
+                src = _jpeg_source_pixels(nb)
+                oks.append(
+                    decoded.shape == src.shape
+                    and int(np.abs(decoded.astype(int) - src.astype(int)).max()) <= 8
+                )
+            yield pdf.assign(jpeg_pix_ok=oks)
+
+    verify_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("jpeg_pix_ok", T.BooleanType())]
+    )
+    d = d.mapInPandas(jpeg_verify, verify_schema)
+
     d = decode_audio(d, "wav_payload", strict=True)
     d = d.withColumnRenamed("duration_s", "wav_duration_s")
+    d = extract_audio_features(d, "tone_payload", n_windows=8)
     d = decode_video_meta(d, "mp4_payload", strict=True)
     return d.select(
         "doc_id",
@@ -521,9 +593,24 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < 1e-4
         ).alias("png_hist_ok"),
+        "jpeg_width",
+        "jpeg_height",
+        F.col("jpeg_channels").cast("int").alias("jpeg_channels"),
+        "jpeg_pix_ok",
         F.col("sample_rate").alias("wav_sample_rate"),
         F.col("n_samples").alias("wav_n_samples"),
         "wav_duration_s",
+        # tone RMS quantizes exactly back to the amplitude (docstring)
+        F.round(
+            F.aggregate(
+                "rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / 8.0
+            * 32768.0
+        )
+        .cast("bigint")
+        .alias("tone_rms_q"),
+        F.col("zero_cross_rate").alias("tone_zcr"),
         F.col("duration_s").alias("mp4_duration_s"),
         F.col("width").alias("mp4_width"),
         F.col("height").alias("mp4_height"),
@@ -532,20 +619,31 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_REAL_SQL = """
-WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+     t AS (SELECT doc_id, nb,
+                  64 + (nb % 64) AS n_s,
+                  1 + (nb % 7) AS k,
+                  1000 + (nb % 100) * 300 AS amp
+           FROM n)
 SELECT doc_id,
        16 AS png_width,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS png_height,
        1 AS png_channels,
        TRUE AS png_hist_ok,
+       16 AS jpeg_width,
+       GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS jpeg_height,
+       1 AS jpeg_channels,
+       TRUE AS jpeg_pix_ok,
        8000 AS wav_sample_rate,
        CAST(nb // 2 AS BIGINT) AS wav_n_samples,
        (nb // 2) / 8000.0 AS wav_duration_s,
+       CAST(amp AS BIGINT) AS tone_rms_q,
+       CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS tone_zcr,
        nb / 1000.0 AS mp4_duration_s,
        64 AS mp4_width,
        32 AS mp4_height,
        1 AS mp4_tracks
-FROM n
+FROM t
 """
 
 

@@ -1,0 +1,129 @@
+"""Baseline JPEG spec codec (operators/jpeg.py, r6): roundtrips within
+quantization tolerance, marker/profile rejects, decoder resync."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rq_spark.operators import jpeg
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    rs = np.random.RandomState(seed)
+    a, b_ = rs.uniform(5, 15, 2)
+    return np.dstack(
+        [
+            np.sin(yy / a) * 50 + 128,
+            np.cos(xx / b_) * 40 + 100,
+            (yy + xx) / 2 % 120 + 60,
+        ]
+    ).astype(np.uint8)
+
+
+def test_zigzag_matches_spec_literal():
+    # T.81 figure 5, first row of the published sequence
+    assert jpeg.ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert jpeg.ZIGZAG[-1] == 63
+    assert np.array_equal(jpeg.ZIGZAG[jpeg.UNZIGZAG], np.arange(64))
+
+
+def test_constant_gray_roundtrips_exactly():
+    a = np.full((16, 16), 130, np.uint8)
+    out = jpeg.decode(jpeg.encode(a, quality=95))
+    assert out.shape == (16, 16, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - 130).max()) <= 1
+
+
+def test_smooth_gray_tolerance():
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = (np.sin(yy / 9) * 60 + np.cos(xx / 7) * 50 + 128).astype(np.uint8)
+    out = jpeg.decode(jpeg.encode(g, quality=95))
+    assert out.shape == (40, 56, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - g.astype(int)).max()) <= 3
+
+
+@pytest.mark.parametrize("subsample,tol", [(False, 6), (True, 16)])
+def test_rgb_odd_dims_roundtrip(subsample, tol):
+    rgb = _smooth(37, 51, seed=3)
+    out = jpeg.decode(jpeg.encode(rgb, quality=95, subsample=subsample))
+    assert out.shape == rgb.shape
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= tol
+
+
+def test_restart_interval_resync():
+    rgb = _smooth(37, 51, seed=5)
+    plain = jpeg.decode(jpeg.encode(rgb, quality=95))
+    blob = jpeg.encode(rgb, quality=95, restart_interval=3)
+    assert b"\xff\xdd" in blob  # DRI emitted
+    out = jpeg.decode(blob)
+    # restart markers change the byte stream but not the pixels
+    assert np.array_equal(out, plain)
+
+
+def test_noise_bounded_by_quantization():
+    n = np.random.RandomState(7).randint(0, 256, (24, 24, 3), np.uint8)
+    out = jpeg.decode(jpeg.encode(n, quality=95))
+    assert int(np.abs(out.astype(int) - n.astype(int)).max()) <= 32
+
+
+def test_quality_scaling_convention():
+    # IJG formula: q=50 is the base table; lower q scales up
+    assert np.array_equal(jpeg.quality_scale(jpeg.STD_LUM_Q, 50), jpeg.STD_LUM_Q)
+    assert (jpeg.quality_scale(jpeg.STD_LUM_Q, 10) >= jpeg.STD_LUM_Q).all()
+    assert (jpeg.quality_scale(jpeg.STD_LUM_Q, 95) <= jpeg.STD_LUM_Q).all()
+    assert jpeg.quality_scale(jpeg.STD_LUM_Q, 100).min() == 1
+
+
+def test_rejects_unsupported_profiles():
+    blob = jpeg.encode(_smooth(16, 16, seed=1), quality=90)
+    with pytest.raises(jpeg.JpegFormatError, match="SOI"):
+        jpeg.decode(b"nope" + blob)
+    with pytest.raises(jpeg.JpegFormatError, match="baseline"):
+        jpeg.decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    # 12-bit precision: patch the SOF0 precision byte
+    i = blob.find(b"\xff\xc0")
+    bad = bytearray(blob)
+    bad[i + 4] = 12
+    with pytest.raises(jpeg.JpegFormatError, match="12-bit"):
+        jpeg.decode(bytes(bad))
+    # truncated scan
+    with pytest.raises(jpeg.JpegFormatError, match="truncated|Huffman"):
+        jpeg.decode(blob[: len(blob) // 2])
+
+
+def test_dims_sniff_agrees_with_decode():
+    from rq_spark.operators.multimodal import _jpeg_dims
+
+    rgb = _smooth(33, 47, seed=9)
+    blob = jpeg.encode(rgb, quality=90, subsample=True)
+    assert _jpeg_dims(blob) == (47, 33, 3)
+    assert jpeg.decode(blob).shape == (33, 47, 3)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([1, 3]), st.booleans(), st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, nc, subsample, seed):
+    """Any size (including non-multiples of 8/16), gray or RGB,
+    4:4:4 or 4:2:0: decode(encode(x)) stays within quantization
+    tolerance of x for smooth content."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    rs = np.random.RandomState(seed)
+    base = (np.sin(yy / rs.uniform(4, 20)) * 40
+            + np.cos(xx / rs.uniform(4, 20)) * 40 + 128)
+    if nc == 1:
+        img = base.astype(np.uint8)
+    else:
+        img = np.dstack([base, base * 0.7 + 30, 255 - base]).astype(np.uint8)
+    out = jpeg.decode(jpeg.encode(img, quality=95, subsample=subsample))
+    assert out.shape == (h, w, nc)
+    tol = 16 if (subsample and nc == 3) else 6
+    assert int(np.abs(out.astype(int) - img.reshape(h, w, nc).astype(int)).max()) <= tol
