@@ -759,6 +759,43 @@ def test_spark_write_order_preserving_byte_parity(spark, tmp_path, fmt):
     assert got == encode_records(fmt, records)
 
 
+@pytest.mark.parametrize("fmt", ["json", "msgpack"])
+def test_transcode_path_order_parity_multifile(spark, tmp_path, fmt):
+    """r6 (r5 advice #6): the FULL pipeline — a multi-FILE (hence
+    multi-partition) source through ``transcode_path(order_by=...)``
+    — concatenates in part order to exactly the bytes the reference's
+    single-threaded identity pipe would emit over the sorted records.
+    ≥4 output partitions so range boundaries are genuinely exercised
+    on both the Spark-native writer (json) and the codec committer
+    (msgpack)."""
+    from rq_spark.formats import spark_io
+
+    records = [{"i": i, "s": f"row-{i:04d}", "t": i % 7 == 0} for i in range(400)]
+    src = tmp_path / "in_many"
+    src.mkdir()
+    for f in range(4):  # 4 source files, interleaved round-robin
+        (src / f"chunk-{f}.json").write_text(
+            "".join(json.dumps(r) + "\n" for r in records[f::4])
+        )
+
+    out = tmp_path / f"piped_{fmt}"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        spark_io.transcode_path(
+            spark, "json", str(src), fmt, str(out), out_opts={"order_by": "i"}
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    parts = sorted(
+        p for p in out.iterdir()
+        if p.name.startswith("part-") and not p.name.endswith(".crc")
+    )
+    assert len(parts) >= 4, f"only {len(parts)} partitions — fixture too narrow"
+    got = b"".join(p.read_bytes() for p in parts)
+    assert got == encode_records(fmt, records)
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.binary(max_size=4096))
 def test_pure_snappy_roundtrip_property(payload):

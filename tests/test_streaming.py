@@ -102,3 +102,85 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_with_state_metrics(spark, tmp_path):
+    """r6 (r5 advice #7): a REAL micro-batch run — not batch-mode
+    equivalence — where late data arrives after the watermark has
+    advanced. Asserts the state store reports the drop
+    (numRowsDroppedByWatermark > 0), the progress stream carries
+    throughput evidence, and the emitted window EXCLUDES the late row
+    (n=1, not 2)."""
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, ts timestamp"
+        )
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(p for p in staging.iterdir() if p.name.startswith("part-"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    t = datetime(2026, 1, 1, 12, 0, 0)
+    late = datetime(2026, 1, 1, 12, 3, 0)
+    ahead = datetime(2026, 1, 1, 14, 0, 0)
+    # batch 1: one row in the 12:00 window, one far ahead that will
+    # push the watermark to 13:50 (14:00 − 10 min)
+    drop_file(
+        [Row(user_id=1, event_type="view", value=1.0, ts=t),
+         Row(user_id=2, event_type="view", value=2.0, ts=ahead)],
+        "f1",
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = streaming.tumble_counts(stream, width="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rqs_late_evidence")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-passed 12:00 window
+        drop_file(
+            [Row(user_id=3, event_type="view", value=9.0, ts=late)], "f2"
+        )
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        q.stop()
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "late row was not dropped by the watermark"
+    # throughput/latency evidence is recorded per micro-batch
+    assert any("processedRowsPerSecond" in p for p in progresses)
+    assert any(
+        op.get("numRowsTotal", 0) > 0
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    # the finalized 12:00 window must NOT include the dropped late row
+    out = {
+        (r.window_start.hour, r.window_start.minute): r.n
+        for r in spark.table("rqs_late_evidence").collect()
+    }
+    assert out.get((12, 0)) == 1
