@@ -11,12 +11,14 @@ formats keep the documented stub until a codec lib is wired in
 production (JPEG has its own spec codec in operators/jpeg.py).
 
 Supported (r6 widened): bit depths 1/2/4/8/16; color types 0 (gray),
-2 (RGB), 3 (palette, PLTE), 4 (gray+alpha), 6 (RGBA); non-interlaced
-only. Sub-byte grayscale is scaled to 8-bit by bit replication
-(x * 255/(2^d-1), exact); 16-bit samples are reduced to 8-bit via the
-high byte (libpng's classic 16→8 strip). Rejected loudly: interlaced
-(Adam7) images and depth/color combinations the spec disallows
-(PNG spec table 11.1).
+2 (RGB), 3 (palette, PLTE), 4 (gray+alpha), 6 (RGBA); both
+non-interlaced and Adam7-interlaced images (each interlace pass is an
+independently filtered sub-image, decoded and scattered onto the
+output grid). Sub-byte grayscale is scaled to 8-bit by bit
+replication (x * 255/(2^d-1), exact); 16-bit samples are reduced to
+8-bit via the high byte (libpng's classic 16→8 strip). Rejected
+loudly: depth/color combinations the spec disallows (PNG spec table
+11.1) and unknown interlace methods.
 
 Performance (r6): scanline un-filtering is the codec's hot loop.
 Filter 1 (Sub) is a per-byte-lane mod-256 prefix sum → one uint8
@@ -30,7 +32,9 @@ and a precomputed 16 MiB predictor table P[b<<16|c<<8|a] stored as a
 ``bytes`` object (C-speed subscript, built lazily on first Paeth row,
 ~1 s once per process), unrolled 4×. Measured on a 200×200 RGB
 all-Paeth fixture: 0.78 µs/byte (r5 per-element numpy indexing) →
-0.18 µs/byte, a 4.4× speedup — at the CPython floor, where the cost
+0.18 µs/byte, a 4.4× speedup on an idle machine (~2.9× under heavy
+co-tenant load — the table's random 16 MiB working set is
+cache-contention-sensitive) — at the CPython floor, where the cost
 is the interpreter's per-element machinery (one large-int index
 allocation + one bytes subscript + add/mask/append ≈ 170 ns), not the
 arithmetic. Beating ~4.5× requires a compiled kernel, which this
@@ -197,16 +201,47 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 interlace passes (PNG spec 8.2): (y0, x0, dy, dx)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
+def _to_samples(
+    rows: np.ndarray, h: int, w: int, depth: int, channels: int
+) -> np.ndarray:
+    """Unfiltered byte rows → raw uint8 samples (h, w, channels).
+    Sub-byte samples come back UNSCALED (gray scaling / palette lookup
+    happen once on the assembled image); 16-bit keeps the high byte."""
+    if depth == 8:
+        return rows.reshape(h, w, channels)
+    if depth == 16:  # big-endian sample pairs → keep the high byte
+        return np.ascontiguousarray(rows.reshape(h, w, channels, 2)[..., 0])
+    # 1/2/4-bit: color types 0 and 3 only (1 sample per pixel)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, w, depth) * weights).sum(axis=2, dtype=np.uint16)
+    return samples.astype(np.uint8)[:, :, None]
+
+
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (height, width, channels).
 
     Palette images come back expanded to RGB; sub-byte grayscale is
     scaled to 8-bit by bit replication; 16-bit is high-byte-stripped.
+    Adam7-interlaced images decode pass-by-pass (each pass is an
+    independently filtered sub-image scattered onto the output grid).
     """
     if not is_png(data):
         raise PngFormatError("not a PNG (bad signature)")
     width = height = None
-    depth = color = channels = 0
+    depth = color = channels = interlace = 0
     plte: np.ndarray | None = None
     idat = bytearray()
     for ctype, body in _chunks(data):
@@ -220,8 +255,8 @@ def decode(data: bytes) -> np.ndarray:
                 raise PngFormatError(
                     f"invalid bit depth {depth} for color type {color}"
                 )
-            if interlace:
-                raise PngFormatError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise PngFormatError(f"unknown interlace method {interlace}")
             channels = _CHANNELS[color]
         elif ctype == b"PLTE":
             if len(body) % 3 or not 3 <= len(body) <= 768:
@@ -240,32 +275,40 @@ def decode(data: bytes) -> np.ndarray:
     except zlib.error as e:
         raise PngFormatError(f"IDAT corrupt: {e}") from e
     bits_pp = depth * channels
-    stride = (width * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
-    if len(raw) != (stride + 1) * height:
-        raise PngFormatError("decompressed size mismatch")
 
-    out = _unfilter(raw, height, stride, bpp)
-
-    if depth == 8:
-        px = out.reshape(height, width, channels)
-    elif depth == 16:  # big-endian sample pairs → keep the high byte
-        px = np.ascontiguousarray(out.reshape(height, width, channels, 2)[..., 0])
-    else:  # 1/2/4-bit: color types 0 and 3 only (1 sample per pixel)
-        bits = np.unpackbits(out, axis=1)[:, : width * depth]
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        samples = (bits.reshape(height, width, depth) * weights).sum(
-            axis=2, dtype=np.uint16
+    def decode_block(offset: int, h: int, w: int) -> tuple[np.ndarray, int]:
+        stride = (w * bits_pp + 7) // 8
+        need = (stride + 1) * h
+        block = raw[offset : offset + need]
+        if len(block) != need:
+            raise PngFormatError("decompressed size mismatch")
+        return _to_samples(_unfilter(block, h, stride, bpp), h, w, depth, channels), (
+            offset + need
         )
-        if color == 0:  # bit replication == exact integer scaling
-            samples = samples * (255 // ((1 << depth) - 1))
-        px = samples.astype(np.uint8)[:, :, None]
+
+    if interlace == 0:
+        px, end = decode_block(0, height, width)
+    else:  # Adam7: 7 independently-filtered sub-images
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        end = 0
+        for y0, x0, dy, dx in _ADAM7:
+            hp = -(-(height - y0) // dy) if height > y0 else 0
+            wp = -(-(width - x0) // dx) if width > x0 else 0
+            if hp == 0 or wp == 0:  # empty pass contributes no bytes
+                continue
+            sub, end = decode_block(end, hp, wp)
+            px[y0::dy, x0::dx] = sub
+    if end != len(raw):
+        raise PngFormatError("decompressed size mismatch")
 
     if color == 3:
         idx = px[..., 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise PngFormatError("palette index out of range")
         return plte[idx]  # (h, w, 3)
+    if color == 0 and depth < 8:  # bit replication == exact scaling
+        return (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return px
 
 
@@ -302,13 +345,22 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def encode(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+def _adam7_subs(a: np.ndarray):
+    """Non-empty Adam7 sub-images of ``a`` in pass order."""
+    for y0, x0, dy, dx in _ADAM7:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            yield sub
+
+
+def encode(arr: np.ndarray, *, filter_type: int = 0, interlace: bool = False) -> bytes:
     """uint8 (H, W[, C]) or uint16 (H, W[, C]) array → PNG bytes.
 
     uint16 input emits a 16-bit-depth PNG (big-endian samples).
     ``filter_type`` applies one filter to every scanline (0 = None,
     the fastest to decode; 4 = Paeth, what real encoders mostly emit —
-    used by tests to build realistic fixtures).
+    used by tests to build realistic fixtures). ``interlace`` emits
+    Adam7 (each pass filtered independently per the spec).
     """
     a = np.asarray(arr)
     depth = 16 if a.dtype == np.uint16 else 8
@@ -319,17 +371,22 @@ def encode(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
         raise PngFormatError(f"unsupported array shape {a.shape}")
     h, w, c = a.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-    if depth == 16:
-        rows = np.frombuffer(a.astype(">u2").tobytes(), np.uint8).reshape(
-            h, w * c * 2
-        )
-    else:
-        rows = np.ascontiguousarray(a).reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     bpp = max(1, (depth * c) // 8)
-    filt = _filter_rows(rows, bpp, filter_type)
     tag = bytes([filter_type])
-    raw = b"".join(tag + filt[y].tobytes() for y in range(h))
+
+    def stream(sub: np.ndarray) -> bytes:
+        hh, ww = sub.shape[0], sub.shape[1]
+        if depth == 16:
+            rows = np.frombuffer(sub.astype(">u2").tobytes(), np.uint8).reshape(
+                hh, ww * c * 2
+            )
+        else:
+            rows = np.ascontiguousarray(sub).reshape(hh, ww * c)
+        filt = _filter_rows(rows, bpp, filter_type)
+        return b"".join(tag + filt[y].tobytes() for y in range(hh))
+
+    raw = b"".join(map(stream, _adam7_subs(a))) if interlace else stream(a)
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -338,8 +395,20 @@ def encode(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
     )
 
 
+def _pack_sub_byte(a2d: np.ndarray, depth: int) -> bytes:
+    """(H, W) samples < 2^depth → filter-0 scanline stream at that bit
+    width (MSB-first packing per the spec)."""
+    h, w = a2d.shape
+    if depth == 8:
+        rows = np.ascontiguousarray(a2d)
+    else:
+        bits = np.unpackbits(a2d[:, :, None], axis=2)[:, :, 8 - depth :]
+        rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+    return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+
 def encode_indexed(
-    indices: np.ndarray, palette: np.ndarray, *, depth: int = 8
+    indices: np.ndarray, palette: np.ndarray, *, depth: int = 8, interlace: bool = False
 ) -> bytes:
     """(H, W) palette indices + (N, 3) palette → color-type-3 PNG.
 
@@ -354,13 +423,11 @@ def encode_indexed(
     if int(idx.max(initial=0)) >= min(len(pal), 1 << depth):
         raise PngFormatError("palette index out of range for depth/palette")
     h, w = idx.shape
-    if depth == 8:
-        rows = idx
-    else:  # pack each index into `depth` bits, MSB-first
-        bits = np.unpackbits(idx[:, :, None], axis=2)[:, :, 8 - depth :]
-        rows = np.packbits(bits.reshape(h, w * depth), axis=1)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
-    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    if interlace:
+        raw = b"".join(_pack_sub_byte(s, depth) for s in _adam7_subs(idx))
+    else:
+        raw = _pack_sub_byte(idx, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -370,7 +437,9 @@ def encode_indexed(
     )
 
 
-def encode_gray_lowdepth(arr: np.ndarray, *, depth: int) -> bytes:
+def encode_gray_lowdepth(
+    arr: np.ndarray, *, depth: int, interlace: bool = False
+) -> bytes:
     """(H, W) grayscale samples (< 2^depth) → 1/2/4-bit gray PNG.
     Fixture builder for the sub-byte grayscale decode path."""
     a = np.asarray(arr, dtype=np.uint8)
@@ -381,10 +450,11 @@ def encode_gray_lowdepth(arr: np.ndarray, *, depth: int) -> bytes:
     if int(a.max(initial=0)) >= 1 << depth:
         raise PngFormatError(f"sample out of range for depth {depth}")
     h, w = a.shape
-    bits = np.unpackbits(a[:, :, None], axis=2)[:, :, 8 - depth :]
-    rows = np.packbits(bits.reshape(h, w * depth), axis=1)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    if interlace:
+        raw = b"".join(_pack_sub_byte(s, depth) for s in _adam7_subs(a))
+    else:
+        raw = _pack_sub_byte(a, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, int(interlace))
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
