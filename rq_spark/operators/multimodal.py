@@ -56,8 +56,11 @@ def with_binary_payload(df: DataFrame, text_col: str, mime: str = "text/plain") 
 def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = True) -> DataFrame:
     """Decode payloads to (width, height, channels) via mapInPandas.
 
-    PNG payloads decode for REAL (operators/png.py — true header +
-    pixel validation, not just magic sniffing). For other formats:
+    PNG payloads parse for REAL (operators/png.py — CRC-checked IHDR
+    profile validation via ``header_dims``, not just magic sniffing;
+    dims-only work stays O(header) rather than O(pixels), which is
+    what this stage must cost at 100 TB — full pixel decode belongs
+    to extract_features/resize_image). For other formats:
     strict=True raises NotImplementedError (wire Pillow/libvips here
     in production), strict=False derives deterministic fake dimensions
     from the payload hash so the distributed plumbing is exercised for
@@ -77,9 +80,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
 
     def dims(p) -> tuple[int, int, int]:
         b = bytes(p)
-        if png.is_png(b):
-            arr = png.decode(b)
-            return arr.shape[1], arr.shape[0], arr.shape[2]
+        d = png.header_dims(b)
+        if d is not None:
+            return d
         if strict:
             # header-only sniffs (no pixel decode) are STRICT-mode
             # only: in strict=False the fake-dims contract must hold

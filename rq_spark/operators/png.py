@@ -128,6 +128,31 @@ def _paeth_table() -> bytes:
     return _PAETH_TABLE
 
 
+def header_dims(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from IHDR alone — the metadata fast
+    path (CRC-checked, no pixel inflate). None if not a PNG; raises
+    on an unsupported profile so dispatch stays loud. At scale this is
+    what a dims-only decode stage should pay: O(header), not
+    O(pixels)."""
+    if not is_png(data):
+        return None
+    for ctype, body in _chunks(data):
+        if ctype != b"IHDR":
+            raise PngFormatError("first chunk is not IHDR")
+        width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", body
+        )
+        if color not in _CHANNELS:
+            raise PngFormatError(f"unsupported color type {color}")
+        if depth not in _DEPTHS[color]:
+            raise PngFormatError(f"invalid bit depth {depth} for color type {color}")
+        if interlace not in (0, 1):
+            raise PngFormatError(f"unknown interlace method {interlace}")
+        # palette expands to RGB; gray/alpha report their sample count
+        return width, height, 3 if color == 3 else _CHANNELS[color]
+    raise PngFormatError("missing IHDR")
+
+
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the five scanline filters → (height, stride) raw bytes.
 
