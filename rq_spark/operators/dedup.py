@@ -4,9 +4,12 @@ Design for 100 TB (the whole point of these over a pairwise loop):
 
 * exact: one hash-shuffle on the normalized key — Spark's groupBy does
   map-side partial aggregation, so shuffled bytes ∝ distinct keys.
-* n-gram Jaccard: explode *distinct* shingles, self-join on shingle.
-  Cost ∝ Σ postings² per shingle — fine for verification and small
-  corpora, quadratic in the worst case; the scale path is MinHash-LSH.
+* n-gram Jaccard (exact): prefix filtering (All-Pairs/PPJoin) — order
+  each doc's shingles by ascending global document frequency, join
+  only on the first n−⌈t·n⌉+1 (rarest) tokens, verify candidates with
+  exact intersection counts. Provably lossless, cost ∝ Σ df_prefix²
+  over rare tokens instead of Σ df² over all postings. The brute
+  self-join survives as jaccard_pairs(candidates=None) for tests.
 * MinHash-LSH: signatures in one pass per document (aggregate fold,
   no Python), banding → candidates via equi-join on (band, hash) —
   work ∝ true near-duplicates, not n². Candidates are then verified
@@ -230,8 +233,7 @@ def minhash_dedup_pairs(
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
     cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
-    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
-    return jaccard_pairs(sh, threshold, candidates=cand)
+    return verify_jaccard_arrays(cand, sets, threshold)
 
 
 def text_dedup_bundle(
@@ -250,7 +252,13 @@ def text_dedup_bundle(
     feeds both pipelines. At 100 TB shingling dominates both costs, so
     running the scale path and its exact verification twin together
     halves the expensive pass; used by the merged `dedup_text` catalog
-    query, whose one action consumes both lazy results."""
+    query, whose one action consumes both lazy results.
+
+    Both branches are candidate-bounded: MinHash via LSH banding
+    (probabilistic, P(miss) ≈ 3e-6 per true pair), exact via prefix +
+    positional filtering (`prefix_filter_candidates` — provably
+    lossless), so neither side ever pays the Σdf² full self-join, and
+    both verify through the explosion-free `verify_jaccard_arrays`."""
     _release_caches("text_bundle")
     sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
@@ -259,8 +267,148 @@ def text_dedup_bundle(
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
     cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
-    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
-    return jaccard_pairs(sh, threshold, candidates=cand), jaccard_pairs(sh, threshold)
+    ex_cand = prefix_filter_candidates(sets, threshold)
+    return (
+        verify_jaccard_arrays(cand, sets, threshold),
+        verify_jaccard_arrays(ex_cand, sets, threshold),
+    )
+
+
+def prefix_filter_candidates(
+    sets: DataFrame, threshold: float, order: str = "df"
+) -> DataFrame:
+    """EXACT candidate pairs (a_id, b_id) for Jaccard >= threshold via
+    prefix + positional + size filtering (the All-Pairs / PPJoin
+    family: Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW 2007; Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW 2008 — public literature). Input is the
+    shingle-set relation (doc, sh_arr).
+
+    Prefix filter: J(a,b) >= t implies overlap c >= t·max(|a|,|b|), so
+    under ANY global total order on tokens, a and b must share a token
+    among each one's first p_s = n_s − ⌈t·n_s⌉ + 1 tokens (pigeonhole:
+    were all c common tokens outside the prefix, there would be at
+    most n_s − p_s = ⌈t·n_s⌉ − 1 < c of them). The equi-join therefore
+    runs on prefix tokens only — candidate-bounded, never the full
+    Σdf² self-join.
+
+    Positional filter (PPJoin): for a pair's FIRST matching token at
+    prefix positions (i, j), tokens before those positions are
+    pairwise disjoint (an earlier common token would be an earlier
+    match — both docs list tokens in the same global order), so
+    overlap <= 1 + min(na−i, nb−j); pairs whose bound misses the
+    Jaccard-required overlap ⌈t/(1+t)·(na+nb)⌉ are dropped before
+    verification. Implemented as min(i)/min(j) aggregates in the same
+    groupBy that dedups candidate pairs — pruning at zero extra
+    shuffle vs a plain distinct.
+
+    Size filter: min(na, nb) >= t·max(na, nb), the same necessary
+    condition, applied inside the join.
+
+    order="df" (default, the 100 TB-safe choice): tokens are ranked by
+    ascending global document frequency, so prefixes hold the RAREST
+    tokens and a high-df stopword shingle can never enter prefixes and
+    quadratically explode the candidate join. Costs one map-side-
+    combined df aggregate, one sh↔df equi-join, and one per-doc window
+    sort. order="hash": tokens are ranked by their (uniform) hash
+    value — prefixes come from array_sort + slice on sh_arr, pure
+    whole-stage codegen with ZERO extra shuffles, but pruning is
+    frequency-blind; right for corpora without pathological shingle
+    skew or when the corpus fits comfortably.
+
+    Float safety leans conservative everywhere (1e-6 slack on every
+    ⌈·⌉ and filter): rounding can only LENGTHEN a prefix or KEEP a
+    borderline candidate, never drop a true pair; extra candidates are
+    harmless because verification is exact. Tests prove equality with
+    the brute self-join at two thresholds; the driver's DuckDB oracle
+    (a full self-join) re-proves it per round."""
+    if order == "hash":
+        sz = F.size("sh_arr")
+        plen = sz - F.ceil(sz * threshold - 1e-6) + 1
+        prefix = sets.select(
+            "doc",
+            sz.alias("n"),
+            F.posexplode(F.slice(F.array_sort("sh_arr"), 1, plen)).alias(
+                "_p0", "shingle"
+            ),
+        ).select("doc", "shingle", (F.col("_p0") + 1).alias("_pos"), "n")
+    elif order == "df":
+        from pyspark.sql import Window
+
+        sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
+        tok_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy("doc").orderBy("_df", "shingle")
+        prefix = (
+            sh.join(tok_df, "shingle")
+            .select("doc", "shingle", F.row_number().over(w).alias("_pos"))
+            .join(sets.select("doc", F.size("sh_arr").alias("n")), "doc")
+            .filter(
+                F.col("_pos")
+                <= F.col("n") - F.ceil(F.col("n") * threshold - 1e-6) + 1
+            )
+        )
+    else:
+        raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
+
+    a = prefix.select(
+        F.col("doc").alias("a_id"),
+        "shingle",
+        F.col("_pos").alias("ia"),
+        F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc").alias("b_id"),
+        "shingle",
+        F.col("_pos").alias("ib"),
+        F.col("n").alias("nb"),
+    )
+    alpha = F.ceil(
+        (F.col("na") + F.col("nb")) * (threshold / (1.0 + threshold)) - 1e-6
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("na") >= F.col("nb") * threshold - 1e-6)
+            & (F.col("nb") >= F.col("na") * threshold - 1e-6)
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.min("ia").alias("i0"),
+            F.min("ib").alias("j0"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            1 + F.least(F.col("na") - F.col("i0"), F.col("nb") - F.col("j0"))
+            >= alpha
+        )
+        .select("a_id", "b_id")
+    )
+
+
+def verify_jaccard_arrays(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    shingle-set arrays: two equi-joins candidates↔sets, then
+    array_intersect in whole-stage codegen. Cost ∝ |candidates| ×
+    avg set size with NO intermediate row explosion — the exploded
+    alternative (candidates→shingles→shingles + groupBy count)
+    materializes |candidates| × |doc shingles| rows first, measured
+    4× slower at sf0.1. sh_arr is array_distinct by construction, so
+    sizes and intersection counts equal the set-semantics values the
+    oracle computes."""
+    sa = sets.select(F.col("doc").alias("a_id"), F.col("sh_arr").alias("_aa"))
+    sb = sets.select(F.col("doc").alias("b_id"), F.col("sh_arr").alias("_bb"))
+    c = F.size(F.array_intersect("_aa", "_bb")).cast("double")
+    j = c / (F.size("_aa") + F.size("_bb") - c)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -269,20 +417,25 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via the full shingle self-join
-    (MinHash's verification twin). The shingle relation is persisted:
-    it feeds the join twice plus the size table, and re-shingling the
-    corpus 3× costs more than the join itself (posting lists on real
-    text are short — Σdf² ≈ 10× the shingle count at sf0.1)."""
+    """Exact n-gram Jaccard pairs. With prefix_filter=True (default)
+    candidates come from `prefix_filter_candidates` and are verified
+    by `verify_jaccard_arrays` — provably the same result set as the
+    full self-join, but candidate-bounded (rare prefix tokens only).
+    prefix_filter=False keeps the brute Σdf² self-join as the
+    verification twin for tests."""
     _release_caches("ngram")
     sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
         .filter(F.size("sh_arr") > 0),
         scope="ngram",
     )
-    sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
-    return jaccard_pairs(sh, threshold)
+    if not prefix_filter:
+        sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
+        return jaccard_pairs(sh, threshold)
+    cand = prefix_filter_candidates(sets, threshold)
+    return verify_jaccard_arrays(cand, sets, threshold)
 
 
 # --------------------------------------------------------------------------

@@ -56,6 +56,61 @@ def test_jaccard_values_bounded(spark):
     assert all(0.5 <= r.jaccard <= 1.0 for r in rows)
 
 
+def test_prefix_filter_is_lossless_vs_brute_self_join(spark):
+    """The All-Pairs/PPJoin prefix+positional filter must reproduce
+    the brute Σdf² self-join EXACTLY — same pairs, same jaccard
+    values — at two thresholds (0.5 and a non-dyadic 0.7 exercising
+    the ⌈t·n⌉ float guards) under BOTH token orders (df and hash).
+    Also asserts the filter actually prunes: candidate pairs from
+    prefix tokens < candidate pairs from all tokens."""
+    from rq_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+        shingle_sets,
+        verify_jaccard_arrays,
+    )
+
+    docs = table(spark, SF, "documents")
+    sets = (
+        shingle_sets(docs, "text", "doc_id")
+        .filter(DQ.F.size("sh_arr") > 0)
+        .persist()
+    )
+    try:
+        for t in (0.5, 0.7):
+            brute = {
+                (r.a_id, r.b_id): r.jaccard
+                for r in ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=t, prefix_filter=False
+                ).collect()
+            }
+            assert len(brute) > 0
+            for order in ("df", "hash"):
+                cand = prefix_filter_candidates(sets, t, order=order)
+                fast = {
+                    (r.a_id, r.b_id): r.jaccard
+                    for r in verify_jaccard_arrays(cand, sets, t).collect()
+                }
+                assert fast == brute, (
+                    f"prefix filter lost/invented pairs at t={t} order={order}"
+                )
+
+        n_pruned = prefix_filter_candidates(sets, 0.5).count()
+        sh = sets.select("doc", DQ.F.explode("sh_arr").alias("shingle"))
+        a = sh.select(DQ.F.col("doc").alias("a_id"), "shingle")
+        b = sh.select(DQ.F.col("doc").alias("b_id"), "shingle")
+        n_all = (
+            a.join(b, "shingle")
+            .filter(DQ.F.col("a_id") < DQ.F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .count()
+        )
+        assert n_pruned < n_all, "prefix filter generated no pruning benefit"
+    finally:
+        sets.unpersist()
+
+
 def test_connected_components_chain_and_nonconvergence(spark):
     import pytest
 
