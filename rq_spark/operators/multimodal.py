@@ -193,13 +193,13 @@ def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
-    """Feature vector per payload. PNG payloads get REAL content
-    features: the dim-bin normalized grayscale histogram of the decoded
-    pixels (deterministic, resolution-invariant — the classic cheap
-    visual signature). Other payloads get the deterministic sha256
-    fake (stands in for a model forward pass; Arrow-batched so a real
-    model would amortize per batch)."""
-    from . import jpeg, png
+    """Feature vector per payload. PNG/JPEG/GIF payloads get REAL
+    content features: the dim-bin normalized grayscale histogram of
+    the decoded pixels (deterministic, resolution-invariant — the
+    classic cheap visual signature). Other payloads get the
+    deterministic sha256 fake (stands in for a model forward pass;
+    Arrow-batched so a real model would amortize per batch)."""
+    from . import gif, jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -213,6 +213,17 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
             arr = png.decode(b)
         elif jpeg.is_jpeg(b):
             arr = jpeg.decode(b)
+        elif gif.is_gif(b):
+            # GIF's magic is plausible ASCII ('GIF87a'), so unlike the
+            # binary PNG/JPEG magics a text payload can sniff as GIF;
+            # only a payload that parses END-TO-END takes the real
+            # branch — anything else keeps the deterministic fake the
+            # oracle recomputes (mirrors the decode_image strict-mode
+            # gate for header sniffs)
+            try:
+                arr = gif.decode(b)
+            except gif.GifFormatError:
+                arr = None
         if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
@@ -481,11 +492,13 @@ def resize_image(
     height: int = 64,
 ) -> DataFrame:
     """Resize payloads to width×height, channels preserved — the third
-    multimodal pipeline stage (decode → resize → features). PNG and
-    baseline-JPEG payloads are resized for REAL: decoded,
+    multimodal pipeline stage (decode → resize → features). PNG,
+    baseline-JPEG, and GIF payloads are resized for REAL: decoded,
     nearest-neighbor resampled, and re-encoded in their own format
-    (operators/png.py, operators/jpeg.py — binary in, binary out,
-    true pixels). Other payloads keep the stub (the input
+    (operators/png.py, operators/jpeg.py, operators/gif.py — binary
+    in, binary out, true pixels; a nearest-resampled GIF only reuses
+    source colors, so the ≤256-color re-encode contract always
+    holds). Other payloads keep the stub (the input
     bytes tiled/truncated to exactly width·height·channels bytes,
     channels from the shared fake-decode rule), which is deterministic
     and keeps the plumbing under test for any payload: Arrow both
@@ -493,7 +506,7 @@ def resize_image(
     data-dependent channels. In production the remaining branch
     becomes ``PIL.Image.open(...).resize((width, height))``.
     """
-    from . import jpeg, png
+    from . import gif, jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -521,6 +534,19 @@ def resize_image(
                     )
                     chans.append(arr.shape[2])
                     continue
+                if gif.is_gif(b):
+                    # ASCII-plausible magic: real branch only on a full
+                    # parse (see extract_features)
+                    try:
+                        arr = gif.decode(b)
+                    except gif.GifFormatError:
+                        arr = None
+                    if arr is not None:
+                        resized.append(
+                            gif.encode(png.resize_nearest(arr, width, height))
+                        )
+                        chans.append(arr.shape[2])
+                        continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))
