@@ -193,13 +193,13 @@ def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
-    """Feature vector per payload. PNG/JPEG/GIF payloads get REAL
+    """Feature vector per payload. PNG/JPEG/GIF/BMP payloads get REAL
     content features: the dim-bin normalized grayscale histogram of
     the decoded pixels (deterministic, resolution-invariant — the
     classic cheap visual signature). Other payloads get the
     deterministic sha256 fake (stands in for a model forward pass;
     Arrow-batched so a real model would amortize per batch)."""
-    from . import gif, jpeg, png
+    from . import bmp, gif, jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -224,6 +224,8 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
                 arr = gif.decode(b)
             except gif.GifFormatError:
                 arr = None
+        elif bmp.is_bmp(b):
+            arr = bmp.decode(b)
         if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
@@ -493,10 +495,10 @@ def resize_image(
 ) -> DataFrame:
     """Resize payloads to width×height, channels preserved — the third
     multimodal pipeline stage (decode → resize → features). PNG,
-    baseline-JPEG, and GIF payloads are resized for REAL: decoded,
-    nearest-neighbor resampled, and re-encoded in their own format
-    (operators/png.py, operators/jpeg.py, operators/gif.py — binary
-    in, binary out, true pixels; a nearest-resampled GIF only reuses
+    baseline-JPEG, GIF, and BMP payloads are resized for REAL:
+    decoded, nearest-neighbor resampled, and re-encoded in their own
+    format (operators/png.py, jpeg.py, gif.py, bmp.py — binary in,
+    binary out, true pixels; a nearest-resampled GIF only reuses
     source colors, so the ≤256-color re-encode contract always
     holds). Other payloads keep the stub (the input
     bytes tiled/truncated to exactly width·height·channels bytes,
@@ -506,7 +508,7 @@ def resize_image(
     data-dependent channels. In production the remaining branch
     becomes ``PIL.Image.open(...).resize((width, height))``.
     """
-    from . import gif, jpeg, png
+    from . import bmp, gif, jpeg, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -547,6 +549,11 @@ def resize_image(
                         )
                         chans.append(arr.shape[2])
                         continue
+                if bmp.is_bmp(b):
+                    arr = bmp.decode(b)
+                    resized.append(bmp.encode(png.resize_nearest(arr, width, height)))
+                    chans.append(arr.shape[2])
+                    continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))

@@ -458,16 +458,16 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal codecs under the driver hash: for every document,
     synthesize a PNG (16px-wide grayscale image of the text bytes), a
     baseline JPEG (smooth 16px-wide grayscale derived from the byte
-    count), a GIF (same 16px-wide grayscale pixels as the PNG,
-    palette-encoded through LZW), a WAV (16-bit mono PCM of the text
-    bytes at 8 kHz), a square-wave tone WAV (amplitude/period derived
-    from the byte count), and an MP4 (duration = byte count in ms) —
-    then run the REAL decoders (operators/png.py + operators/jpeg.py +
-    operators/gif.py spec codecs, stdlib wave, the ISO-BMFF box walk)
-    in STRICT mode and emit their outputs. GIF-LZW is lossless, so its
-    branch asserts EXACT pixel equality with the source bytes
-    (gif_pix_ok), plus header dims parsed from the logical screen
-    descriptor. Every output column derives arithmetically from the
+    count), a GIF and a BMP (same 16px-wide grayscale pixels as the
+    PNG, through LZW and raw BI_RGB rows respectively), a WAV (16-bit
+    mono PCM of the text bytes at 8 kHz), a square-wave tone WAV
+    (amplitude/period derived from the byte count), and an MP4
+    (duration = byte count in ms) — then run the REAL decoders
+    (operators/png.py + jpeg.py + gif.py + bmp.py spec codecs, stdlib
+    wave, the ISO-BMFF box walk) in STRICT mode and emit their
+    outputs. GIF-LZW and BMP are lossless, so those branches assert
+    EXACT pixel equality with the source bytes (gif_pix_ok /
+    bmp_pix_ok), plus header dims parsed from their descriptors. Every output column derives arithmetically from the
     text's byte length, so the oracle recomputes all of it in SQL: a
     regression in any real codec (or in the strict-mode dispatch)
     flips the hash. The lossy JPEG branch emits a pixel-tolerance
@@ -483,6 +483,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from ..operators import bmp as bmp_codec
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
@@ -513,7 +514,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return buf.getvalue()
 
         for pdf in batches:
-            pngs, jpegs, gifs, wavs, tones, mp4s = [], [], [], [], [], []
+            pngs, jpegs, gifs, bmps, wavs, tones, mp4s = [], [], [], [], [], [], []
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
                 nb = len(b)
@@ -527,6 +528,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # same pixels as the PNG, through the LZW path (a 2-D
                 # input palette-encodes its <=256 distinct byte values)
                 gifs.append(gif_codec.encode(arr.reshape(h, w)))
+                bmps.append(bmp_codec.encode(arr.reshape(h, w)))
                 wavs.append(wav_bytes(b[: nb // 2 * 2]))
                 n_s = 64 + nb % 64
                 k = 1 + nb % 7
@@ -541,6 +543,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "png_payload": pngs,
                     "jpeg_payload": jpegs,
                     "gif_payload": gifs,
+                    "bmp_payload": bmps,
                     "wav_payload": wavs,
                     "tone_payload": tones,
                     "mp4_payload": mp4s,
@@ -550,8 +553,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.mapInPandas(
         synth,
         "doc_id long, text string, png_payload binary, jpeg_payload binary, "
-        "gif_payload binary, wav_payload binary, tone_payload binary, "
-        "mp4_payload binary",
+        "gif_payload binary, bmp_payload binary, wav_payload binary, "
+        "tone_payload binary, mp4_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -619,6 +622,37 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.mapInPandas(gif_verify, gif_schema)
 
+    # BMP: strict header dims + exact raw-row decode (lossless)
+    d = decode_image(d, "bmp_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {"width": "bmp_width", "height": "bmp_height", "channels": "bmp_channels"}
+    )
+
+    def bmp_verify(batches):
+        import numpy as np
+
+        from ..operators import bmp as bmp_c
+
+        for pdf in batches:
+            oks = []
+            for p, t in zip(pdf["bmp_payload"], pdf["text"]):
+                b = (t or "").encode("utf-8")
+                w = 16
+                h = max(1, math.ceil(len(b) / w))
+                src = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
+                decoded = bmp_c.decode(bytes(p))
+                oks.append(
+                    decoded.shape == (h, w, 3)
+                    and np.array_equal(decoded[:, :, 0].ravel(), src)
+                    and np.array_equal(decoded[:, :, 0], decoded[:, :, 1])
+                )
+            yield pdf.assign(bmp_pix_ok=oks)
+
+    bmp_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("bmp_pix_ok", T.BooleanType())]
+    )
+    d = d.mapInPandas(bmp_verify, bmp_schema)
+
     d = decode_audio(d, "wav_payload", strict=True)
     d = d.withColumnRenamed("duration_s", "wav_duration_s")
     d = extract_audio_features(d, "tone_payload", n_windows=8)
@@ -644,6 +678,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gif_height",
         F.col("gif_channels").cast("int").alias("gif_channels"),
         "gif_pix_ok",
+        "bmp_width",
+        "bmp_height",
+        F.col("bmp_channels").cast("int").alias("bmp_channels"),
+        "bmp_pix_ok",
         F.col("sample_rate").alias("wav_sample_rate"),
         F.col("n_samples").alias("wav_n_samples"),
         "wav_duration_s",
@@ -685,6 +723,10 @@ SELECT doc_id,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS gif_height,
        3 AS gif_channels,
        TRUE AS gif_pix_ok,
+       16 AS bmp_width,
+       GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS bmp_height,
+       3 AS bmp_channels,
+       TRUE AS bmp_pix_ok,
        8000 AS wav_sample_rate,
        CAST(nb // 2 AS BIGINT) AS wav_n_samples,
        (nb // 2) / 8000.0 AS wav_duration_s,
