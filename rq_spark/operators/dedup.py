@@ -179,10 +179,13 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame, bands: int, rows: int) -> DataFrame:
-    """Band the signature, hash each band, equi-join on (band, hash).
-    This is the scale path: a shuffle on band-hash instead of n²."""
-    banded = sig.select(
+def band_table(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, bhash) — each signature split into `bands` bands of
+    `rows` hashes, each band folded to one xxhash64. This relation is
+    the LSH index: in a standing corpus it is what you precompute once
+    at ingest (and bucket by (band, bhash)) so later probes never
+    re-shingle the corpus."""
+    return sig.select(
         "doc",
         F.posexplode(
             F.transform(
@@ -191,6 +194,12 @@ def lsh_candidates(sig: DataFrame, bands: int, rows: int) -> DataFrame:
             )
         ).alias("band", "bhash"),
     )
+
+
+def lsh_candidates(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Band the signature, hash each band, equi-join on (band, hash).
+    This is the scale path: a shuffle on band-hash instead of n²."""
+    banded = band_table(sig, bands=bands, rows=rows)
     a = banded.select(F.col("doc").alias("a_id"), "band", "bhash")
     b = banded.select(F.col("doc").alias("b_id"), "band", "bhash")
     return (
@@ -271,6 +280,75 @@ def text_dedup_bundle(
     return (
         verify_jaccard_arrays(cand, sets, threshold),
         verify_jaccard_arrays(ex_cand, sets, threshold),
+    )
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 96,
+    bands: int = 24,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between an incoming BATCH and a standing CORPUS
+    (new_id from batch, corpus_id from corpus, jaccard) — the
+    operation a training-data pipeline runs on every ingest: "which
+    of today's documents already exist (near-) verbatim in the 100 TB
+    corpus?".
+
+    Scale shape, and why this is not just `minhash_dedup_pairs` on
+    the union: the corpus side touches only its LSH band table and
+    (for verification) the shingle sets of MATCHED candidates. In
+    production both corpus relations are precomputed at ingest —
+    `band_table` bucketed by (band, bhash) and shingle sets bucketed
+    by doc — so a daily probe costs shingling the batch plus one
+    broadcast-hash-join per relation; nothing corpus-sized shuffles.
+    Here both sides are built in-query (the testdata has no standing
+    index), but the join strategy is already the probe shape: the
+    batch band table is explicitly `F.broadcast` (a daily batch is
+    ~1e-4 of the corpus; if it outgrows the broadcast threshold the
+    hint degrades to a shuffle join on (band, bhash), which is still
+    candidate-bounded).
+
+    Candidates are verified with exact Jaccard, so output pairs equal
+    the exact cross-side pair set w.h.p. (the `minhash_dedup_pairs`
+    banding argument: P(miss) ≈ 3e-6 per true pair at j=0.8)."""
+    _release_caches("incremental")
+    rows = num_hashes // bands
+    c_sets = _persist_tracked(
+        shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n)
+        .filter(F.size("sh_arr") > 0),
+        scope="incremental",
+    )
+    b_sets = _persist_tracked(
+        shingle_sets(_spread(batch), text_col, id_col, n=shingle_n)
+        .filter(F.size("sh_arr") > 0),
+        scope="incremental",
+    )
+    c_bands = band_table(
+        minhash_signatures(c_sets, num_hashes=num_hashes), bands, rows
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash")
+    b_bands = band_table(
+        minhash_signatures(b_sets, num_hashes=num_hashes), bands, rows
+    ).select(F.col("doc").alias("new_id"), "band", "bhash")
+    cand = (
+        F.broadcast(b_bands)
+        .join(c_bands, ["band", "bhash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    ca = c_sets.select(F.col("doc").alias("corpus_id"), F.col("sh_arr").alias("_cc"))
+    ba = b_sets.select(F.col("doc").alias("new_id"), F.col("sh_arr").alias("_bb"))
+    c = F.size(F.array_intersect("_bb", "_cc")).cast("double")
+    j = c / (F.size("_bb") + F.size("_cc") - c)
+    return (
+        cand.join(ba, "new_id")
+        .join(ca, "corpus_id")
+        .select("new_id", "corpus_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -790,6 +790,48 @@ SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which documents of an incoming batch
+    near-duplicate a standing corpus (operators/dedup.py:
+    incremental_minhash_pairs — broadcast batch-band probe, the
+    corpus is never shuffled). The testdata has no real ingest split,
+    so the batch is the odd doc_ids and the corpus the even ones —
+    deterministic, and the oracle recomputes the same split. Output
+    pairs equal the exact cross-side Jaccard pair set w.h.p.; a
+    missed LSH pair flips the driver hash."""
+    docs = table(spark, sf_dir, "documents")
+    return D.incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        threshold=_JACCARD_T,
+    )
+
+
+_DEDUP_INCR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+"""
+
+
 # Registration order = driver execution order: cheap queries first so a
 # budget-limited correctness run records them before the heavy joins.
 QUERIES = {
@@ -799,6 +841,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_text": dedup_text,
+    "dedup_incremental": dedup_incremental,
     "dedup_connected_groups": dedup_connected_groups,
 }
 
@@ -806,6 +849,7 @@ ORACLE = {
     "mm_pipeline": _MM_PIPELINE_SQL,
     "mm_real_decode": _MM_REAL_SQL,
     "dedup_text": _DEDUP_TEXT_SQL,
+    "dedup_incremental": _DEDUP_INCR_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_lsh": _EMB_LSH_SQL,
     "dedup_embedding_cosine": _EMB_COS_SQL,

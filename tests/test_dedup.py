@@ -111,6 +111,46 @@ def test_prefix_filter_is_lossless_vs_brute_self_join(spark):
         sets.unpersist()
 
 
+def test_incremental_dedup_equals_cross_side_exact(spark):
+    """Batch-vs-corpus probe must find exactly the cross-parity subset
+    of the exact Jaccard pairs (LSH miss probability is measure-zero
+    at the catalog parameters), and the candidate probe must broadcast
+    the batch band table — the corpus side never shuffles for
+    candidate generation."""
+    from rq_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, SF, "documents")
+    got = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 9)
+        for r in incremental_minhash_pairs(
+            docs.filter(DQ.F.col("doc_id") % 2 == 0),
+            docs.filter(DQ.F.col("doc_id") % 2 == 1),
+            "text",
+            "doc_id",
+        ).collect()
+    }
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    want = {}
+    for r in exact:
+        a, b = r.a_id, r.b_id
+        if a % 2 != b % 2:  # cross-parity only, keyed (odd, even)
+            k = (a, b) if a % 2 == 1 else (b, a)
+            want[k] = round(r.jaccard, 9)
+    assert len(want) > 0, "test corpus should contain cross-parity dups"
+    assert got == want
+
+    plan = incremental_minhash_pairs(
+        docs.filter(DQ.F.col("doc_id") % 2 == 0),
+        docs.filter(DQ.F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_components_chain_and_nonconvergence(spark):
     import pytest
 
