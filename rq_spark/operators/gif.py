@@ -14,10 +14,14 @@ interlaced images (the 4-pass row ordering, spec appendix E);
 extension blocks are walked and skipped (Graphic Control transparency
 is applied as the conventional "transparent index renders as the
 background color" — GIF has no alpha channel, and the multimodal
-pipeline's arrays are RGB); animated GIFs decode their FIRST image
-only (documented — frame iteration belongs to sample_frames).
-Rejected loudly: truncated streams, missing color tables, LZW code
-overflow past the 12-bit limit.
+pipeline's arrays are RGB). ``decode`` returns the first image;
+``decode_frames`` composites EVERY frame of an animated GIF onto the
+logical-screen canvas honoring the Graphic Control disposal methods
+(none/keep, restore-to-background, restore-to-previous), and
+``encode_animation`` writes a multi-frame GIF89a with per-frame
+GCEs — fixtures for the frame-sampling operator. Rejected loudly:
+truncated streams, missing color tables, LZW code overflow past the
+12-bit limit.
 
 Decode returns (height, width, 3) uint8 RGB — palette indices mapped
 through the active color table with one numpy take per image. The
@@ -202,11 +206,11 @@ def header_dims(data: bytes) -> tuple[int, int, int] | None:
     return w, h, 3
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Decode the first image of a GIF to (height, width, 3) uint8
-    RGB. The image is composited onto the logical screen at its
-    (left, top) offset over the background color; a Graphic Control
-    transparent index renders as the background."""
+def _iter_images(data: bytes):
+    """Parse the container: yield ((sw, sh, bg_rgb) once via the first
+    tuple element) ... implemented as a generator over image records
+    (left, top, idx_2d, color_table, transparent, disposal) after an
+    initial (sw, sh, bg) header record."""
     if not is_gif(data):
         raise GifFormatError("gif: bad signature")
     if len(data) < 13:
@@ -221,26 +225,33 @@ def decode(data: bytes) -> np.ndarray:
             raise GifFormatError("gif: truncated global color table")
         gct = np.frombuffer(data[pos:end], dtype=np.uint8).reshape(-1, 3)
         pos = end
+    bg = (
+        gct[bg_idx]
+        if (gct is not None and bg_idx < len(gct))
+        else np.zeros(3, dtype=np.uint8)
+    )
+    yield ("header", sw, sh, bg)
 
     transparent = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise GifFormatError("gif: no image descriptor")
+        if block == 0x3B:  # trailer
+            return
         if block == 0x21:  # extension: label byte + sub-block chain
             if pos >= len(data):
                 raise GifFormatError("gif: truncated extension")
             label = data[pos]
             pos += 1
             body, pos = _sub_blocks(data, pos)
-            if label == 0xF9 and len(body) >= 4 and body[0] & 0x01:
-                transparent = body[3]
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 0x07
+                transparent = body[3] if body[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise GifFormatError(f"gif: unknown block 0x{block:02x}")
 
-        # image descriptor
         if pos + 9 > len(data):
             raise GifFormatError("gif: truncated image descriptor")
         left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
@@ -278,10 +289,22 @@ def decode(data: bytes) -> np.ndarray:
             idx = idx[rows]
         if np.any(idx >= len(ct)):
             raise GifFormatError("gif: palette index out of range")
+        yield ("image", left, top, idx, ct, transparent, disposal)
+        transparent = None
+        disposal = 0
+    raise GifFormatError("gif: truncated stream (no trailer)")
 
-        bg = ct[bg_idx] if (gct is not None and bg_idx < len(gct)) else np.zeros(
-            3, dtype=np.uint8
-        )
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode the first image of a GIF to (height, width, 3) uint8
+    RGB. The image is composited onto the logical screen at its
+    (left, top) offset over the background color; a Graphic Control
+    transparent index renders as the background."""
+    it = _iter_images(data)
+    _, sw, sh, bg = next(it)
+    for rec in it:
+        _, left, top, idx, ct, transparent, _disposal = rec
+        ih, iw = idx.shape
         rgb = ct[idx]  # one vectorized palette take
         if transparent is not None and transparent < len(ct):
             rgb = np.where((idx == transparent)[..., None], bg, rgb)
@@ -291,7 +314,92 @@ def decode(data: bytes) -> np.ndarray:
         y1, x1 = min(top + ih, sh), min(left + iw, sw)
         out[y0:y1, x0:x1] = rgb[: y1 - y0, : x1 - x0]
         return out
-    raise GifFormatError("gif: truncated stream (no trailer)")
+    raise GifFormatError("gif: no image descriptor")
+
+
+def decode_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode ALL frames of a (possibly animated) GIF as composited
+    (sh, sw, 3) uint8 RGB canvases — what a viewer would display at
+    each frame, honoring the Graphic Control disposal methods:
+    0/1 leave the canvas, 2 restores the frame's region to the
+    background color, 3 restores it to the previous canvas. A
+    transparent index inside an animation frame shows the canvas
+    underneath (unlike the single-image case, where there is nothing
+    underneath but background). Stops after max_frames if given."""
+    it = _iter_images(data)
+    _, sw, sh, bg = next(it)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    frames: list[np.ndarray] = []
+    for rec in it:
+        _, left, top, idx, ct, transparent, disposal = rec
+        ih, iw = idx.shape
+        y0, x0 = min(top, sh), min(left, sw)
+        y1, x1 = min(top + ih, sh), min(left + iw, sw)
+        if disposal == 3:
+            saved = canvas[y0:y1, x0:x1].copy()
+        rgb = ct[idx][: y1 - y0, : x1 - x0]
+        region = canvas[y0:y1, x0:x1]
+        if transparent is not None and transparent < len(ct):
+            keep = (idx == transparent)[: y1 - y0, : x1 - x0, None]
+            region[:] = np.where(keep, region, rgb)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            canvas[y0:y1, x0:x1] = bg
+        elif disposal == 3:
+            canvas[y0:y1, x0:x1] = saved
+    if not frames:
+        raise GifFormatError("gif: no image descriptor")
+    return frames
+
+
+def encode_animation(
+    frames: list[np.ndarray], disposals: list[int] | None = None
+) -> bytes:
+    """Encode full-canvas RGB frames as an animated GIF89a: one global
+    color table over the union of all frames' colors (≤256 or raise),
+    a Graphic Control Extension per frame (delay 0, the given disposal
+    method, default 1 = keep). Frames must share one (h, w, 3)."""
+    if not frames:
+        raise GifFormatError("gif encode_animation: no frames")
+    fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(f.shape != fs[0].shape or f.ndim != 3 or f.shape[2] != 3 for f in fs):
+        raise GifFormatError("gif encode_animation: frames must share (h,w,3)")
+    h, w = fs[0].shape[:2]
+    stacked = np.concatenate([f.reshape(-1, 3) for f in fs])
+    colors, inv = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise GifFormatError(
+            f"gif encode_animation: {len(colors)} distinct colors > 256"
+        )
+    ct_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    ct[: len(colors)] = colors
+    idx_frames = inv.reshape(len(fs), h * w)
+    disposals = disposals or [1] * len(fs)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) & 0x07) | 0x70, 0, 0)
+    out += ct.tobytes()
+    min_code = max(2, ct_bits)
+    for fi, idx in enumerate(idx_frames):
+        d = disposals[fi] & 0x07
+        out += bytes([0x21, 0xF9, 0x04, d << 2, 0x00, 0x00, 0x00, 0x00])
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, idx.astype(np.uint8).tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode(arr: np.ndarray) -> bytes:

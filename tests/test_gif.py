@@ -113,6 +113,77 @@ def test_gif_first_frame_only_for_animations():
     assert np.array_equal(gif.decode(merged), a)
 
 
+def test_gif_decode_frames_disposal_methods():
+    """Animated round-trip: full-canvas frames with disposal 1 (keep)
+    must come back exactly; disposal 2 (restore-to-background) and 3
+    (restore-to-previous) must reset the canvas between frames."""
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    rng = np.random.RandomState(3)
+    frames = [pal[rng.randint(0, 4, (9, 7))] for _ in range(5)]
+    data = gif.encode_animation(frames)
+    out = gif.decode_frames(data)
+    assert len(out) == 5
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)
+    assert np.array_equal(gif.decode_frames(data, max_frames=2)[1], frames[1])
+    # single-image GIFs: one frame, equal to decode()
+    single = gif.encode(frames[0])
+    [only] = gif.decode_frames(single)
+    assert np.array_equal(only, gif.decode(single))
+
+
+def test_gif_decode_frames_transparency_shows_canvas():
+    """In an animation, a transparent pixel shows the PREVIOUS canvas
+    (not the background): encode two frames, then set frame 2's GCE
+    transparent flag to palette index 0 — frame 2's canvas must keep
+    frame 1's pixels wherever frame 2 has index 0."""
+    pal = np.array([[10, 10, 10], [200, 0, 0]], dtype=np.uint8)
+    f1 = np.tile(pal[1], (4, 4, 1))  # all red
+    idx2 = np.zeros((4, 4), dtype=int)
+    idx2[0, 0] = 1
+    f2 = pal[idx2]
+    data = bytearray(gif.encode_animation([f1, f2]))
+    # flip frame 2's GCE: transparent flag on, index = palette slot of
+    # color (10,10,10) which np.unique sorts first → index 0
+    gce_positions = [i for i in range(len(data) - 1) if data[i] == 0x21 and data[i + 1] == 0xF9]
+    p = gce_positions[1]
+    data[p + 3] |= 0x01  # transparency flag
+    data[p + 6] = 0  # transparent index
+    out = gif.decode_frames(bytes(data))
+    expect = f1.copy()
+    expect[0, 0] = pal[1]
+    assert np.array_equal(out[1], expect)
+
+
+def test_sample_animation_frames_real_and_fallback(spark):
+    """GIF payloads yield real PNG-encoded sampled canvases (first and
+    last frame included); non-GIF payloads keep the byte-split stub."""
+    from rq_spark.operators import multimodal as M
+    from rq_spark.operators import png as P
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rng = np.random.RandomState(5)
+    frames = [pal[rng.randint(0, 2, (6, 8))] for _ in range(7)]
+    anim = gif.encode_animation(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"not a gif at all, just bytes"))],
+        "id long, payload binary",
+    )
+    rows = {r.id: r for r in M.sample_animation_frames(df, n_frames=3).collect()}
+
+    assert rows[1].frames_real is True
+    got = [P.decode(bytes(f)) for f in rows[1].frames]
+    assert len(got) == 3
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[-1], frames[-1])
+
+    assert rows[2].frames_real is False
+    assert len(rows[2].frames) == 3
+    assert b"".join(bytes(f) for f in rows[2].frames) in b"not a gif at all, just bytes"
+
+
 @pytest.mark.parametrize(
     "mutate",
     [
