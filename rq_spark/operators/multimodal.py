@@ -301,9 +301,13 @@ def extract_audio_features(
 ) -> DataFrame:
     """Per-payload audio features: RMS energy per window + overall
     zero-crossing rate — REAL signal statistics for WAV/PCM payloads
-    (16-bit and 8-bit PCM via numpy; the classic cheap audio
-    signature), the deterministic sha256 fake otherwise. Arrow-batched
-    like every multimodal stage."""
+    (8/16/24/32-bit PCM via numpy; the classic cheap audio
+    signature), the deterministic sha256 fake otherwise. Multichannel
+    audio is mean-downmixed BEFORE the statistics: RMS/ZCR over the
+    raw interleaved stream would count cross-channel sign flips as
+    zero crossings. Mono is unaffected (downmix is the identity), so
+    the mm_real_decode tone oracle's exact-RMS contract holds.
+    Arrow-batched like every multimodal stage."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -320,13 +324,23 @@ def extract_audio_features(
 
             with wave.open(io.BytesIO(b)) as w:
                 width = w.getsampwidth()
+                nch = w.getnchannels()
                 raw = w.readframes(w.getnframes())
             if width == 2:
                 x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
             elif width == 1:  # 8-bit WAV is unsigned
                 x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            elif width == 3:  # 24-bit: widen to i32 via a zero low byte
+                r = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                w32 = np.zeros((len(r), 4), dtype=np.uint8)
+                w32[:, 1:] = r
+                x = w32.view("<i4").ravel().astype(np.float64) / 2147483648.0
+            elif width == 4:
+                x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
             else:
                 raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
+            if nch > 1 and x.size % nch == 0:
+                x = x.reshape(-1, nch).mean(axis=1)
             if x.size == 0:
                 return [0.0] * n_windows, 0.0
             rms = [

@@ -117,6 +117,48 @@ def test_spark_audio_features_real_signal(spark):
     assert all(v == 0.0 for v in rows[1].rms_windows)
 
 
+def test_audio_features_wide_pcm_and_stereo_downmix(spark):
+    """24/32-bit PCM parse; stereo is mean-downmixed before the
+    statistics — a stereo pair (x, -x) must read as silence, where the
+    interleaved-stream bug would report full energy and ~100% ZCR."""
+    import io
+    import wave as _w
+
+    import numpy as np
+
+    def wav(frames: bytes, nch: int, width: int) -> bytes:
+        buf = io.BytesIO()
+        with _w.open(buf, "wb") as w:
+            w.setnchannels(nch); w.setsampwidth(width); w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    t = np.arange(4000)
+    mono16 = (20000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    # same signal at 32-bit scale
+    mono32 = (mono16.astype("<i4") << 16)
+    # 24-bit: the top 3 bytes of the 32-bit samples
+    b24 = mono32.view(np.uint8).reshape(-1, 4)[:, 1:].tobytes()
+    # stereo anti-phase: L = x, R = -x → downmix exactly zero
+    anti = np.empty(2 * len(mono16), dtype="<i2")
+    anti[0::2], anti[1::2] = mono16, -mono16
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wav(mono16.tobytes(), 1, 2))),
+            (1, bytearray(wav(mono32.tobytes(), 1, 4))),
+            (2, bytearray(wav(b24, 1, 3))),
+            (3, bytearray(wav(anti.tobytes(), 2, 2))),
+        ],
+        "audio_id long, payload binary",
+    )
+    rows = {r.audio_id: r for r in M.extract_audio_features(df, n_windows=4).collect()}
+    for i in (1, 2):  # all three widths describe the same signal
+        assert rows[i].rms_windows == pytest.approx(rows[0].rms_windows, rel=1e-5)
+        assert rows[i].zero_cross_rate == pytest.approx(rows[0].zero_cross_rate)
+    assert all(v == 0.0 for v in rows[3].rms_windows)
+
+
 def test_decode_audio_strict_raises_on_non_wav(spark, sf_dir):
     df = M.decode_audio(_docs(spark, sf_dir), strict=True)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
