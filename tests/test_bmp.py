@@ -88,6 +88,17 @@ def test_bmp_malformed_raises(mutate, msg):
         bmp.decode(data)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    img = _rand(h, w, 3, seed)
+    assert np.array_equal(bmp.decode(bmp.encode(img)), img)
+
+
 def test_bmp_text_never_sniffs():
     assert not bmp.is_bmp(b"BMW motorcycles are loud and this is text")
 

@@ -207,6 +207,17 @@ def test_gif_too_many_colors_raises():
         gif.encode(img)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(2, 256), st.integers(0, 2**31 - 1))
+def test_gif_roundtrip_property(h, w, colors, seed):
+    img = _palette_img(h, w, colors, seed)
+    assert np.array_equal(gif.decode(gif.encode(img)), img)
+
+
 def test_gif_header_dims_never_touches_pixels():
     img = _palette_img(20, 30, 5, seed=19)
     data = bytearray(gif.encode(img))

@@ -102,6 +102,36 @@ def test_minhash_has_no_nested_loop_and_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_dedup_text_exact_branch_is_prefix_filtered(spark, sf_dir):
+    """The merged dedup_text plan must contain no quadratic fallback:
+    no nested-loop/cartesian joins anywhere, and every shingle-keyed
+    equi-join must feed the prefix-candidate pipeline (its plan carries
+    the positional min(i)/min(j) aggregate), not a raw Σdf² self-join
+    of the full posting lists."""
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_text(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the positional filter's min-position aggregate is the marker of
+    # the prefix pipeline; the brute self-join has no such aggregate
+    assert "min(ia" in plan or "min(ia#" in plan.replace(" ", "") or "i0" in plan
+
+
+def test_dedup_incremental_probe_shape(spark, sf_dir):
+    """Batch-vs-corpus probe: the candidate join must broadcast the
+    batch band table (corpus side never shuffles for candidates), and
+    nothing may fall back to a nested loop."""
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_incremental(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_groups_edges_are_candidate_bounded(spark, sf_dir):
     """The clusters query must generate edges via MinHash-LSH (band-hash
     equi-join), never the quadratic shingle self-join: a join keyed
