@@ -253,6 +253,7 @@ def text_dedup_bundle(
     num_hashes: int = 96,
     bands: int = 24,
     shingle_n: int = 3,
+    prefix_order: str = "hash",
 ) -> tuple[DataFrame, DataFrame]:
     """(minhash_pairs, exact_pairs) off ONE shared shingling pass —
     algorithmically identical to `minhash_dedup_pairs` and
@@ -267,7 +268,22 @@ def text_dedup_bundle(
     (probabilistic, P(miss) ≈ 3e-6 per true pair), exact via prefix +
     positional filtering (`prefix_filter_candidates` — provably
     lossless), so neither side ever pays the Σdf² full self-join, and
-    both verify through the explosion-free `verify_jaccard_arrays`."""
+    both verify through the explosion-free `verify_jaccard_arrays`.
+
+    prefix_order defaults to "hash" (array_sort + slice, zero extra
+    shuffles — measured ~5× faster than "df" at sf0.1, where the
+    df-rank's posting-list window sort dominates); pass "df" for
+    corpora with pathological skew, where frequency-ranked prefixes
+    bound the candidate join tighter (tradeoff discussion in
+    `prefix_filter_candidates`).
+
+    The two candidate sets are verified in ONE pass: union with a
+    provenance tag, dedup-and-OR the tags in one groupBy, verify the
+    merged relation against the shingle arrays once, split by tag.
+    Candidate sets of near-dup generators overlap almost entirely (the
+    LSH set w.h.p. contains every true pair; the prefix set provably
+    does), so separate verifies would join ~the same pairs against the
+    corpus arrays twice."""
     _release_caches("text_bundle")
     sets = _persist_tracked(
         shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
@@ -275,11 +291,35 @@ def text_dedup_bundle(
         scope="text_bundle",
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
-    cand = lsh_candidates(sig, bands=bands, rows=num_hashes // bands)
-    ex_cand = prefix_filter_candidates(sets, threshold)
+    # raw band-collision pairs, NOT lsh_candidates: its trailing
+    # .distinct() would shuffle the pair set once just to dedup, and
+    # the provenance groupBy below dedups the same keys anyway
+    banded = band_table(sig, bands=bands, rows=num_hashes // bands)
+    cand = (
+        banded.select(F.col("doc").alias("a_id"), "band", "bhash")
+        .join(banded.select(F.col("doc").alias("b_id"), "band", "bhash"), ["band", "bhash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    ex_cand = prefix_filter_candidates(sets, threshold, order=prefix_order)
+    merged = (
+        cand.select("a_id", "b_id", F.lit(True).alias("_lsh"), F.lit(False).alias("_px"))
+        .unionAll(
+            ex_cand.select(
+                "a_id", "b_id", F.lit(False).alias("_lsh"), F.lit(True).alias("_px")
+            )
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.max("_lsh").alias("_lsh"), F.max("_px").alias("_px"))
+    )
+    # persist: both returned branches read this one small relation
+    # (~|true pairs| rows); without it the union the caller builds
+    # would recompute the whole candidate DAG per branch
+    verified = _persist_tracked(
+        verify_jaccard_arrays(merged, sets, threshold), scope="text_bundle"
+    )
     return (
-        verify_jaccard_arrays(cand, sets, threshold),
-        verify_jaccard_arrays(ex_cand, sets, threshold),
+        verified.filter("_lsh").select("a_id", "b_id", "jaccard"),
+        verified.filter("_px").select("a_id", "b_id", "jaccard"),
     )
 
 
@@ -353,7 +393,7 @@ def incremental_minhash_pairs(
 
 
 def prefix_filter_candidates(
-    sets: DataFrame, threshold: float, order: str = "df"
+    sets: DataFrame, threshold: float, order: str = "hash"
 ) -> DataFrame:
     """EXACT candidate pairs (a_id, b_id) for Jaccard >= threshold via
     prefix + positional + size filtering (the All-Pairs / PPJoin
@@ -383,16 +423,20 @@ def prefix_filter_candidates(
     Size filter: min(na, nb) >= t·max(na, nb), the same necessary
     condition, applied inside the join.
 
-    order="df" (default, the 100 TB-safe choice): tokens are ranked by
-    ascending global document frequency, so prefixes hold the RAREST
-    tokens and a high-df stopword shingle can never enter prefixes and
-    quadratically explode the candidate join. Costs one map-side-
-    combined df aggregate, one sh↔df equi-join, and one per-doc window
-    sort. order="hash": tokens are ranked by their (uniform) hash
+    order="hash" (default): tokens are ranked by their (uniform) hash
     value — prefixes come from array_sort + slice on sh_arr, pure
-    whole-stage codegen with ZERO extra shuffles, but pruning is
-    frequency-blind; right for corpora without pathological shingle
-    skew or when the corpus fits comfortably.
+    whole-stage codegen with ZERO extra shuffles. Pruning is
+    frequency-blind, but hashed word n-grams (n ≥ 3) have mild df
+    skew in natural text, so candidates stay near the df-ordered
+    count (sf0.1: 210k vs 125k) at a fraction of the cost (~5×
+    faster end-to-end — the df path's posting-list window sort
+    dominates). order="df": tokens are ranked by ascending global
+    document frequency, so prefixes hold the RAREST tokens and a
+    high-df stopword shingle can never enter prefixes and
+    quadratically explode the candidate join — the safe choice for
+    corpora with pathological shingle skew (boilerplate-heavy crawls,
+    tiny n). Costs one map-side-combined df aggregate, one sh↔df
+    equi-join, and one per-doc window sort.
 
     Float safety leans conservative everywhere (1e-6 slack on every
     ⌈·⌉ and filter): rounding can only LENGTHEN a prefix or KEEP a
@@ -476,15 +520,21 @@ def verify_jaccard_arrays(
     materializes |candidates| × |doc shingles| rows first, measured
     4× slower at sf0.1. sh_arr is array_distinct by construction, so
     sizes and intersection counts equal the set-semantics values the
-    oracle computes."""
+    oracle computes.
+
+    Any extra columns on `cand` beyond (a_id, b_id) ride through
+    unchanged — `text_dedup_bundle` uses this to verify the union of
+    two candidate generators once, with per-generator provenance
+    flags."""
     sa = sets.select(F.col("doc").alias("a_id"), F.col("sh_arr").alias("_aa"))
     sb = sets.select(F.col("doc").alias("b_id"), F.col("sh_arr").alias("_bb"))
     c = F.size(F.array_intersect("_aa", "_bb")).cast("double")
     j = c / (F.size("_aa") + F.size("_bb") - c)
+    extra = [n for n in cand.columns if n not in ("a_id", "b_id")]
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .select("a_id", "b_id", j.alias("jaccard"))
+        .select("a_id", "b_id", j.alias("jaccard"), *extra)
         .filter(F.col("jaccard") >= threshold)
     )
 
