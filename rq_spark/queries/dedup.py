@@ -457,8 +457,10 @@ def _jpeg_source_pixels(nb: int):
 def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal codecs under the driver hash: for every document,
     synthesize a PNG (16px-wide grayscale image of the text bytes), a
-    baseline JPEG (smooth 16px-wide grayscale derived from the byte
-    count), a GIF and a BMP (same 16px-wide grayscale pixels as the
+    JPEG (smooth 16px-wide grayscale derived from the byte count —
+    BASELINE for even byte counts, PROGRESSIVE/SOF2 for odd ones, so
+    both entropy layouts run under the hash and `jpeg_progressive`
+    proves which), a GIF and a BMP (same 16px-wide grayscale pixels as the
     PNG, through LZW and raw BI_RGB rows respectively), a WAV (16-bit
     mono PCM of the text bytes at 8 kHz), a square-wave tone WAV
     (amplitude/period derived from the byte count), and an MP4
@@ -522,9 +524,18 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = max(1, math.ceil(nb / w))
                 arr = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
                 pngs.append(png_codec.encode(arr.reshape(h, w, 1)))
-                jpegs.append(
-                    jpeg_codec.encode(_jpeg_source_pixels(nb), quality=95)
+                # odd byte counts take the PROGRESSIVE encoder (SOF2
+                # multi-scan stream; r6) so the driver hash covers
+                # both entropy layouts — pixels are identical either
+                # way (shared _prepare_frame), so jpeg_pix_ok's
+                # contract is unchanged and jpeg_progressive proves
+                # below which path each payload really took
+                enc = (
+                    jpeg_codec.encode_progressive
+                    if nb % 2
+                    else jpeg_codec.encode
                 )
+                jpegs.append(enc(_jpeg_source_pixels(nb), quality=95))
                 # same pixels as the PNG, through the LZW path (a 2-D
                 # input palette-encodes its <=256 distinct byte values)
                 gifs.append(gif_codec.encode(arr.reshape(h, w)))
@@ -573,7 +584,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            oks = []
+            oks, progs = [], []
             for p, t in zip(pdf["jpeg_payload"], pdf["text"]):
                 nb = len((t or "").encode("utf-8"))
                 decoded = jpeg_codec.decode(bytes(p))[:, :, 0]
@@ -582,10 +593,17 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     decoded.shape == src.shape
                     and int(np.abs(decoded.astype(int) - src.astype(int)).max()) <= 8
                 )
-            yield pdf.assign(jpeg_pix_ok=oks)
+                # marker-walk the payload: proves the odd-nb docs
+                # really carry SOF2 streams (oracle: nb % 2 = 1)
+                progs.append(jpeg_codec.is_progressive(bytes(p)))
+            yield pdf.assign(jpeg_pix_ok=oks, jpeg_progressive=progs)
 
     verify_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("jpeg_pix_ok", T.BooleanType())]
+        list(d.schema.fields)
+        + [
+            T.StructField("jpeg_pix_ok", T.BooleanType()),
+            T.StructField("jpeg_progressive", T.BooleanType()),
+        ]
     )
     d = d.mapInPandas(jpeg_verify, verify_schema)
 
@@ -674,6 +692,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jpeg_height",
         F.col("jpeg_channels").cast("int").alias("jpeg_channels"),
         "jpeg_pix_ok",
+        "jpeg_progressive",
         "gif_width",
         "gif_height",
         F.col("gif_channels").cast("int").alias("gif_channels"),
@@ -719,6 +738,7 @@ SELECT doc_id,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS jpeg_height,
        1 AS jpeg_channels,
        TRUE AS jpeg_pix_ok,
+       (nb % 2 = 1) AS jpeg_progressive,
        16 AS gif_width,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS gif_height,
        3 AS gif_channels,

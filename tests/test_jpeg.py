@@ -80,8 +80,13 @@ def test_rejects_unsupported_profiles():
     blob = jpeg.encode(_smooth(16, 16, seed=1), quality=90)
     with pytest.raises(jpeg.JpegFormatError, match="SOI"):
         jpeg.decode(b"nope" + blob)
-    with pytest.raises(jpeg.JpegFormatError, match="baseline"):
-        jpeg.decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    # a baseline stream relabeled SOF2 is malformed: its interleaved
+    # full-band scan is illegal in a progressive frame (G.1.1.1.1)
+    with pytest.raises(jpeg.JpegFormatError, match="Se=0"):
+        jpeg.decode(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # lossless (SOF3) stays rejected
+    with pytest.raises(jpeg.JpegFormatError, match="SOF3"):
+        jpeg.decode(blob.replace(b"\xff\xc0", b"\xff\xc3", 1))
     # 12-bit precision: patch the SOF0 precision byte
     i = blob.find(b"\xff\xc0")
     bad = bytearray(blob)
@@ -127,3 +132,73 @@ def test_jpeg_roundtrip_property(h, w, nc, subsample, seed):
     assert out.shape == (h, w, nc)
     tol = 16 if (subsample and nc == 3) else 6
     assert int(np.abs(out.astype(int) - img.reshape(h, w, nc).astype(int)).max()) <= tol
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+def test_progressive_equals_baseline_pixels():
+    """encode_progressive shares _prepare_frame with encode, so the
+    decoded pixels must be IDENTICAL to the baseline stream's — the
+    multi-scan reassembly (DC first/refine, AC spectral bands, AC
+    refinement, EOB runs) must reconstruct the exact coefficients."""
+    rs = np.random.RandomState(11)
+    for h, w, nc, sub in [
+        (16, 16, 1, False), (25, 31, 3, False), (25, 31, 3, True),
+        (7, 5, 1, False), (64, 48, 3, True), (1, 1, 1, False),
+    ]:
+        shape = (h, w) if nc == 1 else (h, w, 3)
+        img = rs.randint(0, 256, shape, dtype=np.uint8)
+        base = jpeg.decode(jpeg.encode(img, quality=85, subsample=sub))
+        prog = jpeg.decode(jpeg.encode_progressive(img, quality=85, subsample=sub))
+        assert np.array_equal(base, prog), (h, w, nc, sub)
+
+
+def test_progressive_constant_image_all_eob():
+    """A constant image's AC scans are pure EOB runs (every band
+    empty): exercises EOBn accumulation/flush and the empty-symbol
+    DHT edge."""
+    for v in (0, 128, 255):
+        img = np.full((24, 40, 3), v, np.uint8)
+        base = jpeg.decode(jpeg.encode(img, quality=85))
+        prog = jpeg.decode(jpeg.encode_progressive(img, quality=85))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_marker_layout():
+    """The stream declares SOF2 and carries one SOS per scan of the
+    script (2 DC + 4 AC for gray band-split... — RGB: 2 DC + 8 AC)."""
+    img = _smooth(20, 20, seed=3)
+    blob = jpeg.encode_progressive(img, quality=90)
+    assert blob.count(b"\xff\xc2") >= 1
+    n_sos = blob.count(b"\xff\xda")
+    # RGB: DC first + DC refine + (2 luma bands + 1 per chroma) × 2
+    assert n_sos == 2 + 4 * 2
+    # AC scans redefine table 0 via in-stream DHT segments
+    assert blob.count(b"\xff\xc4") >= 1 + 8
+
+
+def test_progressive_sniff_and_multimodal_integration():
+    from rq_spark.operators.multimodal import _jpeg_dims
+
+    img = _smooth(33, 47, seed=5)
+    blob = jpeg.encode_progressive(img, quality=90, subsample=True)
+    assert jpeg.is_jpeg(blob)
+    assert _jpeg_dims(blob) == (47, 33, 3)  # SOF2 carries the same dims
+    assert jpeg.decode(blob).shape == (33, 47, 3)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([1, 3]), st.booleans(), st.integers(0, 2**31 - 1),
+)
+def test_progressive_roundtrip_property(h, w, nc, subsample, seed):
+    """Property: progressive and baseline streams of the same array
+    decode to identical pixels at every size/colorspace/sampling."""
+    rs = np.random.RandomState(seed)
+    shape = (h, w) if nc == 1 else (h, w, 3)
+    img = rs.randint(0, 256, shape, dtype=np.uint8)
+    base = jpeg.decode(jpeg.encode(img, quality=80, subsample=subsample))
+    prog = jpeg.decode(jpeg.encode_progressive(img, quality=80, subsample=subsample))
+    assert np.array_equal(base, prog)
