@@ -283,10 +283,18 @@ FROM ({_STREAM_DEDUP_SQL})
 
 
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming (applyInPandasWithState first-seen) +
-    stream-stream interval join in one tagged result (branches = the
-    former stream_first_seen, stream_interval_join — each still runs
-    its own streaming query with real state/watermarks)."""
+    """Custom stateful streaming (applyInPandasWithState first-seen +
+    per-event running aggregates) + stream-stream interval join in one
+    tagged result (branches = the former stream_first_seen,
+    stream_interval_join, and the r6 running-stats operator — each
+    still runs its own streaming query with real state/watermarks).
+
+    The `running` branch is `streaming.running_user_stats`: every
+    event enriched with its user's life-to-date count (e2) and exact
+    decimal sum (v — integer-micro state, so it hash-matches the
+    oracle's cumulative DECIMAL(38,6) window sum bit-for-bit)."""
+    from ..streaming import stream_running_user_stats
+
     nulls = F.lit(None)
     first_df = stream_first_seen(spark, sf_dir)
     ts_type = dict(first_df.dtypes)["first_ts"]
@@ -310,7 +318,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("string").alias("etype"),
         F.col("b_value").cast("double").alias("v"),
     )
-    return first.unionByName(ijoin)
+    running = stream_running_user_stats(spark, sf_dir).select(
+        F.lit("running").alias("op"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("e1"),
+        F.col("run_n").cast("bigint").alias("e2"),
+        F.col("ts").alias("t1"),
+        nulls.cast(ts_type).alias("t2"),
+        nulls.cast("string").alias("etype"),
+        F.col("run_sum").alias("v"),
+    )
+    return first.unionByName(ijoin).unionByName(running)
 
 
 _STREAM_STATEFUL_SQL = f"""
@@ -322,6 +340,13 @@ FROM ({_FIRST_SEEN_SQL})
 UNION ALL
 SELECT 'interval_join', user_id, a_event_id, b_event_id, a_ts, b_ts, NULL, b_value
 FROM ({_STREAM_IJOIN_SQL})
+UNION ALL
+SELECT 'running', user_id, event_id,
+       COUNT(*) OVER w, ts, NULL, NULL,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 

@@ -257,3 +257,139 @@ def stream_interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> Data
         interval_join(stream_events(spark, sf_dir), stream_events(spark, sf_dir)),
         "append",
     )
+
+
+# --------------------------------------- running per-key aggregates
+
+_RUNNING_OUT = (
+    "user_id long, event_id long, ts timestamp, "
+    "run_n bigint, run_sum double, run_avg double"
+)
+
+
+def _running_frame(pdf, n0: int, micro0: int):
+    """Cumulative (count, sum, avg) over one key's micro-batch slice,
+    sorted by (ts, event_id), continuing from carried state. Shared by
+    both stateful-API implementations so their semantics cannot drift.
+
+    The sum accumulates in EXACT integer micro-units (value rounded to
+    6 decimals — the engine-wide decimal(38,6) exact-sum convention,
+    `helpers.dsum`), so the carried state is an int64, the result is
+    order-of-arrival independent, and the emitted double equals the
+    SQL oracle's `CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)`
+    bit-for-bit (both are the correctly-rounded double of the same
+    rational). Returns (output frame, new_n, new_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    micro = np.rint(pdf["value"].astype(float).to_numpy() * 1e6).astype(np.int64)
+    run_n = n0 + pd.RangeIndex(1, len(pdf) + 1)
+    run_sum = (micro0 + micro.cumsum()) / 1e6
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "ts": pdf["ts"],
+            "run_n": run_n,
+            "run_sum": run_sum,
+            "run_avg": run_sum / run_n,
+        }
+    )
+    return out, int(run_n[-1]), int(micro0 + micro.sum())
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-event running aggregates per user — count, sum, mean of
+    `value` over all of the user's events so far in (ts, event_id)
+    order — the online-feature-store shape of a training pipeline:
+    each event is emitted enriched with its key's life-to-date
+    statistics, which carry across micro-batches in keyed state.
+
+    Implemented with ``applyInPandasWithState`` (the stateful API that
+    runs everywhere); `running_user_stats_tws` is the same operator on
+    the newer ``transformWithStateInPandas`` API.
+
+    Determinism contract: rows are sorted by (ts, event_id) inside
+    each (batch, key) group, so with batches arriving in event-time
+    order (the bounded-replay case, and any source that preserves
+    time order per key) the output equals the batch cumulative window
+    ``count/sum OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` — which is exactly what the tests assert,
+    single-batch and split-batch.
+
+    Scale: state is one (count, sum) pair per distinct user — O(keys),
+    not O(events); for an unbounded key domain use a state timeout to
+    bound it by the activity horizon."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def emit(key, batches, state: GroupState):
+        n0, micro0 = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out, n0, micro0 = _running_frame(pdf, n0, micro0)
+            yield out
+        state.update((n0, micro0))
+
+    return (
+        stream.select("user_id", "event_id", "ts", F.col("value").cast("double"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            emit,
+            outputStructType=_RUNNING_OUT,
+            stateStructType="n bigint, micro bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """`running_user_stats` on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (typed state variables, timers,
+    TTL) that supersedes applyInPandasWithState. The cumulative logic
+    is the SAME `_running_frame`, with the carried pair in a
+    ValueState.
+
+    The API's state server speaks protobuf between the JVM and the
+    Python worker, so it needs the ``google.protobuf`` wheel —
+    absent in this container (no installs), hence the tests
+    importorskip it; on a standard cluster image it runs as-is."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n bigint, micro bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n0, micro0 = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                out, n0, micro0 = _running_frame(pdf, n0, micro0)
+                yield out
+            self._state.update((n0, micro0))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_id", "ts", F.col("value").cast("double"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=_RUNNING_OUT,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point: the running-stats operator executed end-to-end by
+    the micro-batch engine (append mode)."""
+    return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), "append")

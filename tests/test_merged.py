@@ -33,7 +33,7 @@ TAGGED = {
     "window_agg_time": {"tumble", "slide"},
     "event_sessions_rate": {"session", "rate"},
     "stream_agg_dedup": {"tumble", "dedup"},
-    "stream_stateful": {"first_seen", "interval_join"},
+    "stream_stateful": {"first_seen", "interval_join", "running"},
     "explode_ops": {"posexplode", "explode_outer"},
     "struct_ops": {"with_field", "flatten"},
     "udf_vectorized": {"pandas_udf", "map_in_pandas"},
