@@ -89,13 +89,13 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
             # unconditionally for every non-PNG payload, or a text
             # document that happens to start with 'GIF87a'/'BM'
             # would silently diverge from the sha256-derived oracle.
-            for sniff in (_jpeg_dims, _gif_dims, _bmp_dims):
+            for sniff in (_jpeg_dims, _gif_dims, _bmp_dims, _webp_dims, _tiff_dims):
                 d = sniff(b)
                 if d is not None:
                     return d
             raise NotImplementedError(
-                "only PNG/JPEG/GIF/BMP headers parse without a codec "
-                "library; wire Pillow/libvips here for other formats"
+                "only PNG/JPEG/GIF/BMP/WEBP/TIFF headers parse without a "
+                "codec library; wire Pillow/libvips here for other formats"
             )
         return _fake_dims(b)
 
@@ -179,6 +179,95 @@ def _bmp_dims(b: bytes) -> tuple[int, int, int] | None:
         return None
     channels = max(1, bits // 8)
     return width, height, channels
+
+
+def _webp_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the WebP container (public RIFF
+    layout: 'RIFF' + u32le + 'WEBP', then fourcc chunks). Three frame
+    header shapes:
+
+    * 'VP8 ' (lossy): 3-byte frame tag, sync 9D 01 2A, u14le
+      width/height (low 14 bits of each u16le). 3 channels.
+    * 'VP8L' (lossless): 0x2F signature then a packed u32le —
+      14-bit width−1, 14-bit height−1, 1 alpha bit, 3 version bits.
+    * 'VP8X' (extended): 4 flag/reserved bytes then u24le canvas
+      width−1 / height−1; alpha = flags bit 0x10.
+    """
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                return None
+            width = int.from_bytes(body[6:8], "little") & 0x3FFF
+            height = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return width, height, 3
+        if fourcc == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                return None
+            bits = int.from_bytes(body[1:5], "little")
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return width, height, 4 if alpha else 3
+        if fourcc == b"VP8X" and len(body) >= 10:
+            alpha = body[0] & 0x10
+            width = int.from_bytes(body[4:7], "little") + 1
+            height = int.from_bytes(body[7:10], "little") + 1
+            return width, height, 4 if alpha else 3
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    return None
+
+
+def _tiff_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from the first TIFF IFD (public TIFF 6
+    layout: 'II*\\0' little- or 'MM\\0*' big-endian header, u32 IFD
+    offset; IFD = u16 entry count + 12-byte entries of (tag u16,
+    type u16, count u32, value-or-offset). Tags: 256 ImageWidth,
+    257 ImageLength, 277 SamplesPerPixel — SHORT(3)/LONG(4) values
+    small enough to live inline)."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        endian = "little"
+    elif b[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+
+    def u(sl: bytes) -> int:
+        return int.from_bytes(sl, endian)
+
+    ifd = u(b[4:8])
+    if ifd + 2 > len(b):
+        return None
+    n = u(b[ifd : ifd + 2])
+    width = height = None
+    spp = 1
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(b):
+            return None
+        tag, typ = u(b[e : e + 2]), u(b[e + 2 : e + 4])
+        if typ == 3:  # SHORT: value in the first 2 payload bytes
+            val = u(b[e + 8 : e + 10])
+        elif typ == 4:  # LONG
+            val = u(b[e + 8 : e + 12])
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 277:
+            spp = val
+    if width is None or height is None:
+        return None
+    return width, height, max(1, spp)
 
 
 def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
@@ -269,9 +358,16 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
                 rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
             return rate, ch, n, n / rate
         if strict:
+            # header-only parameter parses (no sample decode) —
+            # strict-mode only, same contract as the image sniffs
+            for sniff in (_flac_params, _mp3_params):
+                d = sniff(b)
+                if d is not None:
+                    return d
             raise NotImplementedError(
-                "only WAV/PCM decodes without a codec library; wire "
-                "ffmpeg/soundfile here for other formats"
+                "only WAV/PCM decodes (FLAC/MP3 parse header params) "
+                "without a codec library; wire ffmpeg/soundfile here "
+                "for other formats"
             )
         h = hashlib.sha256(b).digest()
         rate = (8000, 16000, 22050, 44100)[h[3] % 4]
@@ -294,6 +390,83 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
 
 def _is_wav(b: bytes) -> bool:
     return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def _flac_params(b: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, n_channels, n_samples, duration_s) from the FLAC
+    STREAMINFO block (public FLAC format: 'fLaC' magic, then metadata
+    blocks of 1-byte last-flag/type + u24be length; STREAMINFO is
+    type 0, 34 bytes, and packs — after 2+2 block sizes and 3+3 frame
+    sizes — 20 bits sample rate, 3 bits channels−1, 5 bits bps−1,
+    36 bits total samples, big-endian)."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        header = b[pos]
+        btype = header & 0x7F
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            n = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return rate, ch, n, n / rate
+        if header & 0x80:  # last-metadata-block flag
+            return None
+        pos += 4 + size
+    return None
+
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (public
+#: ISO 11172-3 layout); index 0 = "free", 15 = invalid
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _mp3_params(b: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, n_channels, n_samples, duration_s) by walking
+    MPEG-1 Layer III frames (public frame-header layout: 11-bit sync,
+    version/layer bits, bitrate and sample-rate indices, padding bit,
+    channel mode). Handles a leading ID3v2 tag (syncsafe u28 size).
+    Counts every frame — frames × 1152 samples — so CBR and VBR both
+    report true duration; O(frames) pointer hops, no sample decode."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for byte in b[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (byte & 0x7F)
+        pos = 10 + size
+    frames = 0
+    rate = ch = None
+    while pos + 4 <= len(b):
+        h = b[pos : pos + 4]
+        # MPEG-1 (version bits 11), Layer III (layer bits 01)
+        if h[0] != 0xFF or (h[1] & 0xFE) != 0xFA:
+            break
+        br_idx = h[2] >> 4
+        sr_idx = (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        frate = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = frate
+            ch = 1 if (h[3] >> 6) == 3 else 2  # mode 3 = single channel
+        elif frate != rate:
+            break  # mixed sample rates: not a clean stream
+        padding = (h[2] >> 1) & 1
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // frate + padding
+        frames += 1
+        pos += flen
+    if frames == 0:
+        return None
+    n = frames * 1152  # MPEG-1 Layer III: 1152 samples per frame
+    return rate, ch, n, n / rate
 
 
 def extract_audio_features(

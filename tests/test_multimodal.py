@@ -275,3 +275,133 @@ def test_jpeg_dims_fill_bytes_and_eoi():
     assert M._jpeg_dims(padded) == (99, 77, 3)
     # EOI before any SOF → no dims, not a bogus read
     assert M._jpeg_dims(soi + b"\xff\xd9" + sof) is None
+
+
+# ----------------------- r6 header sniffs: WEBP / TIFF / FLAC / MP3
+
+
+def _webp_vp8(w, h):
+    body = bytes(3) + b"\x9d\x01\x2a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8l(w, h, alpha):
+    bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+    body = b"\x2f" + bits.to_bytes(4, "little")
+    chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _webp_vp8x(w, h, alpha):
+    body = bytes([0x10 if alpha else 0]) + bytes(3) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _tiff(w, h, spp, endian):
+    import struct
+
+    e = "<" if endian == "little" else ">"
+    head = (b"II*\x00" if endian == "little" else b"MM\x00*") + struct.pack(e + "I", 8)
+    entries = [
+        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w),
+        struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", h, 0),
+        struct.pack(e + "HHI", 277, 3, 1) + struct.pack(e + "HH", spp, 0),
+    ]
+    return head + struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(e + "I", 0)
+
+
+def _flac(rate, ch, n):
+    packed = (rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
+    streaminfo = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def _mp3(frames, br_idx=9, sr_idx=0, mono=False, id3=False):
+    from rq_spark.operators.multimodal import _MP3_BITRATES, _MP3_RATES
+
+    out = bytearray()
+    if id3:
+        out += b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 7]) + bytes(7)
+    rate = _MP3_RATES[sr_idx]
+    flen = 144 * _MP3_BITRATES[br_idx] * 1000 // rate
+    for _ in range(frames):
+        h = bytes([0xFF, 0xFA, (br_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00])
+        out += h + bytes(flen - 4)
+    return bytes(out)
+
+
+def test_webp_dims_all_three_layouts():
+    from rq_spark.operators.multimodal import _webp_dims
+
+    assert _webp_dims(_webp_vp8(320, 240)) == (320, 240, 3)
+    assert _webp_dims(_webp_vp8l(100, 50, alpha=1)) == (100, 50, 4)
+    assert _webp_dims(_webp_vp8l(16383, 1, alpha=0)) == (16383, 1, 3)
+    assert _webp_dims(_webp_vp8x(1920, 1080, alpha=True)) == (1920, 1080, 4)
+    assert _webp_dims(b"RIFF\x00\x00\x00\x00WAVE") is None  # not WEBP
+    assert _webp_dims(b"RIFFxxxxWEBP" + b"VP8 " + bytes(14)) is None  # bad sync
+
+
+def test_tiff_dims_both_endians():
+    from rq_spark.operators.multimodal import _tiff_dims
+
+    assert _tiff_dims(_tiff(640, 480, 3, "little")) == (640, 480, 3)
+    assert _tiff_dims(_tiff(99, 77, 1, "big")) == (99, 77, 1)
+    assert _tiff_dims(b"II*\x00\x08\x00\x00\x00") is None  # truncated IFD
+    assert _tiff_dims(b"ABCD") is None
+
+
+def test_flac_params_streaminfo():
+    from rq_spark.operators.multimodal import _flac_params
+
+    got = _flac_params(_flac(44100, 2, 441000))
+    assert got == (44100, 2, 441000, 10.0)
+    got = _flac_params(_flac(8000, 1, 4000))
+    assert got == (8000, 1, 4000, 0.5)
+    assert _flac_params(b"fLaX" + bytes(40)) is None
+
+
+def test_mp3_params_frame_walk():
+    from rq_spark.operators.multimodal import _mp3_params
+
+    rate, ch, n, dur = _mp3_params(_mp3(10))
+    assert (rate, ch, n) == (44100, 2, 10 * 1152)
+    assert abs(dur - n / 44100) < 1e-12
+    # mono, different rate index, leading ID3v2 tag
+    rate, ch, n, dur = _mp3_params(_mp3(4, sr_idx=2, mono=True, id3=True))
+    assert (rate, ch, n) == (32000, 1, 4 * 1152)
+    assert _mp3_params(b"\xff\xe0" + bytes(10)) is None  # not MPEG-1 L3
+    assert _mp3_params(b"hello") is None
+
+
+def test_strict_decode_dispatches_new_formats(spark):
+    """decode_image/decode_audio in STRICT mode must route the new
+    formats through the header parsers (no NotImplementedError) and
+    still raise for unknown payloads."""
+    import pandas as pd
+    import pytest
+
+    from rq_spark.operators.multimodal import decode_audio, decode_image
+
+    img = spark.createDataFrame(
+        pd.DataFrame({"payload": [_webp_vp8(32, 16), _tiff(8, 4, 3, "big")]})
+    )
+    rows = {
+        (r.width, r.height, r.channels)
+        for r in decode_image(img, strict=True).collect()
+    }
+    assert rows == {(32, 16, 3), (8, 4, 3)}
+
+    aud = spark.createDataFrame(
+        pd.DataFrame({"payload": [_flac(16000, 1, 8000), _mp3(3)]})
+    )
+    rows = {
+        (r.sample_rate, r.n_channels, r.n_samples)
+        for r in decode_audio(aud, strict=True).collect()
+    }
+    assert rows == {(16000, 1, 8000), (44100, 2, 3 * 1152)}
+
+    bad = spark.createDataFrame(pd.DataFrame({"payload": [b"not a media file"]}))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio(bad, strict=True).collect()
