@@ -405,3 +405,33 @@ def test_strict_decode_dispatches_new_formats(spark):
     bad = spark.createDataFrame(pd.DataFrame({"payload": [b"not a media file"]}))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_audio(bad, strict=True).collect()
+
+
+def test_sniffs_never_raise_on_arbitrary_bytes():
+    """Header sniffs run inside executor UDFs on untrusted payloads:
+    on arbitrary bytes they must return None (or a tuple), never
+    raise."""
+    import numpy as np
+
+    from rq_spark.operators.multimodal import (
+        _bmp_dims,
+        _flac_params,
+        _gif_dims,
+        _jpeg_dims,
+        _mp3_params,
+        _tiff_dims,
+        _webp_dims,
+    )
+
+    rng = np.random.default_rng(42)
+    sniffs = (_bmp_dims, _flac_params, _gif_dims, _jpeg_dims,
+              _mp3_params, _tiff_dims, _webp_dims)
+    prefixes = [b"", b"RIFF", b"RIFFxxxxWEBP", b"II*\x00", b"MM\x00*",
+                b"fLaC", b"\xff\xfa", b"ID3", b"BM", b"GIF89a", b"\xff\xd8"]
+    for _ in range(200):
+        n = int(rng.integers(0, 64))
+        prefix = prefixes[int(rng.integers(0, len(prefixes)))]
+        blob = prefix + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for sniff in sniffs:
+            out = sniff(blob)  # must not raise
+            assert out is None or isinstance(out, tuple)
