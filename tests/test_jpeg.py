@@ -202,3 +202,87 @@ def test_progressive_roundtrip_property(h, w, nc, subsample, seed):
     base = jpeg.decode(jpeg.encode(img, quality=80, subsample=subsample))
     prog = jpeg.decode(jpeg.encode_progressive(img, quality=80, subsample=subsample))
     assert np.array_equal(base, prog)
+
+
+def _roundtrip_band(blocks_in, al_first=1):
+    """Encode band 1-63 of the given coefficient blocks with the
+    first-pass + refinement token generators, decode with the block
+    routines, return the reconstructed blocks."""
+    from rq_spark.operators.jpeg import (
+        _ac_first_block,
+        _ac_refine_block,
+        _ac_first_tokens,
+        _ac_refine_tokens,
+        _BitReader,
+        _BitWriter,
+        _equal_length_table,
+        _flat_tokens,
+        _invert_codes,
+        _split_scan,
+        _write_tokens,
+    )
+
+    out = [np.zeros(64, dtype=np.int64) for _ in blocks_in]
+
+    def run(tokens, block_fn, al):
+        body, codes = _equal_length_table(_flat_tokens(tokens))
+        bw = _BitWriter()
+        _write_tokens(bw, tokens, codes)
+        bw.flush()
+        data = _split_scan(bytes(bw.buf), 0)[0][0]  # unstuff 0xFF00
+        reader = _BitReader(data)
+        inv = _invert_codes(codes)
+        eobrun = 0
+        for zz in out:
+            eobrun = block_fn(reader, inv, zz, 1, 63, al, eobrun)
+
+    run(_ac_first_tokens(blocks_in, 1, 63, al_first), _ac_first_block, al_first)
+    run(_ac_refine_tokens(blocks_in, 1, 63, 0), _ac_refine_block, 0)
+    return out
+
+
+def test_ac_token_block_roundtrip_random_sparse():
+    """The AC first/refine token generators and block decoders are
+    exact inverses over random sparse bands (correction-bit buffering,
+    ZRL runs, trailing EOB absorption)."""
+    rs = np.random.RandomState(5)
+    for trial in range(10):
+        blocks = []
+        for _ in range(rs.randint(1, 40)):
+            zz = np.zeros(64, dtype=np.int64)
+            for _k in range(rs.randint(0, 12)):
+                zz[rs.randint(1, 64)] = rs.randint(-40, 41)
+            blocks.append(zz)
+        got = _roundtrip_band(blocks)
+        for want, have in zip(blocks, got):
+            assert np.array_equal(want[1:], have[1:]), trial
+
+
+def test_ac_token_block_roundtrip_zrl_heavy():
+    """Runs > 15 force ZRL symbols in both passes — including the
+    refinement pass's interleaved correction-bit flushes."""
+    zz = np.zeros(64, dtype=np.int64)
+    zz[20] = 7       # 19-zero run → ZRL + run 3
+    zz[60] = -1      # newly significant only in the refinement pass
+    zz[63] = 30
+    blocks = [zz, np.zeros(64, dtype=np.int64)]
+    got = _roundtrip_band(blocks)
+    assert np.array_equal(got[0][1:], zz[1:])
+    assert not got[1][1:].any()
+
+
+def test_ac_eobrun_cap_flushes_at_0x7fff():
+    """32767 consecutive all-zero bands must flush an EOBn symbol at
+    the spec cap and still round-trip exactly."""
+    from rq_spark.operators.jpeg import _ac_first_tokens, _flat_tokens
+
+    n = 33000
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(n)]
+    blocks[-1][1] = 5  # a nonzero tail so the cap flush is observable
+    toks = _ac_first_tokens(blocks, 1, 63, 1)
+    # 14 = floor(log2(0x7FFF)): the capped EOBn symbol
+    assert (14 << 4) in _flat_tokens(toks)
+    got = _roundtrip_band(blocks)
+    assert got[-1][1] == 5 or got[-1][1] == 4  # 5>>1<<1 then +1 → 5
+    assert np.array_equal(got[-1][1:], blocks[-1][1:])
+    assert not any(b[1:].any() for b in got[:-1])
