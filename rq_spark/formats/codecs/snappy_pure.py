@@ -11,13 +11,14 @@ block format is small enough to carry directly:
   length bytes; copies with 1-, 2- and 4-byte offsets, including
   overlapping copies with byte-at-a-time semantics), so it can read
   streams produced by any conforming compressor.
-* ``compress`` emits the preamble varint plus ALL-LITERAL chunks —
-  explicitly valid per the spec ("a compressor is free to emit any
-  sequence of tags that decodes to the input"), decodable by every
-  snappy implementation. No back-references means no compression,
-  which is fine for the engine's use (Avro block transport where the
-  real bindings take over in production; the container's deflate
-  codec is the ratio path).
+* ``compress`` is a real greedy LZ77 matcher in the classic snappy
+  style (late-r6; it emitted all-literal streams before): a hash
+  table over 4-byte sequences proposes the latest prior occurrence,
+  matches extend maximally and emit copy-1/copy-2 tags (64-byte
+  chunks for long matches), misses accumulate a skip-ahead step so
+  incompressible input degrades to ~one probe per 32 bytes instead
+  of one per byte. Any conforming decompressor reads the output; the
+  spec explicitly allows any tag sequence that decodes to the input.
 
 Used as the fallback backend of the Avro container codec; a real
 binding (python-snappy, cramjam) is preferred when importable.
@@ -57,16 +58,11 @@ def _uvarint_decode(data: bytes, pos: int) -> tuple[int, int]:
             raise AvroDecodeError("snappy: preamble varint too long")
 
 
-def compress(data: bytes) -> bytes:
-    """All-literal snappy stream (spec-valid, ratio 1.0)."""
-    data = bytes(data)
-    out = bytearray(_uvarint_encode(len(data)))
-    pos = 0
-    while pos < len(data) or (pos == 0 and not data):
-        chunk = data[pos : pos + _MAX_LITERAL]
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    pos = start
+    while pos < end:
+        chunk = data[pos : min(end, pos + _MAX_LITERAL)]
         n = len(chunk)
-        if n == 0:  # empty input: no tags at all, preamble says 0
-            break
         if n <= 60:
             out.append((n - 1) << 2)
         elif n <= 0xFF:
@@ -83,6 +79,69 @@ def compress(data: bytes) -> bytes:
             out += (n - 1).to_bytes(4, "little")
         out += chunk
         pos += n
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    """Copy tags for a match: copy-1 (length 4-11, offset < 2048) when
+    it fits in two bytes, else copy-2 chunks of ≤ 64; offsets ≥ 64 KiB
+    take copy-4. Long matches repeat tags at the same offset."""
+    while length > 0:
+        if 4 <= length <= 11 and offset < 2048:
+            out.append(0x01 | ((length - 4) << 2) | ((offset >> 8) << 5))
+            out.append(offset & 0xFF)
+            return
+        chunk = min(length, 64)
+        if length - chunk in (1, 2, 3) and chunk == 64:
+            chunk = 60  # keep the tail ≥ 4 so copy-1 stays usable; any
+            # tail also fits copy-2 (length 1-64), this just helps ratio
+        if offset < 0x10000:
+            out.append(0x02 | ((chunk - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        else:
+            out.append(0x03 | ((chunk - 1) << 2))
+            out += offset.to_bytes(4, "little")
+        length -= chunk
+
+
+def compress(data: bytes) -> bytes:
+    """Greedy hash-match LZ77 snappy compressor (format description
+    §"the compressor": 4-byte minimum match via a last-occurrence
+    table, maximal extension, literal run between matches, skip-ahead
+    on incompressible stretches)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(_uvarint_encode(n))
+    if n == 0:
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    misses = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None:
+            # snappy's incompressible-data guard: probe sparser as
+            # misses accumulate, capped so a compressible tail after a
+            # long random stretch is still found within ~32 bytes
+            misses += 1
+            i += 1 + min(misses >> 5, 31)
+            continue
+        misses = 0
+        j = i + 4
+        k = cand + 4
+        while j < n and data[j] == data[k]:
+            j += 1
+            k += 1
+        _emit_literal(out, data, lit_start, i)
+        _emit_copy(out, i - cand, j - i)
+        # index the match tail so adjacent repetitions chain
+        if j - 4 > i:
+            table[data[j - 4 : j]] = j - 4
+        lit_start = j
+        i = j
+    _emit_literal(out, data, lit_start, n)
     return bytes(out)
 
 

@@ -802,3 +802,26 @@ def test_pure_snappy_roundtrip_property(payload):
     from rq_spark.formats.codecs import snappy_pure as sp
 
     assert sp.decompress(sp.compress(payload)) == payload
+
+
+def test_pure_snappy_actually_compresses():
+    """The r6 LZ77 matcher must beat 0.1 on repetitive input, stay
+    ≈1.0 (plus preamble) on random bytes, and find a compressible
+    tail after a long incompressible stretch (skip-ahead cap)."""
+    import os
+
+    from rq_spark.formats.codecs import snappy_pure as sp
+
+    rep = b"hello snappy world " * 1000
+    assert len(sp.compress(rep)) < len(rep) * 0.1
+    assert sp.decompress(sp.compress(rep)) == rep
+
+    rnd = os.urandom(20_000)
+    z = sp.compress(rnd)
+    assert len(z) <= len(rnd) + 16
+    assert sp.decompress(z) == rnd
+
+    mixed = os.urandom(50_000) + b"pattern tail " * 5000
+    z = sp.compress(mixed)
+    assert sp.decompress(z) == mixed
+    assert len(z) < 50_000 + 5000 * 13 * 0.2  # tail compressed ≥ 5×
