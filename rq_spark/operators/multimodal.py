@@ -1,18 +1,19 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-Decode is REAL for PNG payloads (operators/png.py — a pure-Python
-codec from the public PNG spec; zlib + numpy, no image libs needed)
-and, since r6, for baseline JPEG payloads (operators/jpeg.py — the
-ITU-T T.81 spec codec): ``decode_image`` reads true
-dimensions/channels, ``resize_image`` nearest-neighbor-resamples
-actual pixels and re-encodes, and ``extract_features`` computes a
-normalized grayscale histogram of the decoded image. Other formats
-still need a codec lib, so they keep the two documented stub modes
-(SURVEY.md build brief):
+Decode is REAL for PNG, JPEG (baseline + progressive), GIF, BMP, and
+TIFF payloads (operators/{png,jpeg,gif,bmp,tiff}.py — pure-Python
+codecs from the public specs; zlib + numpy, no image libs needed):
+``decode_image`` reads true dimensions/channels, ``resize_image``
+nearest-neighbor-resamples actual pixels and re-encodes, and
+``extract_features`` computes a normalized grayscale histogram of the
+decoded image. WEBP/TIFF dims and FLAC/MP3 audio parameters parse
+O(header) in strict mode. Formats beyond these still need a codec
+lib, so they keep the two documented stub modes (SURVEY.md build
+brief):
 
 * ``decode_image(strict=True)`` raises ``NotImplementedError`` for
-  non-PNG payloads — the honest production placeholder;
+  unrecognized payloads — the honest production placeholder;
 * ``decode_image(strict=False)`` produces a deterministic fake
   (dimensions derived from the payload hash) so the Spark-side
   plumbing — schema, batching, partitioning, UDF signatures — is real
@@ -282,13 +283,13 @@ def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
-    """Feature vector per payload. PNG/JPEG/GIF/BMP payloads get REAL
+    """Feature vector per payload. PNG/JPEG/GIF/BMP/TIFF payloads get REAL
     content features: the dim-bin normalized grayscale histogram of
     the decoded pixels (deterministic, resolution-invariant — the
     classic cheap visual signature). Other payloads get the
     deterministic sha256 fake (stands in for a model forward pass;
     Arrow-batched so a real model would amortize per batch)."""
-    from . import bmp, gif, jpeg, png
+    from . import bmp, gif, jpeg, png, tiff
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -315,6 +316,14 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
                 arr = None
         elif bmp.is_bmp(b):
             arr = bmp.decode(b)
+        elif tiff.is_tiff(b):
+            try:
+                arr = tiff.decode(b)
+            except tiff.TiffFormatError:
+                # unsupported profile (tiles, other compressions):
+                # keep the deterministic fake rather than failing the
+                # whole batch — dims still sniff via _tiff_dims
+                arr = None
         if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
@@ -736,9 +745,9 @@ def resize_image(
 ) -> DataFrame:
     """Resize payloads to width×height, channels preserved — the third
     multimodal pipeline stage (decode → resize → features). PNG,
-    baseline-JPEG, GIF, and BMP payloads are resized for REAL:
+    JPEG, GIF, BMP, and TIFF payloads are resized for REAL:
     decoded, nearest-neighbor resampled, and re-encoded in their own
-    format (operators/png.py, jpeg.py, gif.py, bmp.py — binary in,
+    format (operators/png.py, jpeg.py, gif.py, bmp.py, tiff.py — binary in,
     binary out, true pixels; a nearest-resampled GIF only reuses
     source colors, so the ≤256-color re-encode contract always
     holds). Other payloads keep the stub (the input
@@ -749,7 +758,7 @@ def resize_image(
     data-dependent channels. In production the remaining branch
     becomes ``PIL.Image.open(...).resize((width, height))``.
     """
-    from . import bmp, gif, jpeg, png
+    from . import bmp, gif, jpeg, png, tiff
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -795,6 +804,17 @@ def resize_image(
                     resized.append(bmp.encode(png.resize_nearest(arr, width, height)))
                     chans.append(arr.shape[2])
                     continue
+                if tiff.is_tiff(b):
+                    try:
+                        arr = tiff.decode(b)
+                    except tiff.TiffFormatError:
+                        arr = None  # unsupported profile → stub branch
+                    if arr is not None:
+                        resized.append(
+                            tiff.encode(png.resize_nearest(arr, width, height))
+                        )
+                        chans.append(arr.shape[2])
+                        continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))
