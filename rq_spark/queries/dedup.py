@@ -489,6 +489,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
+    from ..operators import tiff as tiff_codec
     from ..operators.multimodal import (
         decode_audio,
         decode_image,
@@ -516,7 +517,9 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return buf.getvalue()
 
         for pdf in batches:
-            pngs, jpegs, gifs, bmps, wavs, tones, mp4s = [], [], [], [], [], [], []
+            pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s = (
+                [], [], [], [], [], [], [], []
+            )
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
                 nb = len(b)
@@ -540,6 +543,13 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # input palette-encodes its <=256 distinct byte values)
                 gifs.append(gif_codec.encode(arr.reshape(h, w)))
                 bmps.append(bmp_codec.encode(arr.reshape(h, w)))
+                # LZW + horizontal predictor: the richest decode path,
+                # still lossless, so the pixel check stays EXACT
+                tiffs.append(
+                    tiff_codec.encode(
+                        arr.reshape(h, w), compression="lzw", predictor=True
+                    )
+                )
                 wavs.append(wav_bytes(b[: nb // 2 * 2]))
                 n_s = 64 + nb % 64
                 k = 1 + nb % 7
@@ -555,6 +565,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jpeg_payload": jpegs,
                     "gif_payload": gifs,
                     "bmp_payload": bmps,
+                    "tiff_payload": tiffs,
                     "wav_payload": wavs,
                     "tone_payload": tones,
                     "mp4_payload": mp4s,
@@ -564,7 +575,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.mapInPandas(
         synth,
         "doc_id long, text string, png_payload binary, jpeg_payload binary, "
-        "gif_payload binary, bmp_payload binary, wav_payload binary, "
+        "gif_payload binary, bmp_payload binary, tiff_payload binary, "
+        "wav_payload binary, "
         "tone_payload binary, mp4_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
@@ -671,6 +683,37 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.mapInPandas(bmp_verify, bmp_schema)
 
+    # TIFF: strict header dims (first-IFD tag walk) + an exact
+    # LZW+predictor decode (lossless)
+    d = decode_image(d, "tiff_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {"width": "tiff_width", "height": "tiff_height", "channels": "tiff_channels"}
+    )
+
+    def tiff_verify(batches):
+        import numpy as np
+
+        from ..operators import tiff as tiff_c
+
+        for pdf in batches:
+            oks = []
+            for p, t in zip(pdf["tiff_payload"], pdf["text"]):
+                b = (t or "").encode("utf-8")
+                w = 16
+                h = max(1, math.ceil(len(b) / w))
+                src = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
+                decoded = tiff_c.decode(bytes(p))
+                oks.append(
+                    decoded.shape == (h, w, 1)
+                    and np.array_equal(decoded[:, :, 0].ravel(), src)
+                )
+            yield pdf.assign(tiff_pix_ok=oks)
+
+    tiff_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("tiff_pix_ok", T.BooleanType())]
+    )
+    d = d.mapInPandas(tiff_verify, tiff_schema)
+
     d = decode_audio(d, "wav_payload", strict=True)
     d = d.withColumnRenamed("duration_s", "wav_duration_s")
     d = extract_audio_features(d, "tone_payload", n_windows=8)
@@ -701,6 +744,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bmp_height",
         F.col("bmp_channels").cast("int").alias("bmp_channels"),
         "bmp_pix_ok",
+        "tiff_width",
+        "tiff_height",
+        F.col("tiff_channels").cast("int").alias("tiff_channels"),
+        "tiff_pix_ok",
         F.col("sample_rate").alias("wav_sample_rate"),
         F.col("n_samples").alias("wav_n_samples"),
         "wav_duration_s",
@@ -747,6 +794,10 @@ SELECT doc_id,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS bmp_height,
        3 AS bmp_channels,
        TRUE AS bmp_pix_ok,
+       16 AS tiff_width,
+       GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS tiff_height,
+       1 AS tiff_channels,
+       TRUE AS tiff_pix_ok,
        8000 AS wav_sample_rate,
        CAST(nb // 2 AS BIGINT) AS wav_n_samples,
        (nb // 2) / 8000.0 AS wav_duration_s,
