@@ -635,9 +635,12 @@ def decode_video_meta(
 ) -> DataFrame:
     """Video container metadata (duration_s, width, height, n_tracks)
     via mapInPandas. MP4/ISO-BMFF payloads parse for REAL (box walk —
-    ISO 14496-12 layout, no codec libs; frame DECODE still needs one).
-    Other formats: strict=True raises NotImplementedError, strict=False
+    ISO 14496-12 layout, no codec libs); AVI payloads parse for REAL
+    too (RIFF avih/strl walk, operators/avi.py — and for MJPEG AVIs
+    the FRAMES also decode, see sample_animation_frames). Other
+    formats: strict=True raises NotImplementedError, strict=False
     derives deterministic fake metadata from the payload hash."""
+    from . import avi as avi_codec
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -652,10 +655,13 @@ def decode_video_meta(
         b = bytes(p)
         if _is_mp4(b):
             return _mp4_meta(b)
+        if avi_codec.is_avi(b):
+            dur, w, h, streams, _total, _fps = avi_codec.meta(b)
+            return dur, w, h, streams
         if strict:
             raise NotImplementedError(
-                "only MP4/ISO-BMFF metadata parses without a codec "
-                "library; wire ffprobe here for other formats"
+                "only MP4/ISO-BMFF and RIFF/AVI metadata parse without "
+                "a codec library; wire ffprobe here for other formats"
             )
         h = hashlib.sha256(b).digest()
         return 1.0 + h[6] % 600, 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[7] % 3
@@ -679,18 +685,21 @@ def sample_animation_frames(
     """REAL frame sampling for animated payloads: GIF payloads (the
     one animated format with a bundled codec) are decoded frame by
     frame with disposal-method compositing (operators/gif.py:
-    decode_frames), n_frames are sampled at evenly-spaced indices,
-    and each sampled canvas is re-encoded as a standalone PNG (PNG,
-    not GIF: a composited canvas can mix local palettes past 256
-    colors). Non-GIF payloads — and GIF-magic payloads that do not
-    parse end-to-end — keep the byte-split stub of `sample_frames`,
-    so the Arrow plumbing works on any input. In production the
-    fallback branch becomes the ffmpeg/PyAV frame iterator.
+    decode_frames) and MJPEG AVI payloads are decoded frame by frame
+    (operators/avi.py: RIFF movi walk → per-chunk T.81 decode — real
+    VIDEO pixels, not just container metadata); n_frames are sampled
+    at evenly-spaced indices, and each sampled canvas is re-encoded
+    as a standalone PNG (PNG, not GIF: a composited canvas can mix
+    local palettes past 256 colors). Other payloads — and GIF/AVI
+    magic that does not parse end-to-end — keep the byte-split stub
+    of `sample_frames`, so the Arrow plumbing works on any input. In
+    production the fallback branch becomes the ffmpeg/PyAV frame
+    iterator.
 
     At 100 TB frames dominate output bytes: the operator is
     mapInPandas over payload partitions, per-batch memory is
     O(batch · canvas · n_frames), and nothing is collected."""
-    from . import gif, png
+    from . import avi, gif, png
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -702,18 +711,26 @@ def sample_animation_frames(
 
     def frames_of(p) -> tuple[list[bytes], bool]:
         b = bytes(p)
+        all_frames = None
         if gif.is_gif(b):
             try:
                 all_frames = gif.decode_frames(b)
             except gif.GifFormatError:
                 all_frames = None
-            if all_frames:
-                k = min(n_frames, len(all_frames))
-                picks = [
-                    all_frames[(i * (len(all_frames) - 1)) // max(k - 1, 1)]
-                    for i in range(k)
-                ]
-                return [png.encode(f) for f in picks], True
+        elif avi.is_avi(b):
+            from ..errors import RqError
+
+            try:
+                all_frames = avi.decode_frames(b)
+            except RqError:  # AviFormatError or a bad embedded JPEG
+                all_frames = None
+        if all_frames:
+            k = min(n_frames, len(all_frames))
+            picks = [
+                all_frames[(i * (len(all_frames) - 1)) // max(k - 1, 1)]
+                for i in range(k)
+            ]
+            return [png.encode(f) for f in picks], True
         n = max(len(b) // n_frames, 1)
         return [b[i * n : (i + 1) * n] for i in range(n_frames)], False
 

@@ -440,17 +440,19 @@ JOIN resized USING (doc_id)
 """
 
 
-def _jpeg_source_pixels(nb: int):
+def _jpeg_source_pixels(nb: int, phase: int = 0):
     """Deterministic smooth grayscale test image derived from a byte
     count — shared by the synth and verify stages of mm_real_decode so
-    the decoded pixels have a recomputable ground truth."""
+    the decoded pixels have a recomputable ground truth. ``phase``
+    shifts the sine horizontally (smooth for every value — no seam),
+    which is how the AVI branch derives per-frame variation."""
     import numpy as np
 
     w = 16
     h = max(1, -(-nb // w))
     yy, xx = np.mgrid[0:h, 0:w]
     return np.round(
-        128 + 80 * np.sin((xx + (nb % 11)) / 5.0) * np.cos(yy / 4.0)
+        128 + 80 * np.sin((xx + (nb % 11) + phase) / 5.0) * np.cos(yy / 4.0)
     ).astype(np.uint8)
 
 
@@ -478,13 +480,19 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed RMS of a ±A square wave is exactly A/32768 in IEEE
     arithmetic (every step representable), so round(rms·32768) == A,
     and the zero-crossing rate is the exact rational ⌊(N−1)/k⌋/(N−1)
-    both engines compute with one double division. Payloads are built
-    and decoded executor-side in Arrow batches; nothing but scalars
-    leaves."""
+    both engines compute with one double division. The MJPEG AVI
+    branch (r6) covers real VIDEO frame decode: 2-5 phase-shifted
+    frames of the smooth field through the RIFF container walk and
+    the T.81 decoder (operators/avi.py), with container metadata
+    (duration = frames*floor(1e6/fps) us, dims, track count) and a
+    per-frame pixel-tolerance assertion all SQL-recomputable from the
+    byte count. Payloads are built and decoded executor-side in Arrow
+    batches; nothing but scalars leaves."""
     import math
 
     import pandas as pd
 
+    from ..operators import avi as avi_codec
     from ..operators import bmp as bmp_codec
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
@@ -517,8 +525,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return buf.getvalue()
 
         for pdf in batches:
-            pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s = (
-                [], [], [], [], [], [], [], []
+            pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis = (
+                [], [], [], [], [], [], [], [], []
             )
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
@@ -557,6 +565,23 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sign = 1 - 2 * ((np.arange(n_s) // k) % 2)
                 tones.append(wav_bytes((amp * sign).astype("<i2").tobytes()))
                 mp4s.append(mp4_stub_bytes(duration_ms=nb))
+                # MJPEG AVI: 2-5 frames of the same smooth field at
+                # successive phases (every frame stays seam-free, so
+                # the per-frame JPEG tolerance bound carries over);
+                # frame shape bounded by nb % 256 so the video branch
+                # adds O(1) decode work per doc regardless of text size
+                nf = 2 + nb % 4
+                fps = 4 + nb % 6
+                avis.append(
+                    avi_codec.encode_mjpeg(
+                        [
+                            _jpeg_source_pixels(nb % 256, phase=i)
+                            for i in range(nf)
+                        ],
+                        fps=fps,
+                        quality=95,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -569,6 +594,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "wav_payload": wavs,
                     "tone_payload": tones,
                     "mp4_payload": mp4s,
+                    "avi_payload": avis,
                 }
             )
 
@@ -577,7 +603,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, png_payload binary, jpeg_payload binary, "
         "gif_payload binary, bmp_payload binary, tiff_payload binary, "
         "wav_payload binary, "
-        "tone_payload binary, mp4_payload binary",
+        "tone_payload binary, mp4_payload binary, avi_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -717,6 +743,53 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = decode_audio(d, "wav_payload", strict=True)
     d = d.withColumnRenamed("duration_s", "wav_duration_s")
     d = extract_audio_features(d, "tone_payload", n_windows=8)
+
+    # AVI/MJPEG: real container metadata (RIFF avih walk) via the same
+    # strict decode_video_meta dispatch, then real FRAME decode — every
+    # frame through the T.81 decoder, checked against the phase-shifted
+    # source field (the video analogue of jpeg_pix_ok)
+    d = decode_video_meta(d, "avi_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "avi_duration_s",
+            "width": "avi_width",
+            "height": "avi_height",
+            "n_tracks": "avi_tracks",
+        }
+    )
+
+    def avi_verify(batches):
+        import numpy as np
+
+        from ..operators import avi as avi_c
+
+        for pdf in batches:
+            oks, counts = [], []
+            for p, t in zip(pdf["avi_payload"], pdf["text"]):
+                nb = len((t or "").encode("utf-8"))
+                frames = avi_c.decode_frames(bytes(p))
+                counts.append(len(frames))
+                ok = len(frames) == 2 + nb % 4
+                for i, fr in enumerate(frames):
+                    src = _jpeg_source_pixels(nb % 256, phase=i)
+                    ok = ok and fr.shape[:2] == src.shape and bool(
+                        np.abs(
+                            fr[:, :, 0].astype(int) - src.astype(int)
+                        ).max()
+                        <= 8
+                    )
+                oks.append(ok)
+            yield pdf.assign(avi_pix_ok=oks, avi_n_frames=counts)
+
+    avi_schema = T.StructType(
+        list(d.schema.fields)
+        + [
+            T.StructField("avi_pix_ok", T.BooleanType()),
+            T.StructField("avi_n_frames", T.IntegerType()),
+        ]
+    )
+    d = d.mapInPandas(avi_verify, avi_schema)
+
     d = decode_video_meta(d, "mp4_payload", strict=True)
     return d.select(
         "doc_id",
@@ -766,6 +839,12 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("mp4_width"),
         F.col("height").alias("mp4_height"),
         F.col("n_tracks").alias("mp4_tracks"),
+        "avi_duration_s",
+        "avi_width",
+        "avi_height",
+        "avi_tracks",
+        F.col("avi_n_frames").cast("bigint").alias("avi_n_frames"),
+        "avi_pix_ok",
     )
 
 
@@ -806,7 +885,14 @@ SELECT doc_id,
        nb / 1000.0 AS mp4_duration_s,
        64 AS mp4_width,
        32 AS mp4_height,
-       1 AS mp4_tracks
+       1 AS mp4_tracks,
+       CAST((2 + nb % 4) * (1000000 // (4 + nb % 6)) AS DOUBLE)
+           / 1000000.0 AS avi_duration_s,
+       16 AS avi_width,
+       GREATEST(1, CAST(CEIL((nb % 256) / 16.0) AS INT)) AS avi_height,
+       1 AS avi_tracks,
+       CAST(2 + nb % 4 AS BIGINT) AS avi_n_frames,
+       TRUE AS avi_pix_ok
 FROM t
 """
 
