@@ -1,0 +1,512 @@
+"""Pure-Python FLAC codec (decode + fixture encoder).
+
+Implemented from the public FLAC format specification (RFC 9639 /
+xiph.org format document): metadata blocks with a 34-byte STREAMINFO,
+frames with CRC-8-checked headers and CRC-16-checked footers, and
+per-channel subframes of all four types — CONSTANT, VERBATIM, FIXED
+(orders 0-4) and LPC (quantized linear prediction) — with Rice-coded
+residual partitions (both 4-bit and 5-bit parameter methods, raw
+escapes), wasted-bits shifts, and all four stereo decorrelation modes
+(independent, left/side, right/side, mid/side).
+
+The encoder is the verification twin: it emits CONSTANT subframes for
+flat blocks and otherwise picks the cheapest FIXED order 0-2 with a
+single-partition Rice residual (falling back to VERBATIM when Rice
+loses), so streams it produces drive the decoder through the
+prediction + Rice paths — and every stream must decode back to the
+exact input samples (FLAC is lossless; tests assert bit equality).
+
+Reference parity note: dflemstr/rq has no media operators; this module
+is extension-layer (SURVEY.md §2.2 multimodal audio). Scale design:
+payloads decode executor-side inside Arrow batches via
+`operators/multimodal.py`; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..errors import RqError
+
+_BLOCK = 4096
+
+# frame-header sample-rate codes (index = 4-bit code; None = lookup
+# elsewhere: 0 → STREAMINFO, 12-14 → trailing field, 15 invalid)
+_RATES = [
+    None, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000, None, None, None, None,
+]
+_DEPTHS = [None, 8, 12, None, 16, 20, 24, 32]
+
+
+class FlacFormatError(RqError):
+    """Raised when bytes do not parse as a FLAC stream."""
+
+
+def is_flac(data: bytes) -> bool:
+    return len(data) >= 4 and data[:4] == b"fLaC"
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise FlacFormatError("flac: bitstream truncated")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coding for frame/sample numbers (same scheme
+    as UTF-8 but extended to 36-bit values)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC), (7, 0xFE)):
+        if n < (1 << (5 * nbytes + 1)) or nbytes == 7:
+            cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 1)]
+            first = lead | (n >> (6 * (nbytes - 1)))
+            return bytes([first] + cont[::-1])
+    raise FlacFormatError("flac: frame number out of range")
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise FlacFormatError("flac: bad UTF-8 frame number")
+    v = first & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise FlacFormatError("flac: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def stream_info(data: bytes):
+    """(sample_rate, channels, bits_per_sample, total_samples) from the
+    STREAMINFO metadata block."""
+    if not is_flac(data):
+        raise FlacFormatError("flac: missing fLaC magic")
+    pos = 4
+    while pos + 4 <= len(data):
+        header = data[pos]
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if header & 0x7F == 0:
+            if len(body) < 18:
+                raise FlacFormatError("flac: short STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            ch = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & 0xFFFFFFFFF
+            return rate, ch, bps, total
+        pos += 4 + size
+        if header & 0x80:
+            break
+    raise FlacFormatError("flac: no STREAMINFO block")
+
+
+def _frames_start(data: bytes) -> int:
+    pos = 4
+    while pos + 4 <= len(data):
+        header = data[pos]
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        pos += 4 + size
+        if header & 0x80:
+            return pos
+    raise FlacFormatError("flac: metadata blocks never end")
+
+
+def _decode_residual(br: _BitReader, block: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise FlacFormatError("flac: reserved residual method")
+    plen = 4 + method  # rice parameter width
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block % nparts:
+        raise FlacFormatError("flac: block size not divisible by partitions")
+    res: list[int] = []
+    for part in range(nparts):
+        count = (block >> porder) - (order if part == 0 else 0)
+        if count < 0:
+            raise FlacFormatError("flac: partition smaller than predictor order")
+        param = br.read(plen)
+        if param == (1 << plen) - 1:  # escape: raw residuals
+            raw_bits = br.read(5)
+            for _ in range(count):
+                res.append(br.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                v = (q << param) | br.read(param)
+                res.append((v >> 1) ^ -(v & 1))
+    return res
+
+
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _decode_subframe(br: _BitReader, block: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise FlacFormatError("flac: subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [br.read_signed(bps)] * block
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(block)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(br, block, order)
+        out = list(warm)
+        coef = _FIXED_COEF[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef))
+            out.append(r + pred)
+    elif stype >= 32:  # LPC, order = stype - 31
+        order = stype - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise FlacFormatError("flac: invalid LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise FlacFormatError("flac: negative LPC shift")
+        coef = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, block, order)
+        out = list(warm)
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef)) >> shift
+            out.append(r + pred)
+    else:
+        raise FlacFormatError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode(data: bytes):
+    """FLAC bytes → (samples int32 array of shape (n, channels),
+    sample_rate, bits_per_sample). Verifies every frame's CRC-8 header
+    and CRC-16 footer; lossless by construction."""
+    rate0, ch0, bps0, total = stream_info(data)
+    pos = _frames_start(data)
+    chans: list[list[int]] = [[] for _ in range(ch0)]
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            raise FlacFormatError("flac: lost frame sync")
+        br = _BitReader(data, pos)
+        br.read(14)  # sync
+        if br.read(1):
+            raise FlacFormatError("flac: reserved header bit set")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ca = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise FlacFormatError("flac: reserved header bit set")
+        _read_utf8_number(br)
+        if bs_code == 0:
+            raise FlacFormatError("flac: reserved block size code")
+        elif bs_code == 1:
+            block = 192
+        elif bs_code <= 5:
+            block = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block = br.read(8) + 1
+        elif bs_code == 7:
+            block = br.read(16) + 1
+        else:
+            block = 256 << (bs_code - 8)
+        if sr_code == 0:
+            rate = rate0
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        elif sr_code == 15:
+            raise FlacFormatError("flac: invalid sample rate code")
+        else:
+            rate = _RATES[sr_code]
+        bps = bps0 if ss_code == 0 else _DEPTHS[ss_code]
+        if bps is None:
+            raise FlacFormatError("flac: reserved sample size code")
+        br.align()
+        if _crc8(data[pos : br.byte]) != data[br.byte]:
+            raise FlacFormatError("flac: frame header CRC-8 mismatch")
+        br.byte += 1
+        if ca <= 7:
+            nch = ca + 1
+            sub = [_decode_subframe(br, block, bps) for _ in range(nch)]
+        elif ca == 8:  # left/side
+            left = _decode_subframe(br, block, bps)
+            side = _decode_subframe(br, block, bps + 1)
+            sub = [left, [l - s for l, s in zip(left, side)]]
+        elif ca == 9:  # right/side
+            side = _decode_subframe(br, block, bps + 1)
+            right = _decode_subframe(br, block, bps)
+            sub = [[r + s for r, s in zip(right, side)], right]
+        elif ca == 10:  # mid/side
+            mid = _decode_subframe(br, block, bps)
+            side = _decode_subframe(br, block, bps + 1)
+            sub = [[], []]
+            for m, s in zip(mid, side):
+                mm = (m << 1) | (s & 1)
+                sub[0].append((mm + s) >> 1)
+                sub[1].append((mm - s) >> 1)
+        else:
+            raise FlacFormatError("flac: reserved channel assignment")
+        if len(sub) != ch0:
+            raise FlacFormatError("flac: frame channel count != STREAMINFO")
+        br.align()
+        if _crc16(data[pos : br.byte]) != int.from_bytes(
+            data[br.byte : br.byte + 2], "big"
+        ):
+            raise FlacFormatError("flac: frame CRC-16 mismatch")
+        pos = br.byte + 2
+        for c, s in zip(chans, sub):
+            c.extend(s)
+        if total and len(chans[0]) >= total:
+            break
+    if total and len(chans[0]) != total:
+        raise FlacFormatError("flac: sample count != STREAMINFO total")
+    return np.array(chans, dtype=np.int64).T.astype(np.int32), rate0, bps0
+
+
+def _best_rice_param(res: list[int]) -> int:
+    total = sum((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1 for v in res)
+    mean = total / max(1, len(res))
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def _encode_residual(bw: _BitWriter, res: list[int]) -> None:
+    bw.write(0, 2)  # method 0: 4-bit rice
+    bw.write(0, 4)  # partition order 0
+    param = _best_rice_param(res)
+    bw.write(param, 4)
+    for v in res:
+        z = (v << 1) if v >= 0 else (((-v) << 1) - 1)
+        bw.write_unary(z >> param)
+        if param:
+            bw.write(z, param)
+
+
+def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
+    first = samples[0]
+    if all(s == first for s in samples):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(first, bps)
+        return
+    # candidate fixed orders with their residuals
+    best_order, best_res, best_cost = None, None, None
+    for order, coef in ((0, []), (1, [1]), (2, [2, -1])):
+        if len(samples) <= order:
+            continue
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, len(samples))
+        ]
+        param = _best_rice_param(res)
+        cost = order * bps + sum(
+            (((v << 1) if v >= 0 else (((-v) << 1) - 1)) >> param) + 1 + param
+            for v in res
+        )
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    if best_cost is not None and best_cost < len(samples) * bps:
+        bw.write(0, 1)
+        bw.write(8 + best_order, 6)  # FIXED
+        bw.write(0, 1)
+        for s in samples[:best_order]:
+            bw.write(s, bps)
+        _encode_residual(bw, best_res)
+        return
+    bw.write(0, 1)
+    bw.write(1, 6)  # VERBATIM
+    bw.write(0, 1)
+    for s in samples:
+        bw.write(s, bps)
+
+
+def encode(samples, sample_rate: int = 8000, bits: int = 16,
+           stereo: str | None = None) -> bytes:
+    """int samples, shape (n,) mono or (n, ch) → FLAC bytes.
+
+    Streams are strictly lossless (decode(encode(x)) == x, asserted by
+    the property tests) and exercise CONSTANT / FIXED+Rice / VERBATIM
+    subframes. ``stereo`` selects the decorrelation for 2-channel
+    input: None (independent), 'ls' (left/side), 'rs' (right/side) or
+    'ms' (mid/side) — the three joint modes drive the decoder's
+    reconstruction paths and win on correlated channels."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if not 1 <= ch <= 8:
+        raise FlacFormatError("flac: 1-8 channels")
+    if stereo is not None and ch != 2:
+        raise FlacFormatError("flac: stereo decorrelation needs 2 channels")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.min() < lo or arr.max() > hi:
+        raise FlacFormatError("flac: samples exceed bit depth")
+    info = bytearray()
+    info += struct.pack(">HH", _BLOCK, _BLOCK)  # min/max block size
+    info += b"\0\0\0" * 2  # min/max frame size unknown
+    packed = (sample_rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += bytes(16)  # md5 unset
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last metadata block, type 0
+    out += len(info).to_bytes(3, "big")
+    out += info
+    frame_no = 0
+    for start in range(0, n, _BLOCK):
+        blk = arr[start : start + _BLOCK]
+        block = len(blk)
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking strategy
+        bw.write(7, 4)  # block size: 16-bit field at header end
+        try:
+            sr_code = _RATES.index(sample_rate)
+        except ValueError:
+            sr_code = 14 if sample_rate % 10 == 0 and sample_rate // 10 < 65536 else 13
+        bw.write(sr_code, 4)
+        ca = {None: ch - 1, "ls": 8, "rs": 9, "ms": 10}[stereo]
+        bw.write(ca, 4)
+        bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits], 3)
+        bw.write(0, 1)
+        for byte in _utf8_number(frame_no):
+            bw.write(byte, 8)
+        bw.write(block - 1, 16)
+        if sr_code == 13:
+            bw.write(sample_rate, 16)
+        elif sr_code == 14:
+            bw.write(sample_rate // 10, 16)
+        bw.align()
+        header = bw.bytes()
+        bw = _BitWriter()
+        if stereo is None:
+            for c in range(ch):
+                _encode_subframe(bw, [int(v) for v in blk[:, c]], bits)
+        else:
+            left = [int(v) for v in blk[:, 0]]
+            right = [int(v) for v in blk[:, 1]]
+            side = [l - r for l, r in zip(left, right)]  # bps+1 range
+            if stereo == "ls":
+                _encode_subframe(bw, left, bits)
+                _encode_subframe(bw, side, bits + 1)
+            elif stereo == "rs":
+                _encode_subframe(bw, side, bits + 1)
+                _encode_subframe(bw, right, bits)
+            else:  # mid/side: mid drops side's low bit, recovered on decode
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _encode_subframe(bw, mid, bits)
+                _encode_subframe(bw, side, bits + 1)
+        bw.align()
+        body = header + bytes([_crc8(header)]) + bw.bytes()
+        out += body + _crc16(body).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)

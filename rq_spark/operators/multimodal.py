@@ -484,12 +484,18 @@ def extract_audio_features(
     """Per-payload audio features: RMS energy per window + overall
     zero-crossing rate — REAL signal statistics for WAV/PCM payloads
     (8/16/24/32-bit PCM via numpy; the classic cheap audio
-    signature), the deterministic sha256 fake otherwise. Multichannel
-    audio is mean-downmixed BEFORE the statistics: RMS/ZCR over the
-    raw interleaved stream would count cross-channel sign flips as
-    zero crossings. Mono is unaffected (downmix is the identity), so
-    the mm_real_decode tone oracle's exact-RMS contract holds.
-    Arrow-batched like every multimodal stage."""
+    signature) and for FLAC payloads (full lossless decode through
+    the pure-Python spec codec `operators/flac.py` — Rice residuals,
+    fixed/LPC prediction, stereo decorrelation — then the same
+    statistics), the deterministic sha256 fake otherwise.
+    Multichannel audio is mean-downmixed BEFORE the statistics:
+    RMS/ZCR over the raw interleaved stream would count cross-channel
+    sign flips as zero crossings. Mono is unaffected (downmix is the
+    identity), so the mm_real_decode tone oracle's exact-RMS contract
+    holds — and since FLAC is lossless, a FLAC encoding of the same
+    PCM yields bit-identical features. Arrow-batched like every
+    multimodal stage."""
+    from . import flac as flac_codec
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -497,6 +503,18 @@ def extract_audio_features(
             T.StructField("zero_cross_rate", T.DoubleType()),
         ]
     )
+
+    def stats(x: np.ndarray, nch: int) -> tuple[list[float], float]:
+        if nch > 1 and x.size % nch == 0:
+            x = x.reshape(-1, nch).mean(axis=1)
+        if x.size == 0:
+            return [0.0] * n_windows, 0.0
+        rms = [
+            float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0
+            for c in np.array_split(x, n_windows)
+        ]
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+        return rms, zc
 
     def feats(p) -> tuple[list[float], float]:
         b = bytes(p)
@@ -521,16 +539,11 @@ def extract_audio_features(
                 x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
             else:
                 raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
-            if nch > 1 and x.size % nch == 0:
-                x = x.reshape(-1, nch).mean(axis=1)
-            if x.size == 0:
-                return [0.0] * n_windows, 0.0
-            rms = [
-                float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0
-                for c in np.array_split(x, n_windows)
-            ]
-            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
-            return rms, zc
+            return stats(x, nch)
+        if flac_codec.is_flac(b):
+            samples, _rate, bits = flac_codec.decode(b)
+            x = samples.astype(np.float64).ravel() / float(1 << (bits - 1))
+            return stats(x, samples.shape[1])
         d = hashlib.sha256(b).digest()
         arr = np.frombuffer((d * ((n_windows * 4) // len(d) + 1))[: n_windows * 4], "<u4")
         return (arr.astype(np.float32) / np.float32(2**32)).tolist(), d[0] / 255.0

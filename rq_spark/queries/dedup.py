@@ -486,14 +486,19 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the T.81 decoder (operators/avi.py), with container metadata
     (duration = frames*floor(1e6/fps) us, dims, track count) and a
     per-frame pixel-tolerance assertion all SQL-recomputable from the
-    byte count. Payloads are built and decoded executor-side in Arrow
-    batches; nothing but scalars leaves."""
+    byte count. The FLAC branch (r6) re-encodes the tone PCM through
+    the pure-Python FLAC codec (operators/flac.py — Rice-coded fixed
+    prediction): losslessness means the STREAMINFO params AND the
+    exact tone RMS/ZCR contract must reproduce bit-for-bit from the
+    compressed stream. Payloads are built and decoded executor-side
+    in Arrow batches; nothing but scalars leaves."""
     import math
 
     import pandas as pd
 
     from ..operators import avi as avi_codec
     from ..operators import bmp as bmp_codec
+    from ..operators import flac as flac_codec
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
@@ -525,9 +530,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             return buf.getvalue()
 
         for pdf in batches:
-            pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis = (
-                [], [], [], [], [], [], [], [], []
-            )
+            (pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis,
+             flacs) = ([], [], [], [], [], [], [], [], [], [])
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
                 nb = len(b)
@@ -564,6 +568,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 amp = 1000 + (nb % 100) * 300
                 sign = 1 - 2 * ((np.arange(n_s) // k) % 2)
                 tones.append(wav_bytes((amp * sign).astype("<i2").tobytes()))
+                # the same tone PCM through the FLAC encoder: lossless,
+                # so every tone assertion must reproduce bit-identically
+                # from the compressed stream (Rice + fixed prediction)
+                flacs.append(flac_codec.encode(amp * sign, 8000, 16))
                 mp4s.append(mp4_stub_bytes(duration_ms=nb))
                 # MJPEG AVI: 2-5 frames of the same smooth field at
                 # successive phases (every frame stays seam-free, so
@@ -595,6 +603,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tone_payload": tones,
                     "mp4_payload": mp4s,
                     "avi_payload": avis,
+                    "flac_payload": flacs,
                 }
             )
 
@@ -603,7 +612,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, png_payload binary, jpeg_payload binary, "
         "gif_payload binary, bmp_payload binary, tiff_payload binary, "
         "wav_payload binary, "
-        "tone_payload binary, mp4_payload binary, avi_payload binary",
+        "tone_payload binary, mp4_payload binary, avi_payload binary, "
+        "flac_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -741,8 +751,36 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.mapInPandas(tiff_verify, tiff_schema)
 
     d = decode_audio(d, "wav_payload", strict=True)
-    d = d.withColumnRenamed("duration_s", "wav_duration_s")
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "wav_duration_s",
+            "sample_rate": "wav_sample_rate",
+            "n_samples": "wav_n_samples",
+            "n_channels": "wav_channels",
+        }
+    )
     d = extract_audio_features(d, "tone_payload", n_windows=8)
+    d = d.withColumnsRenamed(
+        {"rms_windows": "tone_rms_windows", "zero_cross_rate": "tone_zcr"}
+    )
+
+    # FLAC: STREAMINFO params through the strict decode_audio dispatch,
+    # then the FULL lossless decode (Rice residuals + fixed prediction)
+    # via extract_audio_features — the compressed stream must reproduce
+    # the tone's exact RMS/ZCR contract bit-for-bit
+    d = decode_audio(d, "flac_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "flac_duration_s",
+            "sample_rate": "flac_sample_rate",
+            "n_samples": "flac_n_samples",
+            "n_channels": "flac_channels",
+        }
+    )
+    d = extract_audio_features(d, "flac_payload", n_windows=8)
+    d = d.withColumnsRenamed(
+        {"rms_windows": "flac_rms_windows", "zero_cross_rate": "flac_zcr"}
+    )
 
     # AVI/MJPEG: real container metadata (RIFF avih walk) via the same
     # strict decode_video_meta dispatch, then real FRAME decode — every
@@ -821,20 +859,34 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tiff_height",
         F.col("tiff_channels").cast("int").alias("tiff_channels"),
         "tiff_pix_ok",
-        F.col("sample_rate").alias("wav_sample_rate"),
-        F.col("n_samples").alias("wav_n_samples"),
+        "wav_sample_rate",
+        "wav_n_samples",
         "wav_duration_s",
         # tone RMS quantizes exactly back to the amplitude (docstring)
         F.round(
             F.aggregate(
-                "rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+                "tone_rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
             )
             / 8.0
             * 32768.0
         )
         .cast("bigint")
         .alias("tone_rms_q"),
-        F.col("zero_cross_rate").alias("tone_zcr"),
+        "tone_zcr",
+        # the FLAC encoding of the same PCM must reproduce the exact
+        # contract from its compressed stream (lossless)
+        "flac_sample_rate",
+        "flac_n_samples",
+        F.round(
+            F.aggregate(
+                "flac_rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / 8.0
+            * 32768.0
+        )
+        .cast("bigint")
+        .alias("flac_rms_q"),
+        F.col("flac_zcr").alias("flac_zcr"),
         F.col("duration_s").alias("mp4_duration_s"),
         F.col("width").alias("mp4_width"),
         F.col("height").alias("mp4_height"),
@@ -882,6 +934,10 @@ SELECT doc_id,
        (nb // 2) / 8000.0 AS wav_duration_s,
        CAST(amp AS BIGINT) AS tone_rms_q,
        CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS tone_zcr,
+       8000 AS flac_sample_rate,
+       CAST(n_s AS BIGINT) AS flac_n_samples,
+       CAST(amp AS BIGINT) AS flac_rms_q,
+       CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS flac_zcr,
        nb / 1000.0 AS mp4_duration_s,
        64 AS mp4_width,
        32 AS mp4_height,
