@@ -498,6 +498,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import avi as avi_codec
     from ..operators import bmp as bmp_codec
+    from ..operators import exif as exif_codec
     from ..operators import flac as flac_codec
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
@@ -550,7 +551,34 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if nb % 2
                     else jpeg_codec.encode
                 )
-                jpegs.append(enc(_jpeg_source_pixels(nb), quality=95))
+                # EXIF APP1 spliced after SOI: every field derives from
+                # nb with division orders the oracle mirrors exactly
+                # (GPS uses exact integer DMS rationals, no float
+                # rounding); docs with nb % 4 == 0 get no GPS IFD so
+                # the null path sits under the hash too
+                gps_dms = None
+                if nb % 4:
+                    gps_dms = (
+                        [(nb % 90, 1), (nb % 60, 1), ((nb % 600) * 100, 10000)],
+                        b"S" if nb % 2 else b"N",
+                        [(nb % 180, 1), (nb % 45, 1), ((nb % 300) * 100, 10000)],
+                        b"W" if nb % 3 == 0 else b"E",
+                    )
+                jpegs.append(
+                    exif_codec.insert_app1(
+                        enc(_jpeg_source_pixels(nb), quality=95),
+                        exif_codec.app1_segment(
+                            orientation=1 + nb % 8,
+                            make="ACME",
+                            model=f"CAM-{nb % 10}",
+                            datetime_original=f"2021:01:01 00:00:{nb % 60:02d}",
+                            iso=100 + (nb % 8) * 50,
+                            exposure=(1, 1 << (1 + nb % 10)),
+                            f_number=(10 + nb % 90, 10),
+                            gps_dms=gps_dms,
+                        ),
+                    )
+                )
                 # same pixels as the PNG, through the LZW path (a 2-D
                 # input palette-encodes its <=256 distinct byte values)
                 gifs.append(gif_codec.encode(arr.reshape(h, w)))
@@ -654,6 +682,15 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     d = d.mapInPandas(jpeg_verify, verify_schema)
+
+    # EXIF: parse the APP1 block back out of the JPEG payloads (real
+    # IFD walk — ASCII, SHORT/LONG, RATIONAL, sub-IFD + GPS IFD); every
+    # field is oracle-recomputed, including the exact GPS double (the
+    # synth wrote integer DMS rationals whose division order the SQL
+    # mirrors) and the no-GPS null branch
+    from ..operators.exif import extract_exif
+
+    d = extract_exif(d, "jpeg_payload")
 
     # GIF: real header parse for dims (logical screen descriptor via
     # the decode_image strict sniff), then a full LZW decode verified
@@ -847,6 +884,15 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jpeg_channels").cast("int").alias("jpeg_channels"),
         "jpeg_pix_ok",
         "jpeg_progressive",
+        "exif_orientation",
+        "exif_model",
+        "exif_datetime_original",
+        "exif_iso",
+        "exif_exposure_time",
+        "exif_f_number",
+        "exif_gps_lat",
+        "exif_gps_lon",
+        "exif_has_gps",
         "gif_width",
         "gif_height",
         F.col("gif_channels").cast("int").alias("gif_channels"),
@@ -917,6 +963,30 @@ SELECT doc_id,
        1 AS jpeg_channels,
        TRUE AS jpeg_pix_ok,
        (nb % 2 = 1) AS jpeg_progressive,
+       1 + nb % 8 AS exif_orientation,
+       'CAM-' || CAST(nb % 10 AS VARCHAR) AS exif_model,
+       '2021:01:01 00:00:' || lpad(CAST(nb % 60 AS VARCHAR), 2, '0')
+           AS exif_datetime_original,
+       100 + (nb % 8) * 50 AS exif_iso,
+       1.0 / CAST(1 << (1 + nb % 10) AS DOUBLE) AS exif_exposure_time,
+       CAST(10 + nb % 90 AS DOUBLE) / 10.0 AS exif_f_number,
+       CASE WHEN nb % 4 = 0 THEN NULL
+            WHEN nb % 2 = 1 THEN -(CAST(nb % 90 AS DOUBLE)
+                + CAST(nb % 60 AS DOUBLE) / 60.0
+                + (CAST((nb % 600) * 100 AS DOUBLE) / 10000.0) / 3600.0)
+            ELSE CAST(nb % 90 AS DOUBLE)
+                + CAST(nb % 60 AS DOUBLE) / 60.0
+                + (CAST((nb % 600) * 100 AS DOUBLE) / 10000.0) / 3600.0
+       END AS exif_gps_lat,
+       CASE WHEN nb % 4 = 0 THEN NULL
+            WHEN nb % 3 = 0 THEN -(CAST(nb % 180 AS DOUBLE)
+                + CAST(nb % 45 AS DOUBLE) / 60.0
+                + (CAST((nb % 300) * 100 AS DOUBLE) / 10000.0) / 3600.0)
+            ELSE CAST(nb % 180 AS DOUBLE)
+                + CAST(nb % 45 AS DOUBLE) / 60.0
+                + (CAST((nb % 300) * 100 AS DOUBLE) / 10000.0) / 3600.0
+       END AS exif_gps_lon,
+       (nb % 4 <> 0) AS exif_has_gps,
        16 AS gif_width,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS gif_height,
        3 AS gif_channels,
