@@ -283,13 +283,14 @@ def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
-    """Feature vector per payload. PNG/JPEG/GIF/BMP/TIFF payloads get REAL
-    content features: the dim-bin normalized grayscale histogram of
-    the decoded pixels (deterministic, resolution-invariant — the
-    classic cheap visual signature). Other payloads get the
-    deterministic sha256 fake (stands in for a model forward pass;
-    Arrow-batched so a real model would amortize per batch)."""
-    from . import bmp, gif, jpeg, png, tiff
+    """Feature vector per payload. PNG/JPEG/GIF/BMP/TIFF/WebP-lossless
+    payloads get REAL content features: the dim-bin normalized
+    grayscale histogram of the decoded pixels (deterministic,
+    resolution-invariant — the classic cheap visual signature). Other
+    payloads get the deterministic sha256 fake (stands in for a model
+    forward pass; Arrow-batched so a real model would amortize per
+    batch)."""
+    from . import bmp, gif, jpeg, png, tiff, vp8l
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -324,6 +325,9 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
                 # keep the deterministic fake rather than failing the
                 # whole batch — dims still sniff via _tiff_dims
                 arr = None
+        elif vp8l.is_webp_lossless(b):
+            # RGBA out; alpha is not luminance — histogram RGB only
+            arr = vp8l.decode(b)[:, :, :3]
         if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
@@ -788,7 +792,7 @@ def resize_image(
     data-dependent channels. In production the remaining branch
     becomes ``PIL.Image.open(...).resize((width, height))``.
     """
-    from . import bmp, gif, jpeg, png, tiff
+    from . import bmp, gif, jpeg, png, tiff, vp8l
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -845,6 +849,13 @@ def resize_image(
                         )
                         chans.append(arr.shape[2])
                         continue
+                if vp8l.is_webp_lossless(b):
+                    arr = vp8l.decode(b)  # RGBA; re-encode keeps alpha
+                    resized.append(
+                        vp8l.encode(png.resize_nearest(arr, width, height))
+                    )
+                    chans.append(arr.shape[2])
+                    continue
                 c = _fake_dims(b)[2]  # channels from the shared decode rule
                 n = width * height * c
                 resized.append((b * (n // len(b) + 1))[:n] if b else bytes(n))

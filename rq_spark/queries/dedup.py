@@ -504,6 +504,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
     from ..operators import tiff as tiff_codec
+    from ..operators import vp8l as vp8l_codec
     from ..operators.multimodal import (
         decode_audio,
         decode_image,
@@ -532,7 +533,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             (pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis,
-             flacs) = ([], [], [], [], [], [], [], [], [], [])
+             flacs, webps) = ([], [], [], [], [], [], [], [], [], [], [])
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
                 nb = len(b)
@@ -600,6 +601,19 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # so every tone assertion must reproduce bit-identically
                 # from the compressed stream (Rice + fixed prediction)
                 flacs.append(flac_codec.encode(amp * sign, 8000, 16))
+                # VP8L (WebP lossless): the text bytes as gray pixels,
+                # bounded to nb % 256 (the entropy loop is serial
+                # Python — O(1) per doc like the AVI branch); lossless,
+                # so the pixel check is EXACT
+                nbw = nb % 256
+                hw = max(1, math.ceil(nbw / 16))
+                webps.append(
+                    vp8l_codec.encode(
+                        np.frombuffer(
+                            b[:nbw].ljust(16 * hw, b"\0"), dtype=np.uint8
+                        ).reshape(hw, 16)
+                    )
+                )
                 mp4s.append(mp4_stub_bytes(duration_ms=nb))
                 # MJPEG AVI: 2-5 frames of the same smooth field at
                 # successive phases (every frame stays seam-free, so
@@ -632,6 +646,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mp4_payload": mp4s,
                     "avi_payload": avis,
                     "flac_payload": flacs,
+                    "webp_payload": webps,
                 }
             )
 
@@ -641,13 +656,17 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gif_payload binary, bmp_payload binary, tiff_payload binary, "
         "wav_payload binary, "
         "tone_payload binary, mp4_payload binary, avi_payload binary, "
-        "flac_payload binary",
+        "flac_payload binary, webp_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
         {"width": "png_width", "height": "png_height", "channels": "png_channels"}
     )
     d = extract_features(d, "png_payload", dim=8)
+    # each payload is dropped after its last consumer: ~15 chained
+    # mapInPandas stages would otherwise ship every binary column
+    # through Arrow both ways at every stage
+    d = d.drop("png_payload")
 
     # JPEG: real header parse for dims, then a full spec-codec decode
     # verified against the deterministic source pixels
@@ -691,6 +710,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.exif import extract_exif
 
     d = extract_exif(d, "jpeg_payload")
+    d = d.drop("jpeg_payload")
 
     # GIF: real header parse for dims (logical screen descriptor via
     # the decode_image strict sniff), then a full LZW decode verified
@@ -723,7 +743,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif_schema = T.StructType(
         list(d.schema.fields) + [T.StructField("gif_pix_ok", T.BooleanType())]
     )
-    d = d.mapInPandas(gif_verify, gif_schema)
+    d = d.mapInPandas(gif_verify, gif_schema).drop("gif_payload")
 
     # BMP: strict header dims + exact raw-row decode (lossless)
     d = decode_image(d, "bmp_payload", strict=True)
@@ -754,7 +774,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmp_schema = T.StructType(
         list(d.schema.fields) + [T.StructField("bmp_pix_ok", T.BooleanType())]
     )
-    d = d.mapInPandas(bmp_verify, bmp_schema)
+    d = d.mapInPandas(bmp_verify, bmp_schema).drop("bmp_payload")
 
     # TIFF: strict header dims (first-IFD tag walk) + an exact
     # LZW+predictor decode (lossless)
@@ -785,7 +805,43 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiff_schema = T.StructType(
         list(d.schema.fields) + [T.StructField("tiff_pix_ok", T.BooleanType())]
     )
-    d = d.mapInPandas(tiff_verify, tiff_schema)
+    d = d.mapInPandas(tiff_verify, tiff_schema).drop("tiff_payload")
+
+    # WebP lossless: strict header dims (VP8L 14-bit packed fields via
+    # the decode_image sniff) + a full entropy decode (prefix codes,
+    # color cache, LZ77 runs) checked EXACTLY against the source bytes
+    d = decode_image(d, "webp_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {"width": "webp_width", "height": "webp_height", "channels": "webp_channels"}
+    )
+
+    def webp_verify(batches):
+        import numpy as np
+
+        from ..operators import vp8l as vp8l_c
+
+        for pdf in batches:
+            oks = []
+            for p, t in zip(pdf["webp_payload"], pdf["text"]):
+                b = (t or "").encode("utf-8")
+                nbw = len(b) % 256
+                hw = max(1, math.ceil(nbw / 16))
+                src = np.frombuffer(
+                    b[:nbw].ljust(16 * hw, b"\0"), dtype=np.uint8
+                )
+                decoded = vp8l_c.decode(bytes(p))
+                oks.append(
+                    decoded.shape == (hw, 16, 4)
+                    and np.array_equal(decoded[:, :, 0].ravel(), src)
+                    and np.array_equal(decoded[:, :, 0], decoded[:, :, 2])
+                    and bool((decoded[:, :, 3] == 255).all())
+                )
+            yield pdf.assign(webp_pix_ok=oks)
+
+    webp_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("webp_pix_ok", T.BooleanType())]
+    )
+    d = d.mapInPandas(webp_verify, webp_schema).drop("webp_payload")
 
     d = decode_audio(d, "wav_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -863,7 +919,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("avi_n_frames", T.IntegerType()),
         ]
     )
-    d = d.mapInPandas(avi_verify, avi_schema)
+    d = d.mapInPandas(avi_verify, avi_schema).drop("avi_payload", "text")
 
     d = decode_video_meta(d, "mp4_payload", strict=True)
     return d.select(
@@ -905,6 +961,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tiff_height",
         F.col("tiff_channels").cast("int").alias("tiff_channels"),
         "tiff_pix_ok",
+        "webp_width",
+        "webp_height",
+        F.col("webp_channels").cast("int").alias("webp_channels"),
+        "webp_pix_ok",
         "wav_sample_rate",
         "wav_n_samples",
         "wav_duration_s",
@@ -999,6 +1059,10 @@ SELECT doc_id,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS tiff_height,
        1 AS tiff_channels,
        TRUE AS tiff_pix_ok,
+       16 AS webp_width,
+       GREATEST(1, CAST(CEIL((nb % 256) / 16.0) AS INT)) AS webp_height,
+       3 AS webp_channels,
+       TRUE AS webp_pix_ok,
        8000 AS wav_sample_rate,
        CAST(nb // 2 AS BIGINT) AS wav_n_samples,
        (nb // 2) / 8000.0 AS wav_duration_s,
