@@ -349,6 +349,35 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = extract_features(d, dim=8)
     d = resize_image(d, width=64, height=64)
 
+    # WebDataset round trip (r6, operators/webdataset.py): the corpus
+    # packs into deterministic tar shards (one applyInPandas shuffle on
+    # shard_id = doc_id // 50 — the WebDataset sample/shard layout),
+    # the shards parse back through the binary-source path, and the
+    # recovered members join per doc: wds_txt_sha must equal the
+    # corpus sha, the JSON sidecar must carry the doc_id, and every doc
+    # must land in a shard whose sample count the oracle recomputes
+    # with one window — a regression anywhere in tar build, sample
+    # grouping, or the explode flips the hash.
+    from ..operators.webdataset import samples_from_shards, shard_documents
+
+    docs_w = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.to_json(F.struct("doc_id")).alias("meta_json")
+    )
+    shards = shard_documents(
+        docs_w, "doc_id", {"txt": "text", "json": "meta_json"}, docs_per_shard=50
+    )
+    wds = samples_from_shards(
+        shards.select("n_samples", "shard_bytes"), exts=["txt", "json"]
+    ).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("n_samples").alias("wds_shard_samples"),
+        F.sha2("m_txt", 256).alias("wds_txt_sha"),
+        F.get_json_object(F.col("m_json").cast("string"), "$.doc_id")
+        .cast("bigint")
+        .alias("wds_json_doc_id"),
+    )
+    d = d.join(wds, "doc_id")
+
     return d.select(
         "doc_id",
         "size_bytes",
@@ -363,6 +392,9 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
         F.length("resized").cast("long").alias("resized_len"),
+        "wds_shard_samples",
+        "wds_txt_sha",
+        "wds_json_doc_id",
     )
 
 
@@ -427,16 +459,26 @@ resized AS (
   SELECT doc_id,
          CAST(64 * 64 * {_MM_RESIZE_CH} AS BIGINT) AS resized_len
   FROM documents
+),
+wds AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id // 50) AS INT)
+             AS wds_shard_samples,
+         sha256(text) AS wds_txt_sha,
+         doc_id AS wds_json_doc_id
+  FROM documents
 )
 SELECT meta.doc_id, meta.size_bytes, meta.sha256, meta.mime,
        frames.n_frames, frames.f0_sha, frames.f_last_sha,
        frames.frame_len_floor,
        decoded.width, decoded.height, decoded.channels, decoded.feat_sum,
-       resized.resized_len
+       resized.resized_len,
+       wds.wds_shard_samples, wds.wds_txt_sha, wds.wds_json_doc_id
 FROM meta
 JOIN frames  USING (doc_id)
 JOIN decoded USING (doc_id)
 JOIN resized USING (doc_id)
+JOIN wds     USING (doc_id)
 """
 
 
