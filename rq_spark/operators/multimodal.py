@@ -371,6 +371,14 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
                 rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
             return rate, ch, n, n / rate
         if strict:
+            from .containers import is_ogg, ogg_params
+
+            if is_ogg(b):
+                # page walk (CRC-verified): rate/channels from the
+                # OpusHead / Vorbis ident packet, length from the last
+                # granule (RFC 3533/7845); sample DECODE needs a codec
+                _codec, rate, ch, n, dur = ogg_params(b)
+                return rate, ch, n, dur
             # header-only parameter parses (no sample decode) —
             # strict-mode only, same contract as the image sniffs
             for sniff in (_flac_params, _mp3_params):
@@ -378,9 +386,9 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
                 if d is not None:
                     return d
             raise NotImplementedError(
-                "only WAV/PCM decodes (FLAC/MP3 parse header params) "
-                "without a codec library; wire ffmpeg/soundfile here "
-                "for other formats"
+                "only WAV/PCM and FLAC decode (Ogg/MP3 parse header "
+                "params) without a codec library; wire ffmpeg/"
+                "soundfile here for other formats"
             )
         h = hashlib.sha256(b).digest()
         rate = (8000, 16000, 22050, 44100)[h[3] % 4]
@@ -676,9 +684,14 @@ def decode_video_meta(
             dur, w, h, streams, _total, _fps = avi_codec.meta(b)
             return dur, w, h, streams
         if strict:
+            from .containers import is_matroska, matroska_meta
+
+            if is_matroska(b):
+                return matroska_meta(b)
             raise NotImplementedError(
-                "only MP4/ISO-BMFF and RIFF/AVI metadata parse without "
-                "a codec library; wire ffprobe here for other formats"
+                "only MP4/ISO-BMFF, RIFF/AVI and Matroska/WebM "
+                "metadata parse without a codec library; wire ffprobe "
+                "here for other formats"
             )
         h = hashlib.sha256(b).digest()
         return 1.0 + h[6] % 600, 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[7] % 3

@@ -540,6 +540,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import avi as avi_codec
     from ..operators import bmp as bmp_codec
+    from ..operators import containers as containers_codec
     from ..operators import exif as exif_codec
     from ..operators import flac as flac_codec
     from ..operators import gif as gif_codec
@@ -575,7 +576,9 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             (pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis,
-             flacs, webps) = ([], [], [], [], [], [], [], [], [], [], [])
+             flacs, webps, oggs, webms) = (
+                [], [], [], [], [], [], [], [], [], [], [], [], []
+            )
             for t in pdf["text"]:
                 b = (t or "").encode("utf-8")
                 nb = len(b)
@@ -657,6 +660,27 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 mp4s.append(mp4_stub_bytes(duration_ms=nb))
+                # Ogg: odd byte counts carry Opus (48 kHz granules),
+                # even carry Vorbis — both ident-packet layouts and the
+                # CRC-verified page walk sit under one hash
+                if nb % 2:
+                    oggs.append(
+                        containers_codec.ogg_opus_stub_bytes(
+                            480 * (1 + nb % 100), ch=1 + (nb // 2) % 2
+                        )
+                    )
+                else:
+                    oggs.append(
+                        containers_codec.ogg_vorbis_stub_bytes(
+                            441 * (1 + nb % 50), rate=44100, ch=2
+                        )
+                    )
+                webms.append(
+                    containers_codec.webm_stub_bytes(
+                        float(nb), 64 + nb % 32, 32 + nb % 16,
+                        n_tracks=1 + nb % 3,
+                    )
+                )
                 # MJPEG AVI: 2-5 frames of the same smooth field at
                 # successive phases (every frame stays seam-free, so
                 # the per-frame JPEG tolerance bound carries over);
@@ -689,6 +713,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avi_payload": avis,
                     "flac_payload": flacs,
                     "webp_payload": webps,
+                    "ogg_payload": oggs,
+                    "webm_payload": webms,
                 }
             )
 
@@ -698,7 +724,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gif_payload binary, bmp_payload binary, tiff_payload binary, "
         "wav_payload binary, "
         "tone_payload binary, mp4_payload binary, avi_payload binary, "
-        "flac_payload binary, webp_payload binary",
+        "flac_payload binary, webp_payload binary, ogg_payload binary, "
+        "webm_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -917,6 +944,32 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"rms_windows": "flac_rms_windows", "zero_cross_rate": "flac_zcr"}
     )
 
+    # Ogg: CRC-verified page walk through the strict decode_audio
+    # dispatch — Opus (odd nb) and Vorbis (even nb) ident packets both
+    # under the hash, length from the final granule position
+    d = decode_audio(d, "ogg_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "ogg_duration_s",
+            "sample_rate": "ogg_sample_rate",
+            "n_samples": "ogg_n_samples",
+            "n_channels": "ogg_channels",
+        }
+    ).drop("ogg_payload")
+
+    # Matroska/WebM: EBML element walk (Info duration scaled by
+    # TimestampScale, video track dims, track count) via the strict
+    # decode_video_meta dispatch
+    d = decode_video_meta(d, "webm_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "webm_duration_s",
+            "width": "webm_width",
+            "height": "webm_height",
+            "n_tracks": "webm_tracks",
+        }
+    ).drop("webm_payload")
+
     # AVI/MJPEG: real container metadata (RIFF avih walk) via the same
     # strict decode_video_meta dispatch, then real FRAME decode — every
     # frame through the T.81 decoder, checked against the phase-shifted
@@ -1045,6 +1098,14 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avi_tracks",
         F.col("avi_n_frames").cast("bigint").alias("avi_n_frames"),
         "avi_pix_ok",
+        "ogg_sample_rate",
+        "ogg_channels",
+        "ogg_n_samples",
+        "ogg_duration_s",
+        "webm_duration_s",
+        "webm_width",
+        "webm_height",
+        "webm_tracks",
     )
 
 
@@ -1124,7 +1185,19 @@ SELECT doc_id,
        GREATEST(1, CAST(CEIL((nb % 256) / 16.0) AS INT)) AS avi_height,
        1 AS avi_tracks,
        CAST(2 + nb % 4 AS BIGINT) AS avi_n_frames,
-       TRUE AS avi_pix_ok
+       TRUE AS avi_pix_ok,
+       CASE WHEN nb % 2 = 1 THEN 48000 ELSE 44100 END AS ogg_sample_rate,
+       CASE WHEN nb % 2 = 1 THEN 1 + (nb // 2) % 2 ELSE 2 END AS ogg_channels,
+       CAST(CASE WHEN nb % 2 = 1 THEN 480 * (1 + nb % 100)
+                 ELSE 441 * (1 + nb % 50) END AS BIGINT) AS ogg_n_samples,
+       CASE WHEN nb % 2 = 1
+            THEN CAST(480 * (1 + nb % 100) AS DOUBLE) / 48000.0
+            ELSE CAST(441 * (1 + nb % 50) AS DOUBLE) / 44100.0
+       END AS ogg_duration_s,
+       nb / 1000.0 AS webm_duration_s,
+       64 + nb % 32 AS webm_width,
+       32 + nb % 16 AS webm_height,
+       1 + nb % 3 AS webm_tracks
 FROM t
 """
 
