@@ -548,6 +548,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import png as png_codec
     from ..operators import tiff as tiff_codec
     from ..operators import vp8l as vp8l_codec
+    from ..operators import warc as warc_codec
     from ..operators.multimodal import (
         decode_audio,
         decode_image,
@@ -576,10 +577,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             (pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis,
-             flacs, webps, oggs, webms) = (
-                [], [], [], [], [], [], [], [], [], [], [], [], []
+             flacs, webps, oggs, webms, warcs) = (
+                [], [], [], [], [], [], [], [], [], [], [], [], [], []
             )
-            for t in pdf["text"]:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = (t or "").encode("utf-8")
                 nb = len(b)
                 w = 16
@@ -681,6 +682,20 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tracks=1 + nb % 3,
                     )
                 )
+                # WARC: one gzip-per-record response whose HTTP body is
+                # the document text — the Common Crawl record shape
+                warcs.append(
+                    warc_codec.build_warc_bytes(
+                        [
+                            {
+                                "uri": f"http://corpus.example/doc/{doc_id}",
+                                "body": b,
+                                "status": 200 + (nb % 2) * 104,
+                                "content_type": "text/plain",
+                            }
+                        ]
+                    )
+                )
                 # MJPEG AVI: 2-5 frames of the same smooth field at
                 # successive phases (every frame stays seam-free, so
                 # the per-frame JPEG tolerance bound carries over);
@@ -715,6 +730,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "webp_payload": webps,
                     "ogg_payload": oggs,
                     "webm_payload": webms,
+                    "warc_payload": warcs,
                 }
             )
 
@@ -725,7 +741,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wav_payload binary, "
         "tone_payload binary, mp4_payload binary, avi_payload binary, "
         "flac_payload binary, webp_payload binary, ogg_payload binary, "
-        "webm_payload binary",
+        "webm_payload binary, warc_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -970,6 +986,35 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     ).drop("webm_payload")
 
+    # WARC: gzip-member decompression + record/HTTP parsing (the
+    # Common Crawl ingestion path, operators/warc.py); URI, status,
+    # and recovered-payload hash are all oracle-recomputed
+    def warc_verify(batches):
+        import hashlib as _hl
+
+        from ..operators import warc as warc_c
+
+        for pdf in batches:
+            uris, statuses, shas = [], [], []
+            for p in pdf["warc_payload"]:
+                [rec] = list(warc_c.iter_records(bytes(p)))
+                uris.append(rec["target_uri"])
+                statuses.append(rec["http_status"])
+                shas.append(_hl.sha256(bytes(rec["payload"])).hexdigest())
+            yield pdf.assign(
+                warc_uri=uris, warc_status=statuses, warc_payload_sha=shas
+            )
+
+    warc_schema = T.StructType(
+        list(d.schema.fields)
+        + [
+            T.StructField("warc_uri", T.StringType()),
+            T.StructField("warc_status", T.IntegerType()),
+            T.StructField("warc_payload_sha", T.StringType()),
+        ]
+    )
+    d = d.mapInPandas(warc_verify, warc_schema).drop("warc_payload")
+
     # AVI/MJPEG: real container metadata (RIFF avih walk) via the same
     # strict decode_video_meta dispatch, then real FRAME decode — every
     # frame through the T.81 decoder, checked against the phase-shifted
@@ -1106,12 +1151,16 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "webm_width",
         "webm_height",
         "webm_tracks",
+        "warc_uri",
+        "warc_status",
+        "warc_payload_sha",
     )
 
 
 _MM_REAL_SQL = """
-WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
-     t AS (SELECT doc_id, nb,
+WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+           FROM documents),
+     t AS (SELECT doc_id, text, nb,
                   64 + (nb % 64) AS n_s,
                   1 + (nb % 7) AS k,
                   1000 + (nb % 100) * 300 AS amp
@@ -1197,7 +1246,10 @@ SELECT doc_id,
        nb / 1000.0 AS webm_duration_s,
        64 + nb % 32 AS webm_width,
        32 + nb % 16 AS webm_height,
-       1 + nb % 3 AS webm_tracks
+       1 + nb % 3 AS webm_tracks,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS warc_uri,
+       200 + (nb % 2) * 104 AS warc_status,
+       sha256(text) AS warc_payload_sha
 FROM t
 """
 
