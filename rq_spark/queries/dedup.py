@@ -378,6 +378,52 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.join(wds, "doc_id")
 
+    # HTML extraction round trip (r6, operators/html_text.py): each doc
+    # wrapped in crawl-shaped markup (title, escaped body paragraph,
+    # nb%5 links, script/style decoys), then the extractor must recover
+    # the title, count the links, and reproduce the SQL-normalized text
+    # hash — entity escaping, CDATA skipping, and whitespace collapse
+    # all sit under the driver hash.
+    def html_rt(batches):
+        import hashlib as _hl
+        import html as _html
+
+        import pandas as pd
+
+        from ..operators import html_text as H
+
+        for pdf in batches:
+            shas, titles_ok, links = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                nb = len(t.encode("utf-8"))
+                anchors = '<a href="#"></a>' * (nb % 5)
+                page = (
+                    f"<html><head><title>Doc {doc_id}</title>"
+                    "<style>p{margin:0}</style>"
+                    "<script>var x='<p>decoy</p>';</script></head>"
+                    f"<body><p>{_html.escape(t)}</p>{anchors}</body></html>"
+                )
+                text, title, n, _ratio = H.extract_features(page)
+                shas.append(_hl.sha256(text.encode("utf-8")).hexdigest())
+                titles_ok.append(title == f"Doc {doc_id}")
+                links.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html_text_sha": shas,
+                    "html_title_ok": titles_ok,
+                    "html_links": links,
+                }
+            )
+
+    html_rt_df = docs_w.select("doc_id", "text").mapInPandas(
+        html_rt,
+        "doc_id long, html_text_sha string, html_title_ok boolean, "
+        "html_links int",
+    )
+    d = d.join(html_rt_df, "doc_id")
+
     return d.select(
         "doc_id",
         "size_bytes",
@@ -395,6 +441,9 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wds_shard_samples",
         "wds_txt_sha",
         "wds_json_doc_id",
+        "html_text_sha",
+        "html_title_ok",
+        "html_links",
     )
 
 
@@ -467,18 +516,28 @@ wds AS (
          sha256(text) AS wds_txt_sha,
          doc_id AS wds_json_doc_id
   FROM documents
+),
+html AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             AS html_text_sha,
+         TRUE AS html_title_ok,
+         CAST(octet_length(encode(text)) % 5 AS INT) AS html_links
+  FROM documents
 )
 SELECT meta.doc_id, meta.size_bytes, meta.sha256, meta.mime,
        frames.n_frames, frames.f0_sha, frames.f_last_sha,
        frames.frame_len_floor,
        decoded.width, decoded.height, decoded.channels, decoded.feat_sum,
        resized.resized_len,
-       wds.wds_shard_samples, wds.wds_txt_sha, wds.wds_json_doc_id
+       wds.wds_shard_samples, wds.wds_txt_sha, wds.wds_json_doc_id,
+       html.html_text_sha, html.html_title_ok, html.html_links
 FROM meta
 JOIN frames  USING (doc_id)
 JOIN decoded USING (doc_id)
 JOIN resized USING (doc_id)
 JOIN wds     USING (doc_id)
+JOIN html    USING (doc_id)
 """
 
 
