@@ -384,16 +384,24 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the title, count the links, and reproduce the SQL-normalized text
     # hash — entity escaping, CDATA skipping, and whitespace collapse
     # all sit under the driver hash.
-    def html_rt(batches):
+    # …and a PDF round trip in the same Python pass (r6,
+    # operators/pdf.py): the text split across Tj / TJ-array / hex
+    # string shows in a FlateDecode content stream plus nb%3 empty
+    # trailing pages; extraction must reproduce the normalized text
+    # hash and the page count.
+    def doc_roundtrips(batches):
         import hashlib as _hl
         import html as _html
+        import re as _re
 
         import pandas as pd
 
         from ..operators import html_text as H
+        from ..operators import pdf as P
 
         for pdf in batches:
             shas, titles_ok, links = [], [], []
+            pdf_shas, pdf_pages = [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 t = t or ""
                 nb = len(t.encode("utf-8"))
@@ -408,21 +416,35 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shas.append(_hl.sha256(text.encode("utf-8")).hexdigest())
                 titles_ok.append(title == f"Doc {doc_id}")
                 links.append(n)
+                tb = t.encode("utf-8")
+                third = max(1, len(tb) // 3)
+                chunks = [tb[:third], tb[third : 2 * third], tb[2 * third :]]
+                doc_pages = [[c for c in chunks if c]] + [[]] * (nb % 3)
+                pdf_bytes = P.build_pdf_bytes(doc_pages)
+                # extract_text decodes PDF string bytes as latin-1
+                # (byte-transparent); re-encoding recovers the exact
+                # UTF-8 payload, so non-ASCII text round-trips too
+                recovered = P.extract_text(pdf_bytes).encode("latin-1")
+                norm = _re.sub(r"\s+", " ", recovered.decode("utf-8")).strip()
+                pdf_shas.append(_hl.sha256(norm.encode("utf-8")).hexdigest())
+                pdf_pages.append(P.page_count(pdf_bytes))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "html_text_sha": shas,
                     "html_title_ok": titles_ok,
                     "html_links": links,
+                    "pdf_text_sha": pdf_shas,
+                    "pdf_pages": pdf_pages,
                 }
             )
 
-    html_rt_df = docs_w.select("doc_id", "text").mapInPandas(
-        html_rt,
+    rt_df = docs_w.select("doc_id", "text").mapInPandas(
+        doc_roundtrips,
         "doc_id long, html_text_sha string, html_title_ok boolean, "
-        "html_links int",
+        "html_links int, pdf_text_sha string, pdf_pages int",
     )
-    d = d.join(html_rt_df, "doc_id")
+    d = d.join(rt_df, "doc_id")
 
     return d.select(
         "doc_id",
@@ -444,6 +466,8 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "html_text_sha",
         "html_title_ok",
         "html_links",
+        "pdf_text_sha",
+        "pdf_pages",
     )
 
 
@@ -522,7 +546,10 @@ html AS (
          sha256(trim(regexp_replace(text, '\\s+', ' ', 'g')))
              AS html_text_sha,
          TRUE AS html_title_ok,
-         CAST(octet_length(encode(text)) % 5 AS INT) AS html_links
+         CAST(octet_length(encode(text)) % 5 AS INT) AS html_links,
+         sha256(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             AS pdf_text_sha,
+         CAST(1 + octet_length(encode(text)) % 3 AS INT) AS pdf_pages
   FROM documents
 )
 SELECT meta.doc_id, meta.size_bytes, meta.sha256, meta.mime,
@@ -531,7 +558,8 @@ SELECT meta.doc_id, meta.size_bytes, meta.sha256, meta.mime,
        decoded.width, decoded.height, decoded.channels, decoded.feat_sum,
        resized.resized_len,
        wds.wds_shard_samples, wds.wds_txt_sha, wds.wds_json_doc_id,
-       html.html_text_sha, html.html_title_ok, html.html_links
+       html.html_text_sha, html.html_title_ok, html.html_links,
+       html.pdf_text_sha, html.pdf_pages
 FROM meta
 JOIN frames  USING (doc_id)
 JOIN decoded USING (doc_id)
