@@ -305,68 +305,36 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest's little-endian uint32 lanes (float32 lanes, double
     left-fold — bit-identical on both engines). resized_len is
     measured from the ACTUAL resized binary column, verifying the
-    binary-out plumbing against the SQL-recomputed w·h·c."""
+    binary-out plumbing against the SQL-recomputed w·h·c.
+
+    r6: the corpus FLOWS THROUGH the WebDataset layer — one scan packs
+    docs into deterministic tar shards (one applyInPandas shuffle on
+    shard_id = doc_id // 50), the shards parse back, and EVERYTHING
+    downstream runs on the RECOVERED members. The round trip is
+    load-bearing: a corruption anywhere in tar build, sample grouping,
+    or the explode breaks every downstream hash, not just the wds_*
+    columns. This keeps the whole query at ONE parquet scan
+    (plan-asserted) with no self-join — the scale-correct alternative
+    to derive-and-join-back, which would re-scan or cache the corpus.
+    The recovered text then passes through HTML and PDF round trips
+    (crawl-shaped markup → extractor; Tj/TJ/hex content streams →
+    extractor) in one Arrow stage before the payload pipeline."""
     from ..operators.multimodal import (
         decode_image,
         extract_features,
         resize_image,
         with_binary_payload,
     )
-
-    n = 4
-    d = with_binary_payload(table(spark, sf_dir, "documents"), "text")
-
-    size = F.length(F.col("text"))  # frame boundaries in characters:
-    # DuckDB cannot slice BLOBs, so the portable oracle frames the
-    # text and hashes each frame's UTF-8 bytes — same digests as byte
-    # framing for this corpus, same plumbing under test
-
-    def frame(i: int):
-        start = F.floor(size * i / n).cast("int") + 1
-        width = (
-            F.floor(size * (i + 1) / n).cast("int")
-            - F.floor(size * i / n).cast("int")
-        )
-        return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
-
-    # All JVM-computable columns (metadata, frame digests) are resolved
-    # BEFORE the Python stages, and `text` is dropped: only
-    # (doc_id, payload, scalars) crosses the Arrow boundary — at 100 TB
-    # shipping the raw text through three Python round-trips would
-    # double every stage's serialization volume for no reason.
-    d = d.select(
-        "doc_id",
-        "payload",
-        F.col("media_meta.size_bytes").alias("size_bytes"),
-        F.col("media_meta.sha256").alias("sha256"),
-        F.col("media_meta.mime").alias("mime"),
-        F.lit(n).alias("n_frames"),
-        F.sha2(frame(0), 256).alias("f0_sha"),
-        F.sha2(frame(n - 1), 256).alias("f_last_sha"),
-        F.floor(size / n).cast("bigint").alias("frame_len_floor"),
-    )
-    d = decode_image(d, strict=False)
-    d = extract_features(d, dim=8)
-    d = resize_image(d, width=64, height=64)
-
-    # WebDataset round trip (r6, operators/webdataset.py): the corpus
-    # packs into deterministic tar shards (one applyInPandas shuffle on
-    # shard_id = doc_id // 50 — the WebDataset sample/shard layout),
-    # the shards parse back through the binary-source path, and the
-    # recovered members join per doc: wds_txt_sha must equal the
-    # corpus sha, the JSON sidecar must carry the doc_id, and every doc
-    # must land in a shard whose sample count the oracle recomputes
-    # with one window — a regression anywhere in tar build, sample
-    # grouping, or the explode flips the hash.
     from ..operators.webdataset import samples_from_shards, shard_documents
 
+    n = 4
     docs_w = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.to_json(F.struct("doc_id")).alias("meta_json")
     )
     shards = shard_documents(
         docs_w, "doc_id", {"txt": "text", "json": "meta_json"}, docs_per_shard=50
     )
-    wds = samples_from_shards(
+    rec = samples_from_shards(
         shards.select("n_samples", "shard_bytes"), exts=["txt", "json"]
     ).select(
         F.col("key").cast("bigint").alias("doc_id"),
@@ -375,8 +343,9 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("m_json").cast("string"), "$.doc_id")
         .cast("bigint")
         .alias("wds_json_doc_id"),
+        # the corpus text used below is the one recovered FROM the tar
+        F.col("m_txt").cast("string").alias("text"),
     )
-    d = d.join(wds, "doc_id")
 
     # HTML extraction round trip (r6, operators/html_text.py): each doc
     # wrapped in crawl-shaped markup (title, escaped body paragraph,
@@ -428,23 +397,68 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 norm = _re.sub(r"\s+", " ", recovered.decode("utf-8")).strip()
                 pdf_shas.append(_hl.sha256(norm.encode("utf-8")).hexdigest())
                 pdf_pages.append(P.page_count(pdf_bytes))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "html_text_sha": shas,
-                    "html_title_ok": titles_ok,
-                    "html_links": links,
-                    "pdf_text_sha": pdf_shas,
-                    "pdf_pages": pdf_pages,
-                }
+            yield pdf.assign(
+                html_text_sha=shas,
+                html_title_ok=titles_ok,
+                html_links=links,
+                pdf_text_sha=pdf_shas,
+                pdf_pages=pdf_pages,
             )
 
-    rt_df = docs_w.select("doc_id", "text").mapInPandas(
-        doc_roundtrips,
-        "doc_id long, html_text_sha string, html_title_ok boolean, "
-        "html_links int, pdf_text_sha string, pdf_pages int",
+    rt_schema = T.StructType(
+        list(rec.schema.fields)
+        + [
+            T.StructField("html_text_sha", T.StringType()),
+            T.StructField("html_title_ok", T.BooleanType()),
+            T.StructField("html_links", T.IntegerType()),
+            T.StructField("pdf_text_sha", T.StringType()),
+            T.StructField("pdf_pages", T.IntegerType()),
+        ]
     )
-    d = d.join(rt_df, "doc_id")
+    d = rec.mapInPandas(doc_roundtrips, rt_schema)
+
+    d = with_binary_payload(d, "text")
+
+    size = F.length(F.col("text"))  # frame boundaries in characters:
+    # DuckDB cannot slice BLOBs, so the portable oracle frames the
+    # text and hashes each frame's UTF-8 bytes — same digests as byte
+    # framing for this corpus, same plumbing under test
+
+    def frame(i: int):
+        start = F.floor(size * i / n).cast("int") + 1
+        width = (
+            F.floor(size * (i + 1) / n).cast("int")
+            - F.floor(size * i / n).cast("int")
+        )
+        return F.encode(F.substring(F.col("text"), start, width), "UTF-8")
+
+    # All JVM-computable columns (metadata, frame digests) are resolved
+    # BEFORE the payload stages, and `text` is dropped: only
+    # (doc_id, payload, scalars) crosses the later Arrow boundaries —
+    # at 100 TB shipping the raw text through three more Python
+    # round-trips would double every stage's serialization volume
+    d = d.select(
+        "doc_id",
+        "payload",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.col("media_meta.mime").alias("mime"),
+        F.lit(n).alias("n_frames"),
+        F.sha2(frame(0), 256).alias("f0_sha"),
+        F.sha2(frame(n - 1), 256).alias("f_last_sha"),
+        F.floor(size / n).cast("bigint").alias("frame_len_floor"),
+        "wds_shard_samples",
+        "wds_txt_sha",
+        "wds_json_doc_id",
+        "html_text_sha",
+        "html_title_ok",
+        "html_links",
+        "pdf_text_sha",
+        "pdf_pages",
+    )
+    d = decode_image(d, strict=False)
+    d = extract_features(d, dim=8)
+    d = resize_image(d, width=64, height=64)
 
     return d.select(
         "doc_id",
