@@ -64,6 +64,22 @@ def test_flac_compresses_smooth_audio():
     assert len(data) < 0.7 * 2 * len(x)
 
 
+def test_flac_decode_throughput_floor():
+    # the vectorized decode paths (set-bit Rice walk, cumsum FIXED
+    # reconstruction, table CRCs) run ~0.5 Msamples/s; this floor is
+    # 10x looser to stay robust on a loaded box while still catching
+    # a regression to the per-bit loops (~0.04 Msamples/s)
+    import time
+
+    x = _smoothish(200_000, 12, scale=200)
+    data = flac.encode(x, 44100, 16)
+    t0 = time.time()
+    dec, _, _ = flac.decode(data)
+    elapsed = time.time() - t0
+    assert np.array_equal(dec[:, 0], x)
+    assert len(x) / elapsed > 50_000, f"{len(x) / elapsed:.0f} samples/s"
+
+
 def test_flac_nonstandard_sample_rates_roundtrip():
     x = _smoothish(300, 5)
     for rate in (8000, 12345, 11025, 192000, 65530):
