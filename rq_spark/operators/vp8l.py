@@ -49,10 +49,20 @@ def is_webp_lossless(data: bytes) -> bool:
 # ---- bit I/O (LSB-first, per the VP8L spec) -------------------------------
 
 
+_REV8 = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        # byte-reversed copy (+ padding): reversing each byte turns the
+        # stream's LSB-first bit order into MSB-first byte order, so a
+        # prefix-code window is one int.from_bytes + shift instead of
+        # a per-bit loop — the decode hot path uses this via the
+        # per-code lookup tables (see _PrefixCode.lut)
+        self._rev = bytes(_REV8[b] for b in data) + b"\0\0\0\0"
+        self._nbits = len(data) * 8
 
     def read(self, n: int) -> int:
         v = 0
@@ -63,6 +73,19 @@ class _BitReader:
             v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
             self.pos += 1
         return v
+
+    def decode_sym(self, code: "_PrefixCode") -> int:
+        """LUT-based prefix decode: peek maxlen bits, one table hit."""
+        if code.single is not None:
+            return code.single
+        p = self.pos
+        chunk = int.from_bytes(self._rev[p >> 3 : (p >> 3) + 4], "big")
+        window = (chunk >> (32 - (p & 7) - code.maxlen)) & code.mask
+        sym, length = code.lut[window]
+        if length == 0 or p + length > self._nbits:
+            raise Vp8lFormatError("vp8l: bad prefix code or truncated stream")
+        self.pos = p + length
+        return sym
 
 
 class _BitWriter:
@@ -109,6 +132,16 @@ class _PrefixCode:
             code += 1
         if code != (1 << last_len):
             raise Vp8lFormatError("vp8l: incomplete prefix code")
+        # LUT: every maxlen-bit window → (symbol, code length); filled
+        # per canonical code by replicating each code across its
+        # don't-care suffix bits
+        self.maxlen = last_len
+        self.mask = (1 << last_len) - 1
+        self.lut = [(0, 0)] * (1 << last_len)
+        for (l, c), s in self.table.items():
+            base = c << (last_len - l)
+            for i in range(1 << (last_len - l)):
+                self.lut[base + i] = (s, l)
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
@@ -155,7 +188,7 @@ def _read_code_lengths(br: _BitReader, alphabet: int) -> list[int]:
     i = 0
     while i < alphabet and max_symbol > 0:
         max_symbol -= 1
-        s = cl_code.decode(br)
+        s = br.decode_sym(cl_code)
         if s < 16:
             lengths[i] = s
             i += 1
@@ -296,11 +329,11 @@ def _decode_entropy_image(
             gcode, rcode, bcode, acode, dcode = groups[(gi >> 8) & 0xFFFF]
         else:
             gcode, rcode, bcode, acode, dcode = groups[0]
-        s = gcode.decode(br)
+        s = br.decode_sym(gcode)
         if s < 256:
-            r = rcode.decode(br)
-            b = bcode.decode(br)
-            a = acode.decode(br)
+            r = br.decode_sym(rcode)
+            b = br.decode_sym(bcode)
+            a = br.decode_sym(acode)
             px = (a << 24) | (r << 16) | (s << 8) | b
             out[i] = px
             if cache_size:
@@ -311,7 +344,7 @@ def _decode_entropy_image(
                 x = 0
         elif s < 280:
             length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(dcode.decode(br), br)
+            dist_code = _prefix_value(br.decode_sym(dcode), br)
             dist = _plane_to_dist(dist_code, w)
             if dist > i or i + length > npx:
                 raise Vp8lFormatError("vp8l: backward reference out of range")
