@@ -195,8 +195,30 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _invert_codes(codes: dict[int, tuple[int, int]]) -> dict[tuple[int, int], int]:
-    return {(ln, code): sym for sym, (code, ln) in codes.items()}
+class _DecTable:
+    """Decode-side Huffman table: the (length, code) → symbol map plus
+    a 10-bit first-level LUT (entries (symbol, length); None marks a
+    longer code). Short codes — the vast majority of a scan — resolve
+    in one window lookup instead of a per-bit dict walk; codes longer
+    than 10 bits (and windows near the stream tail) fall back to the
+    exact walk. Build cost is 1024 slots, negligible even under
+    per-scan DHT redefinition."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, mapping: dict[tuple[int, int], int]):
+        self.map = mapping
+        lut: list[tuple[int | None, int]] = [(None, 0)] * 1024
+        for (ln, code), sym in mapping.items():
+            if ln <= 10:
+                base = code << (10 - ln)
+                for i in range(1 << (10 - ln)):
+                    lut[base + i] = (sym, ln)
+        self.lut = lut
+
+
+def _invert_codes(codes: dict[int, tuple[int, int]]) -> _DecTable:
+    return _DecTable({(ln, code): sym for sym, (code, ln) in codes.items()})
 
 
 def quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
@@ -250,13 +272,30 @@ class _BitReader:
             self.pos += 1
             self.n += 8
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        # trim consumed history — an unmasked accumulator grows with
+        # the whole scan and turns every shift into O(scan bits)
+        self.acc &= (1 << self.n) - 1
+        return v
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def decode_symbol(self, table: "_DecTable") -> int:
+        # fast path: one 10-bit window lookup (see _DecTable)
+        while self.n < 10 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        if self.n >= 10:
+            sym, ln = table.lut[(self.acc >> (self.n - 10)) & 0x3FF]
+            if sym is not None:
+                self.n -= ln
+                self.acc &= (1 << self.n) - 1
+                return sym
+        # exact walk: codes longer than 10 bits, or the stream tail
+        mapping = table.map
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
+            sym = mapping.get((length, code))
             if sym is not None:
                 return sym
         raise JpegFormatError("invalid Huffman code in scan")

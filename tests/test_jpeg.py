@@ -286,3 +286,25 @@ def test_ac_eobrun_cap_flushes_at_0x7fff():
     assert got[-1][1] == 5 or got[-1][1] == 4  # 5>>1<<1 then +1 → 5
     assert np.array_equal(got[-1][1:], blocks[-1][1:])
     assert not any(b[1:].any() for b in got[:-1])
+
+
+def test_jpeg_decode_throughput_floor():
+    # the 10-bit Huffman LUT + trimmed bit accumulator run ~1.5 Mpx/s;
+    # this floor is ~20x looser to stay robust on a loaded box while
+    # catching a regression to the per-bit walk or the untrimmed
+    # accumulator (whose cost grows quadratically with scan size)
+    import time
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, (320, 320), dtype=np.uint8).astype(float)
+    for _ in range(4):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    img = base.astype(np.uint8)
+    data = jpeg.encode(img, quality=90)
+    t0 = time.time()
+    out = jpeg.decode(data)
+    elapsed = time.time() - t0
+    assert out.shape[:2] == (320, 320)
+    assert 320 * 320 / elapsed > 80_000, f"{320 * 320 / elapsed:.0f} px/s"
