@@ -69,6 +69,9 @@ def _lzw_decode(data: bytes) -> bytes:
         while nbits >= width:
             nbits -= width
             code = (acc >> nbits) & ((1 << width) - 1)
+            # trim consumed history: an unmasked accumulator grows
+            # with the whole strip and every shift becomes O(strip bits)
+            acc &= (1 << nbits) - 1
             if code == _CLEAR:
                 reset()
                 width = 9
@@ -109,6 +112,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1  # same trim as the decoder
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     nxt = 258
