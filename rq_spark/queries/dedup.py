@@ -633,8 +633,20 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pure-Python FLAC codec (operators/flac.py — Rice-coded fixed
     prediction): losslessness means the STREAMINFO params AND the
     exact tone RMS/ZCR contract must reproduce bit-for-bit from the
-    compressed stream. Payloads are built and decoded executor-side
-    in Arrow batches; nothing but scalars leaves."""
+    compressed stream. Later r6 branches widen the surface further,
+    all with the same SQL-recomputable contract: TIFF (LZW +
+    horizontal predictor, exact pixels), WebP-lossless (VP8L entropy
+    decode, exact pixels, size-bounded like AVI), EXIF (an APP1 block
+    in every JPEG — orientation/model/timestamp/ISO/exposure/f-number
+    and GPS as integer DMS rationals whose division order the SQL
+    mirrors, null-GPS branch included), Ogg (CRC-verified page walk;
+    Opus for odd byte counts, Vorbis for even — rate/channels/length
+    from the ident packet + final granule), Matroska/WebM (EBML walk:
+    duration·scale, video dims, track count), and WARC (gzip-member
+    record + HTTP parse: URI, status, recovered-payload sha). Payloads
+    are built and decoded executor-side in Arrow batches, each dropped
+    after its last consumer so the stage chain never ships dead binary
+    columns; nothing but scalars leaves."""
     import math
 
     import pandas as pd
