@@ -430,7 +430,11 @@ def _apply_inverse_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> N
                 l = int(img[y, x - 1])
                 t = int(img[y - 1, x])
                 tl = int(img[y - 1, x - 1])
-                tr = int(img[y - 1, x + 1]) if x + 1 < w else int(img[y - 1, 0])
+                # TR is scan-order index i−w+1: for the rightmost
+                # column that wraps to the CURRENT row's first pixel
+                # (already decoded — the contiguous-framebuffer rule
+                # libwebp follows)
+                tr = int(img[y - 1, x + 1]) if x + 1 < w else int(img[y, 0])
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

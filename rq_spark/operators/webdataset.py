@@ -112,7 +112,10 @@ def shard_documents(
     keyed = df.withColumn(
         "_wds_key", F.lpad(F.col(key_col).cast("string"), 12, "0")
     ).withColumn(
-        "_wds_shard", (F.col(key_col).cast("bigint") / docs_per_shard).cast("bigint")
+        # integer division, not float-divide-and-cast: keys above 2^53
+        # would lose precision in a double and land in the wrong shard
+        "_wds_shard",
+        F.expr(f"CAST({key_col} AS BIGINT) div {docs_per_shard}"),
     )
     return keyed.groupBy("_wds_shard").applyInPandas(
         build, "shard_id bigint, n_samples int, shard_bytes binary"

@@ -172,6 +172,33 @@ def test_vp8l_predictor_transform_left():
     assert out[0, 1].tolist() == [12, 45, 41, 255]
 
 
+def test_vp8l_predictor_tr_wraps_to_current_row_start():
+    # 2×2, one tile, mode 3 (top-right). The bottom-right pixel's TR
+    # is scan index i−w+1 = the CURRENT row's first pixel (the
+    # contiguous-framebuffer rule), not the row above's first pixel.
+    bw = _BitWriter()
+    bw.write(1, 14)  # w = 2
+    bw.write(1, 14)  # h = 2
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(0, 3)  # size_bits = 2 → one tile
+    _literal_image_codes(bw, [3], [0], [0], [0], level0=False)  # mode TR
+    bw.write(0, 1)  # no more transforms
+    # residuals: p00=(a0,r10,g20,b30); p10=p01=(0,2,5,1); p11=(0,2,20,1)
+    _literal_image_codes(bw, [20, 5], [10, 2], [30, 1], [0])
+    for bits in ((1, 1, 1), (0, 0, 0), (0, 0, 0), (1, 0, 0)):
+        for v in bits:
+            bw.write(v, 1)
+    out = vp8l.decode(_container(bw))
+    assert out[0, 0].tolist() == [10, 20, 30, 255]  # black + residual
+    assert out[0, 1].tolist() == [12, 25, 31, 255]  # top row: L
+    assert out[1, 0].tolist() == [12, 25, 31, 255]  # first col: T
+    # TR = out[1, 0] (current row start), + residual (2, 20, 1)
+    assert out[1, 1].tolist() == [14, 45, 32, 255]
+
+
 def test_vp8l_color_indexing_with_bundling():
     # 10×1 image, 2-color palette → width_bits 3, packed width 2,
     # sub-pixel bits = 1; pattern 1,0,1,1,0,0,1,0 | 1,1
