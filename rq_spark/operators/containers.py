@@ -70,11 +70,13 @@ def ogg_params(data: bytes):
         raise ContainerFormatError("ogg: missing OggS capture pattern")
     pos = 0
     first_payload = None
+    first_serial = None
     last_granule = 0
     while pos + 27 <= len(data):
         if data[pos : pos + 4] != b"OggS":
             raise ContainerFormatError("ogg: lost page sync")
         granule = struct.unpack_from("<q", data, pos + 6)[0]
+        serial = struct.unpack_from("<I", data, pos + 14)[0]
         crc_stored = struct.unpack_from("<I", data, pos + 22)[0]
         nsegs = data[pos + 26]
         seg_table = data[pos + 27 : pos + 27 + nsegs]
@@ -90,7 +92,11 @@ def ogg_params(data: bytes):
             raise ContainerFormatError("ogg: page CRC mismatch")
         if first_payload is None:
             first_payload = data[pos + 27 + nsegs : page_end]
-        if granule >= 0:
+            first_serial = serial
+        # length comes from the FIRST logical stream only: multiplexed
+        # files (audio+video) interleave serials, and -1 granules mark
+        # pages where no packet ends
+        if serial == first_serial and granule >= 0:
             last_granule = granule
         pos = page_end
     if pos != len(data):

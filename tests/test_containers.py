@@ -57,6 +57,20 @@ def test_ogg_long_payload_lacing():
     assert (codec, n) == ("opus", 960)
 
 
+def test_ogg_multiplexed_streams_use_first_serial_only():
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + (44100).to_bytes(4, "little") + bytes(12) + bytes([0x11])
+    )
+    pages = (
+        C._ogg_page(7, 0, 0, ident, 0x02)
+        + C._ogg_page(9, 0, 999_999, b"video stream page", 0x02)
+        + C._ogg_page(7, 1, 44100, b"\x00", 0x04)
+    )
+    codec, rate, ch, n, dur = C.ogg_params(pages)
+    assert (n, dur) == (44100, 1.0)  # the serial-9 granule is ignored
+
+
 def test_ogg_not_ogg():
     assert not C.is_ogg(b"OggZ" + bytes(30))
     with pytest.raises(C.ContainerFormatError):
