@@ -117,6 +117,55 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+# PII surface patterns — the regex subset where Java (Spark) and RE2
+# (DuckDB / most scanners) agree exactly: character classes, bounded
+# repetition, ASCII \b; no lookaround, no backrefs. Order matters for
+# redaction: email first so its digit runs are gone before the
+# number-shaped patterns run.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3} [0-9]{3} [0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-type PII match counts — the detection half of the scrubbing
+    pass every training-data pipeline runs before anything else. Pure
+    `regexp_count` expressions (JVM-side, codegen'd): at 100 TB this
+    rides in the same single scan as the other text signals."""
+    return {name: F.regexp_count(col, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with a typed placeholder (`<EMAIL>` …) —
+    the redaction half. Sequential regexp_replace in PII_PATTERNS
+    order; each pattern sees the previous one's output, so e.g. an
+    email's digit runs can't double-match the number-shaped types."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def dup_ngram_frac(col: Column, n: int = 3) -> Column:
+    """Within-document repetition: 1 − distinct/total word n-grams —
+    the Gopher-style 'duplicate n-gram fraction' signal (high values =
+    boilerplate/spam loops). NULL for docs shorter than n words. Pure
+    expression (transform over a sequence + array_distinct), so it
+    stays inside the document-scoring scan pass; exact on both engines
+    (int/int division of exactly-representable counts)."""
+    words = F.split(normalize_text(col), " ")
+    total = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    return F.when(F.size(words) >= n, frac)
+
+
 def token_hash_vectors(
     df: DataFrame, text_col: str, id_col: str, dim: int = 64, ngram: int = 1
 ) -> DataFrame:

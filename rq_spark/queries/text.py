@@ -5,7 +5,7 @@ language ID, quality scoring. Pure-expression operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as X
@@ -179,19 +179,122 @@ FROM documents
 _FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing + within-doc repetition
+#
+# The synthetic corpus is word-salad with no PII surface, so the PII
+# branch runs the REAL detector/redactor over a deterministically
+# ENRICHED text (text || suffix(doc_id)): 4 of 5 docs get exactly one
+# planted PII span of a rotating type, 1 of 5 gets none, and the raw
+# text body still rides through the regexes (a false positive there
+# would flip the counts and the driver hash). Same evidence pattern as
+# mm_real_decode's synthesized payloads — every output is
+# SQL-recomputable, the operator itself is corpus-agnostic.
+
+
+def _pii_enriched(doc_id: Column, text: Column) -> Column:
+    m = doc_id % 5
+    sfx = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" call +1 555 "),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" from 10.0."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                (doc_id % 100).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(" ref 123-45-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(" filed"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(text, sfx)
+
+
+_PII_ENRICH_SQL = """text || CASE doc_id % 5
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+      WHEN 3 THEN ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
+      ELSE '' END"""
+
+
+def _pii_sql() -> str:
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(e, '{pat}')) AS n_pii_{name}"
+        for name, pat in X.PII_PATTERNS.items()
+    )
+    redacted = "e"
+    for name, pat in X.PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_ENRICH_SQL} AS e FROM documents)
+SELECT doc_id,
+         {counts},
+         md5({redacted}) AS redacted_fp
+FROM p
+"""
+
+
+_DUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, len(w) - 2 AS total,
+         CASE WHEN len(w) >= 3 THEN
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)]
+         END AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN total >= 1 THEN
+         1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total
+       END AS dup_3gram_frac
+FROM g
+"""
+
+
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every per-document text signal in ONE single-scan projection
     (former text_token_stats + text_lang_id + text_quality_score +
     text_bpe_token_count + text_fingerprint, column-merged): token
     stats, language ID, quality features + score, whitespace/BPE-ish
-    token budgets, and the md5 fingerprint. All codegen'd expressions,
-    no Python, no shuffle — at 100 TB this is the 'score every document
-    once' pass, and reading the corpus once instead of five times is
-    the difference that matters. Every former output column is still
-    present and hash-checked."""
+    token budgets, the md5 fingerprint, within-doc repetition
+    (duplicate-3-gram fraction, the Gopher boilerplate signal), and the
+    PII scrub pass (per-type detection counts + redacted-text
+    fingerprint, over deterministically PII-enriched text — see
+    _pii_enriched). All codegen'd expressions, no Python, no shuffle —
+    at 100 TB this is the 'score every document once' pass, and
+    reading the corpus once instead of seven times is the difference
+    that matters. Every former output column is still present and
+    hash-checked."""
     d = spread(table(spark, sf_dir, "documents"))
     t = F.col("text")
     feats = X.quality_features(t)
+    enriched = _pii_enriched(F.col("doc_id"), t)
+    pii = X.pii_counts(enriched)
     return X.token_stats(
         d,
         "text",
@@ -206,6 +309,9 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(r"\S+")).alias("n_ws_tokens"),
         F.regexp_count(t, F.lit(_BPE_RE)).alias("n_bpe_tokens"),
         X.fingerprint(t).alias("fp"),
+        X.dup_ngram_frac(t).alias("dup_3gram_frac"),
+        *[pii[name].alias(f"n_pii_{name}") for name in X.PII_PATTERNS],
+        F.md5(X.redact_pii(enriched)).alias("redacted_fp"),
     )
 
 
@@ -213,23 +319,30 @@ def _text_metrics_sql() -> str:
     """Join the former standalone oracles on doc_id — each branch's SQL
     text is reused verbatim as a CTE, so a divergence in any branch
     still flips the merged hash."""
+    pii_cols = ", ".join(f"pii.n_pii_{name}" for name in X.PII_PATTERNS)
     return f"""
 WITH t AS ({_TOKEN_SQL}),
      l AS ({_lang_id_sql()}),
      q AS ({_QUALITY_SQL}),
      b AS ({_BPE_SQL}),
-     fp AS ({_FP_SQL})
+     fp AS ({_FP_SQL}),
+     r AS ({_DUP_NGRAM_SQL}),
+     pii AS ({_pii_sql()})
 SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
        l.lang_guess,
        q.n_chars, q.alpha_ratio, q.space_ratio, q.uniq_ratio,
        q.mean_word_len, q.quality,
        b.n_ws_tokens, b.n_bpe_tokens,
-       fp.fp
+       fp.fp,
+       r.dup_3gram_frac,
+       {pii_cols}, pii.redacted_fp
 FROM t
 JOIN l  USING (doc_id)
 JOIN q  USING (doc_id)
 JOIN b  USING (doc_id)
 JOIN fp USING (doc_id)
+JOIN r  USING (doc_id)
+JOIN pii USING (doc_id)
 """
 
 

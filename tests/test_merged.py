@@ -50,6 +50,9 @@ COLUMN_MERGED = {
         "alpha_ratio", "uniq_ratio", "mean_word_len", "quality",  # quality
         "n_ws_tokens", "n_bpe_tokens",                         # BPE budget
         "fp",                                                  # fingerprint
+        "dup_3gram_frac",                                      # repetition
+        "n_pii_email", "n_pii_phone", "n_pii_ipv4", "n_pii_ssn",  # PII detect
+        "redacted_fp",                                         # PII redact
     },
     "mm_pipeline": {
         "size_bytes", "sha256", "mime",                        # binary meta

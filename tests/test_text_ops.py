@@ -1,0 +1,118 @@
+"""PII scrubbing + within-doc repetition operators (operators/text.py).
+
+Hand-built strings pin detection (true positives per type, the
+no-match case, and near-miss false-positive probes), redaction
+ordering, and the duplicate-n-gram fraction including the short-doc
+NULL rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rq_spark.operators import text as X
+
+
+def _one(spark, s: str, cols: dict):
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(*[c.alias(k) for k, c in cols.items()]).first()
+
+
+def _counts(spark, s: str):
+    return _one(spark, s, {k: v for k, v in X.pii_counts(F.col("t")).items()})
+
+
+def test_pii_detects_each_type(spark):
+    r = _counts(
+        spark,
+        "mail bob.smith+x@corp.example.org phone +44 123 4567 "
+        "ip 192.168.0.1 ssn 078-05-1120",
+    )
+    assert (r["email"], r["phone"], r["ipv4"], r["ssn"]) == (1, 1, 1, 1)
+
+
+def test_pii_clean_text_matches_nothing(spark):
+    r = _counts(spark, "the quick brown fox jumps over 42 lazy dogs")
+    assert (r["email"], r["phone"], r["ipv4"], r["ssn"]) == (0, 0, 0, 0)
+
+
+def test_pii_near_misses(spark):
+    # word-boundary / shape probes: version strings are not IPs with
+    # only two dots, a 3-3-4 dashed number IS ssn-shaped only with
+    # 3-2-4 grouping, phone requires the +CC prefix
+    r = _counts(spark, "v1.2.3 build 123-456-7890 dial 555 0199")
+    assert (r["ipv4"], r["ssn"], r["phone"]) == (0, 0, 0)
+
+
+def test_pii_ipv4_not_inside_longer_dotted_run(spark):
+    r = _counts(spark, "addr 10.0.0.1 and semver 1.2.3")
+    assert r["ipv4"] == 1
+
+
+def test_redact_replaces_with_typed_tokens(spark):
+    out = _one(
+        spark,
+        "write a@b.io or call +1 555 0100 from 8.8.8.8 re 123-45-6789 end",
+        {"r": X.redact_pii(F.col("t"))},
+    )["r"]
+    assert out == "write <EMAIL> or call <PHONE> from <IPV4> re <SSN> end"
+
+
+def test_redact_email_first_protects_digit_runs(spark):
+    # the email eats its own digits before number-shaped patterns run
+    out = _one(spark, "u 123-45-6789@x.example.com v", {"r": X.redact_pii(F.col("t"))})["r"]
+    assert out == "u <EMAIL> v"
+
+
+def test_dup_ngram_frac_exact_values(spark):
+    # "a b c a b c a b c": 7 3-grams, 3 distinct -> 1 - 3/7
+    r = _one(spark, "a b c a b c a b c", {"d": X.dup_ngram_frac(F.col("t"))})["d"]
+    assert abs(r - (1 - 3 / 7)) < 1e-12
+    # all-unique text -> 0.0
+    r0 = _one(spark, "one two three four five", {"d": X.dup_ngram_frac(F.col("t"))})["d"]
+    assert r0 == 0.0
+
+
+def test_dup_ngram_frac_short_doc_is_null(spark):
+    r = _one(spark, "two words", {"d": X.dup_ngram_frac(F.col("t"))})["d"]
+    assert r is None
+
+
+def test_text_metrics_has_new_columns(spark, sf_dir):
+    from rq_spark.queries.text import text_metrics
+
+    df = text_metrics(spark, sf_dir)
+    cols = set(df.columns)
+    assert {
+        "dup_3gram_frac",
+        "n_pii_email",
+        "n_pii_phone",
+        "n_pii_ipv4",
+        "n_pii_ssn",
+        "redacted_fp",
+    } <= cols
+    # enrichment plants exactly one span for 4 of 5 docs: totals over
+    # the corpus must match the doc_id % 5 census (word-salad body
+    # contributes no extra matches)
+    agg = df.agg(
+        F.sum("n_pii_email").alias("e"),
+        F.sum("n_pii_phone").alias("p"),
+        F.sum("n_pii_ipv4").alias("i"),
+        F.sum("n_pii_ssn").alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    import duckdb
+
+    want = {
+        m: duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+            f" WHERE doc_id % 5 = {m}"
+        ).fetchone()[0]
+        for m in range(4)
+    }
+    assert (agg["e"], agg["p"], agg["i"], agg["s"]) == (
+        want[0],
+        want[1],
+        want[2],
+        want[3],
+    )
