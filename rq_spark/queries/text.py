@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..operators import text as X
 from .helpers import spread, table
 
@@ -93,12 +95,27 @@ FROM f
 """
 
 
+# sequence packing: contexts of _CTX tokens, packed per shard.
+# Concat-and-chunk (the GPT pretraining shape): kept docs are laid end
+# to end in doc_id order within a shard and the token stream is cut
+# every _CTX tokens; a doc's placement is fully determined by the
+# running token sum, so the whole operator is one window cumsum. The
+# per-SHARD window is the 100 TB design: a global pack would be a
+# single-partition sort, while shards (O(corpus/ctx) of them in
+# production; deterministic doc_id % _N_SHARDS here) pack in parallel
+# and each holds O(shard) state.
+_CTX = 256
+_N_SHARDS = 8
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end curation filter a training-data pipeline runs:
-    keep documents that (a) look like the target language, (b) clear
-    the quality score, (c) fall inside a token-count band — one
-    composed expression tree, all JVM-side, filters evaluated in a
-    single scan pass."""
+    """The end-to-end curation-then-packing pass a training-data
+    pipeline runs: keep documents that (a) look like the target
+    language, (b) clear the quality score, (c) fall inside a
+    token-count band — one composed expression tree, all JVM-side,
+    filters evaluated in a single scan pass — then pack survivors into
+    fixed _CTX-token training contexts per shard (shard_id/ctx_id/
+    ctx_offset via a per-shard window cumsum; see note above)."""
     d = spread(table(spark, sf_dir, "documents"))
     t = F.col("text")
     lang = X.lang_id(t)
@@ -117,7 +134,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_words <= 120)
         & (F.monotonically_increasing_id() >= 0)
     )
-    return (
+    kept = (
         d.select(
             "doc_id",
             lang.alias("lang_guess"),
@@ -127,6 +144,22 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("_keep")
         .drop("_keep")
+        .withColumn("shard_id", F.col("doc_id") % _N_SHARDS)
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_words").over(w) - F.col("n_words")
+    return kept.select(
+        "doc_id",
+        "lang_guess",
+        "quality",
+        "n_words",
+        "shard_id",
+        F.floor(start / _CTX).cast("long").alias("ctx_id"),
+        (start % _CTX).cast("long").alias("ctx_offset"),
     )
 
 
@@ -147,16 +180,29 @@ WITH s AS (
            / len(string_split({_NORM_SQL}, ' ')) AS uniq_ratio,
          len(string_split({_NORM_SQL}, ' ')) AS n_words
   FROM s
+), kept AS (
+  SELECT doc_id, lang_guess,
+         alpha_ratio * 0.5 + uniq_ratio * 0.3
+           + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 AS quality,
+         n_words
+  FROM f
+  WHERE lang_guess = 'en'
+    AND alpha_ratio * 0.5 + uniq_ratio * 0.3
+          + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 >= 0.55
+    AND n_words BETWEEN 20 AND 120
+), packed AS (
+  SELECT *,
+         doc_id % {_N_SHARDS} AS shard_id,
+         CAST(SUM(n_words) OVER (PARTITION BY doc_id % {_N_SHARDS}
+                                 ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_words AS BIGINT) AS tok_start
+  FROM kept
 )
-SELECT doc_id, lang_guess,
-       alpha_ratio * 0.5 + uniq_ratio * 0.3
-         + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 AS quality,
-       n_words
-FROM f
-WHERE lang_guess = 'en'
-  AND alpha_ratio * 0.5 + uniq_ratio * 0.3
-        + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 >= 0.55
-  AND n_words BETWEEN 20 AND 120
+SELECT doc_id, lang_guess, quality, n_words, shard_id,
+       tok_start // {_CTX} AS ctx_id,
+       tok_start % {_CTX} AS ctx_offset
+FROM packed
 """
 
 

@@ -78,6 +78,26 @@ def test_dup_ngram_frac_short_doc_is_null(spark):
     assert r is None
 
 
+def test_corpus_curation_packing_invariants(spark, sf_dir):
+    """Concat-and-chunk packing: within each shard the placement must
+    reproduce a sequential cumsum — token stream gapless, offsets in
+    range, first doc at (0, 0)."""
+    from rq_spark.queries.text import _CTX, _N_SHARDS, corpus_curation
+
+    rows = corpus_curation(spark, sf_dir).orderBy("shard_id", "doc_id").collect()
+    assert rows, "curation kept nothing"
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) <= set(range(_N_SHARDS))
+    for docs in by_shard.values():
+        run = 0
+        for r in docs:
+            assert r["ctx_id"] == run // _CTX
+            assert r["ctx_offset"] == run % _CTX
+            run += r["n_words"]
+
+
 def test_text_metrics_has_new_columns(spark, sf_dir):
     from rq_spark.queries.text import text_metrics
 
