@@ -392,6 +392,42 @@ def incremental_minhash_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: which TRAIN documents share at least
+    ``min_overlap`` word n-grams with any EVAL/benchmark document —
+    the contamination check a pipeline runs before training so test
+    sets don't leak into the corpus (the n-gram-overlap method used by
+    public LM training reports; long n-grams ≈ verbatim leakage).
+
+    Returns (train_id, eval_id, n_shared) — one row per contaminated
+    (train doc, benchmark doc) pair with the count of shared distinct
+    n-grams, so callers can drop or audit by severity.
+
+    Scale shape: the benchmark side is tiny (thousands of eval docs vs
+    a 100 TB corpus), so its exploded shingles are broadcast; the
+    corpus is shingled in place and NEVER shuffles — cost is one
+    corpus scan + a broadcast-hash-join + a partial-agg count keyed on
+    (train, eval). Shingles are the same int64 hash chains as the
+    dedup family (fixed-width probes, not ~40-byte gram strings)."""
+    t_sh = shingles(_spread(train), text_col, id_col, n=n).withColumnRenamed(
+        "doc", "train_id"
+    )
+    e_sh = shingles(eval_df, text_col, id_col, n=n).withColumnRenamed("doc", "eval_id")
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def prefix_filter_candidates(
     sets: DataFrame, threshold: float, order: str = "hash"
 ) -> DataFrame:

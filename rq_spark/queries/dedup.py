@@ -1418,21 +1418,55 @@ SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup: which documents of an incoming batch
-    near-duplicate a standing corpus (operators/dedup.py:
-    incremental_minhash_pairs — broadcast batch-band probe, the
-    corpus is never shuffled). The testdata has no real ingest split,
-    so the batch is the odd doc_ids and the corpus the even ones —
-    deterministic, and the oracle recomputes the same split. Output
-    pairs equal the exact cross-side Jaccard pair set w.h.p.; a
-    missed LSH pair flips the driver hash."""
+    """Cross-split hygiene family, tagged:
+
+    op='ingest_probe' — incremental ingest dedup: which documents of
+    an incoming batch near-duplicate a standing corpus
+    (operators/dedup.py:incremental_minhash_pairs — broadcast
+    batch-band probe, the corpus is never shuffled). The testdata has
+    no real ingest split, so the batch is the odd doc_ids and the
+    corpus the even ones — deterministic, and the oracle recomputes
+    the same split. Output pairs equal the exact cross-side Jaccard
+    pair set w.h.p.; a missed LSH pair flips the driver hash.
+
+    op='decontam' — benchmark decontamination: train docs sharing a
+    word-5-gram with the held-out eval slice (doc_id % 11 == 0 — a
+    deterministic stand-in benchmark), n_shared = shared distinct
+    5-gram count (operators/dedup.py:decontaminate — eval shingles
+    broadcast, corpus never shuffles). The oracle recomputes overlap
+    from gram STRINGS while the operator counts int64 hash chains, so
+    the driver hash also certifies the hash-chain gram identity."""
     docs = table(spark, sf_dir, "documents")
-    return D.incremental_minhash_pairs(
+    probe = D.incremental_minhash_pairs(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
         "text",
         "doc_id",
         threshold=_JACCARD_T,
+    )
+    deco = D.decontaminate(
+        docs.filter(F.col("doc_id") % 11 != 0),
+        docs.filter(F.col("doc_id") % 11 == 0),
+        "text",
+        "doc_id",
+        n=5,
+        min_overlap=1,
+    )
+    nulls = F.lit(None)
+    return probe.select(
+        F.lit("ingest_probe").alias("op"),
+        F.col("new_id").cast("bigint").alias("a_id"),
+        F.col("corpus_id").cast("bigint").alias("b_id"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+        nulls.cast("bigint").alias("n_shared"),
+    ).unionByName(
+        deco.select(
+            F.lit("decontam").alias("op"),
+            F.col("train_id").cast("bigint").alias("a_id"),
+            F.col("eval_id").cast("bigint").alias("b_id"),
+            nulls.cast("double").alias("jaccard"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+        )
     )
 
 
@@ -1449,13 +1483,24 @@ WITH toks AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle
   WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
   GROUP BY 1, 2
+), sh5 AS (
+  SELECT DISTINCT doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks)
 )
-SELECT new_id, corpus_id,
-       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+SELECT 'ingest_probe' AS op, new_id AS a_id, corpus_id AS b_id,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard,
+       CAST(NULL AS BIGINT) AS n_shared
 FROM inter
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+UNION ALL
+SELECT 'decontam', t.doc_id, e.doc_id, CAST(NULL AS DOUBLE), COUNT(*)
+FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
+WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+GROUP BY 2, 3
+HAVING COUNT(*) >= 1
 """
 
 

@@ -151,6 +151,45 @@ def test_incremental_dedup_equals_cross_side_exact(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_hand_built_overlap(spark):
+    """Known contamination: a train doc embedding an eval doc's 5-gram
+    run is flagged with the exact shared-gram count; disjoint docs and
+    sub-threshold overlap are not."""
+    from rq_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # 4 shared 5-grams
+            (2, "one two three four five six"),                    # disjoint
+            (3, "x alpha beta gamma delta epsilon y z"),           # exactly 1
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, ev, "text", "doc_id", n=5).collect()
+    }
+    assert got == {(1, 100): 4, (3, 100): 1}
+
+    # min_overlap raises the severity floor
+    got2 = {
+        r.train_id
+        for r in decontaminate(train, ev, "text", "doc_id", n=5, min_overlap=2).collect()
+    }
+    assert got2 == {1}
+
+    # scale shape: the eval side must be the broadcast build side
+    plan = (
+        decontaminate(train, ev, "text", "doc_id", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_components_chain_and_nonconvergence(spark):
     import pytest
 

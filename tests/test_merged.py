@@ -40,6 +40,7 @@ TAGGED = {
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf"},
     "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard"},
+    "dedup_incremental": {"ingest_probe", "decontam"},
 }
 
 # key -> columns absorbed from former standalone queries (column-merge)
