@@ -1,0 +1,1029 @@
+"""Pure-Python Zstandard codec — implemented from RFC 8878 (the public
+Zstandard spec), no external deps.
+
+Why it exists: ``.jsonl.zst`` is the de-facto container of public LLM
+training corpora (Dolma, RedPajama, The Pile all ship zstd), and the
+container has no zstd binding — this module gives every rq_spark
+source (JSON lines, raw, WARC, WebDataset shards) a zstd path with the
+same bundled-codec pattern as `snappy_pure` (Avro) and the image/audio
+codecs.
+
+Decoder (`decompress`) is COMPLETE for non-dictionary frames:
+
+* frame parsing: magic, frame-header descriptor, window descriptor,
+  frame content size, multi-frame concatenation, skippable frames,
+  xxhash64 content-checksum verification (xxh64 implemented below);
+* blocks: Raw, RLE, Compressed;
+* literals: Raw, RLE, Huffman-compressed (1- and 4-stream), and
+  Treeless (repeat the previous table); Huffman tree descriptions in
+  both direct 4-bit-weights and FSE-compressed-weights form;
+* sequences: Predefined / RLE / FSE_Compressed / Repeat modes for all
+  three channels (literal lengths, offsets, match lengths), the
+  interleaved backward bitstream, and the 3-slot repeat-offset history
+  with the literals_length==0 swap rules.
+
+Dictionaries are rejected loudly (``dictionary_id != 0``) — training
+corpora ship self-contained frames.
+
+Encoder (`compress`) is an honest subset producing REAL zstd frames
+any decoder accepts:
+
+* ``mode="store"`` — Raw blocks (always valid, never larger than
+  input + header overhead);
+* ``mode="lz"`` — greedy hash-chain LZ77 matching emitting Raw
+  literals plus sequences coded with the PREDEFINED FSE tables
+  (built by inverting this module's own decode tables, so the
+  encoder exercises the decoder's full sequence machinery), RLE
+  blocks for long single-byte runs.
+
+Both modes append the xxh64 content checksum. Round-trips are
+property-tested, and both directions are cross-checked against the
+reference ``zstd`` CLI when one is on PATH (tests/test_zstd.py).
+
+Safety: decompression is bomb-bounded — every grown byte is checked
+against the declared frame content size when present, and callers can
+pass ``max_output`` as a hard ceiling (the Avro/snappy lesson:
+crafted streams must not balloon before a final length check).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["ZstdError", "compress", "decompress", "xxh64"]
+
+
+class ZstdError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 (public algorithm; needed for frame content checksums)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        limit = n - 32
+        i = 0
+        while i <= limit:
+            x1, x2, x3, x4 = struct.unpack_from("<4Q", data, i)
+            v1 = _round(v1, x1)
+            v2 = _round(v2, x2)
+            v3 = _round(v3, x3)
+            v4 = _round(v4, x4)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+        i = 0
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl(h ^ ((k * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# bit readers
+# ---------------------------------------------------------------------------
+
+
+class _FwdBits:
+    """Forward LSB-first bit reader (FSE table headers only)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def read(self, n: int) -> int:
+        bp = self.bitpos
+        lo, hi = bp >> 3, (bp + n + 7) >> 3
+        if hi > len(self.data):
+            raise ZstdError("zstd: FSE header overruns input")
+        val = int.from_bytes(self.data[lo:hi], "little") >> (bp & 7)
+        self.bitpos = bp + n
+        return val & ((1 << n) - 1)
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+class _BackBits:
+    """Backward bit reader: bits are consumed from the last byte's
+    padding sentinel downward (FSE / Huffman streams, RFC 8878 §3.1.1.2.2).
+    Reads past the start return zero bits (the spec's FSE final-state
+    convention); `overrun` reports how many bits beyond the start were
+    consumed so callers can detect corruption."""
+
+    __slots__ = ("data", "bitpos", "overrun")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("zstd: bitstream missing padding sentinel")
+        # drop the sentinel bit (highest set bit of the last byte)
+        self.data = data
+        self.bitpos = 8 * len(data) - (9 - data[-1].bit_length())
+        self.overrun = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        bp = self.bitpos - n
+        if bp < 0:
+            self.overrun += -bp
+            shift = -bp
+            self.bitpos = 0
+            if shift >= n:
+                return 0
+            hi = (n - shift + 7) >> 3
+            val = int.from_bytes(self.data[0:hi], "little")
+            return (val & ((1 << (n - shift)) - 1)) << shift & ((1 << n) - 1)
+        lo, hi = bp >> 3, (self.bitpos + 7) >> 3
+        val = int.from_bytes(self.data[lo:hi], "little") >> (bp & 7)
+        self.bitpos = bp
+        return val & ((1 << n) - 1)
+
+    def remaining(self) -> int:
+        return self.bitpos
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_ncount(data: bytes, pos: int, max_symbol: int):
+    """Parse an FSE table description (normalized counts). Returns
+    (counts, accuracy_log, bytes_consumed). Counts use -1 for the
+    'less than 1' probability."""
+    br = _FwdBits(data, pos)
+    accuracy_log = br.read(4) + 5
+    if accuracy_log > 9:
+        raise ZstdError(f"zstd: FSE accuracy {accuracy_log} > 9")
+    table_size = 1 << accuracy_log
+    remaining = table_size + 1
+    threshold = table_size
+    nbits = accuracy_log + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(counts) > max_symbol:
+            raise ZstdError("zstd: FSE table has too many symbols")
+        if prev_zero:
+            # repeat-zeros: 2-bit counts, value 3 chains
+            while True:
+                rep = br.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+            prev_zero = False
+            continue
+        maxv = (2 * threshold - 1) - remaining
+        val = br.read(nbits - 1)
+        if (val & (threshold - 1)) < maxv:
+            count = val & (threshold - 1)
+        else:
+            val |= br.read(1) << (nbits - 1)
+            count = val if val < threshold else val - maxv
+        count -= 1  # shift: 0 encodes -1 ("less than 1"), 1 encodes 0, ...
+        counts.append(count)
+        remaining -= count if count >= 0 else 1
+        if count == 0:
+            prev_zero = True
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nbits -= 1
+    if remaining != 1:
+        raise ZstdError("zstd: FSE counts exceed table size")
+    return counts, accuracy_log, br.byte_pos() - pos
+
+
+def _fse_build_dtable(counts: list[int], accuracy_log: int):
+    """Decode table: state -> (symbol, nb_bits, baseline)."""
+    size = 1 << accuracy_log
+    table_sym = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            table_sym[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            table_sym[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("zstd: FSE spread did not terminate at 0")
+    nxt = [1 if c == -1 else c for c in counts]
+    table = [None] * size
+    for state in range(size):
+        s = table_sym[state]
+        ns = nxt[s]
+        nxt[s] += 1
+        nb = accuracy_log - (ns.bit_length() - 1)
+        table[state] = (s, nb, (ns << nb) - size)
+    return table
+
+
+class _FseState:
+    __slots__ = ("table", "state", "log")
+
+    def __init__(self, table, log: int, br: _BackBits):
+        self.table = table
+        self.log = log
+        self.state = br.read(log)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, br: _BackBits) -> None:
+        _, nb, base = self.table[self.state]
+        self.state = base + br.read(nb)
+
+
+# predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+# literal-length codes: (baseline, extra_bits) for code >= 16
+_LL_EXTRA = [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3), (40, 3),
+    (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10), (2048, 11),
+    (4096, 12), (8192, 13), (16384, 14), (32768, 15), (65536, 16),
+]
+# match-length codes: (baseline, extra_bits) for code >= 32
+_ML_EXTRA = [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3), (59, 3),
+    (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9), (1027, 10),
+    (2051, 11), (4099, 12), (8195, 13), (16387, 14), (32771, 15), (65539, 16),
+]
+
+
+def _ll_value(code: int, br: _BackBits) -> int:
+    if code < 16:
+        return code
+    if code > 35:
+        raise ZstdError("zstd: bad literal-length code")
+    base, bits = _LL_EXTRA[code - 16]
+    return base + br.read(bits)
+
+
+def _ml_value(code: int, br: _BackBits) -> int:
+    if code < 32:
+        return code + 3
+    if code > 52:
+        raise ZstdError("zstd: bad match-length code")
+    base, bits = _ML_EXTRA[code - 32]
+    return base + br.read(bits)
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _huf_read_weights(data: bytes, pos: int):
+    """Huffman tree description → (weights list incl. implied last,
+    bytes_consumed)."""
+    if pos >= len(data):
+        raise ZstdError("zstd: missing huffman tree description")
+    hb = data[pos]
+    if hb >= 128:
+        # direct: hb-127 weights, 4 bits each, MSB nibble first
+        num = hb - 127
+        nbytes = (num + 1) // 2
+        raw = data[pos + 1 : pos + 1 + nbytes]
+        if len(raw) < nbytes:
+            raise ZstdError("zstd: truncated huffman weights")
+        weights = []
+        for i in range(num):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        used = 1 + nbytes
+    else:
+        # FSE-compressed weights: hb = compressed size, two
+        # interleaved states decode until the stream is exhausted
+        comp = data[pos + 1 : pos + 1 + hb]
+        if len(comp) < hb:
+            raise ZstdError("zstd: truncated huffman weight stream")
+        counts, log, consumed = _fse_read_ncount(comp, 0, 255)
+        if log > 6:
+            raise ZstdError("zstd: huffman weight FSE accuracy > 6")
+        table = _fse_build_dtable(counts, log)
+        br = _BackBits(comp[consumed:])
+        even = _FseState(table, log, br)
+        odd = _FseState(table, log, br)
+        weights = []
+        while True:
+            weights.append(even.symbol())
+            even.update(br)
+            if br.overrun:
+                weights.append(odd.symbol())
+                break
+            weights.append(odd.symbol())
+            odd.update(br)
+            if br.overrun:
+                weights.append(even.symbol())
+                break
+            if len(weights) > 255:
+                raise ZstdError("zstd: huffman weight stream too long")
+        used = 1 + hb
+    # implied last weight: completes the sum to the next power of two
+    # (STRICTLY greater — the last weight is always >= 1)
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("zstd: empty huffman tree")
+    left = (1 << total.bit_length()) - total
+    if left & (left - 1):
+        raise ZstdError("zstd: invalid huffman weight sum")
+    weights.append(left.bit_length())
+    return weights, used
+
+
+def _huf_build_dtable(weights: list[int]):
+    """LUT decode table: index by `max_bits` next bits → (symbol, len).
+    Canonical layout per RFC 8878 §4.2.1: symbols take consecutive LUT
+    ranges of size 2^(weight-1), ordered by increasing weight (ties:
+    natural symbol order)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total & (total - 1):
+        raise ZstdError("zstd: huffman weights do not sum to a power of two")
+    max_bits = total.bit_length() - 1
+    if max_bits > 11:
+        raise ZstdError("zstd: huffman code length > 11")
+    lut = [None] * (1 << max_bits)
+    idx = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                nbits = max_bits + 1 - w
+                for _ in range(span):
+                    lut[idx] = (sym, nbits)
+                    idx += 1
+    if idx != len(lut):
+        raise ZstdError("zstd: huffman table underfilled")
+    return lut, max_bits
+
+
+def _huf_decode_stream(stream: bytes, lut, max_bits: int, out_len: int) -> bytearray:
+    br = _BackBits(stream)
+    out = bytearray()
+    mask = (1 << max_bits) - 1
+    # peek max_bits (zero-padded past start), consume the code length
+    data = stream
+    bitpos = br.bitpos
+    lo_int = int.from_bytes(data, "little")
+    while len(out) < out_len:
+        if bitpos <= 0:
+            raise ZstdError("zstd: huffman stream exhausted early")
+        if bitpos >= max_bits:
+            window = (lo_int >> (bitpos - max_bits)) & mask
+        else:
+            window = (lo_int << (max_bits - bitpos)) & mask
+        sym, nbits = lut[window]
+        out.append(sym)
+        bitpos -= nbits
+    if bitpos != 0:
+        raise ZstdError("zstd: huffman stream has trailing bits")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# literals + sequences
+# ---------------------------------------------------------------------------
+
+
+class _RepeatTables:
+    """Per-frame repeat state: last huffman table, last FSE tables."""
+
+    def __init__(self):
+        self.huf = None
+        self.ll = None
+        self.of = None
+        self.ml = None
+
+
+def _decode_literals(block: bytes, rep: _RepeatTables):
+    """Returns (literals bytes, bytes_consumed_from_block)."""
+    if not block:
+        raise ZstdError("zstd: empty literals section")
+    b0 = block[0]
+    lit_type = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if size_fmt in (0, 2):
+            rsize = b0 >> 3
+            hdr = 1
+        elif size_fmt == 1:
+            if len(block) < 2:
+                raise ZstdError("zstd: truncated literals header")
+            rsize = (b0 >> 4) | (block[1] << 4)
+            hdr = 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("zstd: truncated literals header")
+            rsize = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr = 3
+        if lit_type == 0:
+            lits = block[hdr : hdr + rsize]
+            if len(lits) < rsize:
+                raise ZstdError("zstd: truncated raw literals")
+            return bytes(lits), hdr + rsize
+        if len(block) < hdr + 1:
+            raise ZstdError("zstd: truncated RLE literal")
+        return bytes([block[hdr]]) * rsize, hdr + 1
+    # Compressed (2) / Treeless (3)
+    if size_fmt == 0:
+        rsize = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        csize = (block[1] >> 6) | (block[2] << 2)
+        hdr, four = 3, False
+    elif size_fmt == 1:
+        rsize = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        csize = (block[1] >> 6) | (block[2] << 2)
+        hdr, four = 3, True
+    elif size_fmt == 2:
+        rsize = (b0 >> 4) | (block[1] << 4) | ((block[2] & 3) << 12)
+        csize = (block[2] >> 2) | (block[3] << 6)
+        hdr, four = 4, True
+    else:
+        rsize = (b0 >> 4) | (block[1] << 4) | ((block[2] & 0x3F) << 12)
+        csize = (block[2] >> 6) | (block[3] << 2) | (block[4] << 10)
+        hdr, four = 5, True
+    comp = block[hdr : hdr + csize]
+    if len(comp) < csize:
+        raise ZstdError("zstd: truncated compressed literals")
+    off = 0
+    if lit_type == 2:
+        weights, used = _huf_read_weights(comp, 0)
+        rep.huf = _huf_build_dtable(weights)
+        off = used
+    if rep.huf is None:
+        raise ZstdError("zstd: treeless literals with no previous table")
+    lut, max_bits = rep.huf
+    body = comp[off:]
+    if not four:
+        lits = _huf_decode_stream(body, lut, max_bits, rsize)
+    else:
+        if len(body) < 6:
+            raise ZstdError("zstd: truncated 4-stream jump table")
+        s1, s2, s3 = struct.unpack_from("<3H", body, 0)
+        p = 6
+        sizes = [s1, s2, s3, len(body) - 6 - s1 - s2 - s3]
+        if sizes[3] <= 0:
+            raise ZstdError("zstd: bad 4-stream layout")
+        out1 = (rsize + 3) >> 2
+        outs = [out1, out1, out1, rsize - 3 * out1]
+        if outs[3] < 0:
+            raise ZstdError("zstd: bad 4-stream regenerated size")
+        lits = bytearray()
+        for sz, ol in zip(sizes, outs):
+            lits += _huf_decode_stream(body[p : p + sz], lut, max_bits, ol)
+            p += sz
+    return bytes(lits), hdr + csize
+
+
+def _seq_table(mode: int, block: bytes, pos: int, default, rep_slot, max_symbol: int,
+               max_log: int):
+    """Resolve one channel's FSE table per its compression mode.
+    Returns (table, accuracy_log, new_pos, rle_symbol_or_None)."""
+    if mode == 0:  # predefined
+        counts, log = default
+        return _fse_build_dtable(counts, log), log, pos, None
+    if mode == 1:  # RLE: single byte = the symbol for every sequence
+        if pos >= len(block):
+            raise ZstdError("zstd: truncated RLE sequence table")
+        return None, 0, pos + 1, block[pos]
+    if mode == 2:  # FSE-compressed description
+        counts, log, used = _fse_read_ncount(block, pos, max_symbol)
+        if log > max_log:
+            raise ZstdError("zstd: sequence table accuracy too large")
+        return _fse_build_dtable(counts, log), log, pos + used, None
+    if rep_slot is None:  # repeat
+        raise ZstdError("zstd: repeat mode with no previous table")
+    return rep_slot[0], rep_slot[1], pos, rep_slot[2]
+
+
+def _decode_sequences(block: bytes, pos: int, rep: _RepeatTables):
+    """Parse the sequences section. Returns list of (lit_len,
+    match_len, offset_value)."""
+    if pos >= len(block):
+        raise ZstdError("zstd: missing sequences section")
+    b0 = block[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 1 >= len(block):
+            raise ZstdError("zstd: truncated sequence count")
+        nseq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        if pos + 2 >= len(block):
+            raise ZstdError("zstd: truncated sequence count")
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if nseq == 0:
+        return [], pos
+    if pos >= len(block):
+        raise ZstdError("zstd: missing sequence modes byte")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("zstd: reserved sequence-mode bits set")
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+    ll_t, ll_log, pos, ll_rle = _seq_table(ll_mode, block, pos, _LL_DEFAULT, rep.ll, 35, 9)
+    of_t, of_log, pos, of_rle = _seq_table(of_mode, block, pos, _OF_DEFAULT, rep.of, 31, 8)
+    ml_t, ml_log, pos, ml_rle = _seq_table(ml_mode, block, pos, _ML_DEFAULT, rep.ml, 52, 9)
+    rep.ll, rep.of, rep.ml = (ll_t, ll_log, ll_rle), (of_t, of_log, of_rle), (ml_t, ml_log, ml_rle)
+    br = _BackBits(block[pos:])
+    ll_s = _FseState(ll_t, ll_log, br) if ll_t is not None else None
+    of_s = _FseState(of_t, of_log, br) if of_t is not None else None
+    ml_s = _FseState(ml_t, ml_log, br) if ml_t is not None else None
+    seqs = []
+    for i in range(nseq):
+        ll_code = ll_s.symbol() if ll_s is not None else ll_rle
+        of_code = of_s.symbol() if of_s is not None else of_rle
+        ml_code = ml_s.symbol() if ml_s is not None else ml_rle
+        if of_code > 31:
+            raise ZstdError("zstd: offset code too large")
+        off_val = (1 << of_code) + br.read(of_code)
+        ml = _ml_value(ml_code, br)
+        ll = _ll_value(ll_code, br)
+        seqs.append((ll, ml, off_val))
+        if i + 1 < nseq:
+            if ll_s is not None:
+                ll_s.update(br)
+            if ml_s is not None:
+                ml_s.update(br)
+            if of_s is not None:
+                of_s.update(br)
+    if br.overrun:
+        raise ZstdError("zstd: sequence bitstream overrun")
+    if br.remaining() != 0:
+        raise ZstdError("zstd: sequence bitstream has leftover bits")
+    return seqs, len(block)
+
+
+def _execute(lits: bytes, seqs, out: bytearray, rep_offsets: list[int],
+             limit: int | None):
+    """Sequence execution with the 3-slot repeat-offset history."""
+    lpos = 0
+    for ll, ml, off_val in seqs:
+        if off_val > 3:
+            offset = off_val - 3
+            rep_offsets[2] = rep_offsets[1]
+            rep_offsets[1] = rep_offsets[0]
+            rep_offsets[0] = offset
+        else:
+            idx = off_val - 1 if ll != 0 else off_val  # ll==0 shifts by one
+            if idx == 0:
+                offset = rep_offsets[0]
+            elif idx == 1:
+                offset = rep_offsets[1]
+                rep_offsets[1] = rep_offsets[0]
+                rep_offsets[0] = offset
+            elif idx == 2:
+                offset = rep_offsets[2]
+                rep_offsets[2] = rep_offsets[1]
+                rep_offsets[1] = rep_offsets[0]
+                rep_offsets[0] = offset
+            else:  # idx == 3: repeat1 - 1 (only reachable when ll == 0)
+                offset = rep_offsets[0] - 1
+                if offset == 0:
+                    raise ZstdError("zstd: zero offset")
+                rep_offsets[2] = rep_offsets[1]
+                rep_offsets[1] = rep_offsets[0]
+                rep_offsets[0] = offset
+        if lpos + ll > len(lits):
+            raise ZstdError("zstd: literal run past literals buffer")
+        out += lits[lpos : lpos + ll]
+        lpos += ll
+        if offset > len(out):
+            raise ZstdError("zstd: match offset before output start")
+        if limit is not None and len(out) + ml > limit:
+            raise ZstdError("zstd: output exceeds declared size")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start : start + ml]
+        else:
+            start = len(out) - offset
+            for k in range(ml):
+                out.append(out[start + k])
+    out += lits[lpos:]
+    if limit is not None and len(out) > limit:
+        raise ZstdError("zstd: output exceeds declared size")
+
+
+# ---------------------------------------------------------------------------
+# frame / block decode
+# ---------------------------------------------------------------------------
+
+_MAGIC = 0xFD2FB528
+_SKIP_LO = 0x184D2A50
+_BLOCK_MAX = 128 * 1024
+
+
+def decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode a concatenation of zstd frames (skippable frames are
+    skipped). ``max_output`` is a hard output ceiling against
+    decompression bombs."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("zstd: truncated magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if (magic & 0xFFFFFFF0) == _SKIP_LO:
+            if n - pos < 8:
+                raise ZstdError("zstd: truncated skippable frame")
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + sz
+            if pos > n:
+                raise ZstdError("zstd: skippable frame overruns input")
+            continue
+        if magic != _MAGIC:
+            raise ZstdError(f"zstd: bad magic 0x{magic:08x}")
+        try:
+            pos = _decode_frame(data, pos + 4, out, max_output)
+        except (struct.error, IndexError) as e:  # truncated header fields
+            raise ZstdError(f"zstd: truncated frame: {e}") from e
+    return bytes(out)
+
+
+def _decode_frame(data: bytes, pos: int, out: bytearray,
+                  max_output: int | None) -> int:
+    fhd = data[pos]
+    pos += 1
+    dict_flag = fhd & 3
+    checksum = (fhd >> 2) & 1
+    single_seg = (fhd >> 5) & 1
+    fcs_code = fhd >> 6
+    if fhd & 0x18:
+        raise ZstdError("zstd: reserved frame-header bits set")
+    if not single_seg:
+        pos += 1  # window descriptor (we keep the whole frame in memory)
+    if dict_flag:
+        did_len = [1, 2, 4][dict_flag - 1]
+        did = int.from_bytes(data[pos : pos + did_len], "little")
+        pos += did_len
+        if did != 0:
+            raise ZstdError(f"zstd: dictionary {did} required but unsupported")
+    content_size = None
+    if fcs_code == 0:
+        if single_seg:
+            content_size = data[pos]
+            pos += 1
+    elif fcs_code == 1:
+        content_size = struct.unpack_from("<H", data, pos)[0] + 256
+        pos += 2
+    elif fcs_code == 2:
+        content_size = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+    else:
+        content_size = struct.unpack_from("<Q", data, pos)[0]
+        pos += 8
+    frame_start = len(out)
+    limit = None
+    if content_size is not None:
+        limit = frame_start + content_size
+    if max_output is not None:
+        limit = max_output if limit is None else min(limit, max_output)
+    rep = _RepeatTables()
+    rep_offsets = [1, 4, 8]
+    while True:
+        if pos + 3 > len(data):
+            raise ZstdError("zstd: truncated block header")
+        bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            if limit is not None and len(out) + bsize > limit:
+                raise ZstdError("zstd: output exceeds declared size")
+            out += data[pos : pos + bsize]
+            if pos + bsize > len(data):
+                raise ZstdError("zstd: truncated raw block")
+            pos += bsize
+        elif btype == 1:  # RLE
+            if limit is not None and len(out) + bsize > limit:
+                raise ZstdError("zstd: output exceeds declared size")
+            out += data[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:  # compressed
+            if bsize > _BLOCK_MAX:
+                raise ZstdError("zstd: block size exceeds 128 KiB limit")
+            block = data[pos : pos + bsize]
+            if len(block) < bsize:
+                raise ZstdError("zstd: truncated compressed block")
+            pos += bsize
+            lits, used = _decode_literals(block, rep)
+            seqs, _ = _decode_sequences(block, used, rep)
+            _execute(lits, seqs, out, rep_offsets, limit)
+        else:
+            raise ZstdError("zstd: reserved block type")
+        if last:
+            break
+    if content_size is not None and len(out) - frame_start != content_size:
+        raise ZstdError(
+            f"zstd: frame declared {content_size} bytes, produced "
+            f"{len(out) - frame_start}"
+        )
+    if checksum:
+        if pos + 4 > len(data):
+            raise ZstdError("zstd: truncated content checksum")
+        (want,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ZstdError("zstd: content checksum mismatch")
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _fse_build_ctable(counts: list[int], accuracy_log: int):
+    """Encode table, derived by INVERTING the decode table (for every
+    symbol, its decode states' (baseline, nb) windows partition the
+    state space, so the predecessor state for any successor is
+    unique). Returns {symbol: sorted list of (baseline, nb, state)}."""
+    dtable = _fse_build_dtable(counts, accuracy_log)
+    by_sym: dict[int, list] = {}
+    for state, (sym, nb, base) in enumerate(dtable):
+        by_sym.setdefault(sym, []).append((base, nb, state))
+    for lst in by_sym.values():
+        lst.sort()
+    return by_sym
+
+
+def _fse_prev_state(ctable, symbol: int, successor: int):
+    """The unique state emitting `symbol` whose window contains
+    `successor`; returns (state, bits_value, nb)."""
+    lst = ctable.get(symbol)
+    if not lst:
+        raise ZstdError(f"zstd: symbol {symbol} has zero probability")
+    lo, hi = 0, len(lst) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if lst[mid][0] <= successor:
+            lo = mid
+        else:
+            hi = mid - 1
+    base, nb, state = lst[lo]
+    if not (base <= successor < base + (1 << nb)):
+        raise ZstdError("zstd: FSE encode window miss")
+    return state, successor - base, nb
+
+
+def _ll_code(ll: int):
+    if ll < 16:
+        return ll, 0, 0
+    for code in range(len(_LL_EXTRA) - 1, -1, -1):
+        base, bits = _LL_EXTRA[code]
+        if ll >= base:
+            return code + 16, ll - base, bits
+    raise ZstdError("zstd: unencodable literal length")
+
+
+def _ml_code(ml: int):
+    if ml < 35:
+        return ml - 3, 0, 0
+    for code in range(len(_ML_EXTRA) - 1, -1, -1):
+        base, bits = _ML_EXTRA[code]
+        if ml >= base:
+            return code + 32, ml - base, bits
+    raise ZstdError("zstd: unencodable match length")
+
+
+def _encode_sequences(seqs) -> bytes:
+    """Sequences section: predefined-FSE mode for all three channels.
+    Fields are laid out low-to-high in REVERSE decoder-read order, then
+    the sentinel bit and byte padding (RFC 8878 §3.1.1.2.2)."""
+    ll_ct = _fse_build_ctable(*_LL_DEFAULT)
+    of_ct = _fse_build_ctable(*_OF_DEFAULT)
+    ml_ct = _fse_build_ctable(*_ML_DEFAULT)
+    n = len(seqs)
+    codes = []
+    for ll, ml, off_val in seqs:
+        llc, llx, llb = _ll_code(ll)
+        mlc, mlx, mlb = _ml_code(ml)
+        ofc = off_val.bit_length() - 1
+        codes.append(((llc, llx, llb), (mlc, mlx, mlb),
+                      (ofc, off_val - (1 << ofc), ofc)))
+    # states, chosen backward: the last sequence may use any state of
+    # its symbol; each predecessor is then unique
+    ll_states = [0] * n
+    of_states = [0] * n
+    ml_states = [0] * n
+    ll_bits = [None] * (n - 1)
+    of_bits = [None] * (n - 1)
+    ml_bits = [None] * (n - 1)
+    ll_states[n - 1] = ll_ct[codes[n - 1][0][0]][0][2]
+    ml_states[n - 1] = ml_ct[codes[n - 1][1][0]][0][2]
+    of_states[n - 1] = of_ct[codes[n - 1][2][0]][0][2]
+    for i in range(n - 2, -1, -1):
+        ll_states[i], v, b = _fse_prev_state(ll_ct, codes[i][0][0], ll_states[i + 1])
+        ll_bits[i] = (v, b)
+        ml_states[i], v, b = _fse_prev_state(ml_ct, codes[i][1][0], ml_states[i + 1])
+        ml_bits[i] = (v, b)
+        of_states[i], v, b = _fse_prev_state(of_ct, codes[i][2][0], of_states[i + 1])
+        of_bits[i] = (v, b)
+    # decoder-read order
+    fields = [
+        (ll_states[0], _LL_DEFAULT[1]),
+        (of_states[0], _OF_DEFAULT[1]),
+        (ml_states[0], _ML_DEFAULT[1]),
+    ]
+    for i in range(n):
+        (llc, llx, llb), (mlc, mlx, mlb), (ofc, ofx, ofb) = codes[i]
+        fields.append((ofx, ofb))
+        fields.append((mlx, mlb))
+        fields.append((llx, llb))
+        if i + 1 < n:
+            fields.append(ll_bits[i])
+            fields.append(ml_bits[i])
+            fields.append(of_bits[i])
+    acc = 0
+    shift = 0
+    for val, nb in reversed(fields):
+        acc |= val << shift
+        shift += nb
+    acc |= 1 << shift  # sentinel
+    shift += 1
+    stream = acc.to_bytes((shift + 7) // 8, "little")
+    # sequence count
+    if n < 128:
+        head = bytes([n])
+    elif n < 0x7F00:
+        head = bytes([(n >> 8) + 128, n & 0xFF])
+    else:
+        head = bytes([255, (n - 0x7F00) & 0xFF, (n - 0x7F00) >> 8])
+    return head + b"\x00" + stream  # modes byte 0 = predefined everywhere
+
+
+def _raw_literals_header(size: int) -> bytes:
+    if size < 32:
+        return bytes([size << 3])
+    if size < 4096:
+        return bytes([((size & 0xF) << 4) | 0x04, size >> 4])
+    if size < (1 << 20):
+        return bytes([((size & 0xF) << 4) | 0x0C, (size >> 4) & 0xFF, size >> 12])
+    raise ZstdError("zstd: literals too large for one block")
+
+
+def _lz_block(data: bytes, start: int, end: int, table: dict) -> bytes | None:
+    """Greedy LZ77 over data[start:end] (matches may reach back before
+    `start` — the window is the whole frame). Returns an encoded
+    compressed-block body, or None when storing wins."""
+    seqs = []
+    lits = bytearray()
+    anchor = start
+    i = start
+    last_lit = start
+    MIN = 4
+    while i + MIN <= end:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= (1 << 23):
+            # extend
+            ml = 4
+            limit = end - i
+            while ml < limit and data[cand + ml] == data[i + ml]:
+                ml += 1
+            if ml >= MIN:
+                ll = i - last_lit
+                if ll > 131071:
+                    return None  # unencodable literal run; store instead
+                lits += data[last_lit:i]
+                seqs.append((ll, ml, (i - cand) + 3))
+                # index interior positions sparsely (speed/ratio balance)
+                step = 1 if ml < 64 else 7
+                for j in range(i + 1, min(i + ml, end - MIN), step):
+                    table[data[j : j + 4]] = j
+                i += ml
+                last_lit = i
+                continue
+        i += 1
+    if not seqs:
+        return None
+    if end - last_lit > 131071:
+        return None
+    lits += data[last_lit:end]
+    body = _raw_literals_header(len(lits)) + bytes(lits) + _encode_sequences(seqs)
+    return body if len(body) < (end - start) else None
+
+
+def compress(data: bytes, mode: str = "lz") -> bytes:
+    """Emit a standard zstd frame (single-segment, frame content size,
+    xxh64 checksum). ``mode="store"`` uses Raw blocks only;
+    ``mode="lz"`` adds RLE blocks for single-byte runs and
+    compressed blocks (raw literals + predefined-FSE sequences) when
+    they win. Output is accepted by any conforming decoder."""
+    if mode not in ("store", "lz"):
+        raise ZstdError(f"zstd: unknown compress mode {mode!r}")
+    n = len(data)
+    out = bytearray(struct.pack("<I", _MAGIC))
+    # frame header: single-segment + checksum + explicit FCS
+    if n == 0:
+        fcs_code, fcs = 0, b"\x00"
+    elif n < 256:
+        fcs_code, fcs = 0, bytes([n])
+    elif n < 65536 + 256:
+        fcs_code, fcs = 1, struct.pack("<H", n - 256)
+    elif n < (1 << 32):
+        fcs_code, fcs = 2, struct.pack("<I", n)
+    else:
+        fcs_code, fcs = 3, struct.pack("<Q", n)
+    out.append((fcs_code << 6) | 0x24)  # single_segment | checksum
+    out += fcs
+    if n == 0:
+        out += struct.pack("<I", 1)[:3]  # last=1, raw, size 0
+    table: dict = {}
+    pos = 0
+    while pos < n:
+        end = min(pos + _BLOCK_MAX, n)
+        last = 1 if end == n else 0
+        chunk = data[pos:end]
+        body = None
+        btype = 0
+        if mode == "lz":
+            if chunk.count(chunk[0]) == len(chunk):
+                btype, body = 1, chunk[:1]
+            else:
+                lz = _lz_block(data, pos, end, table)
+                if lz is not None:
+                    btype, body = 2, lz
+        if body is None:
+            btype, body = 0, chunk
+        # RLE blocks carry the REGENERATED size; raw/compressed carry
+        # the stored body size
+        size_field = len(chunk) if btype == 1 else len(body)
+        bh = last | (btype << 1) | (size_field << 3)
+        out += struct.pack("<I", bh)[:3]
+        out += body
+        pos = end
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -1,0 +1,170 @@
+"""Pure-Python Zstandard codec (formats/codecs/zstd_pure.py, RFC 8878).
+
+Coverage: xxh64 reference vectors, encoder round-trips (store + lz),
+a baked reference-CLI golden (Huffman + FSE paths without needing the
+binary), cross-validation against a real ``zstd`` CLI when present,
+garbage/bitflip totality, the decompression-bomb bound, and loud
+rejection of dictionaries / reserved block types.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rq_spark.formats.codecs.zstd_pure import (
+    ZstdError,
+    compress,
+    decompress,
+    xxh64,
+)
+
+ZSTD_CLI = shutil.which("zstd")
+
+
+def test_xxh64_reference_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    # >32-byte path exercises the 4-lane accumulator
+    assert xxh64(b"0123456789abcdef" * 4) == xxh64(b"0123456789abcdef" * 4)
+    assert xxh64(b"x" * 33) != xxh64(b"x" * 32)
+
+
+# reference zstd CLI v1.5.7, level 19 — compressed-literals (Huffman,
+# FSE-coded weights) + FSE sequences in one block
+_GOLDEN_SRC = (
+    b"the spark query engine merges sorted runs; the spark query engine "
+    b"shuffles hash partitions; the spark query engine broadcasts small "
+    b"dimension tables to every executor node; " * 4
+)
+_GOLDEN_ZST = (
+    b"(\xb5/\xfdd\xb4\x01-\x03\x00b\xc7\x14\x11\xa0\xed\xf0\xb7\x94Zx\xdf"
+    b"\x13\xab\x85\x7fWu\xaab\r\x07J\x1a\xfb\xb6\x86Ce\xd4\xb7>\xab\x12"
+    b"\xa1\xcf\x1ab\xa6\x0b\x91+\x15\x16\x9f\x9b\xc3 \xa1\xadh\xa8Qop?"
+    b"\x1c\xceYU)\xf0\xf0\x013\xb8'\xda\xdb\xf8\xacfu]\x192L?W\xe1{\xda"
+    b"\xe0\xf8z:\x04\x00\x04`\xa6\xd4\xabj\x1f\xaa\xc26W\xab2\xd2\xcc\xf1v"
+)
+
+
+def test_golden_cli_frame_decodes():
+    assert decompress(_GOLDEN_ZST) == _GOLDEN_SRC
+
+
+def test_round_trip_fixed_cases():
+    cases = [
+        b"",
+        b"x",
+        b"z" * 100_000,              # RLE block
+        b"ab" * 50_000,              # short-period matches
+        bytes(range(256)) * 600,     # incompressible-ish, multi-block
+        b"the quick brown fox " * 2_000,
+    ]
+    for d in cases:
+        for mode in ("store", "lz"):
+            assert decompress(compress(d, mode=mode)) == d
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4096), st.sampled_from(["store", "lz"]))
+def test_round_trip_property(data, mode):
+    assert decompress(compress(data, mode=mode)) == data
+
+
+def test_multi_frame_and_skippable():
+    a, b = b"alpha " * 50, b"beta " * 80
+    skip = struct.pack("<II", 0x184D2A5E, 7) + b"ignored"
+    blob = compress(a) + skip + compress(b, mode="store")
+    assert decompress(blob) == a + b
+
+
+def test_checksum_flip_is_detected():
+    c = bytearray(compress(b"payload " * 100))
+    c[-1] ^= 0xFF
+    with pytest.raises(ZstdError, match="checksum"):
+        decompress(bytes(c))
+
+
+def test_dictionary_frames_rejected_loudly():
+    # frame header: dict_flag=1, single-segment, FCS 1 byte, dict id 5
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 5, 0]) + b"\x01\x00\x00"
+    with pytest.raises(ZstdError, match="dictionary"):
+        decompress(frame)
+
+
+def test_reserved_block_type_rejected():
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x20, 4]) + bytes([0x07, 0, 0])
+    with pytest.raises(ZstdError, match="reserved block"):
+        decompress(frame)
+
+
+def test_bomb_bound_stops_early():
+    big = compress(b"A" * 5_000_000, mode="lz")
+    assert len(big) < 10_000  # the RLE path really compressed it
+    with pytest.raises(ZstdError):
+        decompress(big, max_output=1_000)
+
+
+def test_garbage_totality():
+    rng = random.Random(1234)
+    for _ in range(300):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        try:
+            decompress(junk)
+        except ZstdError:
+            pass  # the only acceptable exception type
+
+
+def test_bitflip_totality():
+    rng = random.Random(77)
+    base = compress((b"mixed payload %d " % 12345) * 500, mode="lz")
+    for _ in range(300):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decompress(bytes(b))
+        except ZstdError:
+            pass
+
+
+@pytest.mark.skipif(ZSTD_CLI is None, reason="no reference zstd CLI")
+def test_cli_output_decodes(tmp_path):
+    """Real-encoder streams at several levels (Huffman 1/4-stream,
+    FSE tables, repeat modes, long matches) decode byte-exact."""
+    rng = random.Random(5)
+    words = [b"spark", b"query", b"join", b"the", b"merge", b"row"]
+    data = b" ".join(rng.choice(words) for _ in range(60_000))
+    src = tmp_path / "d.bin"
+    src.write_bytes(data)
+    for level in ("-1", "-5", "-19"):
+        out = tmp_path / f"d{level}.zst"
+        subprocess.run(
+            [ZSTD_CLI, level, "-q", "-f", str(src), "-o", str(out)], check=True
+        )
+        assert decompress(out.read_bytes()) == data
+
+
+@pytest.mark.skipif(ZSTD_CLI is None, reason="no reference zstd CLI")
+def test_cli_accepts_our_frames(tmp_path):
+    rng = random.Random(6)
+    data = bytes(rng.randrange(256) for _ in range(10_000)) + b"tail " * 5_000
+    for mode in ("store", "lz"):
+        f = tmp_path / f"{mode}.zst"
+        f.write_bytes(compress(data, mode=mode))
+        out = tmp_path / f"{mode}.out"
+        subprocess.run(
+            [ZSTD_CLI, "-d", "-q", "-f", str(f), "-o", str(out)], check=True
+        )
+        assert out.read_bytes() == data
+
+
+def test_lz_mode_actually_compresses():
+    d = (b"a highly repetitive corpus line about spark executors\n") * 2_000
+    c = compress(d, mode="lz")
+    assert len(c) < len(d) // 10
