@@ -51,18 +51,49 @@ def _records_to_df(spark: SparkSession, rdd) -> DataFrame:
     return spark.read.json(jrdd)
 
 
+def _zst_lines(spark: SparkSession, path: str):
+    """RDD[str] of text lines from ``*.zst`` files (one shard = one
+    frame sequence = one task). zstd frames are not splittable — the
+    same constraint every engine has for gzip — so at 100 TB the
+    corpus must arrive sharded, which public ``.jsonl.zst`` corpora
+    already are (thousands of ~100 MB-1 GB shards); parallelism = file
+    count, decompression runs executor-side via the bundled pure codec
+    (codecs/zstd_pure.py)."""
+    from .codecs.zstd_pure import decompress
+
+    return spark.sparkContext.binaryFiles(path).flatMap(
+        lambda kv: decompress(kv[1]).decode("utf-8").splitlines()
+    )
+
+
+def _is_zst(path: str) -> bool:
+    return path.endswith(".zst")
+
+
 def read(spark: SparkSession, fmt: str, path: str, preserve_order: bool = False,
          **opts) -> DataFrame:
     if fmt == "json":
-        df = spark.read.option("mode", opts.pop("mode", "FAILFAST")).json(path)
+        if _is_zst(path):
+            df = spark.read.option("mode", opts.pop("mode", "FAILFAST")).json(
+                _zst_lines(spark, path)
+            )
+        else:
+            df = spark.read.option("mode", opts.pop("mode", "FAILFAST")).json(path)
     elif fmt == "csv":
         # headerless, all-string (S2); as_sequence=True gives rq's
         # row-as-Sequence shape (one array<string> column)
-        df = spark.read.csv(path, header=False, inferSchema=False)
+        if _is_zst(path):
+            df = spark.read.csv(_zst_lines(spark, path), header=False,
+                                inferSchema=False)
+        else:
+            df = spark.read.csv(path, header=False, inferSchema=False)
         if opts.get("as_sequence"):
             df = df.select(F.array(*df.columns).alias("value"))
     elif fmt == "raw":
-        df = spark.read.text(path)
+        if _is_zst(path):
+            df = _zst_lines(spark, path).map(lambda s: (s,)).toDF(["value"])
+        else:
+            df = spark.read.text(path)
     elif fmt in ("avro", "cbor", "msgpack", "toml", "yaml"):
         files = spark.sparkContext.binaryFiles(path)
         df = _records_to_df(
@@ -94,6 +125,40 @@ def _atomic_only(df: DataFrame) -> None:
             )
 
 
+def _write_zstd_text(df: DataFrame, path: str, suffix: str, fmt_rows) -> None:
+    """Committed write of zstd-compressed text shards — the
+    ``.jsonl.zst`` corpus shape. Same FileOutputCommitter-v1 protocol
+    as the codec committer in write(); one frame per part file
+    (executor-side compression via the bundled pure codec), so reading
+    the directory back parallelizes over parts."""
+    import shutil
+    import uuid
+
+    from .codecs.zstd_pure import compress
+
+    os.makedirs(path, exist_ok=True)
+    tmp_dir = os.path.join(path, "_temporary")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator:
+        rows = list(rows)
+        if rows or idx == 0:
+            blob = compress(fmt_rows(rows).encode("utf-8"), mode="lz")
+            attempt = os.path.join(tmp_dir, f"part-{idx:05d}-{uuid.uuid4().hex}")
+            with open(attempt, "wb") as f:
+                f.write(blob)
+            yield idx, attempt
+
+    try:
+        winners = df.rdd.mapPartitionsWithIndex(write_partition).collect()
+        for idx, attempt in winners:
+            os.replace(attempt, os.path.join(path, f"part-{idx:05d}{suffix}"))
+        with open(os.path.join(path, "_SUCCESS"), "wb"):
+            pass
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
     # Order preservation (SURVEY §4): a global sort's range partitions
     # are written as part files in partition order on EVERY output
@@ -104,19 +169,50 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
     sort_col = opts.pop("order_by", None)
     if sort_col:
         df = df.orderBy(sort_col)
+    zstd_out = opts.pop("compression", None)
+    if zstd_out not in (None, "zstd"):
+        raise IllegalRecordError(f"unknown compression {zstd_out!r}")
     if fmt == "json":
+        if zstd_out:
+            _write_zstd_text(
+                df, path, ".jsonl.zst",
+                lambda rows: "\n".join(
+                    _json.dumps(r.asDict(recursive=True), default=_bytes_default)
+                    for r in rows
+                ),
+            )
+            return
         df.write.mode(opts.pop("mode", "overwrite")).json(path)
         return
     if fmt == "csv":
         _atomic_only(df)
+        if zstd_out:
+            import csv as _csv
+            import io as _io
+
+            def _fmt_csv(rows):
+                buf = _io.StringIO()
+                w = _csv.writer(buf, lineterminator="\n")
+                for r in rows:
+                    w.writerow(list(r))
+                return buf.getvalue().rstrip("\n")
+
+            _write_zstd_text(df, path, ".csv.zst", _fmt_csv)
+            return
         df.write.mode(opts.pop("mode", "overwrite")).csv(path)
         return
     if fmt == "raw":
         dtypes = dict(df.dtypes)
         if list(dtypes.values()) != ["string"]:
             raise IllegalRecordError("raw can only output a single string column")
+        if zstd_out:
+            _write_zstd_text(df, path, ".txt.zst",
+                             lambda rows: "\n".join(r[0] for r in rows))
+            return
         df.write.mode(opts.pop("mode", "overwrite")).text(path)
         return
+    if zstd_out:
+        raise IllegalRecordError(f"zstd compression unsupported for {fmt!r}")
     if fmt == "protobuf":
         raise UnimplementedError("protobuf serialization")  # rq.rs:237-240
     if fmt not in ("cbor", "msgpack", "avro", "toml", "yaml"):

@@ -110,6 +110,15 @@ def iter_records(data: bytes):
     http_status, http_content_type, payload."""
     if data[:2] == b"\x1f\x8b":
         blocks = _gzip_members(data)
+    elif data[:4] == b"\x28\xb5\x2f\xfd":
+        # warc.zst (IIPC convention: zstd frames, typically one per
+        # record; our decoder concatenates frames transparently and
+        # skips skippable frames, which that convention uses for
+        # dictionary side-cars — dictionary-compressed records
+        # themselves raise loudly in zstd_pure)
+        from ..formats.codecs.zstd_pure import decompress as _zstd_d
+
+        blocks = [_zstd_d(data)]
     else:
         blocks = [data]
     for block in blocks:

@@ -58,6 +58,12 @@ def iter_samples(tar_bytes: bytes):
     """tar bytes → yields (key, {ext: content}) grouped by basename
     prefix (everything before the FIRST dot, the WebDataset rule —
     ``a.seg.png`` has key ``a`` and extension ``seg.png``)."""
+    if tar_bytes[:4] == b"\x28\xb5\x2f\xfd":
+        # .tar.zst shard (zstd-compressed WebDataset convention) —
+        # transparent decompress via the bundled pure codec
+        from ..formats.codecs.zstd_pure import decompress as _zstd_d
+
+        tar_bytes = _zstd_d(tar_bytes)
     cur_key: str | None = None
     cur: dict[str, bytes] = {}
     with tarfile.open(fileobj=io.BytesIO(tar_bytes), mode="r:") as tf:
@@ -178,7 +184,7 @@ def read_webdataset(
     non-tar files out at the source."""
     shards = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
+        .option("pathGlobFilter", "*.tar*")  # .tar and .tar.zst shards
         .load(path_glob)
         .select(F.col("path").alias("shard_path"), F.col("content").alias("shard_bytes"))
     )
