@@ -235,8 +235,17 @@ def _fse_read_ncount(data: bytes, pos: int, max_symbol: int):
     return counts, accuracy_log, br.byte_pos() - pos
 
 
+_DTABLE_CACHE: dict = {}
+
+
 def _fse_build_dtable(counts: list[int], accuracy_log: int):
-    """Decode table: state -> (symbol, nb_bits, baseline)."""
+    """Decode table: state -> (symbol, nb_bits, baseline). Memoized —
+    the three predefined distributions are rebuilt on every block
+    otherwise, which dominates small-payload decode."""
+    key = (tuple(counts), accuracy_log)
+    hit = _DTABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     size = 1 << accuracy_log
     table_sym = [0] * size
     high = size - 1
@@ -263,6 +272,8 @@ def _fse_build_dtable(counts: list[int], accuracy_log: int):
         nxt[s] += 1
         nb = accuracy_log - (ns.bit_length() - 1)
         table[state] = (s, nb, (ns << nb) - size)
+    if len(_DTABLE_CACHE) < 64:  # bound the cache; predefined tables dominate
+        _DTABLE_CACHE[key] = table
     return table
 
 
@@ -809,12 +820,18 @@ def _fse_build_ctable(counts: list[int], accuracy_log: int):
     symbol, its decode states' (baseline, nb) windows partition the
     state space, so the predecessor state for any successor is
     unique). Returns {symbol: sorted list of (baseline, nb, state)}."""
+    key = (tuple(counts), accuracy_log, "enc")
+    hit = _DTABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     dtable = _fse_build_dtable(counts, accuracy_log)
     by_sym: dict[int, list] = {}
     for state, (sym, nb, base) in enumerate(dtable):
         by_sym.setdefault(sym, []).append((base, nb, state))
     for lst in by_sym.values():
         lst.sort()
+    if len(_DTABLE_CACHE) < 64:
+        _DTABLE_CACHE[key] = by_sym
     return by_sym
 
 

@@ -642,8 +642,11 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors, null-GPS branch included), Ogg (CRC-verified page walk;
     Opus for odd byte counts, Vorbis for even — rate/channels/length
     from the ident packet + final granule), Matroska/WebM (EBML walk:
-    duration·scale, video dims, track count), and WARC (gzip-member
-    record + HTTP parse: URI, status, recovered-payload sha). Payloads
+    duration·scale, video dims, track count), and WARC-zstd (a
+    .warc.zst record: the pure RFC 8878 zstd decoder, then the WARC
+    record + HTTP parse — URI, status, recovered-payload sha — plus
+    direct lz round-trip and guaranteed-compression assertion
+    columns, codecs/zstd_pure.py). Payloads
     are built and decoded executor-side in Arrow batches, each dropped
     after its last consumer so the stage chain never ships dead binary
     columns; nothing but scalars leaves."""
@@ -662,6 +665,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import tiff as tiff_codec
     from ..operators import vp8l as vp8l_codec
     from ..operators import warc as warc_codec
+    from ..formats.codecs import zstd_pure as zstd_codec
     from ..operators.multimodal import (
         decode_audio,
         decode_image,
@@ -795,18 +799,25 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_tracks=1 + nb % 3,
                     )
                 )
-                # WARC: one gzip-per-record response whose HTTP body is
-                # the document text — the Common Crawl record shape
+                # WARC: one response whose HTTP body is the document
+                # text, zstd-wrapped — the .warc.zst archive shape
+                # (late r6: the pure zstd decoder sits under the
+                # driver hash on this branch; before that the branch
+                # used gzip-per-record, still pytest-covered)
                 warcs.append(
-                    warc_codec.build_warc_bytes(
-                        [
-                            {
-                                "uri": f"http://corpus.example/doc/{doc_id}",
-                                "body": b,
-                                "status": 200 + (nb % 2) * 104,
-                                "content_type": "text/plain",
-                            }
-                        ]
+                    zstd_codec.compress(
+                        warc_codec.build_warc_bytes(
+                            [
+                                {
+                                    "uri": f"http://corpus.example/doc/{doc_id}",
+                                    "body": b,
+                                    "status": 200 + (nb % 2) * 104,
+                                    "content_type": "text/plain",
+                                }
+                            ],
+                            gzip_per_record=False,
+                        ),
+                        mode="lz",
                     )
                 )
                 # MJPEG AVI: 2-5 frames of the same smooth field at
@@ -1105,17 +1116,28 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def warc_verify(batches):
         import hashlib as _hl
 
+        from ..formats.codecs import zstd_pure as zstd_c
         from ..operators import warc as warc_c
 
         for pdf in batches:
-            uris, statuses, shas = [], [], []
-            for p in pdf["warc_payload"]:
+            uris, statuses, shas, rts, smalls = [], [], [], [], []
+            for p, t in zip(pdf["warc_payload"], pdf["text"]):
+                # the payload itself is .warc.zst — iter_records runs
+                # the pure zstd decoder before the record parse
                 [rec] = list(warc_c.iter_records(bytes(p)))
                 uris.append(rec["target_uri"])
                 statuses.append(rec["http_status"])
                 shas.append(_hl.sha256(bytes(rec["payload"])).hexdigest())
+                # direct codec assertions: lz round-trip identity, and
+                # guaranteed compression on a 4x self-repetition (the
+                # repeats force LZ matches regardless of text content)
+                quad = (t or "").encode("utf-8") * 4
+                c = zstd_c.compress(quad, mode="lz")
+                rts.append(zstd_c.decompress(c) == quad)
+                smalls.append(len(c) < len(quad))
             yield pdf.assign(
-                warc_uri=uris, warc_status=statuses, warc_payload_sha=shas
+                warc_uri=uris, warc_status=statuses, warc_payload_sha=shas,
+                zstd_rt_ok=rts, zstd_lz_smaller=smalls,
             )
 
     warc_schema = T.StructType(
@@ -1124,6 +1146,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("warc_uri", T.StringType()),
             T.StructField("warc_status", T.IntegerType()),
             T.StructField("warc_payload_sha", T.StringType()),
+            T.StructField("zstd_rt_ok", T.BooleanType()),
+            T.StructField("zstd_lz_smaller", T.BooleanType()),
         ]
     )
     d = d.mapInPandas(warc_verify, warc_schema).drop("warc_payload")
@@ -1267,6 +1291,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_uri",
         "warc_status",
         "warc_payload_sha",
+        "zstd_rt_ok",
+        "zstd_lz_smaller",
     )
 
 
@@ -1362,7 +1388,9 @@ SELECT doc_id,
        1 + nb % 3 AS webm_tracks,
        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS warc_uri,
        200 + (nb % 2) * 104 AS warc_status,
-       sha256(text) AS warc_payload_sha
+       sha256(text) AS warc_payload_sha,
+       TRUE AS zstd_rt_ok,
+       TRUE AS zstd_lz_smaller
 FROM t
 """
 
