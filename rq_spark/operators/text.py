@@ -166,6 +166,25 @@ def dup_ngram_frac(col: Column, n: int = 3) -> Column:
     return F.when(F.size(words) >= n, frac)
 
 
+def mixture_sample(df: DataFrame, id_col: str, threshold_hex: Column) -> DataFrame:
+    """Deterministic domain-mixture sampling — the 'hit a target
+    source/domain mix' step of corpus assembly (e.g. upsample curated
+    sources, downsample crawl): keep a row iff the first 4 hex digits
+    of md5(id) sort below ``threshold_hex`` (a per-row 4-digit
+    lowercase-hex threshold column; '8000' keeps ~1/2, '4000' ~1/4,
+    'ffff'+carry → use '￿'-free 'g000'…; any string ≥ 'g' keeps
+    all since hex digits top out at 'f').
+
+    Fixed-width lowercase hex compares byte-wise identically to the
+    integer bucket on EVERY engine — no hex→int conversion needed, so
+    the same predicate runs verbatim in Spark, DuckDB, or a warehouse.
+    It is a pure scan-level filter: pushes down, shuffles nothing,
+    reproducible run-to-run (unlike rand()-based .sample()), and
+    composable with stratified/packing passes downstream."""
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.filter(bucket < threshold_hex)
+
+
 def token_hash_vectors(
     df: DataFrame, text_col: str, id_col: str, dim: int = 64, ngram: int = 1
 ) -> DataFrame:

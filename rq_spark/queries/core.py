@@ -222,6 +222,41 @@ FROM (
 WHERE rk <= 100
 """
 
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling over `documents`
+    (operators/text.py:mixture_sample): sources src0-4 kept in full,
+    src5-9 at ~1/2, the rest at ~1/4 — the 'target mix' reweighting a
+    training-data pipeline applies per source/domain. The md5-bucket
+    threshold is a pure scan filter (pushdown, no shuffle, no RNG
+    state), so at 100 TB the sample never materializes the corpus."""
+    from ..operators.text import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    thr = (
+        F.when(idx < 5, F.lit("g"))  # > any hex digit: keep all
+        .when(idx < 10, F.lit("8000"))
+        .otherwise(F.lit("4000"))
+    )
+    rate = F.when(idx < 5, 1.0).when(idx < 10, 0.5).otherwise(0.25)
+    return mixture_sample(d, "doc_id", thr).select(
+        "doc_id", "source", rate.alias("rate")
+    )
+
+
+_SAMPLE_MIX_SQL = """
+SELECT doc_id, source,
+       CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+            WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+            ELSE 0.25 END AS rate
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'g'
+           WHEN CAST(substr(source, 4) AS INT) < 10 THEN '8000'
+           ELSE '4000' END
+"""
+
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation: result identical to a plain
     groupBy, but phase 1 shuffles on (key, salt) so a pathologically
@@ -630,8 +665,9 @@ WHERE val IS NOT NULL
 
 def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct / sort+limit / deterministic sample / stratified sample
-    in one tagged result (branches = the former distinct_dims,
-    sort_limit, sample_deterministic, sample_stratified)."""
+    / domain-mixture sample in one tagged result (branches = the
+    former distinct_dims, sort_limit, sample_deterministic,
+    sample_stratified, plus late-r6 sample_mixture)."""
     nulls = F.lit(None)
     distinct = distinct_dims(spark, sf_dir).select(
         F.lit("distinct").alias("op"),
@@ -665,7 +701,20 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("s1"),
         nulls.cast("string").alias("s2"),
     )
-    return distinct.unionByName(sort).unionByName(sample).unionByName(strat)
+    mix = sample_mixture(spark, sf_dir).select(
+        F.lit("mixture").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("rate").cast("double").alias("v"),
+        F.col("source").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
+    return (
+        distinct.unionByName(sort)
+        .unionByName(sample)
+        .unionByName(strat)
+        .unionByName(mix)
+    )
 
 
 _DISTINCT_SORT_SAMPLE_SQL = f"""
@@ -682,6 +731,9 @@ FROM ({_SAMPLE_SQL})
 UNION ALL
 SELECT 'stratified', o_orderkey, CAST(rk AS BIGINT), NULL, o_orderpriority, NULL
 FROM ({_SAMPLE_STRAT_SQL})
+UNION ALL
+SELECT 'mixture', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
+FROM ({_SAMPLE_MIX_SQL})
 """
 
 

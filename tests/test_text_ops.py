@@ -98,6 +98,39 @@ def test_corpus_curation_packing_invariants(spark, sf_dir):
             run += r["n_words"]
 
 
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    """Hash-threshold mixture sampling: exact determinism across runs,
+    full-rate groups complete, sampled groups within binomial bounds,
+    and the predicate stays a scan-level filter (no shuffle/RNG)."""
+    from rq_spark.queries.core import sample_mixture
+
+    a = sample_mixture(spark, sf_dir).collect()
+    b = sample_mixture(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    by_rate: dict = {}
+    for r in a:
+        by_rate.setdefault(r["rate"], set()).add(r["doc_id"])
+    import duckdb
+
+    tot = {
+        rate: duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE CASE WHEN CAST(substr(source,4) AS INT)<5 THEN 1.0 "
+            f"WHEN CAST(substr(source,4) AS INT)<10 THEN 0.5 ELSE 0.25 END = {rate}"
+        ).fetchone()[0]
+        for rate in by_rate
+    }
+    assert len(by_rate[1.0]) == tot[1.0]  # full-rate groups keep everything
+    for rate in (0.5, 0.25):
+        n, kept = tot[rate], len(by_rate[rate])
+        assert abs(kept - rate * n) <= 4 * (rate * (1 - rate) * n) ** 0.5 + 1
+
+    plan = (
+        sample_mixture(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "mixture sampling must not shuffle"
+
+
 def test_text_metrics_has_new_columns(spark, sf_dir):
     from rq_spark.queries.text import text_metrics
 
