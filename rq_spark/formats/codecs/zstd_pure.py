@@ -433,23 +433,40 @@ def _huf_build_dtable(weights: list[int]):
 
 
 def _huf_decode_stream(stream: bytes, lut, max_bits: int, out_len: int) -> bytearray:
-    br = _BackBits(stream)
+    """Per-symbol LUT decode over the backward stream with a TRIMMED
+    windowed accumulator: `acc` holds exactly the bits [8·lo, bitpos)
+    (top trimmed after every consume, refilled 8 bytes at a time from
+    below), so every arithmetic op touches a machine-word-sized int.
+    An untrimmed whole-stream int makes this loop quadratic — the
+    accumulator lesson that already bit the JPEG and TIFF codecs."""
+    if not stream or stream[-1] == 0:
+        raise ZstdError("zstd: bitstream missing padding sentinel")
+    bitpos = 8 * len(stream) - (9 - stream[-1].bit_length())
     out = bytearray()
     mask = (1 << max_bits) - 1
-    # peek max_bits (zero-padded past start), consume the code length
-    data = stream
-    bitpos = br.bitpos
-    lo_int = int.from_bytes(data, "little")
+    lo = len(stream)
+    acc = 0
     while len(out) < out_len:
         if bitpos <= 0:
             raise ZstdError("zstd: huffman stream exhausted early")
-        if bitpos >= max_bits:
-            window = (lo_int >> (bitpos - max_bits)) & mask
+        avail = bitpos - 8 * lo
+        while avail < max_bits and lo > 0:
+            take = 8 if lo >= 8 else lo
+            lo -= take
+            acc = (acc << (8 * take)) | int.from_bytes(
+                stream[lo : lo + take], "little"
+            )
+            avail += 8 * take
+        if avail >= max_bits:
+            window = (acc >> (avail - max_bits)) & mask
         else:
-            window = (lo_int << (max_bits - bitpos)) & mask
+            window = (acc << (max_bits - avail)) & mask  # zero-pad past start
         sym, nbits = lut[window]
         out.append(sym)
         bitpos -= nbits
+        if bitpos < 8 * lo:
+            raise ZstdError("zstd: huffman stream exhausted early")
+        acc &= (1 << (bitpos - 8 * lo)) - 1
     if bitpos != 0:
         raise ZstdError("zstd: huffman stream has trailing bits")
     return out

@@ -164,6 +164,27 @@ def test_cli_accepts_our_frames(tmp_path):
         assert out.read_bytes() == data
 
 
+@pytest.mark.skipif(ZSTD_CLI is None, reason="no reference zstd CLI")
+def test_decode_throughput_floor(tmp_path):
+    # the trimmed windowed accumulator decodes huffman-literal-heavy
+    # streams at ~2 MB/s; the floor is ~20x looser to stay robust on a
+    # loaded box while catching a regression to the whole-stream
+    # big-int shift (quadratic in literal-section size — the JPEG/TIFF
+    # accumulator lesson)
+    import time
+
+    rng = random.Random(42)
+    data = " ".join(f"w{rng.randrange(30000)}" for _ in range(100_000)).encode()
+    src = tmp_path / "e.txt"
+    src.write_bytes(data)
+    out = tmp_path / "e.zst"
+    subprocess.run([ZSTD_CLI, "-1", "-q", "-f", str(src), "-o", str(out)], check=True)
+    t0 = time.time()
+    assert decompress(out.read_bytes()) == data
+    rate = len(data) / (time.time() - t0)
+    assert rate > 100_000, f"{rate:.0f} B/s"
+
+
 def test_lz_mode_actually_compresses():
     d = (b"a highly repetitive corpus line about spark executors\n") * 2_000
     c = compress(d, mode="lz")
