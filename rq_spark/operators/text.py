@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import normalize_text
 
@@ -164,6 +165,28 @@ def dup_ngram_frac(col: Column, n: int = 3) -> Column:
     )
     frac = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
     return F.when(F.size(words) >= n, frac)
+
+
+def topk_words(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus-level top-k vocabulary — the frequency/heavy-hitters
+    report a pipeline runs for tokenizer training and corpus QA.
+    Exact, with a deterministic (count DESC, word ASC) tiebreak so the
+    result is reproducible across engines.
+
+    Scale shape: explode → two-level hash aggregate (map-side partial
+    counts mean the shuffle carries one row per DISTINCT word per
+    partition, not per token) → `orderBy(...).limit(k)`, which Spark
+    compiles to TakeOrderedAndProject — a per-partition heap + driver
+    merge of k rows, never a global sort of the vocabulary.
+
+    Returns (word, cnt, rank) with rank 1..k."""
+    words = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def mixture_sample(df: DataFrame, id_col: str, threshold_hex: Column) -> DataFrame:

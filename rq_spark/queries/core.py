@@ -738,8 +738,9 @@ FROM ({_SAMPLE_MIX_SQL})
 
 
 def agg_groupby_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain group-by aggregates + distinct-count aggregates in one
-    tagged result (branches = the former agg_groupby, agg_distinct)."""
+    """Plain group-by aggregates + distinct-count aggregates + the
+    corpus top-k vocabulary report in one tagged result (branches =
+    the former agg_groupby, agg_distinct, plus late-r6 topk_words)."""
     nulls = F.lit(None)
     plain = agg_groupby(spark, sf_dir).select(
         F.lit("groupby").alias("op"),
@@ -759,7 +760,37 @@ def agg_groupby_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("double").alias("v2"),
         nulls.cast("double").alias("v3"),
     )
-    return plain.unionByName(dist)
+    # corpus vocabulary report (late r6): exact top-50 words over
+    # `documents` with deterministic tiebreak — partial-agg counts +
+    # TakeOrderedAndProject, never a global vocabulary sort
+    from ..operators.text import topk_words
+
+    topk = topk_words(table(spark, sf_dir, "documents"), "text", k=50).select(
+        F.lit("topk_words").alias("op"),
+        F.col("word").alias("grp"),
+        F.col("cnt").cast("bigint").alias("n1"),
+        F.col("rank").cast("bigint").alias("n2"),
+        nulls.cast("double").alias("v1"),
+        nulls.cast("double").alias("v2"),
+        nulls.cast("double").alias("v3"),
+    )
+    return plain.unionByName(dist).unionByName(topk)
+
+
+_TOPK_WORDS_SQL = """
+SELECT word, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+FROM (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY w
+)
+ORDER BY cnt DESC, word
+LIMIT 50
+"""
 
 
 _AGG_GROUPBY_DISTINCT_SQL = f"""
@@ -770,6 +801,9 @@ FROM ({_AGG_GROUPBY_SQL})
 UNION ALL
 SELECT 'distinct', l_returnflag, n_parts, n_supps, NULL, NULL, NULL
 FROM ({_AGG_DISTINCT_SQL})
+UNION ALL
+SELECT 'topk_words', word, cnt, rank, NULL, NULL, NULL
+FROM ({_TOPK_WORDS_SQL})
 """
 
 

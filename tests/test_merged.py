@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 # key -> set of op tags that must each contribute rows
 TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture"},
-    "agg_groupby_distinct": {"groupby", "distinct"},
+    "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
     "agg_stats": {"corr", "percentile"},
     "set_ops": {"union", "intersect", "except"},
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},

@@ -131,6 +131,31 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert "Exchange" not in plan, "mixture sampling must not shuffle"
 
 
+def test_topk_words_exact_and_plan_shape(spark, sf_dir):
+    """Exact counts vs a DuckDB recount; the plan must be a partial
+    aggregate + TakeOrderedAndProject, never a global vocabulary sort."""
+    import duckdb
+
+    from rq_spark.operators.text import topk_words
+    from rq_spark.queries.helpers import table
+
+    df = topk_words(table(spark, sf_dir, "documents"), "text", k=10)
+    got = [(r["word"], r["cnt"], r["rank"]) for r in df.collect()]
+    want = duckdb.sql(
+        "SELECT w, COUNT(*) AS c,"
+        "       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk"
+        " FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),"
+        "       '\\s+', ' ', 'g')), ' ')) AS w"
+        f"      FROM read_parquet('{sf_dir}/documents.parquet'))"
+        " WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 10"
+    ).fetchall()
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
 def test_text_metrics_has_new_columns(spark, sf_dir):
     from rq_spark.queries.text import text_metrics
 
