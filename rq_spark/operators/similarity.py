@@ -483,3 +483,202 @@ def ivf_topk(
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
     )
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantizer codebooks: the (L2-normalized) vector is
+    split into `m` contiguous subspaces and each subspace gets its own
+    `n_codes`-centroid k-means — the memory-compression layer of
+    billion-scale ANN (an encoded vector is m small ints instead of
+    dim floats; at m=8 over 64 float64 dims that is 64x).
+
+    Same determinism contract as `ivf_centroids`: seeds are the
+    n_codes corpus vectors with the smallest xxhash64(id), refined by
+    `iters` distributed Lloyd rounds. All m subspaces train in the
+    SAME pass: each round is one mapInPandas over the corpus emitting
+    per-batch PARTIAL SUMS keyed (sub, code, pos) — at most
+    m·n_codes·dsub rows per batch regardless of batch size — then one
+    small groupBy. Shuffle ∝ codebook size × partitions, never ∝
+    corpus; the driver only ever holds the (m, n_codes, dsub) array.
+
+    Returns codebooks with shape (m, n_codes, dsub).
+    """
+    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    seeds = (
+        v.withColumn("h", F.xxhash64(F.col("vid")))
+        .orderBy("h")
+        .limit(n_codes)
+        .select("vec")
+        .collect()
+    )
+    s = np.array([r.vec for r in seeds], dtype=np.float64)
+    s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-30)
+    dim = s.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cb = np.stack([s[:, i * dsub : (i + 1) * dsub] for i in range(m)])
+
+    for _ in range(iters):
+        books = cb  # capture for the closure
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+                out = {"sub": [], "code": [], "pos": [], "s": [], "c": []}
+                for sub in range(m):
+                    xs = x[:, sub * dsub : (sub + 1) * dsub]
+                    d = ((xs[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+                    code = np.argmin(d, axis=1)
+                    for cidx in np.unique(code):
+                        sel = xs[code == cidx]
+                        for pos in range(dsub):
+                            out["sub"].append(sub)
+                            out["code"].append(int(cidx))
+                            out["pos"].append(pos)
+                            out["s"].append(float(sel[:, pos].sum()))
+                            out["c"].append(int(len(sel)))
+                yield pd.DataFrame(out)
+
+        sums = (
+            v.mapInPandas(partials, "sub int, code int, pos int, s double, c long")
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        new = cb.copy()  # codes that lost all members keep their seed
+        for r in sums:
+            if r.c:
+                new[r.sub, r.code, r.pos] = r.s / r.c
+        cb = new
+    return cb
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """vec → array<int> of m codes (nearest sub-centroid per subspace,
+    computed per Arrow batch). Vectors are L2-normalized before
+    encoding — the same convention the codebooks were trained under."""
+    m, n_codes, dsub = codebooks.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for sub in range(m):
+            xs = x[:, sub * dsub : (sub + 1) * dsub]
+            d = ((xs[:, None, :] - codebooks[sub][None, :, :]) ** 2).sum(axis=2)
+            codes[:, sub] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC ANN top-k: encode the corpus as m-byte codes, score
+    every code against per-query LOOKUP TABLES (asymmetric distance
+    computation — m table adds per candidate instead of dim
+    multiplies), keep the ADC top-`rerank` per query, then exact-
+    cosine re-rank to the final top-k.
+
+    Scale shape: after the one-off encode pass the search never
+    touches raw vectors until re-rank — the scan streams (id, m
+    codes), a 64x narrower relation, with the query LUTs
+    (nq·m·n_codes floats) broadcast inside the mapInPandas closure.
+    Each batch emits at most nq·rerank candidate rows (per-batch
+    top-R), the window reduces those to the global top-R, and only
+    those R·nq rows join back to raw vectors. The third ANN family
+    next to banded-LSH (data-oblivious) and IVF (data-adaptive
+    partitioning): PQ compresses MEMORY, and composes with either as
+    the IVFPQ of production systems.
+    """
+    if rerank is None:
+        rerank = 4 * k
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+    )
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")).collect()
+    qids = np.array([r.qid for r in qrows])
+    qv = np.stack([np.array(r.vec, dtype=np.float64) for r in qrows])
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    mm, ncodes, dsub = cb.shape
+    # LUT[q, sub, code] = <q_sub, centroid>: ADC score = sum over subs
+    lut = np.einsum("qsd,scd->qsc", qv.reshape(len(qv), mm, dsub), cb)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (b, m)
+            nb = np.asarray(pdf["neighbor_id"])
+            # gather: scores (nq, b) = sum_s LUT[q, s, c[:, s]]
+            scores = np.zeros((len(qids), len(c)))
+            for sub in range(mm):
+                scores += lut[:, sub, c[:, sub]]
+            r = min(len(c), rerank)  # per-batch top-R; window tightens globally
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                top = np.argpartition(-scores[qi], r - 1)[:r]
+                out_q.extend([int(qids[qi])] * len(top))
+                out_n.extend(nb[top].tolist())
+                out_s.extend(scores[qi, top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_s}
+            )
+
+    cand = codes.mapInPandas(adc, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vec = corpus.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, qv)],
+        "query_id long, q_vec array<double>",
+    )
+    scored = (
+        short.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)

