@@ -682,3 +682,105 @@ def pq_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ: the production billion-scale composition — IVF cells
+    prune WHICH corpus rows are scored (candidates ≈ corpus ·
+    nprobe/n_centroids), PQ codes compress WHAT is scored (m ints per
+    row instead of dim floats), exact cosine re-ranks the survivors.
+
+    Plan shape: the corpus is scanned once to attach (cell, codes) —
+    both assignments ride the same mapInPandas-adjacent projection —
+    then the search is a cell-id equi-join against the broadcast
+    probed-query table, an ADC lookup-table score on the joined
+    (query, codes) rows, window top-R, and the R·nq-row re-rank join.
+    Nothing corpus-sized is broadcast, shuffled wide, or held raw
+    past the first scan."""
+    if rerank is None:
+        rerank = 4 * k
+    cents = ivf_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+    )
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    qids = [int(r.qid) for r in qrows]
+    qv = np.stack([np.array(r.vec, dtype=np.float64) for r in qrows])
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    mm, ncodes, dsub = cb.shape
+    lut = np.einsum("qsd,scd->qsc", qv.reshape(len(qv), mm, dsub), cb)
+    lut_by_q = {q: lut[i] for i, q in enumerate(qids)}
+    q_probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q_probe), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            scores = np.empty(len(codes))
+            qcol = pdf["query_id"].to_numpy()
+            for q in np.unique(qcol):
+                sel = qcol == q
+                t = lut_by_q[int(q)]
+                s = np.zeros(int(sel.sum()))
+                csel = codes[sel]
+                for sub in range(mm):
+                    s += t[sub, csel[:, sub]]
+                scores[sel] = s
+            yield pdf[["query_id", "neighbor_id"]].assign(adc=scores)
+
+    scored_codes = cand.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored_codes.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = corpus.sparkSession.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in zip(qids, qv)],
+        "query_id long, q_vec array<double>",
+    )
+    scored = (
+        short.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -94,8 +94,29 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probed fraction on this near-uniform testdata (nprobe/n_centroids =
 # 0.5) — see test_ivf_never_invents_and_has_recall for the analysis.
 # PQ's floor sits under its measured 0.90/0.96 with slack for the
-# FP-order sensitivity of distributed Lloyd sums.
-_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65, "pq": 0.75}
+# FP-order sensitivity of distributed Lloyd sums. IVFPQ's recall is
+# bounded by its IVF pruning (nprobe/n_centroids = 0.75 on this
+# near-uniform adversarial testdata; measured 0.92/0.82), so it
+# shares IVF's floor.
+_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65, "pq": 0.75, "ivfpq": 0.65}
+
+
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (operators/similarity.py:ivfpq_topk): IVF cells prune
+    which rows are scored, PQ codes compress what is scored, exact
+    re-rank — the production billion-scale composition."""
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=_K,
+        n_centroids=8,
+        nprobe=6,
+        m=8,
+        n_codes=32,
+        iters=2,
+        rerank=150,
+    )
 
 
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,12 +155,13 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored(sim_ann_lsh_topk(spark, sf_dir), "lsh")
         .unionByName(scored(sim_ann_ivf_topk(spark, sf_dir), "ivf"))
         .unionByName(scored(sim_ann_pq_topk(spark, sf_dir), "pq"))
+        .unionByName(scored(sim_ann_ivfpq_topk(spark, sf_dir), "ivfpq"))
     )
 
 
 _ANN_SQL = f"""
 SELECT op, CAST({_K * _N_QUERIES} AS BIGINT) AS n_results, TRUE AS recall_ok
-FROM (SELECT unnest(['lsh', 'ivf', 'pq']) AS op)
+FROM (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS op)
 """
 
 

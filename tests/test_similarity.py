@@ -169,3 +169,22 @@ def test_pq_recall_compression_and_exact_rerank(spark):
     # quantization must use MORE than one code per subspace (signal,
     # not a collapsed codebook)
     assert len({tuple(r.c) for r in codes}) > 10
+
+
+def test_ivfpq_recall_and_exact_rerank(spark):
+    """The IVF+PQ composition: recall over the IVF-pruning-bounded
+    floor, similarities exact after re-rank."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SQ.sim_topk_cosine(spark, SF).collect()
+    }
+    got = SQ.sim_ann_ivfpq_topk(spark, SF).collect()
+    pairs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(brute & pairs) / len(brute)
+    assert recall >= 0.65, f"IVFPQ recall below bound: {recall}"
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in table(spark, SF, "embeddings").collect()}
+    for r in got[:20]:
+        a, b = emb[r.query_id], emb[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - want) < 1e-9
