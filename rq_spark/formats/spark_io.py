@@ -70,6 +70,18 @@ def _is_zst(path: str) -> bool:
     return path.endswith(".zst")
 
 
+def _unwrap_zst(name: str, data: bytes) -> bytes:
+    """Transparent shard decompression for the binaryFiles container
+    formats (`a.cbor.zst` etc.) — gated on the FILENAME, not a magic
+    sniff, because container payloads can legitimately start with the
+    zstd magic bytes."""
+    if _is_zst(name):
+        from .codecs.zstd_pure import decompress
+
+        return decompress(data)
+    return data
+
+
 def read(spark: SparkSession, fmt: str, path: str, preserve_order: bool = False,
          **opts) -> DataFrame:
     if fmt == "json":
@@ -97,7 +109,10 @@ def read(spark: SparkSession, fmt: str, path: str, preserve_order: bool = False,
     elif fmt in ("avro", "cbor", "msgpack", "toml", "yaml"):
         files = spark.sparkContext.binaryFiles(path)
         df = _records_to_df(
-            spark, files.flatMap(lambda kv: list(decode_records(fmt, kv[1], **opts)))
+            spark,
+            files.flatMap(
+                lambda kv: list(decode_records(fmt, _unwrap_zst(kv[0], kv[1]), **opts))
+            ),
         )
     elif fmt == "protobuf":
         message, registry = opts["message"], opts["registry"]
@@ -123,6 +138,15 @@ def _atomic_only(df: DataFrame) -> None:
             raise IllegalSequenceError(
                 f"csv can only output sequences of scalars; column {name} is {dtype}"
             )
+
+
+def _native_writer(df: DataFrame, opts: dict):
+    """Spark-native writer with the optional Hadoop codec attached."""
+    w = df.write.mode(opts.pop("mode", "overwrite"))
+    codec = opts.pop("_native_codec", None)
+    if codec:
+        w = w.option("compression", codec)
+    return w
 
 
 def _write_zstd_text(df: DataFrame, path: str, suffix: str, fmt_rows) -> None:
@@ -169,9 +193,15 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
     sort_col = opts.pop("order_by", None)
     if sort_col:
         df = df.orderBy(sort_col)
-    zstd_out = opts.pop("compression", None)
-    if zstd_out not in (None, "zstd"):
-        raise IllegalRecordError(f"unknown compression {zstd_out!r}")
+    compression = opts.pop("compression", None)
+    if compression not in (None, "zstd", "gzip"):
+        raise IllegalRecordError(f"unknown compression {compression!r}")
+    if compression == "gzip":
+        # gzip rides Spark's native text writers (Hadoop GzipCodec)
+        if fmt not in ("json", "csv", "raw"):
+            raise IllegalRecordError(f"gzip compression unsupported for {fmt!r}")
+        opts["_native_codec"] = "gzip"
+    zstd_out = compression == "zstd"
     if fmt == "json":
         if zstd_out:
             _write_zstd_text(
@@ -182,7 +212,7 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
                 ),
             )
             return
-        df.write.mode(opts.pop("mode", "overwrite")).json(path)
+        _native_writer(df, opts).json(path)
         return
     if fmt == "csv":
         _atomic_only(df)
@@ -199,7 +229,7 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
 
             _write_zstd_text(df, path, ".csv.zst", _fmt_csv)
             return
-        df.write.mode(opts.pop("mode", "overwrite")).csv(path)
+        _native_writer(df, opts).csv(path)
         return
     if fmt == "raw":
         dtypes = dict(df.dtypes)
@@ -209,7 +239,7 @@ def write(df: DataFrame, fmt: str, path: str, **opts) -> None:
             _write_zstd_text(df, path, ".txt.zst",
                              lambda rows: "\n".join(r[0] for r in rows))
             return
-        df.write.mode(opts.pop("mode", "overwrite")).text(path)
+        _native_writer(df, opts).text(path)
         return
     if zstd_out:
         raise IllegalRecordError(f"zstd compression unsupported for {fmt!r}")

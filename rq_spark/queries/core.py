@@ -809,8 +809,9 @@ FROM ({_TOPK_WORDS_SQL})
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment statistics (corr/covar/stddev) + exact percentiles per
-    group in one tagged result (branches = the former agg_stats_corr,
-    agg_percentiles)."""
+    group + the per-column profiling report in one tagged result
+    (branches = the former agg_stats_corr, agg_percentiles, plus
+    late-r6 profile via operators/profiling.py)."""
     nulls = F.lit(None)
     corr = agg_stats_corr(spark, sf_dir).select(
         F.lit("corr").alias("op"),
@@ -828,7 +829,42 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("double").alias("v3"),
         F.col("n").cast("bigint").alias("n"),
     )
-    return corr.unionByName(pct)
+    # per-column profiling report (late r6): one-scan Expand plan,
+    # operators/profiling.py — the ingestion QA pass
+    from ..operators.profiling import profile_columns
+
+    prof = profile_columns(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"],
+    ).select(
+        F.lit("profile").alias("op"),
+        F.col("col_name").alias("l_returnflag"),
+        F.col("min_val").alias("v1"),
+        F.col("max_val").alias("v2"),
+        F.col("null_frac").alias("v3"),
+        F.col("ndv").cast("bigint").alias("n"),
+    )
+    return corr.unionByName(pct).unionByName(prof)
+
+
+_PROFILE_SQL = """
+SELECT col_name,
+       CAST(n_nulls AS DOUBLE) / n AS null_frac, ndv,
+       CAST(min_val AS DOUBLE) AS min_val, CAST(max_val AS DOUBLE) AS max_val
+FROM (
+  SELECT unnest(['l_quantity', 'l_extendedprice', 'l_discount', 'l_linenumber']) AS col_name,
+         unnest([COUNT(*) - COUNT(l_quantity), COUNT(*) - COUNT(l_extendedprice),
+                 COUNT(*) - COUNT(l_discount), COUNT(*) - COUNT(l_linenumber)]) AS n_nulls,
+         unnest([COUNT(DISTINCT l_quantity), COUNT(DISTINCT l_extendedprice),
+                 COUNT(DISTINCT l_discount), COUNT(DISTINCT l_linenumber)]) AS ndv,
+         unnest([MIN(l_quantity), MIN(l_extendedprice),
+                 MIN(l_discount), CAST(MIN(l_linenumber) AS DECIMAL)]) AS min_val,
+         unnest([MAX(l_quantity), MAX(l_extendedprice),
+                 MAX(l_discount), CAST(MAX(l_linenumber) AS DECIMAL)]) AS max_val,
+         COUNT(*) AS n
+  FROM lineitem
+)
+"""
 
 
 _AGG_STATS_MERGED_SQL = f"""
@@ -838,6 +874,9 @@ FROM ({_AGG_STATS_SQL})
 UNION ALL
 SELECT 'percentile', l_returnflag, median_qty, p90_price, NULL, n
 FROM ({_AGG_PCT_SQL})
+UNION ALL
+SELECT 'profile', col_name, min_val, max_val, null_frac, ndv
+FROM ({_PROFILE_SQL})
 """
 
 

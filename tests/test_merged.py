@@ -22,7 +22,7 @@ SF = "/root/testdata/sf0.001"
 TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture"},
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
-    "agg_stats": {"corr", "percentile"},
+    "agg_stats": {"corr", "percentile", "profile"},
     "set_ops": {"union", "intersect", "except"},
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},
     "join_outer_family": {"left", "right", "full"},

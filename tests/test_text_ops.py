@@ -156,6 +156,30 @@ def test_topk_words_exact_and_plan_shape(spark, sf_dir):
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2
 
 
+def test_profile_columns_one_scan_and_exact(spark, sf_dir):
+    """The profiling report must be ONE scan (Expand plan, not one
+    pass per column) and exactly match per-column recomputation."""
+    import duckdb
+
+    from rq_spark.operators.profiling import profile_columns
+    from rq_spark.queries.helpers import table
+
+    df = profile_columns(table(spark, sf_dir, "lineitem"), ["l_quantity", "l_tax"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the standard exact multi-NDV plan
+    rows = {r["col_name"]: r for r in df.collect()}
+    for c in ("l_quantity", "l_tax"):
+        n, nn, ndv, mn, mx = duckdb.sql(
+            f"SELECT COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),"
+            f" CAST(MIN({c}) AS DOUBLE), CAST(MAX({c}) AS DOUBLE)"
+            f" FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        ).fetchone()
+        r = rows[c]
+        assert (r["n"], r["ndv"], r["min_val"], r["max_val"]) == (n, ndv, mn, mx)
+        assert r["null_frac"] == nn / n
+
+
 def test_text_metrics_has_new_columns(spark, sf_dir):
     from rq_spark.queries.text import text_metrics
 

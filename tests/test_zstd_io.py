@@ -46,6 +46,25 @@ def test_raw_and_csv_zst_round_trip(spark, tmp_path):
     )
 
 
+def test_container_zst_and_gzip_native(spark, tmp_path):
+    # .cbor.zst shard through the binaryFiles path
+    from rq_spark.formats import encode_records
+
+    recs = [{"a": i, "b": f"x{i}"} for i in range(20)]
+    shard = tmp_path / "data.cbor.zst"
+    shard.write_bytes(compress(encode_records("cbor", recs), mode="lz"))
+    back = spark_io.read(spark, "cbor", str(shard))
+    assert back.count() == 20
+    assert {r["a"] for r in back.collect()} == set(range(20))
+
+    # gzip rides the native writer and reads back transparently
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(30)], "a long, b string")
+    out = str(tmp_path / "gz")
+    spark_io.write(df.coalesce(1), "json", out, compression="gzip")
+    assert any(p.endswith(".gz") for p in os.listdir(out))
+    assert spark_io.read(spark, "json", out).count() == 30
+
+
 def test_warc_zst_records(tmp_path):
     from rq_spark.operators import warc
 
