@@ -939,14 +939,26 @@ def _encode_sequences(seqs) -> bytes:
             fields.append(ll_bits[i])
             fields.append(ml_bits[i])
             fields.append(of_bits[i])
+    # LSB-first assembly with PROGRESSIVE byte flushing — a single
+    # growing int would make this loop quadratic in sequence count
+    # (the same accumulator lesson as the decoders)
     acc = 0
     shift = 0
+    chunks = bytearray()
     for val, nb in reversed(fields):
         acc |= val << shift
         shift += nb
+        while shift >= 8:
+            chunks.append(acc & 0xFF)
+            acc >>= 8
+            shift -= 8
     acc |= 1 << shift  # sentinel
     shift += 1
-    stream = acc.to_bytes((shift + 7) // 8, "little")
+    while shift > 0:
+        chunks.append(acc & 0xFF)
+        acc >>= 8
+        shift -= 8
+    stream = bytes(chunks)
     # sequence count
     if n < 128:
         head = bytes([n])
@@ -973,10 +985,10 @@ def _lz_block(data: bytes, start: int, end: int, table: dict) -> bytes | None:
     compressed-block body, or None when storing wins."""
     seqs = []
     lits = bytearray()
-    anchor = start
     i = start
     last_lit = start
     MIN = 4
+    misses = 0
     while i + MIN <= end:
         key = data[i : i + 4]
         cand = table.get(key)
@@ -993,14 +1005,25 @@ def _lz_block(data: bytes, start: int, end: int, table: dict) -> bytes | None:
                     return None  # unencodable literal run; store instead
                 lits += data[last_lit:i]
                 seqs.append((ll, ml, (i - cand) + 3))
-                # index interior positions sparsely (speed/ratio balance)
-                step = 1 if ml < 64 else 7
-                for j in range(i + 1, min(i + ml, end - MIN), step):
-                    table[data[j : j + 4]] = j
+                # index the match interior SPARSELY (speed/ratio
+                # balance: short matches only register their tail —
+                # one insert — long matches a handful of strides)
+                if ml < 16:
+                    j = i + ml - 2
+                    if j < end - MIN:
+                        table[data[j : j + 4]] = j
+                else:
+                    for j in range(i + 1, min(i + ml, end - MIN), 13):
+                        table[data[j : j + 4]] = j
                 i += ml
                 last_lit = i
+                misses = 0
                 continue
-        i += 1
+        # snappy-style skip acceleration: long miss runs (incompressible
+        # regions) advance faster, trading marginal ratio for a bounded
+        # per-byte cost on random data
+        misses += 1
+        i += 1 + (misses >> 6)
     if not seqs:
         return None
     if end - last_lit > 131071:
