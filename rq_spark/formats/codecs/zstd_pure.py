@@ -429,7 +429,23 @@ def _huf_build_dtable(weights: list[int]):
                     idx += 1
     if idx != len(lut):
         raise ZstdError("zstd: huffman table underfilled")
-    return lut, max_bits
+    # double-symbol acceleration table: when the window still shows a
+    # complete second code after the first, decode both per lookup
+    # (prefix-freeness makes the second lookup valid even though the
+    # shifted window carries garbage low bits). Entry: (s1, n1, s2,
+    # n_total) with s2 None when only one code fits.
+    size = len(lut)
+    mask = size - 1
+    lut2 = [None] * size
+    for win in range(size):
+        s1, n1 = lut[win]
+        if n1 < max_bits:
+            s2, n2 = lut[(win << n1) & mask]
+            if n1 + n2 <= max_bits:
+                lut2[win] = (s1, n1, s2, n1 + n2)
+                continue
+        lut2[win] = (s1, n1, None, n1)
+    return lut2, max_bits
 
 
 def _huf_decode_stream(stream: bytes, lut, max_bits: int, out_len: int) -> bytearray:
@@ -461,9 +477,14 @@ def _huf_decode_stream(stream: bytes, lut, max_bits: int, out_len: int) -> bytea
             window = (acc >> (avail - max_bits)) & mask
         else:
             window = (acc << (max_bits - avail)) & mask  # zero-pad past start
-        sym, nbits = lut[window]
-        out.append(sym)
-        bitpos -= nbits
+        s1, n1, s2, ntot = lut[window]
+        if s2 is not None and len(out) + 2 <= out_len:
+            out.append(s1)
+            out.append(s2)
+            bitpos -= ntot
+        else:
+            out.append(s1)
+            bitpos -= n1
         if bitpos < 8 * lo:
             raise ZstdError("zstd: huffman stream exhausted early")
         acc &= (1 << (bitpos - 8 * lo)) - 1
