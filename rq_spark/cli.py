@@ -119,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["compact", "readable", "indented"],
                    help="force stylistic output formatting")
     p.add_argument("--codec", dest="flag_codec", default=None,
-                   help="avro output codec: null, deflate, snappy")
+                   help="avro output codec: null, deflate, snappy, zstandard")
 
     # input formats (rq.rs:42-67)
     p.add_argument("-a", "--input-avro", action="store_true", dest="input_avro",

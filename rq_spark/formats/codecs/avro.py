@@ -318,6 +318,14 @@ def read_container(buf: bytes) -> tuple[dict, list]:
                 raise AvroDecodeError(f"snappy block corrupt: {e}") from e
             if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
                 raise AvroDecodeError("snappy block CRC mismatch")
+        elif codec == "zstandard":
+            # avro spec: the block is one zstd frame, no extra trailer
+            from . import zstd_pure
+
+            try:
+                block = zstd_pure.decompress(block)
+            except zstd_pure.ZstdError as e:
+                raise AvroDecodeError(f"zstandard block corrupt: {e}") from e
         elif codec != "null":
             raise AvroError(f"unsupported codec {codec}")
         br = io.BytesIO(block)
@@ -330,10 +338,12 @@ def read_container(buf: bytes) -> tuple[dict, list]:
 
 def write_container(schema_json: str | dict, records, codec: str = "null") -> bytes:
     """Schema-validated container write (rq: -A schema.avsc --codec,
-    rq.rs:241-259). codec ∈ {null, deflate, snappy}; snappy uses a
-    native binding when importable, else the bundled pure-Python
-    block-format codec (snappy_pure.py)."""
-    if codec not in ("null", "deflate", "snappy"):
+    rq.rs:241-259). codec ∈ {null, deflate, snappy, zstandard};
+    snappy uses a native binding when importable, else the bundled
+    pure-Python block-format codec (snappy_pure.py); zstandard always
+    uses the bundled RFC 8878 codec (zstd_pure.py) — the reference
+    supports neither, both are spec codecs rq users' files may carry."""
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise AvroError(f"unsupported codec {codec}")
     snappy_compress = _snappy_funcs()[0] if codec == "snappy" else None
     schema = parse_schema(schema_json) if isinstance(schema_json, str) else schema_json
@@ -352,6 +362,10 @@ def write_container(schema_json: str | dict, records, codec: str = "null") -> by
     elif codec == "snappy":
         crc = zlib.crc32(block) & 0xFFFFFFFF
         block = snappy_compress(block) + crc.to_bytes(4, "big")
+    elif codec == "zstandard":
+        from . import zstd_pure
+
+        block = zstd_pure.compress(block, mode="lz")
     sync = b"rq-spark-sync-16"  # deterministic marker (16 bytes)
     out = bytearray(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}

@@ -463,6 +463,26 @@ def test_avro_snappy_crc_mismatch_detected():
         list(decode_records("avro", bytes(blob)))
 
 
+def test_avro_zstandard_roundtrip_and_corruption():
+    """Avro spec `zstandard` codec via the bundled RFC 8878
+    implementation: round-trip, real compression on repeated records,
+    loud decode error on a corrupted block."""
+    from rq_spark.errors import AvroDecodeError
+
+    people = _people() * 50
+    blob = encode_records("avro", people, schema=PERSON_SCHEMA, codec="zstandard")
+    assert list(decode_records("avro", blob)) == people
+    plain = encode_records("avro", people, schema=PERSON_SCHEMA, codec="null")
+    assert len(blob) < len(plain) // 2  # really compressed
+
+    bad = bytearray(blob)
+    # layout: ... zstd frame (ends with its xxh64 checksum), sync(16);
+    # flipping just before the sync corrupts the frame checksum
+    bad[-17] ^= 0xFF
+    with pytest.raises(AvroDecodeError, match="zstandard block corrupt"):
+        list(decode_records("avro", bytes(bad)))
+
+
 def test_pure_snappy_full_tag_set():
     """The bundled codec must decode the FULL public tag set (real
     compressors emit copies), not just its own all-literal output."""
