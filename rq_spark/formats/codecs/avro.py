@@ -287,7 +287,12 @@ def read_container(buf: bytes) -> tuple[dict, list]:
             k = r.read(_read_long(r)).decode("utf-8")
             meta[k] = r.read(_read_long(r))
     sync = r.read(16)
-    schema = json.loads(meta["avro.schema"])
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (KeyError, UnicodeDecodeError, json.JSONDecodeError) as e:
+        # corrupt/missing schema metadata is a container decode error,
+        # not a raw json/KeyError leak
+        raise AvroDecodeError(f"bad container schema metadata: {e}") from e
     codec = meta.get("avro.codec", b"null").decode()
     named: dict = {}
     records = []

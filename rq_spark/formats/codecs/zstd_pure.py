@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["ZstdError", "compress", "decompress", "xxh64"]
+__all__ = ["ZstdError", "Xxh64", "compress", "decompress", "iter_decompress", "xxh64"]
 
 
 class ZstdError(ValueError):
@@ -76,6 +76,70 @@ def _rotl(x: int, r: int) -> int:
 def _round(acc: int, lane: int) -> int:
     acc = (acc + lane * _P2) & _M64
     return (_rotl(acc, 31) * _P1) & _M64
+
+
+class Xxh64:
+    """Incremental xxhash64 — the streaming decoder verifies frame
+    checksums without holding the whole output."""
+
+    __slots__ = ("v1", "v2", "v3", "v4", "tail", "total", "seed")
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self.v1 = (seed + _P1 + _P2) & _M64
+        self.v2 = (seed + _P2) & _M64
+        self.v3 = seed
+        self.v4 = (seed - _P1) & _M64
+        self.tail = b""
+        self.total = 0
+
+    def update(self, data: bytes) -> None:
+        self.total += len(data)
+        data = self.tail + data
+        i = 0
+        limit = len(data) - 32
+        v1, v2, v3, v4 = self.v1, self.v2, self.v3, self.v4
+        while i <= limit:
+            x1, x2, x3, x4 = struct.unpack_from("<4Q", data, i)
+            v1 = _round(v1, x1)
+            v2 = _round(v2, x2)
+            v3 = _round(v3, x3)
+            v4 = _round(v4, x4)
+            i += 32
+        self.v1, self.v2, self.v3, self.v4 = v1, v2, v3, v4
+        self.tail = data[i:]
+
+    def digest(self) -> int:
+        if self.total >= 32:
+            h = (
+                _rotl(self.v1, 1)
+                + _rotl(self.v2, 7)
+                + _rotl(self.v3, 12)
+                + _rotl(self.v4, 18)
+            ) & _M64
+            for v in (self.v1, self.v2, self.v3, self.v4):
+                h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+        else:
+            h = (self.seed + _P5) & _M64
+        h = (h + self.total) & _M64
+        data, i, n = self.tail, 0, len(self.tail)
+        while i + 8 <= n:
+            (k,) = struct.unpack_from("<Q", data, i)
+            h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M64
+            i += 8
+        if i + 4 <= n:
+            (k,) = struct.unpack_from("<I", data, i)
+            h = ((_rotl(h ^ ((k * _P1) & _M64), 23) * _P2) + _P3) & _M64
+            i += 4
+        while i < n:
+            h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M64
+        h ^= h >> 29
+        h = (h * _P3) & _M64
+        h ^= h >> 32
+        return h
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:
@@ -734,8 +798,20 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decode a concatenation of zstd frames (skippable frames are
     skipped). ``max_output`` is a hard output ceiling against
     decompression bombs."""
-    out = bytearray()
+    return b"".join(iter_decompress(data, max_output=max_output))
+
+
+def iter_decompress(data: bytes, max_output: int | None = None):
+    """STREAMING decode: yields output chunks while retaining only the
+    frame's declared window in memory — a 1 GB ``.jsonl.zst`` shard
+    decodes in O(window) (typically 2-8 MB) instead of O(shard), the
+    shape that matters when executor tasks stream corpus shards.
+    Single-segment frames declare window = content size, so they fall
+    back to whole-frame buffering (our own writer emits those; files
+    from the reference CLI carry real window descriptors). Checksums
+    verify incrementally (Xxh64)."""
     pos = 0
+    total = 0
     n = len(data)
     while pos < n:
         if n - pos < 4:
@@ -751,15 +827,25 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
             continue
         if magic != _MAGIC:
             raise ZstdError(f"zstd: bad magic 0x{magic:08x}")
+        remaining = None if max_output is None else max_output - total
+        gen = _iter_frame(data, pos + 4, remaining)
         try:
-            pos = _decode_frame(data, pos + 4, out, max_output)
+            while True:
+                try:
+                    chunk = next(gen)
+                except StopIteration as s:
+                    pos = s.value
+                    break
+                total += len(chunk)
+                yield chunk
         except (struct.error, IndexError) as e:  # truncated header fields
             raise ZstdError(f"zstd: truncated frame: {e}") from e
-    return bytes(out)
 
 
-def _decode_frame(data: bytes, pos: int, out: bytearray,
-                  max_output: int | None) -> int:
+def _iter_frame(data: bytes, pos: int, max_output: int | None):
+    """Decode one frame, yielding flushed chunks; returns the position
+    after the frame. ``max_output`` is interpreted as the remaining
+    global ceiling (tracked by mutation-free accounting below)."""
     fhd = data[pos]
     pos += 1
     dict_flag = fhd & 3
@@ -768,8 +854,15 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
     fcs_code = fhd >> 6
     if fhd & 0x18:
         raise ZstdError("zstd: reserved frame-header bits set")
+    window_size = None
     if not single_seg:
-        pos += 1  # window descriptor (we keep the whole frame in memory)
+        wd = data[pos]
+        pos += 1
+        wlog = 10 + (wd >> 3)
+        base = 1 << wlog
+        window_size = base + (base >> 3) * (wd & 7)
+        if window_size > (1 << 31):
+            raise ZstdError("zstd: window size over 2 GiB")
     if dict_flag:
         did_len = [1, 2, 4][dict_flag - 1]
         did = int.from_bytes(data[pos : pos + did_len], "little")
@@ -790,15 +883,25 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
     else:
         content_size = struct.unpack_from("<Q", data, pos)[0]
         pos += 8
-    frame_start = len(out)
-    limit = None
-    if content_size is not None:
-        limit = frame_start + content_size
-    if max_output is not None:
-        limit = max_output if limit is None else min(limit, max_output)
+    if single_seg:
+        window_size = content_size  # retain the whole frame
+    out = bytearray()
+    flushed = 0  # bytes of THIS frame already yielded
+    hasher = Xxh64() if checksum else None
     rep = _RepeatTables()
     rep_offsets = [1, 4, 8]
     while True:
+        # absolute cap on len(out): frame content remaining, and the
+        # global bomb ceiling (counting what this frame flushed; the
+        # caller passes the ceiling minus prior frames' output)
+        limit = None
+        if content_size is not None:
+            limit = content_size - flushed
+        if max_output is not None:
+            cap = max_output - flushed
+            limit = cap if limit is None else min(limit, cap)
+            if limit < 0:
+                raise ZstdError("zstd: output exceeds ceiling")
         if pos + 3 > len(data):
             raise ZstdError("zstd: truncated block header")
         bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
@@ -809,9 +912,9 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if btype == 0:  # raw
             if limit is not None and len(out) + bsize > limit:
                 raise ZstdError("zstd: output exceeds declared size")
-            out += data[pos : pos + bsize]
             if pos + bsize > len(data):
                 raise ZstdError("zstd: truncated raw block")
+            out += data[pos : pos + bsize]
             pos += bsize
         elif btype == 1:  # RLE
             if limit is not None and len(out) + bsize > limit:
@@ -832,19 +935,31 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             raise ZstdError("zstd: reserved block type")
         if last:
             break
-    if content_size is not None and len(out) - frame_start != content_size:
+        # flush everything beyond the window a later match could reach
+        if window_size is not None and len(out) > window_size:
+            cut = len(out) - window_size
+            chunk = bytes(out[:cut])
+            del out[:cut]
+            flushed += cut
+            if hasher is not None:
+                hasher.update(chunk)
+            yield chunk
+    if content_size is not None and flushed + len(out) != content_size:
         raise ZstdError(
             f"zstd: frame declared {content_size} bytes, produced "
-            f"{len(out) - frame_start}"
+            f"{flushed + len(out)}"
         )
+    tail = bytes(out)
     if checksum:
         if pos + 4 > len(data):
             raise ZstdError("zstd: truncated content checksum")
         (want,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
-        if got != want:
+        hasher.update(tail)
+        if hasher.digest() & 0xFFFFFFFF != want:
             raise ZstdError("zstd: content checksum mismatch")
+    if tail:
+        yield tail
     return pos
 
 

@@ -59,11 +59,22 @@ def _zst_lines(spark: SparkSession, path: str):
     already are (thousands of ~100 MB-1 GB shards); parallelism = file
     count, decompression runs executor-side via the bundled pure codec
     (codecs/zstd_pure.py)."""
-    from .codecs.zstd_pure import decompress
+    def lines(kv):
+        # STREAMING decode (iter_decompress): the task retains only
+        # the frame window (typically 2-8 MB) plus one partial line,
+        # not the whole decompressed shard
+        from .codecs.zstd_pure import iter_decompress
 
-    return spark.sparkContext.binaryFiles(path).flatMap(
-        lambda kv: decompress(kv[1]).decode("utf-8").splitlines()
-    )
+        carry = b""
+        for chunk in iter_decompress(kv[1]):
+            carry += chunk
+            *done, carry = carry.split(b"\n")
+            for ln in done:
+                yield ln.decode("utf-8")
+        if carry:
+            yield carry.decode("utf-8")
+
+    return spark.sparkContext.binaryFiles(path).flatMap(lines)
 
 
 def _is_zst(path: str) -> bool:

@@ -165,6 +165,33 @@ def test_cli_accepts_our_frames(tmp_path):
 
 
 @pytest.mark.skipif(ZSTD_CLI is None, reason="no reference zstd CLI")
+def test_streaming_decode_bounds_memory(tmp_path):
+    """iter_decompress must flush past the declared window: on a
+    64 KiB-window file (wlog=16) the output arrives in multiple
+    window-bounded chunks that join byte-exact, instead of one
+    shard-sized buffer."""
+    from rq_spark.formats.codecs.zstd_pure import iter_decompress
+
+    rng = random.Random(8)
+    data = b"".join(
+        (b"line %d %s\n" % (i, bytes(rng.randrange(97, 123) for _ in range(40))))
+        for i in range(20_000)
+    )
+    src = tmp_path / "d.txt"
+    src.write_bytes(data)
+    out = tmp_path / "d.zst"
+    subprocess.run(
+        [ZSTD_CLI, "-1", "--zstd=wlog=16", "-q", "-f", str(src), "-o", str(out)],
+        check=True,
+    )
+    chunks = list(iter_decompress(out.read_bytes()))
+    assert len(chunks) > 3, "nothing streamed — whole-frame buffering"
+    # retained state is bounded by window + one block
+    assert max(len(c) for c in chunks[:-1]) <= (1 << 16) + 128 * 1024
+    assert b"".join(chunks) == data
+
+
+@pytest.mark.skipif(ZSTD_CLI is None, reason="no reference zstd CLI")
 def test_decode_throughput_floor(tmp_path):
     # the trimmed windowed accumulator decodes huffman-literal-heavy
     # streams at ~2 MB/s; the floor is ~20x looser to stay robust on a
