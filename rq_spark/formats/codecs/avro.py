@@ -331,6 +331,20 @@ def read_container(buf: bytes) -> tuple[dict, list]:
                 block = zstd_pure.decompress(block)
             except zstd_pure.ZstdError as e:
                 raise AvroDecodeError(f"zstandard block corrupt: {e}") from e
+        elif codec == "bzip2":
+            import bz2
+
+            try:
+                block = bz2.decompress(block)
+            except (OSError, ValueError) as e:
+                raise AvroDecodeError(f"bzip2 block corrupt: {e}") from e
+        elif codec == "xz":
+            import lzma
+
+            try:
+                block = lzma.decompress(block, format=lzma.FORMAT_XZ)
+            except lzma.LZMAError as e:
+                raise AvroDecodeError(f"xz block corrupt: {e}") from e
         elif codec != "null":
             raise AvroError(f"unsupported codec {codec}")
         br = io.BytesIO(block)
@@ -346,9 +360,10 @@ def write_container(schema_json: str | dict, records, codec: str = "null") -> by
     rq.rs:241-259). codec ∈ {null, deflate, snappy, zstandard};
     snappy uses a native binding when importable, else the bundled
     pure-Python block-format codec (snappy_pure.py); zstandard always
-    uses the bundled RFC 8878 codec (zstd_pure.py) — the reference
-    supports neither, both are spec codecs rq users' files may carry."""
-    if codec not in ("null", "deflate", "snappy", "zstandard"):
+    uses the bundled RFC 8878 codec (zstd_pure.py); bzip2/xz ride the
+    stdlib. The reference supports only null/deflate/snappy — the
+    rest are Avro-spec codecs rq users' files may carry."""
+    if codec not in ("null", "deflate", "snappy", "zstandard", "bzip2", "xz"):
         raise AvroError(f"unsupported codec {codec}")
     snappy_compress = _snappy_funcs()[0] if codec == "snappy" else None
     schema = parse_schema(schema_json) if isinstance(schema_json, str) else schema_json
@@ -371,6 +386,14 @@ def write_container(schema_json: str | dict, records, codec: str = "null") -> by
         from . import zstd_pure
 
         block = zstd_pure.compress(block, mode="lz")
+    elif codec == "bzip2":
+        import bz2
+
+        block = bz2.compress(block, 9)
+    elif codec == "xz":
+        import lzma
+
+        block = lzma.compress(block, format=lzma.FORMAT_XZ)
     sync = b"rq-spark-sync-16"  # deterministic marker (16 bytes)
     out = bytearray(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}

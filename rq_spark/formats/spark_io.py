@@ -52,21 +52,31 @@ def _records_to_df(spark: SparkSession, rdd) -> DataFrame:
 
 
 def _zst_lines(spark: SparkSession, path: str):
-    """RDD[str] of text lines from ``*.zst`` files (one shard = one
-    frame sequence = one task). zstd frames are not splittable — the
-    same constraint every engine has for gzip — so at 100 TB the
-    corpus must arrive sharded, which public ``.jsonl.zst`` corpora
-    already are (thousands of ~100 MB-1 GB shards); parallelism = file
-    count, decompression runs executor-side via the bundled pure codec
-    (codecs/zstd_pure.py)."""
-    def lines(kv):
-        # STREAMING decode (iter_decompress): the task retains only
-        # the frame window (typically 2-8 MB) plus one partial line,
-        # not the whole decompressed shard
-        from .codecs.zstd_pure import iter_decompress
+    """RDD[str] of text lines from ``*.zst`` / ``*.xz`` files (one
+    shard = one task). Neither format is splittable — the same
+    constraint every engine has for gzip — so at 100 TB the corpus
+    must arrive sharded, which public ``.jsonl.zst`` corpora already
+    are (thousands of ~100 MB-1 GB shards); parallelism = file count,
+    decompression runs executor-side via the bundled pure zstd codec
+    (streaming, O(window) memory) or stdlib lzma."""
+    def chunks_of(name: str, blob: bytes):
+        if name.endswith(".xz"):
+            import lzma
 
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            for i in range(0, len(blob), 1 << 20):
+                yield d.decompress(blob[i : i + (1 << 20)])
+        else:
+            from .codecs.zstd_pure import iter_decompress
+
+            yield from iter_decompress(blob)
+
+    def lines(kv):
+        # STREAMING decode: the task retains only the codec window
+        # (zstd: the declared frame window, typically 2-8 MB) plus one
+        # partial line, not the whole decompressed shard
         carry = b""
-        for chunk in iter_decompress(kv[1]):
+        for chunk in chunks_of(kv[0], kv[1]):
             carry += chunk
             *done, carry = carry.split(b"\n")
             for ln in done:
@@ -78,18 +88,24 @@ def _zst_lines(spark: SparkSession, path: str):
 
 
 def _is_zst(path: str) -> bool:
-    return path.endswith(".zst")
+    """True for the extensions the pure-codec line reader handles
+    (.zst via the bundled zstd; .xz via stdlib lzma)."""
+    return path.endswith((".zst", ".xz"))
 
 
 def _unwrap_zst(name: str, data: bytes) -> bytes:
     """Transparent shard decompression for the binaryFiles container
-    formats (`a.cbor.zst` etc.) — gated on the FILENAME, not a magic
-    sniff, because container payloads can legitimately start with the
-    zstd magic bytes."""
-    if _is_zst(name):
+    formats (`a.cbor.zst`, `a.msgpack.xz`, …) — gated on the FILENAME,
+    not a magic sniff, because container payloads can legitimately
+    start with the codec magic bytes."""
+    if name.endswith(".zst"):
         from .codecs.zstd_pure import decompress
 
         return decompress(data)
+    if name.endswith(".xz"):
+        import lzma
+
+        return lzma.decompress(data, format=lzma.FORMAT_XZ)
     return data
 
 

@@ -483,6 +483,22 @@ def test_avro_zstandard_roundtrip_and_corruption():
         list(decode_records("avro", bytes(bad)))
 
 
+def test_avro_bzip2_and_xz_codecs():
+    """The Avro spec's stdlib-backed codecs round-trip and reject a
+    bad stream loudly; full spec codec set = null/deflate/snappy/
+    zstandard/bzip2/xz."""
+    from rq_spark.errors import AvroDecodeError
+
+    people = _people() * 20
+    for codec in ("bzip2", "xz"):
+        blob = encode_records("avro", people, schema=PERSON_SCHEMA, codec=codec)
+        assert list(decode_records("avro", blob)) == people
+        bad = bytearray(blob)
+        bad[-17] ^= 0xFF
+        with pytest.raises(AvroDecodeError, match=f"{codec} block corrupt"):
+            list(decode_records("avro", bytes(bad)))
+
+
 def test_pure_snappy_full_tag_set():
     """The bundled codec must decode the FULL public tag set (real
     compressors emit copies), not just its own all-literal output."""

@@ -65,6 +65,24 @@ def test_container_zst_and_gzip_native(spark, tmp_path):
     assert spark_io.read(spark, "json", out).count() == 30
 
 
+def test_xz_jsonl_and_container_read(spark, tmp_path):
+    import lzma
+
+    lines = "\n".join('{"id": %d}' % i for i in range(40)).encode()
+    (tmp_path / "part.jsonl.xz").write_bytes(lzma.compress(lines))
+    df = spark_io.read(spark, "json", str(tmp_path / "*.xz"))
+    assert sorted(r["id"] for r in df.collect()) == list(range(40))
+
+    from rq_spark.formats import encode_records
+
+    recs = [{"k": i} for i in range(10)]
+    (tmp_path / "d.msgpack.xz").write_bytes(
+        lzma.compress(encode_records("msgpack", recs))
+    )
+    back = spark_io.read(spark, "msgpack", str(tmp_path / "d.msgpack.xz"))
+    assert back.count() == 10
+
+
 def test_warc_zst_records(tmp_path):
     from rq_spark.operators import warc
 
