@@ -66,6 +66,10 @@ def _zst_lines(spark: SparkSession, path: str):
             d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
             for i in range(0, len(blob), 1 << 20):
                 yield d.decompress(blob[i : i + (1 << 20)])
+        elif name.endswith(".lz4"):
+            from .codecs.lz4_pure import decompress as lz4_d
+
+            yield lz4_d(blob)
         else:
             from .codecs.zstd_pure import iter_decompress
 
@@ -89,8 +93,8 @@ def _zst_lines(spark: SparkSession, path: str):
 
 def _is_zst(path: str) -> bool:
     """True for the extensions the pure-codec line reader handles
-    (.zst via the bundled zstd; .xz via stdlib lzma)."""
-    return path.endswith((".zst", ".xz"))
+    (.zst and .lz4 via the bundled codecs; .xz via stdlib lzma)."""
+    return path.endswith((".zst", ".xz", ".lz4"))
 
 
 def _unwrap_zst(name: str, data: bytes) -> bytes:
@@ -106,6 +110,10 @@ def _unwrap_zst(name: str, data: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(data, format=lzma.FORMAT_XZ)
+    if name.endswith(".lz4"):
+        from .codecs.lz4_pure import decompress
+
+        return decompress(data)
     return data
 
 

@@ -64,6 +64,12 @@ def iter_samples(tar_bytes: bytes):
         from ..formats.codecs.zstd_pure import decompress as _zstd_d
 
         tar_bytes = _zstd_d(tar_bytes)
+    elif tar_bytes[:4] == b"\x04\x22\x4d\x18":
+        # .tar.lz4 shard (magic sniff is safe here: a POSIX tar never
+        # starts with either frame magic)
+        from ..formats.codecs.lz4_pure import decompress as _lz4_d
+
+        tar_bytes = _lz4_d(tar_bytes)
     cur_key: str | None = None
     cur: dict[str, bytes] = {}
     with tarfile.open(fileobj=io.BytesIO(tar_bytes), mode="r:") as tf:

@@ -83,6 +83,21 @@ def test_xz_jsonl_and_container_read(spark, tmp_path):
     assert back.count() == 10
 
 
+def test_lz4_jsonl_and_tar_shard(spark, tmp_path):
+    from rq_spark.formats.codecs.lz4_pure import compress as lz4_c
+    from rq_spark.operators import webdataset as wds
+
+    lines = "\n".join('{"id": %d}' % i for i in range(25)).encode()
+    (tmp_path / "part.jsonl.lz4").write_bytes(lz4_c(lines))
+    df = spark_io.read(spark, "json", str(tmp_path / "*.lz4"))
+    assert sorted(r["id"] for r in df.collect()) == list(range(25))
+
+    samples = [(f"{i:04d}", {"txt": f"t{i}".encode()}) for i in range(5)]
+    tar = wds.build_shard_bytes(samples)
+    got = dict(wds.iter_samples(lz4_c(tar)))
+    assert got["0003"]["txt"] == b"t3"
+
+
 def test_warc_zst_records(tmp_path):
     from rq_spark.operators import warc
 
