@@ -189,6 +189,46 @@ def topk_words(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def unigram_lm_model(df: DataFrame, text_col: str) -> tuple[list, int]:
+    """Train the statistical language model a perplexity filter needs:
+    exact global unigram counts (explode → partial-agg groupBy —
+    shuffle ∝ vocabulary, never corpus) collected to the driver.
+    CCNet-style pipelines use a 5-gram KenLM; the operator SHAPE is
+    identical — train corpus statistics once, broadcast the model,
+    score every document in one pass. This corpus's vocabulary is
+    tiny (~31 words) so the model is a literal map; at real scale it
+    ships as a broadcast table or hashed buckets.
+
+    Returns (sorted [(word, count)], total_tokens)."""
+    words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    rows = (
+        df.select(words)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = sorted((r["w"], r["c"]) for r in rows)
+    return counts, sum(c for _, c in counts)
+
+
+def unigram_lm_product(model: tuple[list, int], words: Column) -> Column:
+    """Per-document likelihood under the unigram model: Π p(wᵢ) as an
+    ORDERED left fold over the words array. Deliberately NOT a log
+    sum: libm log() differs by ulps across engines, while the raw
+    product is pure IEEE multiply/divide — bit-deterministic and
+    hash-exact against any engine's identical fold. Doc lengths of a
+    few hundred words keep the product far above double underflow
+    (~1e-2 per factor → ≥1e-240 at 120 words); longer docs should
+    switch to the log form and a tolerance check."""
+    counts, total = model
+    mp = F.create_map(*[F.lit(x) for wc in counts for x in wc])
+    probs = F.transform(
+        words, lambda w: F.element_at(mp, w).cast("double") / F.lit(float(total))
+    )
+    return F.aggregate(probs, F.lit(1.0), lambda acc, p: acc * p)
+
+
 def mixture_sample(df: DataFrame, id_col: str, threshold_hex: Column) -> DataFrame:
     """Deterministic domain-mixture sampling — the 'hit a target
     source/domain mix' step of corpus assembly (e.g. upsample curated

@@ -115,8 +115,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count band — one composed expression tree, all JVM-side,
     filters evaluated in a single scan pass — then pack survivors into
     fixed _CTX-token training contexts per shard (shard_id/ctx_id/
-    ctx_offset via a per-shard window cumsum; see note above)."""
-    d = spread(table(spark, sf_dir, "documents"))
+    ctx_offset via a per-shard window cumsum; see note above). Each
+    kept doc also carries its unigram-LM likelihood (lm_product — the
+    perplexity-filter signal, operators/text.py:unigram_lm_model /
+    unigram_lm_product; hash-exact because the ordered product fold is
+    pure IEEE arithmetic on both engines)."""
+    raw = table(spark, sf_dir, "documents")
+    lm = X.unigram_lm_model(raw, "text")
+    d = spread(raw)
     t = F.col("text")
     lang = X.lang_id(t)
     qual = X.quality_score(t)
@@ -140,6 +146,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lang.alias("lang_guess"),
             qual.alias("quality"),
             n_words.alias("n_words"),
+            X.unigram_lm_product(lm, F.split(X.normalize_text(t), " ")).alias(
+                "lm_product"
+            ),
             keep.alias("_keep"),
         )
         .filter("_keep")
@@ -157,6 +166,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         "quality",
         "n_words",
+        "lm_product",
         "shard_id",
         F.floor(start / _CTX).cast("long").alias("ctx_id"),
         (start % _CTX).cast("long").alias("ctx_offset"),
@@ -180,12 +190,25 @@ WITH s AS (
            / len(string_split({_NORM_SQL}, ' ')) AS uniq_ratio,
          len(string_split({_NORM_SQL}, ' ')) AS n_words
   FROM s
+), lmcounts AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), lmmodel AS (
+  SELECT map_from_entries(list(row(w, c) ORDER BY w)) AS mp,
+         CAST(SUM(c) AS DOUBLE) AS tot
+  FROM lmcounts
 ), kept AS (
   SELECT doc_id, lang_guess,
          alpha_ratio * 0.5 + uniq_ratio * 0.3
            + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 AS quality,
-         n_words
-  FROM f
+         n_words,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(string_split({_NORM_SQL.replace("text", "s.text")}, ' '),
+                            w -> CAST(mp[w][1] AS DOUBLE) / tot)),
+           (a, p) -> a * p) AS lm_product
+  FROM f JOIN s USING (doc_id), lmmodel
   WHERE lang_guess = 'en'
     AND alpha_ratio * 0.5 + uniq_ratio * 0.3
           + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 >= 0.55
@@ -199,7 +222,7 @@ WITH s AS (
               - n_words AS BIGINT) AS tok_start
   FROM kept
 )
-SELECT doc_id, lang_guess, quality, n_words, shard_id,
+SELECT doc_id, lang_guess, quality, n_words, lm_product, shard_id,
        tok_start // {_CTX} AS ctx_id,
        tok_start % {_CTX} AS ctx_offset
 FROM packed

@@ -131,6 +131,45 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert "Exchange" not in plan, "mixture sampling must not shuffle"
 
 
+def test_unigram_lm_product_matches_python_fold(spark, sf_dir):
+    """The LM likelihood must equal a bit-faithful Python left fold
+    over the same counts — same order, same IEEE ops."""
+    import duckdb
+
+    from rq_spark.operators.text import unigram_lm_model, unigram_lm_product
+    from rq_spark.queries.helpers import table
+
+    docs = table(spark, sf_dir, "documents")
+    model = unigram_lm_model(docs, "text")
+    counts, total = model
+    cmap = dict(counts)
+    words_col = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    got = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", unigram_lm_product(model, words_col).alias("p")
+        ).limit(50).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.limit(50).collect()
+    }
+    import re
+
+    for doc_id, text in texts.items():
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        acc = 1.0
+        for w in norm.split(" "):
+            acc = acc * (float(cmap[w]) / float(total))
+        assert got[doc_id] == acc  # BIT-exact, not approx
+        assert 0.0 < acc <= 1.0
+    assert total == duckdb.sql(
+        f"SELECT SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+
+
 def test_topk_words_exact_and_plan_shape(spark, sf_dir):
     """Exact counts vs a DuckDB recount; the plan must be a partial
     aggregate + TakeOrderedAndProject, never a global vocabulary sort."""
