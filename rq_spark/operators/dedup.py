@@ -392,6 +392,53 @@ def incremental_minhash_pairs(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level dedup: every position where an n-token window of
+    one document reappears in ANOTHER document — the 'remove repeated
+    substrings across the corpus' operator of Lee et al.'s training-
+    data dedup (token-window rolling hashes as the scalable stand-in
+    for the suffix array; window hits = repeated passages to cut).
+
+    Returns (doc_id, pos, n_docs): 1-based token position of each
+    window shared by >= min_docs distinct documents, with the sharing
+    count as severity.
+
+    Scale shape: the window hashes are the dedup family's int64
+    chains, positions ride a posexplode (corpus tokens × 1 rows);
+    the repeat test is one partial-agg groupBy on the hash (shuffle ∝
+    distinct windows) and a semi-join back — no pairwise join, no
+    quadratic term, unlike doc-level Jaccard this never compares
+    documents to each other."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    sz = F.size(wh)
+    chain = wh
+    for s in range(1, n):
+        shifted = F.slice(wh, s + 1, F.greatest(sz - s, F.lit(0)))
+        chain = F.zip_with(chain, shifted, lambda x, y: F.xxhash64(x, y))
+    grams = F.when(sz >= n, F.slice(chain, 1, sz - (n - 1))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    win = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    shared = (
+        win.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return win.join(shared, "h").select("doc_id", "pos", "n_docs")
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

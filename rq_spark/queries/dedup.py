@@ -1428,10 +1428,42 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh, ex = D.text_dedup_bundle(
         table(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
     )
+    # op='span' (late r6): passage-level dedup — every position whose
+    # 8-token window reappears in another document (repeated_spans,
+    # the Lee-et-al. substring-dedup shape; no pairwise join). The
+    # oracle recomputes positions from gram STRINGS, so the hash also
+    # certifies the positional hash-chain windows.
+    span = D.repeated_spans(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=8
+    ).select(
+        F.lit("span").alias("op"),
+        F.col("doc_id").cast("bigint").alias("a_id"),
+        F.col("pos").cast("bigint").alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("n_docs").cast("bigint").alias("n"),
+    )
     return (
         exact.unionByName(pairs(mh, "minhash_lsh"))
         .unionByName(pairs(ex, "ngram_jaccard"))
+        .unionByName(span)
     )
+
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), win AS (
+  SELECT doc_id, i AS pos,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '
+           ||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM toks)
+), shared AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs
+  FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT win.doc_id, win.pos, shared.n_docs
+FROM win JOIN shared USING (g)
+"""
 
 
 _DEDUP_TEXT_SQL = f"""
@@ -1442,6 +1474,8 @@ UNION ALL
 SELECT 'minhash_lsh', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
 UNION ALL
 SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
+UNION ALL
+SELECT 'span', doc_id, pos, NULL, n_docs FROM ({_SPAN_ORACLE})
 """
 
 

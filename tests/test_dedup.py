@@ -151,6 +151,35 @@ def test_incremental_dedup_equals_cross_side_exact(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_repeated_spans_exact_positions(spark):
+    """Known repeated passage: an 8-word run embedded in two docs at
+    different offsets yields exactly the window positions covering it
+    in both docs; unique text yields nothing."""
+    from rq_spark.operators.dedup import repeated_spans
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9"  # 9 words -> two 8-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {passage} x y"),       # passage at positions 4..5
+            (2, f"{passage} q r s t"),          # passage at positions 1..2
+            (3, "entirely different words only here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos): r.n_docs
+        for r in repeated_spans(docs, "text", "doc_id", n=8).collect()
+    }
+    assert got == {(1, 4): 2, (1, 5): 2, (2, 1): 2, (2, 2): 2}
+
+    # severity: a window in three docs reports n_docs=3
+    docs3 = spark.createDataFrame(
+        [(i, passage) for i in range(3)], "doc_id long, text string"
+    )
+    got3 = {r.n_docs for r in repeated_spans(docs3, "text", "doc_id", n=8).collect()}
+    assert got3 == {3}
+
+
 def test_decontaminate_hand_built_overlap(spark):
     """Known contamination: a train doc embedding an eval doc's 5-gram
     run is flagged with the exact shared-gram count; disjoint docs and
