@@ -426,9 +426,13 @@ def repeated_spans(
     grams = F.when(sz >= n, F.slice(chain, 1, sz - (n - 1))).otherwise(
         F.array().cast("array<bigint>")
     )
-    win = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    _release_caches("spans")
+    win = _persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "h")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"),
+        scope="spans",
+    )  # both the repeat census and the join-back read it: scan once
     shared = (
         win.select("doc_id", "h")
         .distinct()
