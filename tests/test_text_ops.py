@@ -146,15 +146,16 @@ def test_unigram_lm_product_matches_python_fold(spark, sf_dir):
     words_col = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
-    got = {
-        r["doc_id"]: r["p"]
-        for r in docs.select(
-            "doc_id", unigram_lm_product(model, words_col).alias("p")
-        ).limit(50).collect()
-    }
-    texts = {
-        r["doc_id"]: r["text"] for r in docs.limit(50).collect()
-    }
+    rows = (
+        docs.select(
+            "doc_id", "text", unigram_lm_product(model, words_col).alias("p")
+        )
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    got = {r["doc_id"]: r["p"] for r in rows}
+    texts = {r["doc_id"]: r["text"] for r in rows}
     import re
 
     for doc_id, text in texts.items():
