@@ -415,14 +415,24 @@ def repeated_spans(
     distinct windows) and a semi-join back — no pairwise join, no
     quadratic term, unlike doc-level Jaccard this never compares
     documents to each other."""
+    if n & (n - 1):
+        raise ValueError(f"repeated_spans: n must be a power of two, got {n}")
     norm = normalize_text(F.col(text_col))
     words = F.split(norm, " ")
     wh = F.transform(words, lambda w: F.xxhash64(w))
     sz = F.size(wh)
+    # DOUBLING hash composition: combine the chain with itself shifted
+    # by its current span — log2(n) zip_with passes instead of n-1.
+    # The gram identity stays an injective-w.h.p. function of the n
+    # tokens; nothing shares it (the Jaccard family keeps its own
+    # sequential 3-chains), and the oracle certifies positions from
+    # gram STRINGS, so only the function's injectivity matters.
     chain = wh
-    for s in range(1, n):
-        shifted = F.slice(wh, s + 1, F.greatest(sz - s, F.lit(0)))
+    span = 1
+    while span < n:
+        shifted = F.slice(chain, span + 1, F.greatest(sz - span, F.lit(0)))
         chain = F.zip_with(chain, shifted, lambda x, y: F.xxhash64(x, y))
+        span *= 2
     grams = F.when(sz >= n, F.slice(chain, 1, sz - (n - 1))).otherwise(
         F.array().cast("array<bigint>")
     )
