@@ -444,10 +444,10 @@ def repeated_spans(
         scope="spans",
     )  # both the repeat census and the join-back read it: scan once
     shared = (
-        win.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        # count_distinct = ONE exchange (map-side partial distinct),
+        # vs distinct + groupBy which shuffles twice on different keys
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
     return win.join(shared, "h").select("doc_id", "pos", "n_docs")
