@@ -919,6 +919,8 @@ def _iter_frame(data: bytes, pos: int, max_output: int | None):
         elif btype == 1:  # RLE
             if limit is not None and len(out) + bsize > limit:
                 raise ZstdError("zstd: output exceeds declared size")
+            if pos >= len(data):
+                raise ZstdError("zstd: truncated RLE block")
             out += data[pos : pos + 1] * bsize
             pos += 1
         elif btype == 2:  # compressed

@@ -104,6 +104,16 @@ def test_reserved_block_type_rejected():
         decompress(frame)
 
 
+def test_truncated_rle_block_errors_loudly():
+    # no frame content size -> the RLE byte's absence must itself be
+    # the error, not a silent empty run
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x00, 0x00]) + bytes(
+        [0x03, 0x28, 0x00]
+    )
+    with pytest.raises(ZstdError, match="truncated RLE"):
+        decompress(frame)
+
+
 def test_bomb_bound_stops_early():
     big = compress(b"A" * 5_000_000, mode="lz")
     assert len(big) < 10_000  # the RLE path really compressed it
