@@ -92,10 +92,22 @@ def test_corpus_curation_packing_invariants(spark, sf_dir):
     assert set(by_shard) <= set(range(_N_SHARDS))
     for docs in by_shard.values():
         run = 0
+        ctx2, fill = 0, 0
         for r in docs:
             assert r["ctx_id"] == run // _CTX
             assert r["ctx_offset"] == run % _CTX
             run += r["n_words"]
+            # no-split variant: greedy first-fit, a doc never straddles
+            if fill + r["n_words"] > _CTX and fill > 0:
+                ctx2 += 1
+                fill = 0
+            assert r["ctx_nosplit"] == ctx2
+            fill += r["n_words"]
+        # every no-split context really fits the budget
+        fills: dict = {}
+        for r in docs:
+            fills[r["ctx_nosplit"]] = fills.get(r["ctx_nosplit"], 0) + r["n_words"]
+        assert all(v <= _CTX for v in fills.values())
 
 
 def test_mixture_sample_rates_and_determinism(spark, sf_dir):
