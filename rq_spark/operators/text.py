@@ -306,3 +306,86 @@ def token_hash_vectors(
         .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m"))
         .select(F.col(id_col), dense.alias("embedding"))
     )
+
+
+def dsir_model(
+    df: DataFrame, text_col: str, target: Column, buckets: int = 64
+) -> tuple[list, int, int, int]:
+    """Train the DSIR importance-weight model (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public): hashed word-bigram bag-of-grams counts for the TARGET
+    distribution (rows where `target` holds — e.g. a trusted domain
+    or language tag) and the RAW distribution (the whole corpus), in
+    ONE scan (explode grams, groupBy bucket with a conditional count —
+    shuffle ∝ `buckets`, never corpus). The model is O(buckets) and
+    collects to the driver (ships as a literal/broadcast, exactly like
+    `unigram_lm_model`).
+
+    The bucket is md5-derived (engine-portable, unlike murmur3) so the
+    oracle recomputes identical counts.
+
+    Returns (sorted [(bucket, target_count, raw_count)], T, R, buckets)
+    with T/R the total target/raw gram occurrences."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(target.alias("is_t"), F.explode(grams).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % buckets
+    rows = (
+        toks.groupBy(bucket.alias("b"))
+        .agg(
+            F.count(F.when(F.col("is_t"), 1)).alias("t"),
+            F.count(F.lit(1)).alias("r"),
+        )
+        .collect()
+    )
+    counts = sorted((int(x["b"]), int(x["t"]), int(x["r"])) for x in rows)
+    return (
+        counts,
+        sum(t for _, t, _ in counts),
+        sum(r for _, _, r in counts),
+        buckets,
+    )
+
+
+def dsir_weight(model: tuple[list, int, int, int], words: Column) -> Column:
+    """Per-document DSIR importance weight: Π over the doc's hashed
+    bigrams g of p̂_target(g)/p̂_raw(g), add-1-smoothed — documents
+    that look like the target distribution score > 1, off-target < 1;
+    resampling ∝ weight is the DSIR selection step. Like
+    `unigram_lm_product` this is an ORDERED left fold of pure IEEE
+    ratios (each factor is ((t+1)/(T+B)) / ((r+1)/(R+B)) with integer
+    inputs exactly converted), deliberately log-free so the result is
+    bit-deterministic and hash-exact against any engine's identical
+    fold — even a factor underflowing to subnormal is IEEE-identical
+    on both sides."""
+    counts, tot_t, tot_r, buckets = model
+    mt = F.create_map(*[F.lit(x) for b, t, _ in counts for x in (b, t)])
+    mr = F.create_map(*[F.lit(x) for b, _, r in counts for x in (b, r)])
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bl = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("int")
+        % buckets,
+    )
+    dt = float(tot_t + buckets)
+    dr = float(tot_r + buckets)
+    factors = F.transform(
+        bl,
+        lambda b: (
+            ((F.element_at(mt, b) + 1).cast("double") / F.lit(dt))
+            / ((F.element_at(mr, b) + 1).cast("double") / F.lit(dr))
+        ),
+    )
+    return F.aggregate(factors, F.lit(1.0), lambda acc, p: acc * p)

@@ -106,6 +106,7 @@ FROM f
 # and each holds O(shard) state.
 _CTX = 256
 _N_SHARDS = 8
+_DSIR_B = 64  # hashed-bigram buckets of the DSIR model
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,9 +120,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept doc also carries its unigram-LM likelihood (lm_product — the
     perplexity-filter signal, operators/text.py:unigram_lm_model /
     unigram_lm_product; hash-exact because the ordered product fold is
-    pure IEEE arithmetic on both engines)."""
+    pure IEEE arithmetic on both engines) and its DSIR importance
+    weight (dsir_weight — hashed-bigram target-vs-raw likelihood
+    ratio, the importance-resampling selection signal of Xie et al.
+    2023, trained here with the corpus's `lang` tag as the target
+    distribution; hash-exact by the same ordered-IEEE-fold contract,
+    operators/text.py:dsir_model / dsir_weight)."""
     raw = table(spark, sf_dir, "documents")
     lm = X.unigram_lm_model(raw, "text")
+    ds = X.dsir_model(raw, "text", F.col("lang") == "en", buckets=_DSIR_B)
     d = spread(raw)
     t = F.col("text")
     lang = X.lang_id(t)
@@ -149,6 +156,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.unigram_lm_product(lm, F.split(X.normalize_text(t), " ")).alias(
                 "lm_product"
             ),
+            X.dsir_weight(ds, F.split(X.normalize_text(t), " ")).alias(
+                "dsir_weight"
+            ),
             keep.alias("_keep"),
         )
         .filter("_keep")
@@ -167,6 +177,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "n_words",
         "lm_product",
+        "dsir_weight",
         "shard_id",
         F.floor(start / _CTX).cast("long").alias("ctx_id"),
         (start % _CTX).cast("long").alias("ctx_offset"),
@@ -224,6 +235,35 @@ WITH RECURSIVE s AS (
   SELECT map_from_entries(list(row(w, c) ORDER BY w)) AS mp,
          CAST(SUM(c) AS DOUBLE) AS tot
   FROM lmcounts
+), dsg AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 4)) AS INT)
+           % {_DSIR_B} AS b
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+              FROM documents))
+), dscnt AS (
+  SELECT b,
+         COUNT(*) FILTER (WHERE d.lang = 'en') AS t,
+         COUNT(*) AS r
+  FROM dsg JOIN documents d USING (doc_id) GROUP BY b
+), dsmodel AS (
+  SELECT map_from_entries(list(row(b, t) ORDER BY b)) AS mpt,
+         map_from_entries(list(row(b, r) ORDER BY b)) AS mpr,
+         CAST(SUM(t) + {_DSIR_B} AS DOUBLE) AS dt,
+         CAST(SUM(r) + {_DSIR_B} AS DOUBLE) AS dr
+  FROM dscnt
+), dsbl AS (
+  SELECT doc_id, list(b ORDER BY i) AS bl FROM dsg GROUP BY doc_id
+), dsw AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(bl,
+               b -> (CAST(mpt[b][1] + 1 AS DOUBLE) / dt)
+                    / (CAST(mpr[b][1] + 1 AS DOUBLE) / dr))),
+           (a, p) -> a * p) AS dsir_weight
+  FROM dsbl, dsmodel
 ), kept AS (
   SELECT doc_id, lang_guess,
          alpha_ratio * 0.5 + uniq_ratio * 0.3
@@ -264,11 +304,13 @@ WITH RECURSIVE s AS (
   FROM walk w JOIN seq s2 ON s2.shard_id = w.shard_id AND s2.rn = w.rn + 1
 )
 SELECT packed.doc_id, lang_guess, quality, n_words, lm_product,
+       dsw.dsir_weight,
        packed.shard_id,
        tok_start // {_CTX} AS ctx_id,
        tok_start % {_CTX} AS ctx_offset,
        walk.ctx2 AS ctx_nosplit
 FROM packed JOIN walk ON walk.doc_id = packed.doc_id
+JOIN dsw ON dsw.doc_id = packed.doc_id
 """
 
 

@@ -270,3 +270,57 @@ def test_text_metrics_has_new_columns(spark, sf_dir):
         want[2],
         want[3],
     )
+
+
+def test_dsir_weight_matches_python_fold(spark, sf_dir):
+    """The DSIR importance weight must equal a bit-faithful Python left
+    fold over the same hashed-bigram counts — same factor structure,
+    same IEEE ops — and separate target-like from off-target docs."""
+    import hashlib
+    import re
+
+    from rq_spark.operators.text import dsir_model, dsir_weight
+    from rq_spark.queries.helpers import table
+
+    docs = table(spark, sf_dir, "documents")
+    model = dsir_model(docs, "text", F.col("lang") == "en", buckets=64)
+    counts, tot_t, tot_r, buckets = model
+    mt = {b: t for b, t, _ in counts}
+    mr = {b: r for b, _, r in counts}
+    dt = float(tot_t + buckets)
+    dr = float(tot_r + buckets)
+
+    words_col = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    rows = (
+        docs.select(
+            "doc_id", "text", "lang", dsir_weight(model, words_col).alias("w")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % buckets
+
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+        ws = norm.split(" ")
+        acc = 1.0
+        for a, b in zip(ws, ws[1:]):
+            bk = bucket(f"{a} {b}")
+            acc = acc * (
+                (float(mt[bk] + 1) / dt) / (float(mr[bk] + 1) / dr)
+            )
+        assert r["w"] == acc  # BIT-exact, not approx
+        by_lang.setdefault(r["lang"], []).append(r["w"])
+
+    # the weight must actually separate the target distribution:
+    # median weight of target-language docs above 1, others below
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(by_lang["en"]) > 1.0
+    for lang, ws in by_lang.items():
+        if lang != "en":
+            assert med(ws) < 1.0, lang
