@@ -842,3 +842,113 @@ def connected_components(
         "node", F.col("node").alias("rep")
     )
     return labels.unionAll(singles)
+
+
+def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (doc, gram) word-n-gram STRING rows. The bloom path
+    hashes gram strings with md5 (engine-portable bit positions) where
+    the join-based paths use int64 hash chains."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+    ).distinct()
+
+
+def _bloom_pos(gram: Column, i: int, m_bits: int) -> Column:
+    """i-th bloom bit position: 8 md5 hex digits (32 bits) per hash
+    function, mod the filter width — identical on any engine."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1 + 8 * i, 8), 16, 10).cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 65536,
+    k: int = 2,
+    min_overlap: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """`decontaminate` through a broadcast BLOOM-FILTER prefilter — the
+    100 TB shape where even the eval gram TABLE is too hot to hash-join
+    against every corpus gram: the benchmark's n-grams compress to an
+    m-bit filter (m/8 bytes — kilobytes here, hundreds of MB for real
+    benchmark suites, either way one broadcast), the corpus's grams
+    stream through a pure bit-test expression (no shuffle, no join),
+    and only the survivors — true matches plus the filter's false
+    positives, (1-e^(-kn/m))^k of probes — enter the exact verify
+    join. No false negatives, so after exact verification the result
+    EQUALS plain `decontaminate`'s: the bloom pass is a pure pruning
+    optimization, which is what makes it oracle-checkable.
+
+    Spark's own runtime bloom joins do this adaptively; spelling it as
+    an operator makes the decontamination shape explicit and portable.
+
+    Returns (pairs, stats): pairs = (train_id, eval_id, n_shared) as
+    `decontaminate`; stats = one row (n_probed, n_passed, n_eval) of
+    distinct-gram censuses certifying the filter construction and
+    probe bit-for-bit (the oracle rebuilds the same bits in SQL).
+    """
+    assert m_bits % 64 == 0
+    tg = _gram_strings(_spread(train), text_col, id_col, n)
+    eg = _gram_strings(eval_df, text_col, id_col, n)
+    ev_distinct = eg.select("gram").distinct()
+
+    # build the filter: k positions per eval gram → OR into m/64 words
+    pos = ev_distinct.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("gram"), i, m_bits) for i in range(k)])
+        ).alias("b")
+    )
+    word_rows = (
+        pos.groupBy(F.shiftright("b", 6).cast("int").alias("wi"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b & 63 AS INT)))").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in word_rows:
+        arr[r["wi"]] = r["bits"]
+
+    tr_distinct = tg.select("gram").distinct()
+    probed = tr_distinct
+    for i in range(k):
+        probed = probed.withColumn(f"b{i}", _bloom_pos(F.col("gram"), i, m_bits))
+    # the literal filter rides the plan as one array constant (a real
+    # broadcast variable inside a pandas UDF at production m)
+    probed = probed.withColumn("_blm", F.array(*[F.lit(x) for x in arr]))
+    passed = None
+    for i in range(k):
+        c = F.expr(
+            f"(shiftright(element_at(_blm, CAST(shiftright(b{i}, 6) AS INT) + 1), "
+            f"CAST(b{i} & 63 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+        passed = c if passed is None else (passed & c)
+    stats = (
+        probed.agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.count(F.when(passed, 1)).alias("n_passed"),
+        )
+        .crossJoin(ev_distinct.agg(F.count(F.lit(1)).alias("n_eval")))
+    )
+    survivors = probed.filter(passed).select("gram")
+    pairs = (
+        tg.join(F.broadcast(survivors), "gram")
+        .join(
+            F.broadcast(eg.select(F.col("doc").alias("eval_id"), "gram")), "gram"
+        )
+        .groupBy(F.col("doc").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+    return pairs, stats

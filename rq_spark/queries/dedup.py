@@ -1497,7 +1497,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram count (operators/dedup.py:decontaminate — eval shingles
     broadcast, corpus never shuffles). The oracle recomputes overlap
     from gram STRINGS while the operator counts int64 hash chains, so
-    the driver hash also certifies the hash-chain gram identity."""
+    the driver hash also certifies the hash-chain gram identity.
+
+    op='bloom_decontam' / op='bloom_stats' — the same contamination
+    check through a broadcast BLOOM-FILTER prefilter
+    (operators/dedup.py:bloom_decontaminate): eval grams compress to
+    an m-bit literal, train grams stream through a pure bit-test
+    expression, only survivors reach the exact verify join. The pair
+    rows must EQUAL op='decontam' (no false negatives + exact
+    verify); the stats row's distinct-gram censuses (n_probed →
+    a_id, n_passed → b_id, n_eval → n_shared) pin the filter's bit
+    construction and probe cross-engine — the oracle rebuilds the
+    same md5-positioned bits in SQL."""
     docs = table(spark, sf_dir, "documents")
     probe = D.incremental_minhash_pairs(
         docs.filter(F.col("doc_id") % 2 == 0),
@@ -1512,6 +1523,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         n=5,
+        min_overlap=1,
+    )
+    bpairs, bstats = D.bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 11 != 0),
+        docs.filter(F.col("doc_id") % 11 == 0),
+        "text",
+        "doc_id",
+        n=5,
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
         min_overlap=1,
     )
     nulls = F.lit(None)
@@ -1529,8 +1550,27 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             nulls.cast("double").alias("jaccard"),
             F.col("n_shared").cast("bigint").alias("n_shared"),
         )
+    ).unionByName(
+        bpairs.select(
+            F.lit("bloom_decontam").alias("op"),
+            F.col("train_id").cast("bigint").alias("a_id"),
+            F.col("eval_id").cast("bigint").alias("b_id"),
+            nulls.cast("double").alias("jaccard"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+        )
+    ).unionByName(
+        bstats.select(
+            F.lit("bloom_stats").alias("op"),
+            F.col("n_probed").cast("bigint").alias("a_id"),
+            F.col("n_passed").cast("bigint").alias("b_id"),
+            nulls.cast("double").alias("jaccard"),
+            F.col("n_eval").cast("bigint").alias("n_shared"),
+        )
     )
 
+
+_BLOOM_M = 65536  # bloom width (bits); 1024 int64 words
+_BLOOM_K = 2  # hash functions (8 md5 hex digits each)
 
 _DEDUP_INCR_SQL = f"""
 WITH toks AS (
@@ -1549,6 +1589,30 @@ WITH toks AS (
   SELECT DISTINCT doc_id,
          w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM toks)
+), evg AS (
+  SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 11 = 0
+), trg AS (
+  SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 11 != 0
+), blm AS (
+  SELECT b // 64 AS wi,
+         -- DuckDB range-checks 1<<63 (Spark wraps); spell the sign
+         -- bit as the min-long literal instead
+         bit_or(CASE WHEN b % 64 = 63
+                     THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << CAST(b % 64 AS INT) END) AS bits
+  FROM (SELECT CAST(('0x' || substr(md5(shingle), 1 + 8*i, 8)) AS BIGINT)
+                 % {_BLOOM_M} AS b
+        FROM evg, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i))
+  GROUP BY 1
+), tpass AS (
+  SELECT t.shingle
+  FROM (SELECT shingle,
+               CAST(('0x' || substr(md5(shingle), 1 + 8*i, 8)) AS BIGINT)
+                 % {_BLOOM_M} AS b
+        FROM trg, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i)) t
+  LEFT JOIN blm ON blm.wi = t.b // 64
+  GROUP BY t.shingle
+  HAVING bool_and(COALESCE((blm.bits >> CAST(t.b % 64 AS INT)) & 1, 0) = 1)
 )
 SELECT 'ingest_probe' AS op, new_id AS a_id, corpus_id AS b_id,
        CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard,
@@ -1563,6 +1627,20 @@ FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
 WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
 GROUP BY 2, 3
 HAVING COUNT(*) >= 1
+UNION ALL
+SELECT 'bloom_decontam', t.doc_id, e.doc_id, CAST(NULL AS DOUBLE), COUNT(*)
+FROM sh5 t
+JOIN tpass ON tpass.shingle = t.shingle
+JOIN sh5 e ON e.shingle = t.shingle
+WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+GROUP BY 2, 3
+HAVING COUNT(*) >= 1
+UNION ALL
+SELECT 'bloom_stats',
+       (SELECT COUNT(*) FROM trg),
+       (SELECT COUNT(*) FROM tpass),
+       CAST(NULL AS DOUBLE),
+       (SELECT COUNT(*) FROM evg)
 """
 
 

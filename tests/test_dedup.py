@@ -319,3 +319,64 @@ def test_token_hash_vectors_match_python_reference(spark):
             assert got[i] == ref(t), f"doc {i} vector mismatch"
     assert got[0] == got[1]
     assert sum(got[5]) == 7.0  # 9 words -> 7 grams incl. repeats
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    """The bloom-prefiltered path must produce EXACTLY the plain
+    decontaminate result (no false negatives + exact verify), while
+    the stats row proves the filter actually prunes."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+
+    exact = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, ev, "text", "doc_id", n=5).collect()
+    }
+    pairs, stats = bloom_decontaminate(train, ev, "text", "doc_id", n=5)
+    got = {(r.train_id, r.eval_id): r.n_shared for r in pairs.collect()}
+    assert got == exact
+
+    s = stats.collect()[0]
+    assert s["n_passed"] <= s["n_probed"]
+    # every truly-shared gram survives, so passed >= the shared-gram count;
+    # and with m=65536 bits over a few thousand eval grams the false-positive
+    # rate must keep the pass-through small
+    assert s["n_passed"] < 0.1 * s["n_probed"]
+    assert s["n_eval"] > 0
+
+
+def test_bloom_decontaminate_tiny_filter_degrades_to_exact(spark):
+    """With a deliberately tiny filter (m=64, so false positives are
+    rampant) the result still equals exact — the bloom pass is
+    pruning-only, never correctness-bearing — and no truly-shared gram
+    is ever pruned."""
+    from rq_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+            (3, "x alpha beta gamma delta epsilon y z"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, ev, "text", "doc_id", n=5).collect()
+    }
+    pairs, stats = bloom_decontaminate(train, ev, "text", "doc_id", n=5, m_bits=64)
+    got = {(r.train_id, r.eval_id): r.n_shared for r in pairs.collect()}
+    assert got == exact
+    s = stats.collect()[0]
+    # 4 distinct grams are truly shared (train1's four, one of which is
+    # also train3's single overlap) — all must survive the prefilter
+    assert 4 <= s["n_passed"] <= s["n_probed"]

@@ -40,7 +40,9 @@ TAGGED = {
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq"},
     "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span"},
-    "dedup_incremental": {"ingest_probe", "decontam"},
+    "dedup_incremental": {
+        "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
+    },
 }
 
 # key -> columns absorbed from former standalone queries (column-merge)
