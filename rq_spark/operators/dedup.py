@@ -293,8 +293,17 @@ def text_dedup_bundle(
     sig = minhash_signatures(sets, num_hashes=num_hashes)
     # raw band-collision pairs, NOT lsh_candidates: its trailing
     # .distinct() would shuffle the pair set once just to dedup, and
-    # the provenance groupBy below dedups the same keys anyway
-    banded = band_table(sig, bands=bands, rows=num_hashes // bands)
+    # the provenance groupBy below dedups the same keys anyway.
+    # banded is persisted because the self-join consumes it TWICE
+    # (broadcast + probe side): unpersisted, each side re-runs the
+    # 96-min minhash aggregation — the bundle's most expensive stage —
+    # from the shingle cache (measured ~2× the signature cost per
+    # dedup_text run at sf0.1). The relation is docs×bands rows of
+    # three longs, the cheapest thing in the pipeline to pin.
+    banded = _persist_tracked(
+        band_table(sig, bands=bands, rows=num_hashes // bands),
+        scope="text_bundle",
+    )
     cand = (
         banded.select(F.col("doc").alias("a_id"), "band", "bhash")
         .join(banded.select(F.col("doc").alias("b_id"), "band", "bhash"), ["band", "bhash"])
@@ -848,16 +857,11 @@ def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     """Distinct (doc, gram) word-n-gram STRING rows. The bloom path
     hashes gram strings with md5 (engine-portable bit positions) where
     the join-based paths use int64 hash chains."""
+    from .text import word_grams
+
     words = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return df.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+        F.col(id_col).alias("doc"), F.explode(word_grams(words, n)).alias("gram")
     ).distinct()
 
 
