@@ -956,3 +956,53 @@ def bloom_decontaminate(
         .filter(F.col("n_shared") >= min_overlap)
     )
     return pairs, stats
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Apply `repeated_spans` hits: REMOVE every token covered by a
+    cross-document repeated n-token window and re-assemble the
+    document — the excision step of Lee et al.'s substring dedup (find
+    repeated passages, then cut them out of the training text). Pass
+    the spans relation in (rather than recomputing it) so one spans
+    pass feeds both the report and the excision.
+
+    Deterministic and engine-portable: covered positions are the union
+    of [pos, pos+n) intervals, kept tokens are the set difference of
+    position arrays (`array_except` — hash-based, linear per doc), and
+    the cleaned text is the kept tokens rejoined. Cost beyond the
+    spans pass is one broadcast-sized join (docs with hits are the
+    rare side) and per-doc O(tokens) array work.
+
+    Returns (doc_id, n_removed, n_kept, clean_text) for documents that
+    lost at least one token."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    starts = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
+        F.collect_set("pos").alias("_starts")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda p: F.sequence(p, p + (n - 1)))
+        )
+    )
+    kept_pos = F.array_sort(
+        F.array_except(F.sequence(F.lit(1), F.size(words)), covered)
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept_pos, lambda i: F.element_at(words, i))
+    )
+    return (
+        df.join(starts, F.col(id_col) == F.col("_sid"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (F.size(words) - F.size(kept_pos)).alias("n_removed"),
+            F.size(kept_pos).alias("n_kept"),
+            clean.alias("clean_text"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )

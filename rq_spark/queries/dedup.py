@@ -1433,19 +1433,34 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Lee-et-al. substring-dedup shape; no pairwise join). The
     # oracle recomputes positions from gram STRINGS, so the hash also
     # certifies the positional hash-chain windows.
-    span = D.repeated_spans(
-        table(spark, sf_dir, "documents"), "text", "doc_id", n=8
-    ).select(
+    docs = table(spark, sf_dir, "documents")
+    spans_df = D.repeated_spans(docs, "text", "doc_id", n=8)
+    span = spans_df.select(
         F.lit("span").alias("op"),
         F.col("doc_id").cast("bigint").alias("a_id"),
         F.col("pos").cast("bigint").alias("b_id"),
         nulls.cast("double").alias("jaccard"),
         F.col("n_docs").cast("bigint").alias("n"),
     )
+    # op='excise' (r7): the excision step — cut every repeated-window
+    # token and re-assemble the text (operators/dedup.py:excise_spans,
+    # fed from the SAME spans relation). b_id carries the cleaned
+    # text's md5 prefix as a bigint, so the driver hash certifies the
+    # exact post-excision string per document cross-engine.
+    excise = D.excise_spans(docs, spans_df, "text", "doc_id", n=8).select(
+        F.lit("excise").alias("op"),
+        F.col("doc_id").cast("bigint").alias("a_id"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("n_removed").cast("bigint").alias("n"),
+    )
     return (
         exact.unionByName(pairs(mh, "minhash_lsh"))
         .unionByName(pairs(ex, "ngram_jaccard"))
         .unionByName(span)
+        .unionByName(excise)
     )
 
 
@@ -1466,6 +1481,39 @@ FROM win JOIN shared USING (g)
 """
 
 
+_EXCISE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), win AS (
+  SELECT doc_id, i AS pos,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '
+           ||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM toks)
+), shared AS (
+  SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(generate_series(pos, pos + 7)))) AS covered
+  FROM win JOIN shared USING (g)
+  GROUP BY doc_id
+), ex AS (
+  SELECT t.doc_id, len(t.w) AS nw,
+         list_transform(
+           list_filter(generate_series(1, len(t.w)),
+                       i -> NOT list_contains(covered, i)),
+           i -> t.w[i]) AS kept
+  FROM toks t JOIN cov USING (doc_id)
+)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB (Spark's concat_ws
+       -- gives ''): a fully-excised doc must hash the EMPTY string
+       CAST(('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')),
+                            1, 15)) AS BIGINT) AS clean_hash,
+       nw - len(kept) AS n_removed
+FROM ex
+WHERE nw - len(kept) > 0
+"""
+
 _DEDUP_TEXT_SQL = f"""
 SELECT 'exact' AS op, rep_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
        CAST(NULL AS DOUBLE) AS jaccard, n_dups AS n
@@ -1476,6 +1524,8 @@ UNION ALL
 SELECT 'ngram_jaccard', a_id, b_id, jaccard, NULL FROM ({_JACCARD_ORACLE})
 UNION ALL
 SELECT 'span', doc_id, pos, NULL, n_docs FROM ({_SPAN_ORACLE})
+UNION ALL
+SELECT 'excise', doc_id, clean_hash, NULL, n_removed FROM ({_EXCISE_ORACLE})
 """
 
 

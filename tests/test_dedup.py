@@ -380,3 +380,52 @@ def test_bloom_decontaminate_tiny_filter_degrades_to_exact(spark):
     # 4 distinct grams are truly shared (train1's four, one of which is
     # also train3's single overlap) — all must survive the prefilter
     assert 4 <= s["n_passed"] <= s["n_probed"]
+
+
+def test_excise_spans_hand_built(spark):
+    """Known repeated passage: the shared 8-token run is cut from both
+    carriers, untouched docs are absent, and the cleaned text is the
+    exact remaining-token join."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rq_spark.operators.dedup import excise_spans, repeated_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz qq"),
+            (3, "totally different words with no overlap at all kept intact"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(docs, "text", "doc_id", n=8)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["n_kept"], r["clean_text"])
+        for r in excise_spans(docs, spans, "text", "doc_id", n=8).collect()
+    }
+    assert got == {
+        1: (8, 4, "aa bb cc dd"),
+        2: (8, 4, "xx yy zz qq"),
+    }
+
+
+def test_excise_spans_overlapping_windows_and_full_excision(spark):
+    """Overlapping repeated windows union their covered positions; a
+    doc that is ONE big repeated run excises to the empty string."""
+    from rq_spark.operators.dedup import excise_spans, repeated_spans
+
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 tokens -> two 8-windows
+    docs = spark.createDataFrame(
+        [
+            (1, nine),                    # fully covered by both windows
+            (2, f"intro {nine} outro"),   # the 9-token run is cut, rest kept
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(docs, "text", "doc_id", n=8)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in excise_spans(docs, spans, "text", "doc_id", n=8).collect()
+    }
+    assert got == {1: (9, ""), 2: (9, "intro outro")}

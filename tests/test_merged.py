@@ -39,7 +39,7 @@ TAGGED = {
     "udf_vectorized": {"pandas_udf", "map_in_pandas"},
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq"},
-    "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span"},
+    "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span", "excise"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
     },
