@@ -1,0 +1,415 @@
+"""Telephony/compressed-WAV audio codecs: G.711 µ-law and A-law
+companding and IMA/DVI ADPCM — the non-PCM WAVE formats that actually
+occur in real audio corpora (call-center/telephony dumps ship G.711;
+game/voice assets ship IMA ADPCM). Pure numpy, derived from the public
+G.711 recommendation and the IMA ADPCM reference algorithm.
+
+Validation story (the honest part): CPython's ``audioop`` module (in
+this interpreter) implements all three codecs independently — the
+tests cross-validate EXHAUSTIVELY against it (all 256 code values for
+µ/A-law decode, full int16 sweeps for encode, random-stream equality
+for the ADPCM nibble core), so a wrong table entry or bias cannot
+hide. This is the same evidence tier as the zstd/LZ4 reference-CLI
+cross-checks.
+
+Scale shape: all three decoders are table lookups / vectorized
+recurrences over numpy arrays inside the same Arrow-batched
+`mapInPandas` stages as the PCM/FLAC paths; per-payload cost is
+O(samples) with small constants (ADPCM's per-sample recurrence is the
+only sequential part, per block, and blocks are short).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# G.711 µ-law / A-law (formula-derived LUTs, no recalled tables)
+# --------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132, the µ-law encoding bias
+_ULAW_CLIP = 32635
+
+
+def _build_ulaw_lut() -> np.ndarray:
+    """256-entry µ-law→int16 decode table from the G.711 formula:
+    invert the code, then sample = ((mantissa<<3) + bias) << exponent,
+    minus the bias, with the sign restored."""
+    lut = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+        lut[code] = -magnitude if sign else magnitude
+    return lut
+
+
+def _build_alaw_lut() -> np.ndarray:
+    """256-entry A-law→int16 decode table (G.711: even-bit inversion
+    0x55, exponent/mantissa segments, <<3 output scaling)."""
+    lut = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            magnitude = (mantissa << 4) + 8
+        else:
+            magnitude = ((mantissa << 4) + 0x108) << (exponent - 1)
+        # A-law's sign convention is inverted vs µ-law: bit set = positive
+        lut[code] = magnitude if sign else -magnitude
+    return lut
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_ALAW_LUT = _build_alaw_lut()
+
+
+def ulaw_decode(data: bytes) -> np.ndarray:
+    """µ-law bytes → int16 PCM."""
+    return _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+
+
+def alaw_decode(data: bytes) -> np.ndarray:
+    """A-law bytes → int16 PCM."""
+    return _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+
+
+_ULAW_SEG_END = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int64
+)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64
+)
+
+
+def ulaw_encode(pcm: np.ndarray) -> bytes:
+    """int16 PCM → µ-law bytes, the classic Sun/CCITT reference
+    quantizer (14-bit domain: truncating >>2, clip 8159, bias 33,
+    segment search) — bit-identical to audioop's encoder, which the
+    tests verify over the full int16 sweep."""
+    x14 = np.asarray(pcm, dtype=np.int64) >> 2
+    mask = np.where(x14 < 0, 0x7F, 0xFF)
+    mag = np.where(x14 < 0, -x14, x14)
+    mag = np.minimum(mag, 8159) + 33
+    seg = np.searchsorted(_ULAW_SEG_END, mag)  # first seg with mag <= end
+    over = seg >= 8
+    seg_c = np.minimum(seg, 7)
+    uval = (seg_c << 4) | ((mag >> (seg_c + 1)) & 0x0F)
+    code = np.where(over, 0x7F, uval) ^ mask
+    return code.astype(np.uint8).tobytes()
+
+
+def alaw_encode(pcm: np.ndarray) -> bytes:
+    """int16 PCM → A-law bytes, the Sun/CCITT reference quantizer
+    (13-bit domain: truncating >>3, ones-complement negatives, segment
+    search, 0x55 toggle) — bit-identical to audioop's encoder."""
+    x13 = np.asarray(pcm, dtype=np.int64) >> 3
+    neg = x13 < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    mag = np.where(neg, -x13 - 1, x13)
+    seg = np.searchsorted(_ALAW_SEG_END, mag)
+    over = seg >= 8
+    seg_c = np.minimum(seg, 7)
+    low = (mag >> 1) & 0x0F  # segments 0-1 keep the linear step
+    high = (mag >> seg_c) & 0x0F
+    aval = (seg_c << 4) | np.where(seg_c < 2, low, high)
+    code = np.where(over, 0x7F, aval) ^ mask
+    return code.astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------------------
+# IMA / DVI ADPCM
+# --------------------------------------------------------------------------
+
+# IMA step-size table (89 entries) and index-adjust table — the
+# reference algorithm's constants; cross-validated bit-for-bit against
+# CPython audioop's independent implementation in tests/test_g711.py.
+IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+
+IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def ima_decode_nibbles(
+    nibbles: np.ndarray, predictor: int, index: int
+) -> tuple[np.ndarray, int, int]:
+    """Decode a sequence of 4-bit IMA ADPCM codes given the initial
+    (predictor, step index) state. Returns (int16 samples, predictor,
+    index) so block decoding can chain. Sequential by construction
+    (each sample's step depends on the last), but per-BLOCK only."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred = int(predictor)
+    idx = int(index)
+    steps = IMA_STEPS
+    adj = IMA_INDEX_ADJUST
+    for i, code in enumerate(nibbles):
+        step = int(steps[idx])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        if code & 8:
+            pred -= diff
+        else:
+            pred += diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        idx = max(0, min(88, idx + int(adj[code & 7])))
+    return out, pred, idx
+
+
+def ima_encode_nibbles(
+    pcm: np.ndarray, predictor: int = 0, index: int = 0
+) -> tuple[np.ndarray, int, int]:
+    """Encode int16 PCM to IMA nibbles (reference quantizer). Returns
+    (codes, predictor, index)."""
+    codes = np.empty(len(pcm), dtype=np.uint8)
+    pred = int(predictor)
+    idx = int(index)
+    for i, s in enumerate(np.asarray(pcm, dtype=np.int64)):
+        step = int(IMA_STEPS[idx])
+        delta = int(s) - pred
+        code = 0
+        if delta < 0:
+            code = 8
+            delta = -delta
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        # reconstruct exactly like the decoder
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        codes[i] = code
+        idx = max(0, min(88, idx + int(IMA_INDEX_ADJUST[code & 7])))
+    return codes, pred, idx
+
+
+# --------------------------------------------------------------------------
+# WAVE container routing (fmt tags 1/6/7/0x11)
+# --------------------------------------------------------------------------
+
+WAVE_PCM = 0x0001
+WAVE_ALAW = 0x0006
+WAVE_ULAW = 0x0007
+WAVE_IMA_ADPCM = 0x0011
+
+
+def decode_wav_any(b: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, int16 samples interleaved) for RIFF/WAVE
+    payloads in PCM (8/16-bit), A-law, µ-law, or IMA ADPCM format.
+    Raises ValueError for other format tags (loud, like the image
+    codecs' strict mode)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    fact = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack("<I", body[:4])[0]  # true samples/channel
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    tag, nch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0] if len(fmt) >= 16 else 16
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    if tag == WAVE_PCM:
+        if bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(np.int16)
+        elif bits == 8:  # PCM8 is unsigned
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+            ) << 8
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == WAVE_ULAW:
+        samples = ulaw_decode(data)
+    elif tag == WAVE_ALAW:
+        samples = alaw_decode(data)
+    elif tag == WAVE_IMA_ADPCM:
+        samples = _ima_decode_blocks(data, nch, block_align)
+    else:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
+    if fact is not None and fact * nch <= len(samples):
+        # the fact chunk records the TRUE per-channel sample count;
+        # anything past it is block padding (compressed formats)
+        samples = samples[: fact * nch]
+    return rate, nch, samples
+
+
+def _ima_decode_blocks(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """WAV IMA ADPCM framing: per block and channel a 4-byte header
+    (int16le predictor, u8 step index, reserved), then the channels'
+    nibbles interleaved in 4-byte groups; first nibble is the LOW one.
+    The header predictor IS the block's first output sample."""
+    chans: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    for start in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[start : start + block_align]
+        states = []
+        for c in range(nch):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)[:2]
+            states.append((pred, idx))
+            chans[c].append(np.array([pred], dtype=np.int16))
+        body = block[4 * nch :]
+        # nibble payload: groups of 4 bytes per channel, interleaved
+        group = 4 * nch
+        per_chan = [bytearray() for _ in range(nch)]
+        for off in range(0, len(body) - (len(body) % group), group):
+            for c in range(nch):
+                per_chan[c] += body[off + 4 * c : off + 4 * (c + 1)]
+        for c in range(nch):
+            raw = np.frombuffer(bytes(per_chan[c]), dtype=np.uint8)
+            nib = np.empty(len(raw) * 2, dtype=np.uint8)
+            nib[0::2] = raw & 0x0F  # low nibble first (WAV layout)
+            nib[1::2] = raw >> 4
+            pred, idx = states[c]
+            dec, _, _ = ima_decode_nibbles(nib, pred, idx)
+            chans[c].append(dec)
+    merged = [np.concatenate(ch) if ch else np.array([], np.int16) for ch in chans]
+    out = np.empty(sum(len(m) for m in merged), dtype=np.int16)
+    for c, m in enumerate(merged):
+        out[c::nch] = m
+    return out
+
+
+def wav_bytes(
+    rate: int, nch: int, samples: np.ndarray, tag: int = WAVE_PCM
+) -> bytes:
+    """Build a WAVE payload in any supported format (fixture/sink
+    side). For IMA ADPCM, samples are encoded per 505-sample-per-
+    channel block with the standard 4-byte headers."""
+    x = np.asarray(samples, dtype=np.int16)
+    if tag == WAVE_PCM:
+        body, bits, block = x.astype("<i2").tobytes(), 16, 2 * nch
+    elif tag == WAVE_ULAW:
+        body, bits, block = ulaw_encode(x), 8, nch
+    elif tag == WAVE_ALAW:
+        body, bits, block = alaw_encode(x), 8, nch
+    elif tag == WAVE_IMA_ADPCM:
+        if nch != 1:
+            raise ValueError("IMA fixture encoder is mono-only")
+        body = _ima_encode_blocks(x, 1)
+        bits, block = 4, 256  # 4-byte header + 252 nibble bytes, 505 samples
+    else:
+        raise ValueError(f"unsupported tag 0x{tag:04x}")
+    byte_rate = (
+        rate * block // 505 if tag == WAVE_IMA_ADPCM else rate * nch * (bits // 8)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", tag, nch, rate, byte_rate, block, bits
+    )
+    if tag == WAVE_IMA_ADPCM:
+        fmt += struct.pack("<HH", 2, 505)  # cbSize + samples/block
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if tag != WAVE_PCM:
+        # compressed WAVE requires a fact chunk with the true
+        # per-channel sample count (block padding is not signal)
+        chunks += b"fact" + struct.pack("<II", 4, len(x) // nch)
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _ima_encode_blocks(pcm: np.ndarray, nch: int) -> bytes:
+    """Mono IMA blocks: 256-byte blocks = 4-byte header (first sample
+    as predictor) + 252 bytes = 504 nibbles, 505 samples per block."""
+    assert nch == 1
+    out = bytearray()
+    idx = 0
+    pos = 0
+    n = len(pcm)
+    while pos < n:
+        chunk = pcm[pos : pos + 505]
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        codes, pred, idx = ima_encode_nibbles(chunk[1:], pred, idx)
+        if len(codes) % 2:
+            codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+        packed = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+        packed = packed.tobytes().ljust(252, b"\0")
+        out += packed
+        pos += 505
+    return bytes(out)
+
+
+def wav_params_any(b: bytes) -> tuple[int, int, int, float]:
+    """(rate, channels, n_samples_per_channel, duration_s) for any
+    supported WAVE format WITHOUT decoding samples — O(header) plus
+    the chunk walk, the cost a dims-only pass must have at scale.
+    Sample counts come from the data size: bytes/ch for the companded
+    formats, per-block arithmetic for IMA ADPCM."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    fact = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            fmt = b[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data_len = size
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack("<I", b[pos + 8 : pos + 12])[0]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    tag, nch, rate = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    bits = struct.unpack("<H", fmt[14:16])[0] if len(fmt) >= 16 else 16
+    if tag == WAVE_PCM:
+        n = data_len // (nch * max(bits // 8, 1))
+    elif tag in (WAVE_ULAW, WAVE_ALAW):
+        n = data_len // nch
+    elif tag == WAVE_IMA_ADPCM:
+        full = data_len // block_align
+        per_block = 1 + (block_align - 4 * nch) * 2 // nch
+        n = full * per_block
+    else:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
+    if fact is not None and fact <= n:
+        n = fact  # true per-channel count; the rest is block padding
+    return rate, nch, n, n / rate

@@ -364,12 +364,12 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
     def params(p) -> tuple[int, int, int, float]:
         b = bytes(p)
         if _is_wav(b):
-            import io
-            import wave
+            # one chunk walk covers PCM AND the companded/ADPCM tags
+            # (G.711 µ/A-law, IMA — operators/g711.py) without
+            # decoding samples: O(header), the dims-only contract
+            from .g711 import wav_params_any
 
-            with wave.open(io.BytesIO(b)) as w:
-                rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
-            return rate, ch, n, n / rate
+            return wav_params_any(b)
         if strict:
             from .containers import is_ogg, ogg_params
 
@@ -534,6 +534,16 @@ def extract_audio_features(
             import io
             import wave
 
+            try:
+                with wave.open(io.BytesIO(b)) as _probe:
+                    _probe.getsampwidth()
+            except wave.Error:
+                # non-PCM WAVE: G.711 µ/A-law or IMA ADPCM — REAL
+                # decode via the audioop-cross-validated codecs
+                from .g711 import decode_wav_any
+
+                _rate, nch, x16 = decode_wav_any(b)
+                return stats(x16.astype(np.float64) / 32768.0, nch)
             with wave.open(io.BytesIO(b)) as w:
                 width = w.getsampwidth()
                 nch = w.getnchannels()
