@@ -659,6 +659,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import containers as containers_codec
     from ..operators import exif as exif_codec
     from ..operators import flac as flac_codec
+    from ..operators import g711 as g711_codec
     from ..operators import gif as gif_codec
     from ..operators import jpeg as jpeg_codec
     from ..operators import png as png_codec
@@ -694,8 +695,9 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             (pngs, jpegs, gifs, bmps, tiffs, wavs, tones, mp4s, avis,
-             flacs, webps, oggs, webms, warcs) = (
-                [], [], [], [], [], [], [], [], [], [], [], [], [], []
+             flacs, webps, oggs, webms, warcs, ulaws, alaws, imas) = (
+                [], [], [], [], [], [], [], [], [], [], [], [], [], [],
+                [], [], []
             )
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 b = (t or "").encode("utf-8")
@@ -764,6 +766,39 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # so every tone assertion must reproduce bit-identically
                 # from the compressed stream (Rice + fixed prediction)
                 flacs.append(flac_codec.encode(amp * sign, 8000, 16))
+                # G.711 (r7): the square tone at a COMPANDING-EXACT
+                # amplitude — one the µ/A-law quantizer reproduces
+                # bit-for-bit (roundtrip-asserted in tests/test_g711),
+                # so the decoded wave is exactly ±v and the RMS/ZCR
+                # contract transfers; v's closed form is in the oracle
+                u = 16 + nb % 96
+                v_u = int(g711_codec._ULAW_LUT[(~u) & 0xFF])
+                ulaws.append(
+                    g711_codec.wav_bytes(
+                        8000, 1, (v_u * sign).astype(np.int16),
+                        tag=g711_codec.WAVE_ULAW,
+                    )
+                )
+                al = 16 + nb % 96
+                v_a = int(g711_codec._ALAW_LUT[(0x80 | al) ^ 0x55])
+                alaws.append(
+                    g711_codec.wav_bytes(
+                        8000, 1, (v_a * sign).astype(np.int16),
+                        tag=g711_codec.WAVE_ALAW,
+                    )
+                )
+                # IMA ADPCM (r7): a DC signal at amp decodes EXACTLY
+                # (delta 0 → code 0; the step index walks to 0 where
+                # diff vanishes — here it starts at 0), so the block
+                # header, nibble walk and fact-chunk truncation all
+                # sit under the hash: without fact the single 505-
+                # sample block would report the padded count
+                imas.append(
+                    g711_codec.wav_bytes(
+                        8000, 1, np.full(n_s, amp, dtype=np.int16),
+                        tag=g711_codec.WAVE_IMA_ADPCM,
+                    )
+                )
                 # VP8L (WebP lossless): the text bytes as gray pixels,
                 # bounded to nb % 256 (the entropy loop is serial
                 # Python — O(1) per doc like the AVI branch); lossless,
@@ -855,6 +890,9 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ogg_payload": oggs,
                     "webm_payload": webms,
                     "warc_payload": warcs,
+                    "ulaw_payload": ulaws,
+                    "alaw_payload": alaws,
+                    "ima_payload": imas,
                 }
             )
 
@@ -865,7 +903,8 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wav_payload binary, "
         "tone_payload binary, mp4_payload binary, avi_payload binary, "
         "flac_payload binary, webp_payload binary, ogg_payload binary, "
-        "webm_payload binary, warc_payload binary",
+        "webm_payload binary, warc_payload binary, ulaw_payload binary, "
+        "alaw_payload binary, ima_payload binary",
     )
     d = decode_image(d, "png_payload", strict=True)
     d = d.withColumnsRenamed(
@@ -1084,6 +1123,33 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"rms_windows": "flac_rms_windows", "zero_cross_rate": "flac_zcr"}
     )
 
+    # G.711 (r7): REAL companded decode — the square tone at a
+    # quantizer-exact amplitude, so the same RMS/ZCR contract holds on
+    # the µ-law and A-law streams (operators/g711.py, audioop-
+    # cross-validated); IMA ADPCM carries a DC signal whose block
+    # header/nibble walk/fact truncation reproduce amp and n exactly
+    d = extract_audio_features(d, "ulaw_payload", n_windows=8)
+    d = d.withColumnsRenamed(
+        {"rms_windows": "ulaw_rms_windows", "zero_cross_rate": "ulaw_zcr"}
+    )
+    d = extract_audio_features(d, "alaw_payload", n_windows=8)
+    d = d.withColumnsRenamed(
+        {"rms_windows": "alaw_rms_windows", "zero_cross_rate": "alaw_zcr"}
+    )
+    d = decode_audio(d, "ima_payload", strict=True)
+    d = d.withColumnsRenamed(
+        {
+            "duration_s": "ima_duration_s",
+            "sample_rate": "ima_sample_rate",
+            "n_samples": "ima_n_samples",
+            "n_channels": "ima_channels",
+        }
+    )
+    d = extract_audio_features(d, "ima_payload", n_windows=8)
+    d = d.withColumnsRenamed(
+        {"rms_windows": "ima_rms_windows", "zero_cross_rate": "ima_zcr"}
+    )
+
     # Ogg: CRC-verified page walk through the strict decode_audio
     # dispatch — Opus (odd nb) and Vorbis (even nb) ident packets both
     # under the hash, length from the final granule position
@@ -1270,6 +1336,40 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flac_rms_q"),
         F.col("flac_zcr").alias("flac_zcr"),
+        # G.711: companding-exact amplitudes round back exactly (r7)
+        F.round(
+            F.aggregate(
+                "ulaw_rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / 8.0
+            * 32768.0
+        )
+        .cast("bigint")
+        .alias("ulaw_rms_q"),
+        "ulaw_zcr",
+        F.round(
+            F.aggregate(
+                "alaw_rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / 8.0
+            * 32768.0
+        )
+        .cast("bigint")
+        .alias("alaw_rms_q"),
+        "alaw_zcr",
+        # IMA ADPCM: DC decode is exact; n proves fact truncation
+        "ima_sample_rate",
+        "ima_n_samples",
+        F.round(
+            F.aggregate(
+                "ima_rms_windows", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / 8.0
+            * 32768.0
+        )
+        .cast("bigint")
+        .alias("ima_rms_q"),
+        "ima_zcr",
         F.col("duration_s").alias("mp4_duration_s"),
         F.col("width").alias("mp4_width"),
         F.col("height").alias("mp4_height"),
@@ -1302,7 +1402,8 @@ WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
      t AS (SELECT doc_id, text, nb,
                   64 + (nb % 64) AS n_s,
                   1 + (nb % 7) AS k,
-                  1000 + (nb % 100) * 300 AS amp
+                  1000 + (nb % 100) * 300 AS amp,
+                  16 + (nb % 96) AS u
            FROM n)
 SELECT doc_id,
        16 AS png_width,
@@ -1363,6 +1464,19 @@ SELECT doc_id,
        CAST(n_s AS BIGINT) AS flac_n_samples,
        CAST(amp AS BIGINT) AS flac_rms_q,
        CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS flac_zcr,
+       -- G.711 closed forms: the decode value of code u (µ-law) /
+       -- 0x80|u (A-law) — quantizer-exact amplitudes, so RMS rounds
+       -- back to exactly these
+       CAST(((u % 16) * 8 + 132) * (1 << (u // 16)) - 132 AS BIGINT)
+           AS ulaw_rms_q,
+       CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS ulaw_zcr,
+       CAST(((u % 16) * 16 + 264) * (1 << ((u // 16) - 1)) AS BIGINT)
+           AS alaw_rms_q,
+       CAST((n_s - 1) // k AS DOUBLE) / CAST(n_s - 1 AS DOUBLE) AS alaw_zcr,
+       8000 AS ima_sample_rate,
+       CAST(n_s AS BIGINT) AS ima_n_samples,
+       CAST(amp AS BIGINT) AS ima_rms_q,
+       CAST(0.0 AS DOUBLE) AS ima_zcr,  -- bare 0.0 is DECIMAL in DuckDB
        nb / 1000.0 AS mp4_duration_s,
        64 AS mp4_width,
        32 AS mp4_height,
