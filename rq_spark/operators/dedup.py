@@ -854,15 +854,19 @@ def connected_components(
 
 
 def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (doc, gram) word-n-gram STRING rows. The bloom path
-    hashes gram strings with md5 (engine-portable bit positions) where
-    the join-based paths use int64 hash chains."""
+    """Distinct-per-document (doc, gram) word-n-gram STRING rows. The
+    bloom path hashes gram strings with md5 (engine-portable bit
+    positions) where the join-based paths use int64 hash chains.
+    Per-doc dedup is `array_distinct` BEFORE the explode — inside the
+    row, no shuffle — the same zero-exchange shape as `shingle_sets`
+    (a global .distinct() here would shuffle every corpus gram)."""
     from .text import word_grams
 
     words = F.split(normalize_text(F.col(text_col)), " ")
     return df.select(
-        F.col(id_col).alias("doc"), F.explode(word_grams(words, n)).alias("gram")
-    ).distinct()
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_grams(words, n))).alias("gram"),
+    )
 
 
 def _bloom_pos(gram: Column, i: int, m_bits: int) -> Column:
@@ -924,8 +928,10 @@ def bloom_decontaminate(
     for r in word_rows:
         arr[r["wi"]] = r["bits"]
 
-    tr_distinct = tg.select("gram").distinct()
-    probed = tr_distinct
+    # probe INLINE on the exploded per-doc-distinct gram stream — the
+    # corpus side reaches the bit test with zero exchanges (the scale
+    # contract; a pre-probe distinct would shuffle every corpus gram)
+    probed = tg
     for i in range(k):
         probed = probed.withColumn(f"b{i}", _bloom_pos(F.col("gram"), i, m_bits))
     # the literal filter rides the plan as one array constant (a real
@@ -938,14 +944,16 @@ def bloom_decontaminate(
             f"CAST(b{i} & 63 AS INT)) & CAST(1 AS BIGINT)) = 1"
         )
         passed = c if passed is None else (passed & c)
+    # distinct-gram censuses: one count_distinct exchange ∝ distinct
+    # grams (the word-count budget), nothing corpus-sized
     stats = (
         probed.agg(
-            F.count(F.lit(1)).alias("n_probed"),
-            F.count(F.when(passed, 1)).alias("n_passed"),
+            F.count_distinct("gram").alias("n_probed"),
+            F.count_distinct(F.when(passed, F.col("gram"))).alias("n_passed"),
         )
         .crossJoin(ev_distinct.agg(F.count(F.lit(1)).alias("n_eval")))
     )
-    survivors = probed.filter(passed).select("gram")
+    survivors = probed.filter(passed).select("gram").distinct()
     pairs = (
         tg.join(F.broadcast(survivors), "gram")
         .join(

@@ -130,7 +130,13 @@ def test_dedup_incremental_probe_shape(spark, sf_dir):
 
     df = dedup.dedup_incremental(spark, sf_dir)
     plan = _physical_plan(df)
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only tolerated nested-loop join is the bloom_stats row's
+    # deliberate 1x1 cross of scalar aggregates — every BNLJ in the
+    # plan must be that Cross shape, and no row-relation may ever
+    # fall back to a nested loop
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line, f"non-cross nested loop: {line.strip()}"
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
 
@@ -231,3 +237,78 @@ def test_spread_gates_on_file_count_not_rdd(spark, sf_dir):
     # single local file -> widened to the session's parallelism
     assert "Exchange RoundRobinPartitioning" in _physical_plan(d)
     assert d.count() > 0
+
+
+def test_bloom_probe_corpus_reaches_bit_test_without_exchange(spark, sf_dir):
+    """The bloom prefilter's scale contract: corpus grams flow from
+    the scan to the bit-test filter with NO exchange (per-doc
+    array_distinct + inline literal-array probe), and the exact
+    verify joins are broadcast (survivors and eval side are the small
+    relations). The only exchanges in the pair plan belong to the
+    final (train, eval) count aggregation."""
+    from rq_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs, stats = bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 11 != 0),
+        docs.filter(F.col("doc_id") % 11 == 0),
+        "text",
+        "doc_id",
+        n=5,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    # grams are shuffled in exactly ONE place: the survivors distinct
+    # — and that exchange sits ABOVE the bit-test filter (children
+    # print below parents), i.e. only filter survivors are shuffled
+    gram_ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(gram" in l]
+    assert len(gram_ex) == 1, f"unexpected gram shuffles: {len(gram_ex)}"
+    probe_below = [
+        i for i, l in enumerate(lines)
+        if i > gram_ex[0] and "Filter" in l and "shiftright" in l
+    ]
+    assert probe_below, "survivors exchange is not fed by the bit-test filter"
+    # the probe side (first bit-test filter in print order) reaches
+    # its corpus scan with no hash exchange in between — only
+    # spread()'s RoundRobin local-input fix may appear
+    probe_idx = min(i for i, l in enumerate(lines) if "Filter" in l and "shiftright" in l)
+    scan_idx = min(i for i, l in enumerate(lines) if i > probe_idx and "FileScan" in l)
+    between = lines[probe_idx + 1 : scan_idx]
+    assert not any("Exchange hashpartitioning" in l for l in between), (
+        "corpus grams were hash-shuffled before the bloom bit test"
+    )
+
+
+def test_dsir_weight_is_single_scan_expression(spark, sf_dir):
+    """DSIR scoring is pure expression work: one scan of documents, no
+    exchange, no Python (the model is a literal map)."""
+    from rq_spark.operators.text import dsir_model, dsir_weight
+    from rq_spark.operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = dsir_model(docs, "text", F.col("lang") == "en", buckets=64)
+    scored = docs.select(
+        "doc_id",
+        dsir_weight(
+            model, F.split(normalize_text(F.col("text")), " ")
+        ).alias("w"),
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ReadSchema") == 1  # exactly one scan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_semdedup_cells_dedup_in_arrow_batches(spark, sf_dir):
+    """SemDeDup's quadratic work is confined to cells: the plan is one
+    FlatMapGroupsInPandas keyed on the cell assignment — the shuffle
+    key is the cell id, and nothing joins corpus-to-corpus."""
+    from rq_spark.operators.similarity import semdedup
+    from rq_spark.queries.dedup import _token_hash_corpus
+
+    out = semdedup(_token_hash_corpus(spark, sf_dir), 0.9, n_cells=4, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan  # no pairwise corpus join anywhere
