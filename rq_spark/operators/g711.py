@@ -249,9 +249,13 @@ def decode_wav_any(b: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
+    if len(fmt) < 14:
+        raise ValueError("WAVE fmt chunk truncated")
     tag, nch, rate = struct.unpack("<HHI", fmt[:8])
     bits = struct.unpack("<H", fmt[14:16])[0] if len(fmt) >= 16 else 16
     block_align = struct.unpack("<H", fmt[12:14])[0]
+    if nch == 0 or rate == 0:
+        raise ValueError("WAVE fmt declares zero channels or rate")
     if tag == WAVE_PCM:
         if bits == 16:
             samples = np.frombuffer(
@@ -268,6 +272,8 @@ def decode_wav_any(b: bytes) -> tuple[int, int, np.ndarray]:
     elif tag == WAVE_ALAW:
         samples = alaw_decode(data)
     elif tag == WAVE_IMA_ADPCM:
+        if block_align < 4 * nch + 4:
+            raise ValueError("IMA ADPCM block_align too small")
         samples = _ima_decode_blocks(data, nch, block_align)
     else:
         raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
@@ -397,14 +403,20 @@ def wav_params_any(b: bytes) -> tuple[int, int, int, float]:
         pos += 8 + size + (size & 1)
     if fmt is None or data_len is None:
         raise ValueError("WAVE missing fmt/data chunk")
+    if len(fmt) < 14:
+        raise ValueError("WAVE fmt chunk truncated")
     tag, nch, rate = struct.unpack("<HHI", fmt[:8])
     block_align = struct.unpack("<H", fmt[12:14])[0]
     bits = struct.unpack("<H", fmt[14:16])[0] if len(fmt) >= 16 else 16
+    if nch == 0 or rate == 0:
+        raise ValueError("WAVE fmt declares zero channels or rate")
     if tag == WAVE_PCM:
         n = data_len // (nch * max(bits // 8, 1))
     elif tag in (WAVE_ULAW, WAVE_ALAW):
         n = data_len // nch
     elif tag == WAVE_IMA_ADPCM:
+        if block_align < 4 * nch + 4:
+            raise ValueError("IMA ADPCM block_align too small")
         full = data_len // block_align
         per_block = 1 + (block_align - 4 * nch) * 2 // nch
         n = full * per_block

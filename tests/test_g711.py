@@ -158,3 +158,67 @@ def test_spark_audio_stages_handle_companded_wavs(spark):
         # lossy codings of the same tone: RMS within a few percent
         assert np.all(np.abs(rms[:7] - ref_rms[:7]) / ref_rms[:7] < 0.05), kind
         assert abs(feats[kind][1] - feats["pcm"][1]) < 0.02, kind
+
+
+def test_stereo_ima_block_decode_hand_built():
+    """Two-channel WAV IMA block: per-channel 4-byte headers, nibble
+    data interleaved in 4-byte groups; each channel decodes its own
+    chained state and samples interleave in the output."""
+    import struct
+
+    nch, block_align = 2, 16  # 2x4 header + 8 data bytes = 1 group
+    hdr = struct.pack("<hBB", 1000, 0, 0) + struct.pack("<hBB", -2000, 0, 0)
+    # ch0 nibbles all 0 (stays 1000: idx 0 -> diff 0); ch1 the same
+    body = bytes(4) + bytes(4)
+    data = hdr + body
+    got = g711._ima_decode_blocks(data, nch, block_align)
+    # per channel: 1 header sample + 8 nibbles = 9 samples
+    assert len(got) == 18
+    assert np.all(got[0::2] == 1000)
+    assert np.all(got[1::2] == -2000)
+
+
+def test_decode_wav_any_total_on_garbage():
+    """Malformed WAVE payloads must raise ValueError (or decode), never
+    crash with an arithmetic/struct error — the loud-reject contract."""
+    import struct
+
+    base = bytearray(g711.wav_bytes(8000, 1, np.zeros(32, np.int16)))
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            g711.decode_wav_any(bytes(b))
+            g711.wav_params_any(bytes(b))
+        except ValueError:
+            pass
+    # targeted: zero channels / zero rate / tiny block_align
+    z = bytearray(base)
+    z[22:24] = b"\0\0"  # nch = 0
+    with pytest.raises(ValueError):
+        g711.decode_wav_any(bytes(z))
+    r = bytearray(base)
+    r[24:28] = b"\0\0\0\0"  # rate = 0
+    with pytest.raises(ValueError):
+        g711.wav_params_any(bytes(r))
+    ima = bytearray(g711.wav_bytes(8000, 1, np.zeros(32, np.int16),
+                                   tag=g711.WAVE_IMA_ADPCM))
+    ima[32:34] = b"\1\0"  # block_align = 1 < header size
+    with pytest.raises(ValueError):
+        g711.decode_wav_any(bytes(ima))
+
+
+def test_ima_decode_throughput_floor():
+    """The per-sample Python recurrence must stay above a modest
+    floor (~load-robust 10x below measured) so a regression to
+    something pathological is caught."""
+    import time
+
+    rng = np.random.default_rng(3)
+    nib = rng.integers(0, 16, 200_000).astype(np.uint8)
+    t0 = time.time()
+    g711.ima_decode_nibbles(nib, 0, 0)
+    rate = len(nib) / (time.time() - t0)
+    assert rate > 50_000, f"IMA decode {rate:.0f} samples/s"
