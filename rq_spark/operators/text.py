@@ -374,11 +374,17 @@ def dsir_weight(model: tuple[list, int, int, int], words: Column) -> Column:
     )
     dt = float(tot_t + buckets)
     dr = float(tot_r + buckets)
+    zero = F.lit(0)
     factors = F.transform(
         bl,
+        # coalesce: a NEW document (scored outside the training
+        # corpus) can hit buckets absent from the model — smoothing
+        # covers them with count 0 instead of a NULL-poisoned product
         lambda b: (
-            ((F.element_at(mt, b) + 1).cast("double") / F.lit(dt))
-            / ((F.element_at(mr, b) + 1).cast("double") / F.lit(dr))
+            ((F.coalesce(F.element_at(mt, b), zero) + 1).cast("double")
+             / F.lit(dt))
+            / ((F.coalesce(F.element_at(mr, b), zero) + 1).cast("double")
+               / F.lit(dr))
         ),
     )
     return F.aggregate(factors, F.lit(1.0), lambda acc, p: acc * p)

@@ -229,8 +229,11 @@ def test_paeth_unfilter_throughput():
             t.append(time.perf_counter() - t0)
         return min(t)
 
+    # best-of on BOTH sides: a single naive run under ambient load
+    # (e.g. a Spark session winding down in the same suite) skews the
+    # ratio either way and flakes the 2.2x floor
     fast = best_of(lambda: png._unfilter(raw, h, stride, bpp))
-    slow = best_of(lambda: _naive_unfilter_paeth(raw, h, stride, bpp), n=1)
+    slow = best_of(lambda: _naive_unfilter_paeth(raw, h, stride, bpp), n=2)
     assert np.array_equal(
         png._unfilter(raw, h, stride, bpp), _naive_unfilter_paeth(raw, h, stride, bpp)
     )
