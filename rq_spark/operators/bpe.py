@@ -44,8 +44,13 @@ from pyspark.sql import types as T
 from .dedup import normalize_text
 
 # End-of-word marker glued onto a word's final character (Sennrich
-# convention). Chosen outside the normalized-text alphabet so it can
-# never collide with corpus symbols.
+# convention). Words CONTAINING this literal substring are rejected
+# loudly (`_word_symbols`): normalize_text only lowercases and
+# collapses whitespace, so e.g. XML/TEI corpora can carry "</w>" in
+# running text, and a silent collision would corrupt decode_tokens'
+# losslessness (it replaces every marker occurrence). Production use
+# on markup-bearing corpora should strip tags first (html_to_text) or
+# swap in a marker outside the corpus alphabet.
 EOW = "</w>"
 
 
@@ -62,6 +67,11 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
+    if EOW in word:
+        raise ValueError(
+            f"word contains the end-of-word marker {EOW!r}; "
+            "strip markup or choose a different marker"
+        )
     return tuple(word[:-1]) + (word[-1] + EOW,)
 
 
@@ -191,7 +201,7 @@ def bpe_tokens(merges: list[tuple[str, str]], text: Column) -> Column:
                 toks.extend(got)
             return toks
 
-        return col.map(run)
+        return col.map(run, na_action="ignore")
 
     return enc(normalize_text(text))
 

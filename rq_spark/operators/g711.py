@@ -96,7 +96,7 @@ def ulaw_encode(pcm: np.ndarray) -> bytes:
     x14 = np.asarray(pcm, dtype=np.int64) >> 2
     mask = np.where(x14 < 0, 0x7F, 0xFF)
     mag = np.where(x14 < 0, -x14, x14)
-    mag = np.minimum(mag, 8159) + 33
+    mag = np.minimum(mag, _ULAW_CLIP >> 2) + 33  # clip in the 14-bit domain
     seg = np.searchsorted(_ULAW_SEG_END, mag)  # first seg with mag <= end
     over = seg >= 8
     seg_c = np.minimum(seg, 7)
@@ -295,6 +295,8 @@ def _ima_decode_blocks(data: bytes, nch: int, block_align: int) -> np.ndarray:
         states = []
         for c in range(nch):
             pred, idx = struct.unpack_from("<hB", block, c * 4)[:2]
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
             states.append((pred, idx))
             chans[c].append(np.array([pred], dtype=np.int16))
         body = block[4 * nch :]
@@ -418,7 +420,10 @@ def wav_params_any(b: bytes) -> tuple[int, int, int, float]:
         if block_align < 4 * nch + 4:
             raise ValueError("IMA ADPCM block_align too small")
         full = data_len // block_align
-        per_block = 1 + (block_align - 4 * nch) * 2 // nch
+        # mirror the decoder exactly: nibble data is consumed in full
+        # 4-byte groups per channel; a remainder is discarded
+        groups = (block_align - 4 * nch) // (4 * nch)
+        per_block = 1 + groups * 8
         n = full * per_block
     else:
         raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")

@@ -535,8 +535,10 @@ def extract_audio_features(
             import wave
 
             try:
-                with wave.open(io.BytesIO(b)) as _probe:
-                    _probe.getsampwidth()
+                with wave.open(io.BytesIO(b)) as w:
+                    width = w.getsampwidth()
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
             except wave.Error:
                 # non-PCM WAVE: G.711 µ/A-law or IMA ADPCM — REAL
                 # decode via the audioop-cross-validated codecs
@@ -544,10 +546,6 @@ def extract_audio_features(
 
                 _rate, nch, x16 = decode_wav_any(b)
                 return stats(x16.astype(np.float64) / 32768.0, nch)
-            with wave.open(io.BytesIO(b)) as w:
-                width = w.getsampwidth()
-                nch = w.getnchannels()
-                raw = w.readframes(w.getnframes())
             if width == 2:
                 x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
             elif width == 1:  # 8-bit WAV is unsigned

@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..util import persist_tracked as _persist_tracked
 from .helpers import table
 
 _JACCARD_T = 0.5
@@ -1548,7 +1549,15 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle recomputes positions from gram STRINGS, so the hash also
     # certifies the positional hash-chain windows.
     docs = table(spark, sf_dir, "documents")
-    spans_df = D.repeated_spans(docs, "text", "doc_id", n=8)
+    # persisted: BOTH the span-report branch and the excise branch
+    # consume this relation in the caller's single action — without
+    # the pin, the repeat-census shuffle and join-back run twice
+    # (same duplicated-consumer pattern as text_dedup_bundle's band
+    # table). Scope "spans" is released by the next invocation's
+    # repeated_spans entry.
+    spans_df = _persist_tracked(
+        D.repeated_spans(docs, "text", "doc_id", n=8), scope="spans"
+    )
     span = spans_df.select(
         F.lit("span").alias("op"),
         F.col("doc_id").cast("bigint").alias("a_id"),
