@@ -58,6 +58,16 @@ def get_spark(app_name: str = "rq_spark", cpus: int | None = None) -> SparkSessi
         builder = builder.config(k, v)
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        # local-harness split sizing: test-scale tables are single
+        # ~50 MB parquet files, which the 128 MB default scans as 2-3
+        # partitions — starving a 32-core box at the SCAN stage
+        # (measured 15-25% on scan-bound keys). At cluster scale the
+        # default is right (files are many and large); override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
