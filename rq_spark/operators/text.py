@@ -388,3 +388,45 @@ def dsir_weight(model: tuple[list, int, int, int], words: Column) -> Column:
         ),
     )
     return F.aggregate(factors, F.lit(1.0), lambda acc, p: acc * p)
+
+
+def budget_mixture_thresholds(
+    df: DataFrame, group_col: str, size_col: str, denom: int = 2
+) -> list[tuple[str, int]]:
+    """The MEASURE half of budget-driven mixture sampling: give every
+    source an equal share of a global size budget (total_size //
+    (denom * n_sources)), derived from the corpus's own measured
+    per-source sizes — big sources get aggressively downsampled,
+    small ones kept whole, which is exactly how a target training mix
+    is hit in practice (measure, derive rates, apply).
+
+    Thresholds are INTEGER-ONLY 16-bit bucket bounds:
+    min(65536, budget * 65536 // size_s) — no floating point anywhere
+    in the derivation, so any engine reproduces them bit-for-bit from
+    the same counts. 65536 means keep-all.
+
+    Scale shape: one partial-agg groupBy (shuffle ∝ sources — tiny) +
+    a driver-side division per source; the APPLY half stays a pure
+    scan filter (`mixture_sample`), so the corpus itself is never
+    shuffled or materialized.
+
+    Returns sorted [(group, threshold_int)].
+    """
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(size_col).alias("t"))
+        .collect()
+    )
+    counts = sorted((r[group_col], int(r["t"])) for r in rows)
+    total = sum(t for _, t in counts)
+    budget = total // (denom * len(counts))
+    return [(g, min(65536, budget * 65536 // t)) for g, t in counts]
+
+
+def threshold_hex(thr: Column) -> Column:
+    """4-digit lowercase hex of a 16-bit threshold, 'g' for keep-all
+    (sorts above every hex digit). Matches `mixture_sample`'s string
+    comparison on md5 prefixes."""
+    return F.when(thr >= 65536, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.conv(thr.cast("string"), 10, 16), 4, "0"))
+    )

@@ -257,6 +257,49 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
            ELSE '4000' END
 """
 
+
+def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-DRIVEN mixture sampling (r7): the measure→derive→apply
+    loop a pipeline actually runs to hit a target mix — measure exact
+    per-source sizes (one tiny aggregate), derive each source's
+    keep-rate from an equal share of a global char budget with
+    INTEGER-only 16-bit thresholds (operators/text.py:
+    budget_mixture_thresholds — bit-reproducible on any engine), then
+    apply as the same pushdown-friendly md5-bucket scan filter as the
+    fixed-rate mixture. Big sources get cut hardest; sources under
+    budget keep everything."""
+    from ..operators.text import (
+        budget_mixture_thresholds,
+        mixture_sample,
+        threshold_hex,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    thrs = budget_mixture_thresholds(d, "source", "n_chars", denom=2)
+    mp = F.create_map(*[F.lit(x) for g, t in thrs for x in (g, t)])
+    thr_int = F.element_at(mp, F.col("source"))
+    kept = mixture_sample(d, "doc_id", threshold_hex(thr_int))
+    return kept.select(
+        "doc_id",
+        "source",
+        (thr_int.cast("double") / F.lit(65536.0)).alias("rate"),
+    )
+
+
+_SAMPLE_MIX_BUDGET_SQL = """
+SELECT doc_id, source, CAST(thri AS DOUBLE) / 65536.0 AS rate
+FROM documents
+JOIN (
+  WITH cnt AS (SELECT source, SUM(n_chars) AS t FROM documents GROUP BY source),
+       tot AS (SELECT SUM(t) AS tt, COUNT(*) AS ns FROM cnt)
+  SELECT source, LEAST(65536, (tt // (2 * ns)) * 65536 // t) AS thri
+  FROM cnt, tot
+) USING (source)
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN thri >= 65536 THEN 'g'
+           ELSE printf('%04x', CAST(thri AS INT)) END
+"""
+
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation: result identical to a plain
     groupBy, but phase 1 shuffles on (key, salt) so a pathologically
@@ -709,11 +752,20 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s1"),
         nulls.cast("string").alias("s2"),
     )
+    mixb = sample_mixture_budget(spark, sf_dir).select(
+        F.lit("mixture_budget").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("rate").cast("double").alias("v"),
+        F.col("source").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
     return (
         distinct.unionByName(sort)
         .unionByName(sample)
         .unionByName(strat)
         .unionByName(mix)
+        .unionByName(mixb)
     )
 
 
@@ -734,6 +786,9 @@ FROM ({_SAMPLE_STRAT_SQL})
 UNION ALL
 SELECT 'mixture', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
 FROM ({_SAMPLE_MIX_SQL})
+UNION ALL
+SELECT 'mixture_budget', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
+FROM ({_SAMPLE_MIX_BUDGET_SQL})
 """
 
 
