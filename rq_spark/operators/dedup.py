@@ -719,23 +719,35 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit signature
-    into 4×16-bit bands — any pair within Hamming distance 3 shares at
-    least one exact band (pigeonhole) — then verify with popcount."""
-    sig = _spread(df).select(
-        F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sig")
-    )
+    """Near-dup pairs among 64-bit signatures by banding: split into
+    `bands` equal bands — any pair within Hamming distance bands-1
+    shares at least one exact band (pigeonhole) — then verify with
+    popcount. Input is a (doc, sig) relation; shared by SimHash text
+    dedup and the perceptual image-hash dedup
+    (`operators/imagehash.py`). Candidate work ∝ band collisions,
+    never n² — narrower bands widen the guaranteed radius but collide
+    more (2^-width random-pair rate per band), the standard
+    multi-index-hashing tradeoff."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"radius {max_hamming} exceeds the pigeonhole guarantee of "
+            f"{bands} bands (max {bands - 1}); raise `bands`"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
     banded = sig.select(
         "doc",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("sig", b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
                 ]
             )
         ).alias("band", "bval"),
@@ -757,6 +769,16 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Text near-dup pairs by SimHash banding (see hamming_near_pairs)."""
+    sig = _spread(df).select(
+        F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sig")
+    )
+    return hamming_near_pairs(sig, max_hamming=max_hamming)
 
 
 # --------------------------------------------------------------------------

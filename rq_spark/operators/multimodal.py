@@ -282,6 +282,41 @@ def _gif_dims(b: bytes) -> tuple[int, int, int] | None:
     return width, height, 3
 
 
+def decode_pixels(b: bytes) -> "np.ndarray | None":
+    """Decode any supported image payload to an (h, w, c) uint8 pixel
+    array via the in-repo spec codecs, or None when the payload is not
+    a (supported) image. The shared dispatch behind extract_features
+    and the perceptual-hash operator.
+
+    GIF's magic is plausible ASCII ('GIF87a'), so unlike the binary
+    PNG/JPEG magics a text payload can sniff as GIF; only a payload
+    that parses END-TO-END takes the real branch. TIFF likewise keeps
+    None for unsupported profiles (tiles, exotic compressions) rather
+    than failing the whole batch."""
+    from . import bmp, gif, jpeg, png, tiff, vp8l
+
+    if png.is_png(b):
+        return png.decode(b)
+    if jpeg.is_jpeg(b):
+        return jpeg.decode(b)
+    if gif.is_gif(b):
+        try:
+            return gif.decode(b)
+        except gif.GifFormatError:
+            return None
+    if bmp.is_bmp(b):
+        return bmp.decode(b)
+    if tiff.is_tiff(b):
+        try:
+            return tiff.decode(b)
+        except tiff.TiffFormatError:
+            return None
+    if vp8l.is_webp_lossless(b):
+        # RGBA out; alpha is not luminance — keep RGB only
+        return vp8l.decode(b)[:, :, :3]
+    return None
+
+
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16) -> DataFrame:
     """Feature vector per payload. PNG/JPEG/GIF/BMP/TIFF/WebP-lossless
     payloads get REAL content features: the dim-bin normalized
@@ -290,8 +325,6 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
     payloads get the deterministic sha256 fake (stands in for a model
     forward pass; Arrow-batched so a real model would amortize per
     batch)."""
-    from . import bmp, gif, jpeg, png, tiff, vp8l
-
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("features", T.ArrayType(T.FloatType()))]
@@ -299,35 +332,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
 
     def feat(p) -> list[float]:
         b = bytes(p)
-        arr = None
-        if png.is_png(b):
-            arr = png.decode(b)
-        elif jpeg.is_jpeg(b):
-            arr = jpeg.decode(b)
-        elif gif.is_gif(b):
-            # GIF's magic is plausible ASCII ('GIF87a'), so unlike the
-            # binary PNG/JPEG magics a text payload can sniff as GIF;
-            # only a payload that parses END-TO-END takes the real
-            # branch — anything else keeps the deterministic fake the
-            # oracle recomputes (mirrors the decode_image strict-mode
-            # gate for header sniffs)
-            try:
-                arr = gif.decode(b)
-            except gif.GifFormatError:
-                arr = None
-        elif bmp.is_bmp(b):
-            arr = bmp.decode(b)
-        elif tiff.is_tiff(b):
-            try:
-                arr = tiff.decode(b)
-            except tiff.TiffFormatError:
-                # unsupported profile (tiles, other compressions):
-                # keep the deterministic fake rather than failing the
-                # whole batch — dims still sniff via _tiff_dims
-                arr = None
-        elif vp8l.is_webp_lossless(b):
-            # RGBA out; alpha is not luminance — histogram RGB only
-            arr = vp8l.decode(b)[:, :, :3]
+        arr = decode_pixels(b)
         if arr is not None:
             gray = arr.mean(axis=2, dtype=np.float64).ravel()
             hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
