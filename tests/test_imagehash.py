@@ -84,3 +84,16 @@ def test_band_radius_guarantee_enforced(spark):
         hamming_near_pairs(df, max_hamming=5, bands=4)
     with pytest.raises(ValueError, match="divide"):
         hamming_near_pairs(df, max_hamming=3, bands=5)
+
+
+def test_ahash_agrees_on_lossless_and_separates_images():
+    arr = smooth_field(48, 64)
+    a = imagehash.ahash64(arr)
+    # lossless re-encode -> identical pixels -> identical aHash
+    pix = imagehash.decode_pixels(bmp.encode(arr))
+    assert imagehash.ahash64(pix) == a
+    other = smooth_field(48, 64, phase=2.1)
+    d = bin((imagehash.ahash64(other) ^ a) & ((1 << 64) - 1)).count("1")
+    assert d > 8
+    # signed-int64 domain like dhash (Spark LongType compatible)
+    assert -(1 << 63) <= a < (1 << 63)
