@@ -912,6 +912,14 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"width": "png_width", "height": "png_height", "channels": "png_channels"}
     )
     d = extract_features(d, "png_payload", dim=8)
+    # perceptual hash (r7): the dHash of the decoded PNG pixels — the
+    # image-dedup signature — with the ORACLE recomputing all 64
+    # gradient bits straight from the text bytes (gray pixel = UTF-8
+    # byte, fixed 16-wide grid), so the decode→gray→9x8 nearest
+    # sample→bit pack chain is hash-exact cross-engine
+    from ..operators.imagehash import image_dhash
+
+    d = image_dhash(d, "png_payload").withColumnRenamed("dhash", "png_dhash")
     # each payload is dropped after its last consumer: ~15 chained
     # mapInPandas stages would otherwise ship every binary column
     # through Arrow both ways at every stage
@@ -1279,6 +1287,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < 1e-4
         ).alias("png_hist_ok"),
+        "png_dhash",
         "jpeg_width",
         "jpeg_height",
         F.col("jpeg_channels").cast("int").alias("jpeg_channels"),
@@ -1397,10 +1406,43 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_REAL_SQL = """
+
+
+def _dhash_oracle_expr() -> str:
+    """The oracle's dHash-64 of the synth PNG, straight from the text
+    bytes: gray(r, c) = byte r*16+c of the UTF-8 encoding (0 past the
+    end — the synth pads the 16-wide grid with NULs), nearest-sampled
+    to 9x8 (rows (k*hh)//8, fixed columns (j*16)//9), 64 gradient
+    bits packed MSB-first into a SIGNED 64-bit value (bit 63 spelled
+    as the min-long literal — DuckDB range-checks 1<<63)."""
+    cols = [(j * 16) // 9 for j in range(9)]  # [0,1,3,5,7,8,10,12,14]
+
+    def byte_at(k: int, c: int) -> str:
+        idx = f"((({k}*hh)//8)*16 + {c})"
+        return (
+            f"(CASE WHEN {idx} < nb THEN "
+            f"CAST(('0x' || substring(hx, 2*{idx}+1, 2)) AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+
+    terms = []
+    for k in range(8):
+        for j in range(8):
+            bit = f"({byte_at(k, cols[j])} > {byte_at(k, cols[j + 1])})"
+            pos = 63 - (k * 8 + j)
+            if pos == 63:
+                val = "CAST(-9223372036854775808 AS BIGINT)"
+            else:
+                val = f"(CAST(1 AS BIGINT) << {pos})"
+            terms.append(f"(CASE WHEN {bit} THEN {val} ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+_MM_REAL_SQL = f"""
 WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
            FROM documents),
      t AS (SELECT doc_id, text, nb,
+                  to_hex(encode(text)) AS hx,
+                  CAST(GREATEST(1, CEIL(nb / 16.0)) AS BIGINT) AS hh,
                   64 + (nb % 64) AS n_s,
                   1 + (nb % 7) AS k,
                   1000 + (nb % 100) * 300 AS amp,
@@ -1410,7 +1452,7 @@ SELECT doc_id,
        16 AS png_width,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS png_height,
        1 AS png_channels,
-       TRUE AS png_hist_ok,
+       TRUE AS png_hist_ok,\n       {_dhash_oracle_expr()} AS png_dhash,
        16 AS jpeg_width,
        GREATEST(1, CAST(CEIL(nb / 16.0) AS INT)) AS jpeg_height,
        1 AS jpeg_channels,
