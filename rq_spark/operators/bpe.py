@@ -18,8 +18,10 @@ HF tokenizers / SentencePiece train from aggregated word counts):
   word memo (Zipf makes the cache hit rate ≈ 1).
 * The MERGE LOOP runs driver-side over the aggregated vocabulary:
   Heaps' law keeps distinct words ≪ corpus (~10⁶-10⁸ at 100 TB), and
-  `max_vocab_words` gives a deterministic frequency-truncation bound
-  (count desc, word asc) when even that is too wide. Re-running the
+  the DEFAULT-ON `max_vocab_words` bound truncates the vocabulary
+  DISTRIBUTED (TakeOrderedAndProject on (count desc, word asc))
+  before the collect, so driver memory is capped regardless of
+  corpus size. Re-running the
   pair count as a Spark job per merge round would pay ~n_merges
   full-shuffle latencies to move kilobytes — the aggregate-then-learn
   split is the idiomatic shape, exactly like `fit_logistic`'s
@@ -66,6 +68,26 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# Default driver-vocabulary bound for `fit_bpe`: distinct words beyond
+# this are frequency-truncated BEFORE the collect, so the driver never
+# holds more than this many rows no matter the corpus size. 2^18 words
+# dwarf any real tokenizer-training vocabulary (GPT-2's BPE saw ~50k
+# merges); pass None to collect the exact full vocabulary.
+DEFAULT_MAX_VOCAB_WORDS = 1 << 18
+
+
+def truncated_vocab(df: DataFrame, text_col: str, max_words: int) -> DataFrame:
+    """`word_vocab` truncated to the `max_words` most frequent words —
+    deterministically: (count desc, word asc), so identical corpora
+    truncate identically on any cluster layout. orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition top-N heap + driver merge
+    of max_words rows — asserted in tests/test_plans.py), never a
+    global sort of the vocabulary."""
+    return word_vocab(df, text_col).orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    ).limit(max_words)
+
+
 def _word_symbols(word: str) -> tuple[str, ...]:
     if EOW in word:
         raise ValueError(
@@ -79,22 +101,31 @@ def fit_bpe(
     df: DataFrame,
     text_col: str,
     n_merges: int,
-    max_vocab_words: int | None = None,
+    max_vocab_words: int | None = DEFAULT_MAX_VOCAB_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges over the corpus. Returns the ordered
     merge list [(left, right), ...] — order IS the rank table the
     encoder applies.
 
     Deterministic end-to-end: word counts are exact, vocabulary
-    truncation (if any) orders by (count desc, word asc), and each
-    round's argmax tiebreak is (pair count desc, pair lexicographic
-    asc) — identical corpora learn identical merges on any cluster
-    layout.
+    truncation orders by (count desc, word asc), and each round's
+    argmax tiebreak is (pair count desc, pair lexicographic asc) —
+    identical corpora learn identical merges on any cluster layout.
+
+    The truncation is ON by default (DEFAULT_MAX_VOCAB_WORDS) and runs
+    DISTRIBUTED (`truncated_vocab`: TakeOrderedAndProject, a
+    per-partition heap), so the driver collect is bounded at 2^18 rows
+    even on a 100 TB corpus whose distinct words run to billions; a
+    corpus whose vocabulary fits the bound learns exactly the merges
+    the unbounded run would (the bound only cuts words the frequency
+    order ranks below every retained one). Pass None for the exact
+    full-vocabulary collect.
     """
-    rows = word_vocab(df, text_col).collect()
-    vocab = sorted(((r["w"], int(r["c"])) for r in rows), key=lambda t: (-t[1], t[0]))
+    vdf = word_vocab(df, text_col)
     if max_vocab_words is not None:
-        vocab = vocab[:max_vocab_words]
+        vdf = truncated_vocab(df, text_col, max_vocab_words)
+    rows = vdf.collect()
+    vocab = sorted(((r["w"], int(r["c"])) for r in rows), key=lambda t: (-t[1], t[0]))
 
     # words as mutable symbol lists + an inverted pair→word index so a
     # merge round touches only the words containing the merged pair

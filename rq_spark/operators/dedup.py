@@ -930,7 +930,8 @@ def bloom_decontaminate(
     distinct-gram censuses certifying the filter construction and
     probe bit-for-bit (the oracle rebuilds the same bits in SQL).
     """
-    assert m_bits % 64 == 0
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     tg = _gram_strings(_spread(train), text_col, id_col, n)
     eg = _gram_strings(eval_df, text_col, id_col, n)
     ev_distinct = eg.select("gram").distinct()

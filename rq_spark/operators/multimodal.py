@@ -533,6 +533,11 @@ def extract_audio_features(
         zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
         return rms, zc
 
+    def fake(b: bytes) -> tuple[list[float], float]:
+        d = hashlib.sha256(b).digest()
+        arr = np.frombuffer((d * ((n_windows * 4) // len(d) + 1))[: n_windows * 4], "<u4")
+        return (arr.astype(np.float32) / np.float32(2**32)).tolist(), d[0] / 255.0
+
     def feats(p) -> tuple[list[float], float]:
         b = bytes(p)
         if _is_wav(b):
@@ -549,7 +554,13 @@ def extract_audio_features(
                 # decode via the audioop-cross-validated codecs
                 from .g711 import decode_wav_any
 
-                _rate, nch, x16 = decode_wav_any(b)
+                try:
+                    _rate, nch, x16 = decode_wav_any(b)
+                except ValueError:
+                    # unsupported compressed tag (e.g. MS-ADPCM 0x02):
+                    # deterministic fake, same contract as non-audio
+                    # payloads — never fail the whole Arrow batch
+                    return fake(b)
                 return stats(x16.astype(np.float64) / 32768.0, nch)
             if width == 2:
                 x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
@@ -569,9 +580,7 @@ def extract_audio_features(
             samples, _rate, bits = flac_codec.decode(b)
             x = samples.astype(np.float64).ravel() / float(1 << (bits - 1))
             return stats(x, samples.shape[1])
-        d = hashlib.sha256(b).digest()
-        arr = np.frombuffer((d * ((n_windows * 4) // len(d) + 1))[: n_windows * 4], "<u4")
-        return (arr.astype(np.float32) / np.float32(2**32)).tolist(), d[0] / 255.0
+        return fake(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -410,6 +410,12 @@ def budget_mixture_thresholds(
     scan filter (`mixture_sample`), so the corpus itself is never
     shuffled or materialized.
 
+    Degenerate inputs fail loudly instead of corrupting the mix: a
+    NULL group key or a NULL/zero size total (a source with no
+    measurable bytes cannot receive a meaningful share, and silently
+    skipping it would misstate the per-source budget) raises
+    ValueError naming the offending groups.
+
     Returns sorted [(group, threshold_int)].
     """
     rows = (
@@ -417,6 +423,13 @@ def budget_mixture_thresholds(
         .agg(F.sum(size_col).alias("t"))
         .collect()
     )
+    bad = [r[group_col] for r in rows if r[group_col] is None or r["t"] is None or int(r["t"]) <= 0]
+    if bad:
+        raise ValueError(
+            "budget_mixture_thresholds: NULL group key or NULL/zero "
+            f"{size_col} total for group(s) {bad!r}; filter or fix these "
+            "sources before deriving a mixture"
+        )
     counts = sorted((r[group_col], int(r["t"])) for r in rows)
     total = sum(t for _, t in counts)
     budget = total // (denom * len(counts))

@@ -136,3 +136,20 @@ def test_exhausted_corpus_stops_early(spark):
         toks = bpe.encode_word(w, ranks)
         assert len(toks) == 1
         assert bpe.decode_tokens(toks) == w
+
+
+def test_default_vocab_bound_matches_unbounded_and_is_distributed(spark):
+    """r8: the driver-vocab bound is ON by default and changes nothing
+    when the vocabulary fits it; the truncation itself compiles to
+    TakeOrderedAndProject (per-partition heap), never a vocab sort."""
+    sdf = spark.read.parquet(f"{SF}/documents.parquet")
+    assert bpe.fit_bpe(sdf, "text", n_merges=20) == bpe.fit_bpe(
+        sdf, "text", n_merges=20, max_vocab_words=None
+    )
+    plan = (
+        bpe.truncated_vocab(sdf, "text", 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

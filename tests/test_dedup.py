@@ -429,3 +429,16 @@ def test_excise_spans_overlapping_windows_and_full_excision(spark):
         for r in excise_spans(docs, spans, "text", "doc_id", n=8).collect()
     }
     assert got == {1: (9, ""), 2: (9, "intro outro")}
+
+
+def test_bloom_misaligned_width_raises(spark):
+    """ADVICE r7: a non-64-multiple filter width must raise ValueError
+    (an assert is stripped under python -O and would silently corrupt
+    word indexing)."""
+    import pytest
+
+    from rq_spark.operators.dedup import bloom_decontaminate
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_decontaminate(df, df, "text", "doc_id", m_bits=100)

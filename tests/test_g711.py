@@ -222,3 +222,23 @@ def test_ima_decode_throughput_floor():
     g711.ima_decode_nibbles(nib, 0, 0)
     rate = len(nib) / (time.time() - t0)
     assert rate > 50_000, f"IMA decode {rate:.0f} samples/s"
+
+
+def test_audio_features_unsupported_tag_falls_back_to_fake(spark):
+    """ADVICE r7: a sniffed WAV with an unsupported compressed format
+    tag (e.g. MS-ADPCM 0x02) must yield the documented deterministic
+    sha256 fake features, not fail the whole Arrow batch."""
+    import hashlib
+
+    from rq_spark.operators.multimodal import extract_audio_features
+
+    pcm = np.zeros(64, dtype=np.int16)
+    b = bytearray(g711.wav_bytes(8000, 1, pcm, tag=g711.WAVE_PCM))
+    b[20:22] = (0x02).to_bytes(2, "little")  # MS-ADPCM: sniffs as WAV
+    df = spark.createDataFrame([(1, bytes(b))], "id long, payload binary")
+    row = extract_audio_features(df, "payload", n_windows=4).collect()[0]
+    d = hashlib.sha256(bytes(b)).digest()
+    arr = np.frombuffer((d * ((4 * 4) // len(d) + 1))[: 4 * 4], "<u4")
+    want = (arr.astype(np.float32) / np.float32(2**32)).tolist()
+    assert row["rms_windows"] == pytest.approx(want)
+    assert row["zero_cross_rate"] == pytest.approx(d[0] / 255.0)

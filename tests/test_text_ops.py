@@ -362,3 +362,33 @@ def test_nfc_normalize_matches_duckdb_utf8proc(spark):
     # NULL passes through
     dfn = spark.createDataFrame([(1, None)], "i long, s string")
     assert dfn.select(nfc_normalize(F.col("s")).alias("n")).collect()[0]["n"] is None
+
+
+def test_budget_mixture_rejects_degenerate_groups(spark):
+    """ADVICE r7: NULL group keys and NULL/zero size totals must raise
+    a descriptive ValueError instead of ZeroDivisionError/TypeError —
+    a source with no measurable bytes cannot receive a share."""
+    import pytest
+
+    from rq_spark.operators.text import budget_mixture_thresholds
+
+    ok = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "src string, sz long"
+    )
+    assert budget_mixture_thresholds(ok, "src", "sz", denom=1)
+
+    zero = spark.createDataFrame([("a", 10), ("b", 0)], "src string, sz long")
+    with pytest.raises(ValueError, match="zero"):
+        budget_mixture_thresholds(zero, "src", "sz")
+
+    nulls = spark.createDataFrame(
+        [("a", 10), ("b", None)], "src string, sz long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        budget_mixture_thresholds(nulls, "src", "sz")
+
+    nullkey = spark.createDataFrame(
+        [("a", 10), (None, 7)], "src string, sz long"
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        budget_mixture_thresholds(nullkey, "src", "sz")
