@@ -39,6 +39,36 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, words array<string>) — THE shared normalize+split pass.
+
+    normalize_text (a regexp_replace over the full text) plus the
+    split dominate every text-keying pipeline's scan cost; computing
+    this relation once and persisting it lets exact dedup, shingling,
+    span windows and excision all read one cached pass instead of
+    re-running the regex per branch (r7 verdict task #3)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
+    )
+
+
+def exact_dedup_groups_from_words(toks: DataFrame) -> DataFrame:
+    """`exact_dedup_groups` off a (doc, words) relation: rejoining the
+    words array with single spaces reproduces normalize_text exactly
+    (the normalized form has no leading/trailing/duplicate spaces, and
+    an empty normalization round-trips through [''] → '')."""
+    return (
+        toks.select("doc", F.concat_ws(" ", "words").alias("_norm"))
+        .groupBy("_norm")
+        .agg(
+            F.min("doc").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("rep_id", "n_dups")
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct normalized text: representative id + count."""
     return (
@@ -63,9 +93,10 @@ from ..util import spread as _spread
 # --------------------------------------------------------------------------
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """One row per document: (doc, sh_arr array<bigint>) of distinct
-    hashed word n-grams. A document with fewer than n words gets an
+def shingle_sets_from_words(toks: DataFrame, n: int = 3) -> DataFrame:
+    """`shingle_sets` off a (doc, words) relation (see `tokenized`) —
+    the shape that lets one persisted tokenization feed several
+    shingle consumers. A document with fewer than n words gets an
     EMPTY array (an unguarded sequence(0, size-n) descends for short
     docs and slice() then aborts the whole stage).
 
@@ -78,9 +109,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     transform — and every downstream join/agg shuffles fixed-width
     longs instead of ~25-byte strings. False-collision probability per
     doc ≈ shingles²/2⁶⁴ ≈ 1e-13, below any oracle's resolution."""
-    norm = normalize_text(F.col(text_col))
-    words = F.split(norm, " ")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
+    wh = F.transform(F.col("words"), lambda w: F.xxhash64(w))
     sz = F.size(wh)
     # chain[i] after step s covers tokens i..i+s; zip_with pads the
     # shorter (shifted) side with null, and those tail entries are cut
@@ -92,9 +121,15 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     grams = F.when(sz >= n, F.slice(chain, 1, sz - (n - 1))).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.select(
-        F.col(id_col).alias("doc"), F.array_distinct(grams).alias("sh_arr")
-    )
+    return toks.select("doc", F.array_distinct(grams).alias("sh_arr"))
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per document: (doc, sh_arr array<bigint>) of distinct
+    hashed word n-grams (`shingle_sets_from_words` over an inline
+    tokenization — Catalyst collapses the two projections, so the
+    standalone plan is unchanged)."""
+    return shingle_sets_from_words(tokenized(df, text_col, id_col), n=n)
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -254,6 +289,7 @@ def text_dedup_bundle(
     bands: int = 24,
     shingle_n: int = 3,
     prefix_order: str = "hash",
+    toks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(minhash_pairs, exact_pairs) off ONE shared shingling pass —
     algorithmically identical to `minhash_dedup_pairs` and
@@ -283,11 +319,20 @@ def text_dedup_bundle(
     Candidate sets of near-dup generators overlap almost entirely (the
     LSH set w.h.p. contains every true pair; the prefix set provably
     does), so separate verifies would join ~the same pairs against the
-    corpus arrays twice."""
+    corpus arrays twice.
+
+    ``toks``: an optional pre-tokenized (doc, words) relation (see
+    `tokenized`) — pass the caller's persisted tokenization so the
+    bundle's shingling reads it instead of re-running the normalize
+    regex over the corpus (the caller owns spreading/persisting it)."""
     _release_caches("text_bundle")
+    base = (
+        shingle_sets_from_words(toks, n=shingle_n)
+        if toks is not None
+        else shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
+    )
     sets = _persist_tracked(
-        shingle_sets(_spread(df), text_col, id_col, n=shingle_n)
-        .filter(F.size("sh_arr") > 0),
+        base.filter(F.size("sh_arr") > 0),
         scope="text_bundle",
     )
     sig = minhash_signatures(sets, num_hashes=num_hashes)
@@ -407,6 +452,7 @@ def repeated_spans(
     id_col: str,
     n: int = 8,
     min_docs: int = 2,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Passage-level dedup: every position where an n-token window of
     one document reappears in ANOTHER document — the 'remove repeated
@@ -426,8 +472,14 @@ def repeated_spans(
     documents to each other."""
     if n & (n - 1):
         raise ValueError(f"repeated_spans: n must be a power of two, got {n}")
-    norm = normalize_text(F.col(text_col))
-    words = F.split(norm, " ")
+    # ``toks``: optional shared (doc, words) tokenization (see
+    # `tokenized`) so one persisted normalize+split pass feeds the
+    # span census alongside the other dedup branches
+    if toks is not None:
+        src, id_expr, words = toks, F.col("doc"), F.col("words")
+    else:
+        src, id_expr = df, F.col(id_col)
+        words = F.split(normalize_text(F.col(text_col)), " ")
     wh = F.transform(words, lambda w: F.xxhash64(w))
     sz = F.size(wh)
     # DOUBLING hash composition: combine the chain with itself shifted
@@ -447,8 +499,8 @@ def repeated_spans(
     )
     _release_caches("spans")
     win = _persist_tracked(
-        df.select(
-            F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "h")
+        src.select(
+            id_expr.alias("doc_id"), F.posexplode(grams).alias("pos0", "h")
         ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h"),
         scope="spans",
     )  # both the repeat census and the join-back read it: scan once
@@ -995,6 +1047,7 @@ def excise_spans(
     text_col: str,
     id_col: str,
     n: int = 8,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Apply `repeated_spans` hits: REMOVE every token covered by a
     cross-document repeated n-token window and re-assemble the
@@ -1011,8 +1064,16 @@ def excise_spans(
     rare side) and per-doc O(tokens) array work.
 
     Returns (doc_id, n_removed, n_kept, clean_text) for documents that
-    lost at least one token."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    lost at least one token.
+
+    ``toks``: optional shared (doc, words) tokenization (see
+    `tokenized`) — the excision then re-reads the cached arrays
+    instead of re-normalizing the corpus."""
+    if toks is not None:
+        src, id_expr, words = toks, F.col("doc"), F.col("words")
+    else:
+        src, id_expr = df, F.col(id_col)
+        words = F.split(normalize_text(F.col(text_col)), " ")
     starts = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
         F.collect_set("pos").alias("_starts")
     )
@@ -1028,9 +1089,9 @@ def excise_spans(
         " ", F.transform(kept_pos, lambda i: F.element_at(words, i))
     )
     return (
-        df.join(starts, F.col(id_col) == F.col("_sid"))
+        src.join(starts, id_expr == F.col("_sid"))
         .select(
-            F.col(id_col).alias("doc_id"),
+            id_expr.alias("doc_id"),
             (F.size(words) - F.size(kept_pos)).alias("n_removed"),
             F.size(kept_pos).alias("n_kept"),
             clean.alias("clean_text"),

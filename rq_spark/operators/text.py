@@ -215,9 +215,18 @@ def unigram_lm_model(df: DataFrame, text_col: str) -> tuple[list, int]:
     ships as a broadcast table or hashed buckets.
 
     Returns (sorted [(word, count)], total_tokens)."""
-    words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    return unigram_lm_model_from_words(
+        df.select(F.split(normalize_text(F.col(text_col)), " ").alias("_lm_w")),
+        "_lm_w",
+    )
+
+
+def unigram_lm_model_from_words(df: DataFrame, words_col: str) -> tuple[list, int]:
+    """`unigram_lm_model` off a pre-split words-array column — the
+    shape that lets one persisted tokenization feed the LM-model scan
+    alongside the scoring pass (r8 shared-tokenization)."""
     rows = (
-        df.select(words)
+        df.select(F.explode(F.col(words_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -331,9 +340,25 @@ def dsir_model(
 
     Returns (sorted [(bucket, target_count, raw_count)], T, R, buckets)
     with T/R the total target/raw gram occurrences."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    return dsir_model_from_words(
+        df.select(
+            F.split(normalize_text(F.col(text_col)), " ").alias("_ds_w"),
+            target.alias("_ds_t"),
+        ),
+        "_ds_w",
+        F.col("_ds_t"),
+        buckets=buckets,
+    )
+
+
+def dsir_model_from_words(
+    df: DataFrame, words_col: str, target: Column, buckets: int = 64
+) -> tuple[list, int, int, int]:
+    """`dsir_model` off a pre-split words-array column (r8 shared
+    tokenization — see `unigram_lm_model_from_words`)."""
     toks = df.select(
-        target.alias("is_t"), F.explode(word_grams(words, 2)).alias("tok")
+        target.alias("is_t"),
+        F.explode(word_grams(F.col(words_col), 2)).alias("tok"),
     )
     bucket = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % buckets
     rows = (

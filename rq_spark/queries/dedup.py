@@ -19,6 +19,8 @@ from pyspark.sql import types as T
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..util import persist_tracked as _persist_tracked
+from ..util import release_caches as _release_caches
+from ..util import spread as _spread
 from .helpers import table
 
 _JACCARD_T = 0.5
@@ -1560,9 +1562,19 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard oracle (the LSH parameters make a missed true pair
     measure-zero, module docstring), so the merged oracle emits the
     pair SQL twice under both tags, and the exact branch's group SQL
-    once."""
+    once.
+
+    r8: ONE persisted tokenization (operators/dedup.py:tokenized)
+    feeds every branch — exact groups (rejoined words), the bundle's
+    shingling, the span windows, and the excision — so the normalize
+    regex runs once over the corpus instead of once per branch."""
+    docs = table(spark, sf_dir, "documents")
+    _release_caches("dedup_text")
+    toks = _persist_tracked(
+        D.tokenized(_spread(docs), "text", "doc_id"), scope="dedup_text"
+    )
     nulls = F.lit(None)
-    exact = dedup_exact(spark, sf_dir).select(
+    exact = D.exact_dedup_groups_from_words(toks).select(
         F.lit("exact").alias("op"),
         F.col("rep_id").cast("bigint").alias("a_id"),
         nulls.cast("bigint").alias("b_id"),
@@ -1581,16 +1593,15 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one shared shingling pass feeds both pair branches
     # (operators/dedup.py:text_dedup_bundle — same algorithms/params as
-    # the standalone operators, corpus shingled once instead of twice)
+    # the standalone operators), reading the shared tokenization
     mh, ex = D.text_dedup_bundle(
-        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+        docs, "text", "doc_id", threshold=_JACCARD_T, toks=toks
     )
     # op='span' (late r6): passage-level dedup — every position whose
     # 8-token window reappears in another document (repeated_spans,
     # the Lee-et-al. substring-dedup shape; no pairwise join). The
     # oracle recomputes positions from gram STRINGS, so the hash also
     # certifies the positional hash-chain windows.
-    docs = table(spark, sf_dir, "documents")
     # persisted: BOTH the span-report branch and the excise branch
     # consume this relation in the caller's single action — without
     # the pin, the repeat-census shuffle and join-back run twice
@@ -1598,7 +1609,7 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table). Scope "spans" is released by the next invocation's
     # repeated_spans entry.
     spans_df = _persist_tracked(
-        D.repeated_spans(docs, "text", "doc_id", n=8), scope="spans"
+        D.repeated_spans(docs, "text", "doc_id", n=8, toks=toks), scope="spans"
     )
     span = spans_df.select(
         F.lit("span").alias("op"),
@@ -1612,7 +1623,7 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fed from the SAME spans relation). b_id carries the cleaned
     # text's md5 prefix as a bigint, so the driver hash certifies the
     # exact post-excision string per document cross-engine.
-    excise = D.excise_spans(docs, spans_df, "text", "doc_id", n=8).select(
+    excise = D.excise_spans(docs, spans_df, "text", "doc_id", n=8, toks=toks).select(
         F.lit("excise").alias("op"),
         F.col("doc_id").cast("bigint").alias("a_id"),
         F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10)

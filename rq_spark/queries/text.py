@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import text as X
+from ..util import persist_tracked as _persist_tracked
+from ..util import release_caches as _release_caches
 from .helpers import spread, table
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -125,46 +127,55 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, the importance-resampling selection signal of Xie et al.
     2023, trained here with the corpus's `lang` tag as the target
     distribution; hash-exact by the same ordered-IEEE-fold contract,
-    operators/text.py:dsir_model / dsir_weight)."""
+    operators/text.py:dsir_model / dsir_weight).
+
+    Evaluation-barrier design (r8, replacing the r7 optimizer-taint
+    hack): the expensive lang/quality/LM/DSIR expression trees live in
+    ONE projection that is PERSISTED; the keep-filter runs on top of
+    the InMemoryRelation, reading cached boolean-cheap columns.
+    Catalyst cannot push a filter into a cached plan, so the trees are
+    provably evaluated exactly once, in the parallel project — the
+    same 10× win the old `monotonically_increasing_id() >= 0` taint
+    bought, without resting on undocumented pushdown behavior
+    (asserted in tests/test_plans.py: no nondeterministic guard, one
+    occurrence of each expensive tree). The tokenization itself
+    (normalize+split) is also persisted and shared by the LM-model
+    scan, the DSIR-model scan and the scoring projection — three
+    scans, one regex pass."""
+    _release_caches("curation")
     raw = table(spark, sf_dir, "documents")
-    lm = X.unigram_lm_model(raw, "text")
-    ds = X.dsir_model(raw, "text", F.col("lang") == "en", buckets=_DSIR_B)
-    d = spread(raw)
-    t = F.col("text")
-    lang = X.lang_id(t)
-    qual = X.quality_score(t)
-    n_words = F.size(F.split(X.normalize_text(t), " "))
-    # The keep-flag carries a nondeterministic no-op term: without it,
-    # Catalyst inlines the flag and pushes the conjuncts below the
-    # repartition onto the (single, local) scan partition, evaluating
-    # the full lang/quality trees twice AND serially — measured 10×
-    # slower. Tainted, the expensive trees are evaluated exactly once,
-    # in the parallel project, and the filter sees a boolean column.
-    keep = (
-        (lang == "en")
-        & (qual >= 0.55)
-        & (n_words >= 20)
-        & (n_words <= 120)
-        & (F.monotonically_increasing_id() >= 0)
-    )
-    kept = (
-        d.select(
+    toks = _persist_tracked(
+        spread(raw).select(
             "doc_id",
-            lang.alias("lang_guess"),
-            qual.alias("quality"),
-            n_words.alias("n_words"),
-            X.unigram_lm_product(lm, F.split(X.normalize_text(t), " ")).alias(
-                "lm_product"
-            ),
-            X.dsir_weight(ds, F.split(X.normalize_text(t), " ")).alias(
-                "dsir_weight"
-            ),
-            keep.alias("_keep"),
-        )
-        .filter("_keep")
-        .drop("_keep")
-        .withColumn("shard_id", F.col("doc_id") % _N_SHARDS)
+            "lang",
+            "text",
+            F.split(X.normalize_text(F.col("text")), " ").alias("words"),
+        ),
+        scope="curation",
     )
+    lm = X.unigram_lm_model_from_words(toks, "words")
+    ds = X.dsir_model_from_words(
+        toks, "words", F.col("lang") == "en", buckets=_DSIR_B
+    )
+    t = F.col("text")
+    w = F.col("words")
+    scored = _persist_tracked(
+        toks.select(
+            "doc_id",
+            X.lang_id(t).alias("lang_guess"),
+            X.quality_score(t).alias("quality"),
+            F.size(w).alias("n_words"),
+            X.unigram_lm_product(lm, w).alias("lm_product"),
+            X.dsir_weight(ds, w).alias("dsir_weight"),
+        ),
+        scope="curation",
+    )
+    kept = scored.filter(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality") >= 0.55)
+        & (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 120)
+    ).withColumn("shard_id", F.col("doc_id") % _N_SHARDS)
     w = (
         Window.partitionBy("shard_id")
         .orderBy("doc_id")

@@ -67,20 +67,34 @@ def test_embedding_near_pairs_has_no_nested_loop(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
 
 
-def test_curation_filter_stays_above_exchange(spark, sf_dir):
-    """corpus_curation's keep-flag must not be inlined and pushed below
-    the repartition: the expensive lang/quality trees are evaluated
-    once, in the parallel project (queries/text.py explains the
-    nondeterministic taint)."""
+def test_curation_trees_evaluated_once_behind_barrier(spark, sf_dir):
+    """r8: corpus_curation's expensive lang/quality trees live in ONE
+    persisted projection; the keep-filter reads cached columns above
+    the InMemoryTableScan. No nondeterministic taint guard remains,
+    and each expensive tree appears exactly once in the whole physical
+    plan (were the filter inlined+pushed, the trees would print twice:
+    once in the filter, once in the project)."""
     from rq_spark.queries import text
 
     df = text.corpus_curation(spark, sf_dir)
     plan = _physical_plan(df)
-    # the packing window adds its own (legitimate) shard Exchange above
-    # the filter; the invariant is about the scan-side repartition —
-    # the deepest Exchange, textually last in the top-down plan print
-    i_filter, i_exchange = plan.index("Filter"), plan.rindex("Exchange")
-    assert i_filter < i_exchange, "filter was pushed below the repartition"
+    assert "monotonically" not in plan, "the r7 taint hack is back"
+    assert "InMemoryTableScan" in plan, "evaluation barrier missing"
+    # the quality tree (punct char class) prints exactly once; the lang
+    # tree prints per REFERENCE inside one Project (when() shows the
+    # argmax struct for condition and value — one evaluation under
+    # per-operator CSE), so the invariant there is placement, not count
+    assert plan.count("[^.,;:!?]") == 1, "quality tree evaluated more than once"
+    # every expensive-tree print sits BELOW the cached relation — the
+    # consumer side (filter/window/packing) never re-evaluates them
+    i_relation = plan.index("InMemoryRelation")
+    assert plan.index(" der ") > i_relation, "lang tree leaked above the barrier"
+    assert plan.index("[^.,;:!?]") > i_relation, "quality tree leaked above the barrier"
+    # and the keep-filter itself is plain column comparisons
+    filter_line = next(
+        ln for ln in plan.splitlines() if "Filter " in ln and "lang_guess" in ln
+    )
+    assert "replace(" not in filter_line and "regexp" not in filter_line
 
 
 def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
@@ -299,6 +313,43 @@ def test_dsir_weight_is_single_scan_expression(spark, sf_dir):
     assert "Exchange" not in plan
     assert plan.count("ReadSchema") == 1  # exactly one scan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def _uncached_scans(node) -> int:
+    """File scans reachable WITHOUT crossing a cache boundary — a tree
+    walk, because toString() re-prints every cached plan at each of
+    its consumers, making textual FileScan counts meaningless."""
+    name = node.nodeName()
+    if name.startswith("InMemoryTableScan"):
+        return 0
+    n = 1 if ("Scan" in name and "InMemory" not in name) else 0
+    if name == "AdaptiveSparkPlan":
+        return n + _uncached_scans(node.initialPlan())
+    ch = node.children()
+    for i in range(ch.size()):
+        n += _uncached_scans(ch.apply(i))
+    return n
+
+
+def test_dedup_text_single_shared_tokenization(spark, sf_dir):
+    """r8: every dedup_text branch (exact, bundle shingles, span
+    windows, excision) reads the ONE persisted tokenized relation —
+    no branch re-scans the parquet or re-runs the normalize regex
+    outside the shared caches."""
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_text(spark, sf_dir)
+    assert _uncached_scans(df._jdf.queryExecution().executedPlan()) == 0
+
+
+def test_curation_single_shared_tokenization(spark, sf_dir):
+    """r8: corpus_curation's scoring projection reads the persisted
+    tokenization (the LM/DSIR model scans consumed it at train time);
+    the consumer plan contains no uncached corpus scan."""
+    from rq_spark.queries import text
+
+    df = text.corpus_curation(spark, sf_dir)
+    assert _uncached_scans(df._jdf.queryExecution().executedPlan()) == 0
 
 
 def test_semdedup_cells_dedup_in_arrow_batches(spark, sf_dir):
