@@ -618,6 +618,11 @@ def pq_topk(
     next to banded-LSH (data-oblivious) and IVF (data-adaptive
     partitioning): PQ compresses MEMORY, and composes with either as
     the IVFPQ of production systems.
+
+    The query set is collected for the LUT closure — the SERVING shape
+    (small query batches). For corpus-sized query sets use
+    `ivfpq_topk_join`, whose LUTs travel as a joined column with no
+    driver collect.
     """
     if rerank is None:
         rerank = 4 * k
@@ -708,7 +713,9 @@ def ivfpq_topk(
     probed-query table, an ADC lookup-table score on the joined
     (query, codes) rows, window top-R, and the R·nq-row re-rank join.
     Nothing corpus-sized is broadcast, shuffled wide, or held raw
-    past the first scan."""
+    past the first scan. Queries are collected for the LUT closure
+    (serving shape) — `ivfpq_topk_join` is the collect-free variant
+    for corpus-sized query sets."""
     if rerank is None:
         rerank = 4 * k
     cents = ivf_centroids(
@@ -777,6 +784,132 @@ def ivfpq_topk(
     scored = (
         short.join(c_vec, "neighbor_id")
         .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def pq_lut_udf(codebooks: np.ndarray):
+    """query vec → FLATTENED ADC lookup table (array<double>, length
+    m·n_codes): lut[sub·n_codes + code] = <q_sub, centroid[sub,code]>.
+    Computed per Arrow batch from the (model-sized) codebook closure —
+    the query table itself never reaches the driver, which is the
+    point: LUTs become a COLUMN that joins/broadcasts like any other
+    relation instead of a driver-built closure (r7 verdict task #4)."""
+    m, n_codes, dsub = codebooks.shape
+
+    @F.pandas_udf(_DOUBLE_ARR)
+    def lut(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        t = np.einsum("qsd,scd->qsc", x.reshape(len(x), m, dsub), codebooks)
+        return pd.Series(list(t.reshape(len(x), m * n_codes)))
+
+    return lut
+
+
+def _adc_expr(codes: Column, lut: Column, m: int, n_codes: int) -> Column:
+    """ADC score as a pure JVM expression: Σ_sub lut[sub·n_codes +
+    codes[sub]] — the join-based twin of the mapInPandas LUT gather
+    (same float64 adds, left-to-right over sub)."""
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(lut, s * n_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """`ivfpq_topk` for LARGE query sets: the per-query ADC lookup
+    tables ship as a broadcast/shuffled TABLE instead of a collected
+    driver closure — no `.collect()` of the query relation anywhere,
+    so a corpus-vs-corpus join (batch-scoring a day's documents
+    against the index, kNN-graph construction) runs fully distributed.
+
+    Plan shape: queries get (lut, probed cells) in one Arrow pass →
+    cell-id equi-join against the (cell, codes) corpus index → the ADC
+    score is a pure JVM fold over the codes array indexing the joined
+    lut column (`_adc_expr` — whole-stage codegen, no Python on the
+    corpus-sized side) → window top-`rerank` per query → exact-cosine
+    re-rank of R·nq rows. With `broadcast_queries` (default, the
+    serving shape) the probed-query table is broadcast; pass False
+    when the query side outgrows the broadcast budget and the same
+    plan degrades to a shuffle equi-join on cell — still
+    candidate-bounded, still collect-free.
+
+    Same model, same candidate set, same re-rank as `ivfpq_topk`
+    (recall parity asserted in tests/test_similarity.py); only the LUT
+    transport differs."""
+    if rerank is None:
+        rerank = 4 * k
+    cents = ivf_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_lut_udf(cb)(F.col(vec_col)).alias("lut"),
+        F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias(
+            "cell"
+        ),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored_codes = cand.select(
+        "query_id",
+        "neighbor_id",
+        _adc_expr(F.col("codes"), F.col("lut"), m, n_codes).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored_codes.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    if broadcast_queries:
+        q_vec = F.broadcast(q_vec)
+    scored = (
+        short.join(c_vec, "neighbor_id")
+        .join(q_vec, "query_id")
         .select(
             "query_id",
             "neighbor_id",

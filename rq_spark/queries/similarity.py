@@ -98,7 +98,15 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded by its IVF pruning (nprobe/n_centroids = 0.75 on this
 # near-uniform adversarial testdata; measured 0.92/0.82), so it
 # shares IVF's floor.
-_ANN_RECALL_FLOOR = {"lsh": 0.9, "ivf": 0.65, "pq": 0.75, "ivfpq": 0.65}
+_ANN_RECALL_FLOOR = {
+    "lsh": 0.9,
+    "ivf": 0.65,
+    "pq": 0.75,
+    "ivfpq": 0.65,
+    # same model/candidates/re-rank as ivfpq, only the LUT transport
+    # differs (joined column vs collected closure) — same floor
+    "ivfpq_join": 0.65,
+}
 
 
 def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +115,27 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank — the production billion-scale composition."""
     corpus = table(spark, sf_dir, "embeddings")
     return S.ivfpq_topk(
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=_K,
+        n_centroids=8,
+        nprobe=6,
+        m=8,
+        n_codes=32,
+        iters=2,
+        rerank=150,
+    )
+
+
+def sim_ann_ivfpq_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ through the COLLECT-FREE join path
+    (operators/similarity.py:ivfpq_topk_join): per-query ADC lookup
+    tables computed as an Arrow-batch column and joined on cell id —
+    the shape for corpus-sized query sets, where `ivfpq_topk`'s
+    driver-collected LUT closure would bottleneck. Same parameters as
+    `sim_ann_ivfpq_topk`."""
+    corpus = table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk_join(
         corpus,
         _query_vectors(spark, sf_dir),
         k=_K,
@@ -156,12 +185,13 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scored(sim_ann_ivf_topk(spark, sf_dir), "ivf"))
         .unionByName(scored(sim_ann_pq_topk(spark, sf_dir), "pq"))
         .unionByName(scored(sim_ann_ivfpq_topk(spark, sf_dir), "ivfpq"))
+        .unionByName(scored(sim_ann_ivfpq_join_topk(spark, sf_dir), "ivfpq_join"))
     )
 
 
 _ANN_SQL = f"""
 SELECT op, CAST({_K * _N_QUERIES} AS BIGINT) AS n_results, TRUE AS recall_ok
-FROM (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS op)
+FROM (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq', 'ivfpq_join']) AS op)
 """
 
 

@@ -38,7 +38,7 @@ TAGGED = {
     "struct_ops": {"with_field", "flatten"},
     "udf_vectorized": {"pandas_udf", "map_in_pandas"},
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
-    "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq"},
+    "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq", "ivfpq_join"},
     "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span", "excise"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",

@@ -258,3 +258,50 @@ def test_semdedup_matches_local_reference(spark):
         assert sum(1 for _, k in members if k) == 1
         assert any(vid == rep and k for vid, k in members)
     assert any(not keep for _, keep, _rep in got.values())
+
+
+def test_ivfpq_join_matches_collected_path_and_is_collect_free(spark):
+    """r8 (r7 verdict task #4): the join-based ADC variant — LUTs as a
+    joined column — returns the SAME top-k as the driver-collected
+    closure path (identical model, candidates, float64 add order), and
+    its source contains no query collect; the search join is a
+    broadcast-hash equi-join on cell, never a nested loop."""
+    import inspect
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rq_spark.operators import similarity as S
+
+    collected = {
+        (r.query_id, r.neighbor_id)
+        for r in SQ.sim_ann_ivfpq_topk(spark, SF).collect()
+    }
+    join_df = SQ.sim_ann_ivfpq_join_topk(spark, SF)
+    joined = {(r.query_id, r.neighbor_id) for r in join_df.collect()}
+    assert joined == collected
+
+    import ast
+
+    tree = ast.parse(inspect.getsource(S.ivfpq_topk_join))
+    calls = [
+        n.func.attr
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+    ]
+    assert "collect" not in calls
+    plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # degraded mode: broadcast hint off -> same answer via a shuffle
+    # equi-join (the corpus-vs-corpus shape), still no nested loop
+    from rq_spark.queries.helpers import table as _table
+
+    corpus = _table(spark, SF, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    df2 = S.ivfpq_topk_join(
+        corpus, queries, k=10, n_centroids=8, nprobe=6, m=8, n_codes=32,
+        iters=2, rerank=150, broadcast_queries=False,
+    )
+    assert {(r.query_id, r.neighbor_id) for r in df2.collect()} == collected
