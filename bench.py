@@ -46,6 +46,12 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_metrics",
     "corpus_curation",
+    # r8: the heavy r6/r7 additions — regressions in the newest, most
+    # complex operators were invisible to BENCH before this
+    "dedup_incremental",
+    "mm_real_decode",
+    "stream_stateful",
+    "udf_grouped_table",
 ]
 
 

@@ -20,8 +20,14 @@ import logging
 import os
 import sys
 
-from .errors import RqError
+from .errors import IoError, MessageError, RqError
 from .proto_registry import ProtoRegistry, default_dir
+
+# avro_rs::Codec::from_str accepts exactly these (rq.rs:250-257); the
+# pure-Python sink additionally supports zstandard as a documented
+# spec-superset extension, rejected under --rq-parity.
+_AVRO_CODECS_REFERENCE = ("null", "deflate", "snappy")
+_AVRO_CODECS_SUPERSET = _AVRO_CODECS_REFERENCE + ("zstandard",)
 
 _LOG = logging.getLogger("rq")
 
@@ -119,7 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["compact", "readable", "indented"],
                    help="force stylistic output formatting")
     p.add_argument("--codec", dest="flag_codec", default=None,
-                   help="avro output codec: null, deflate, snappy, zstandard")
+                   help="avro output codec: null, deflate, snappy "
+                        "(+ zstandard, a spec-superset extension the "
+                        "reference rejects; see --rq-parity)")
+    p.add_argument("--rq-parity", action="store_true", dest="rq_parity",
+                   help="strict reference-parity mode: reject "
+                        "spec-superset extensions (e.g. the zstandard "
+                        "Avro codec, rq.rs:250-257 accepts only "
+                        "null/deflate/snappy)")
 
     # input formats (rq.rs:42-67)
     p.add_argument("-a", "--input-avro", action="store_true", dest="input_avro",
@@ -203,8 +216,21 @@ def select_output(ns) -> tuple[str, dict]:
     if ns.output_protobuf is not None:
         return "protobuf", {}
     if ns.output_avro is not None:
-        opts = {"schema": open(ns.output_avro).read()}
+        try:
+            schema = open(ns.output_avro).read()
+        except OSError as e:
+            raise IoError("IO error") from e  # error.rs `Io` variant
+        opts = {"schema": schema}
         if ns.flag_codec:
+            # codec validated HERE, only on the avro output path —
+            # exactly where the reference parses it (rq.rs:245-257;
+            # --codec without -A is ignored there too)
+            allowed = (
+                _AVRO_CODECS_REFERENCE if ns.rq_parity else _AVRO_CODECS_SUPERSET
+            )
+            if ns.flag_codec not in allowed:
+                # byte-parity with rq.rs:253-256 (Error::Message)
+                raise MessageError(f"illegal Avro codec: {ns.flag_codec}")
             opts["codec"] = ns.flag_codec
         return "avro", opts
     if ns.output_cbor:
@@ -249,12 +275,21 @@ def _warn_default_format(ns, argv: list[str], in_fmt: str) -> None:
         )
 
 
+def _emit_chained(prefix: str, exc: BaseException) -> None:
+    """One cause-chain entry: first line prefixed, continuation lines
+    indented two spaces — rq.rs:361-372's exact line layout."""
+    lines = str(exc).splitlines() or [""]
+    _LOG.error("%s: %s", prefix, lines[0])
+    for line in lines[1:]:
+        _LOG.error("  %s", line)
+
+
 def _log_error(e: BaseException, trace: bool) -> None:
     """Cause-chain error report (rq.rs:359-390)."""
-    _LOG.error("Encountered: %s", e)
+    _emit_chained("Encountered", e)
     cause = e.__cause__
     while cause is not None:
-        _LOG.error("Caused by: %s", cause)
+        _emit_chained("Caused by", cause)
         cause = cause.__cause__
     if trace or os.environ.get("RUST_BACKTRACE") == "1":
         import traceback
@@ -285,9 +320,12 @@ def main(argv: list[str] | None = None) -> int:
 
     setup_log(ns.flag_log, ns.flag_quiet)
     in_fmt, in_opts = select_input(ns)
-    out_fmt, out_opts = select_output(ns)
     _warn_default_format(ns, argv, in_fmt)
     try:
+        # inside the guard: schema-file IO and codec validation fail
+        # through the same cause-chain report as the pipeline proper
+        # (the reference's run() returns all of these to log_error)
+        out_fmt, out_opts = select_output(ns)
         if in_fmt == "protobuf":
             reg = ProtoRegistry()
             in_opts["registry"] = reg.types()

@@ -317,3 +317,125 @@ def test_version_also_suppresses_default_format_warning(tmp_path):
     assert rv.returncode == 0
     r = _run_env([], b"1", d)
     assert b"JSON input mode" not in r.stderr
+
+
+# ------------------------------------------- r8: error-path stderr goldens
+
+
+_TRAILER = b"[ERROR] [rq] (Re-run with --trace or RUST_BACKTRACE=1 for a backtrace)\n"
+
+
+def _golden(argv, stdin, want_lines, tmp_path):
+    r = _run_env(argv, stdin, str(tmp_path))
+    assert r.returncode == 1
+    want = b"".join(b"[ERROR] [rq] " + l + b"\n" for l in want_lines) + _TRAILER
+    assert r.stderr == want, r.stderr
+
+
+def test_error_golden_bad_json(tmp_path):
+    """Cause-chain format parity (rq.rs:359-390): Encountered line,
+    Caused by lines, backtrace trailer — byte-asserted."""
+    _golden(
+        ["-j"],
+        b"not json{{{",
+        [
+            b"Encountered: syntax error in json: Expecting value: "
+            b"line 1 column 1 (char 0)",
+            b"Caused by: Expecting value: line 1 column 1 (char 0)",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_csv_nesting(tmp_path):
+    _golden(
+        ["-j", "-V"],
+        b'{"a": {"b": 1}}',
+        [b"Encountered: csv can only output sequences"],
+        tmp_path,
+    )
+
+
+def test_error_golden_raw_non_string(tmp_path):
+    _golden(
+        ["-j", "-R"],
+        b'{"a": 1}',
+        [b"Encountered: raw can only output strings or bytes, got dict"],
+        tmp_path,
+    )
+
+
+def test_error_golden_protobuf_no_registry(tmp_path):
+    _golden(
+        ["-j", "-p", ".unknown.Msg"],
+        b'{"a": 1}',
+        [
+            b"Encountered: no schemas registered (use `protobuf add` "
+            b"or add_descriptor_set)"
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_avro_u64(tmp_path):
+    sch = tmp_path / "s.avsc"
+    sch.write_text(
+        '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
+    )
+    _golden(
+        ["-j", "-A", str(sch)],
+        b'{"x": 18446744073709551615}',
+        [b"Encountered: Avro does not support unsigned 64 bit integer"],
+        tmp_path,
+    )
+
+
+def test_error_golden_missing_schema_file_is_io_variant(tmp_path):
+    missing = tmp_path / "nope.avsc"
+    _golden(
+        ["-j", "-A", str(missing)],
+        b'{"x": 1}',
+        [
+            b"Encountered: IO error",
+            b"Caused by: [Errno 2] No such file or directory: '"
+            + str(missing).encode() + b"'",
+        ],
+        tmp_path,
+    )
+
+
+# ------------------------------------------------- r8: --rq-parity codec
+
+
+def test_codec_zstandard_superset_vs_parity(tmp_path):
+    """rq.rs:250-257: avro_rs Codec::from_str accepts only null/
+    deflate/snappy. Default mode keeps the documented zstandard
+    superset; --rq-parity rejects it with the reference's exact
+    Error::Message text; a codec neither engine knows is rejected in
+    both modes."""
+    sch = tmp_path / "s.avsc"
+    sch.write_text(
+        '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
+    )
+    ok = _run_env(["-j", "-A", str(sch), "--codec", "zstandard"],
+                  b'{"x": 1}', str(tmp_path))
+    assert ok.returncode == 0 and ok.stdout[:4] == b"Obj\x01"
+
+    for extra in (["--rq-parity"],):
+        _golden(
+            ["-j", "-A", str(sch), "--codec", "zstandard", *extra],
+            b'{"x": 1}',
+            [b"Encountered: illegal Avro codec: zstandard"],
+            tmp_path,
+        )
+    _golden(
+        ["-j", "-A", str(sch), "--codec", "bogus"],
+        b'{"x": 1}',
+        [b"Encountered: illegal Avro codec: bogus"],
+        tmp_path,
+    )
+    # reference semantics: --codec is parsed only on the avro output
+    # path; elsewhere it is ignored even under --rq-parity
+    r = _run_env(["-j", "-J", "--codec", "zstandard", "--rq-parity"],
+                 b"1", str(tmp_path))
+    assert r.returncode == 0 and r.stdout == b"1\n"

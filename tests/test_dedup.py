@@ -442,3 +442,45 @@ def test_bloom_misaligned_width_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_decontaminate(df, df, "text", "doc_id", m_bits=100)
+
+
+def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
+    """r8 (r7 verdict task #8): with a checkpoint dir set, the
+    RELIABLE-checkpoint branch of connected_components runs (the
+    fault-tolerant choice on a real cluster), produces identical
+    components, and each round's plan is lineage-truncated (the
+    per-round relation scans the checkpoint, not a per-iteration
+    deepening join tree)."""
+    from rq_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # test env default: local branch
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 21, 22, 23, 99)], "node long"
+    )
+    want = {(r.node, r.rep) for r in connected_components(edges, nodes).collect()}
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got_df = connected_components(edges, nodes)
+        got = {(r.node, r.rep) for r in got_df.collect()}
+        assert got == want
+        assert {r for r in got if r[0] in (20, 21, 22, 23)} == {
+            (20, 20), (21, 20), (22, 20), (23, 20)
+        }
+        assert (99, 99) in got
+        # reliable checkpoint files were actually written
+        import os
+
+        ckpt_root = str(tmp_path / "ckpt")
+        found = any(files for _, _, files in os.walk(ckpt_root))
+        assert found, "no reliable checkpoint data written"
+    finally:
+        # clear so later tests see the default local-checkpoint branch
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
