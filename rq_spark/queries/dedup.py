@@ -679,7 +679,13 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4_stub_bytes,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread BEFORE the synth stage: a single local parquet file scans
+    # as one partition, which would serialize the whole 17-codec
+    # encode+decode chain on one core (measured ~15 ms/doc of pure-
+    # Python codec work — the one stage in the engine where scan
+    # parallelism IS the throughput). At 100 TB the multi-file scan is
+    # already wide and spread() is a no-op.
+    docs = _spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def synth(batches):
         import io
