@@ -94,6 +94,11 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    from rq_spark.util import release_all_caches
+
+    release_all_caches()  # drop every warmup working set before timing
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -106,6 +111,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # a finished query's persisted working set must not sit in
+        # storage memory while the NEXT key is timed (its own persists
+        # stay inside its own timed runs, so this is fair)
+        from rq_spark.util import release_all_caches
+
+        release_all_caches()
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -139,6 +139,13 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def shingles_from_words(toks: DataFrame, n: int = 3) -> DataFrame:
+    """`shingles` off a (doc, words) relation (see `tokenized`)."""
+    return shingle_sets_from_words(toks, n=n).select(
+        "doc", F.explode("sh_arr").alias("shingle")
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, threshold: float, candidates: DataFrame | None = None
 ) -> DataFrame:
@@ -386,6 +393,8 @@ def incremental_minhash_pairs(
     num_hashes: int = 96,
     bands: int = 24,
     shingle_n: int = 3,
+    corpus_toks: DataFrame | None = None,
+    batch_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an incoming BATCH and a standing CORPUS
     (new_id from batch, corpus_id from corpus, jaccard) — the
@@ -409,18 +418,28 @@ def incremental_minhash_pairs(
 
     Candidates are verified with exact Jaccard, so output pairs equal
     the exact cross-side pair set w.h.p. (the `minhash_dedup_pairs`
-    banding argument: P(miss) ≈ 3e-6 per true pair at j=0.8)."""
+    banding argument: P(miss) ≈ 3e-6 per true pair at j=0.8).
+
+    ``corpus_toks``/``batch_toks``: optional pre-tokenized (doc,
+    words) relations (see `tokenized`) so a caller-owned persisted
+    tokenization replaces the per-side normalize regex."""
     _release_caches("incremental")
     rows = num_hashes // bands
+    c_base = (
+        shingle_sets_from_words(corpus_toks, n=shingle_n)
+        if corpus_toks is not None
+        else shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n)
+    )
+    b_base = (
+        shingle_sets_from_words(batch_toks, n=shingle_n)
+        if batch_toks is not None
+        else shingle_sets(_spread(batch), text_col, id_col, n=shingle_n)
+    )
     c_sets = _persist_tracked(
-        shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n)
-        .filter(F.size("sh_arr") > 0),
-        scope="incremental",
+        c_base.filter(F.size("sh_arr") > 0), scope="incremental"
     )
     b_sets = _persist_tracked(
-        shingle_sets(_spread(batch), text_col, id_col, n=shingle_n)
-        .filter(F.size("sh_arr") > 0),
-        scope="incremental",
+        b_base.filter(F.size("sh_arr") > 0), scope="incremental"
     )
     c_bands = band_table(
         minhash_signatures(c_sets, num_hashes=num_hashes), bands, rows
@@ -521,6 +540,8 @@ def decontaminate(
     id_col: str,
     n: int = 5,
     min_overlap: int = 1,
+    train_toks: DataFrame | None = None,
+    eval_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: which TRAIN documents share at least
     ``min_overlap`` word n-grams with any EVAL/benchmark document —
@@ -537,11 +558,20 @@ def decontaminate(
     corpus is shingled in place and NEVER shuffles — cost is one
     corpus scan + a broadcast-hash-join + a partial-agg count keyed on
     (train, eval). Shingles are the same int64 hash chains as the
-    dedup family (fixed-width probes, not ~40-byte gram strings)."""
-    t_sh = shingles(_spread(train), text_col, id_col, n=n).withColumnRenamed(
-        "doc", "train_id"
-    )
-    e_sh = shingles(eval_df, text_col, id_col, n=n).withColumnRenamed("doc", "eval_id")
+    dedup family (fixed-width probes, not ~40-byte gram strings).
+
+    ``train_toks``/``eval_toks``: optional pre-tokenized (doc, words)
+    relations (see `tokenized`)."""
+    t_sh = (
+        shingles_from_words(train_toks, n=n)
+        if train_toks is not None
+        else shingles(_spread(train), text_col, id_col, n=n)
+    ).withColumnRenamed("doc", "train_id")
+    e_sh = (
+        shingles_from_words(eval_toks, n=n)
+        if eval_toks is not None
+        else shingles(eval_df, text_col, id_col, n=n)
+    ).withColumnRenamed("doc", "eval_id")
     return (
         t_sh.join(F.broadcast(e_sh), "shingle")
         .groupBy("train_id", "eval_id")
@@ -927,15 +957,29 @@ def connected_components(
     return labels.unionAll(singles)
 
 
-def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _gram_strings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """Distinct-per-document (doc, gram) word-n-gram STRING rows. The
     bloom path hashes gram strings with md5 (engine-portable bit
     positions) where the join-based paths use int64 hash chains.
     Per-doc dedup is `array_distinct` BEFORE the explode — inside the
     row, no shuffle — the same zero-exchange shape as `shingle_sets`
-    (a global .distinct() here would shuffle every corpus gram)."""
+    (a global .distinct() here would shuffle every corpus gram).
+    ``toks``: optional pre-tokenized (doc, words) relation."""
     from .text import word_grams
 
+    if toks is not None:
+        return toks.select(
+            "doc",
+            F.explode(
+                F.array_distinct(word_grams(F.col("words"), n))
+            ).alias("gram"),
+        )
     words = F.split(normalize_text(F.col(text_col)), " ")
     return df.select(
         F.col(id_col).alias("doc"),
@@ -961,6 +1005,8 @@ def bloom_decontaminate(
     m_bits: int = 65536,
     k: int = 2,
     min_overlap: int = 1,
+    train_toks: DataFrame | None = None,
+    eval_toks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """`decontaminate` through a broadcast BLOOM-FILTER prefilter — the
     100 TB shape where even the eval gram TABLE is too hot to hash-join
@@ -984,8 +1030,12 @@ def bloom_decontaminate(
     """
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    tg = _gram_strings(_spread(train), text_col, id_col, n)
-    eg = _gram_strings(eval_df, text_col, id_col, n)
+    tg = (
+        _gram_strings(train, text_col, id_col, n, toks=train_toks)
+        if train_toks is not None
+        else _gram_strings(_spread(train), text_col, id_col, n)
+    )
+    eg = _gram_strings(eval_df, text_col, id_col, n, toks=eval_toks)
     ev_distinct = eg.select("gram").distinct()
 
     # build the filter: k positions per eval gram → OR into m/64 words

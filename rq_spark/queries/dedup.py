@@ -1740,14 +1740,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify); the stats row's distinct-gram censuses (n_probed →
     a_id, n_passed → b_id, n_eval → n_shared) pin the filter's bit
     construction and probe cross-engine — the oracle rebuilds the
-    same md5-positioned bits in SQL."""
+    same md5-positioned bits in SQL.
+
+    r8: ONE persisted tokenization of the documents table feeds every
+    branch's side (probe corpus/batch, decontam and bloom train/eval
+    are all FILTERS of the same relation), replacing six independent
+    normalize-regex passes with one."""
     docs = table(spark, sf_dir, "documents")
+    _release_caches("dedup_incr")
+    toks = _persist_tracked(
+        D.tokenized(_spread(docs), "text", "doc_id"), scope="dedup_incr"
+    )
     probe = D.incremental_minhash_pairs(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
         "text",
         "doc_id",
         threshold=_JACCARD_T,
+        corpus_toks=toks.filter(F.col("doc") % 2 == 0),
+        batch_toks=toks.filter(F.col("doc") % 2 == 1),
     )
     deco = D.decontaminate(
         docs.filter(F.col("doc_id") % 11 != 0),
@@ -1756,6 +1767,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=5,
         min_overlap=1,
+        train_toks=toks.filter(F.col("doc") % 11 != 0),
+        eval_toks=toks.filter(F.col("doc") % 11 == 0),
     )
     bpairs, bstats = D.bloom_decontaminate(
         docs.filter(F.col("doc_id") % 11 != 0),
@@ -1766,6 +1779,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_bits=_BLOOM_M,
         k=_BLOOM_K,
         min_overlap=1,
+        train_toks=toks.filter(F.col("doc") % 11 != 0),
+        eval_toks=toks.filter(F.col("doc") % 11 == 0),
     )
     nulls = F.lit(None)
     return probe.select(

@@ -33,6 +33,15 @@ def release_caches(scope: str) -> None:
             pass
 
 
+def release_all_caches() -> None:
+    """Free EVERY tracked cache — for harnesses (bench.py) that time
+    queries back-to-back in one session: each query's persists are
+    part of its own timed cost, but a finished query's working set
+    must not occupy storage memory while the next one is measured."""
+    for scope in list(_PERSISTED):
+        release_caches(scope)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Local-input artifact fix: a single small parquet file arrives
     as ONE scan partition, serializing expression-heavy narrow chains
