@@ -221,17 +221,32 @@ def unigram_lm_model(df: DataFrame, text_col: str) -> tuple[list, int]:
     )
 
 
-def unigram_lm_model_from_words(df: DataFrame, words_col: str) -> tuple[list, int]:
+def unigram_lm_model_from_words(
+    df: DataFrame, words_col: str, max_vocab: int | None = None
+) -> tuple[list, int]:
     """`unigram_lm_model` off a pre-split words-array column — the
     shape that lets one persisted tokenization feed the LM-model scan
-    alongside the scoring pass (r8 shared-tokenization)."""
-    rows = (
+    alongside the scoring pass (r8 shared-tokenization).
+
+    ``max_vocab`` bounds the driver collect at real scale the same way
+    `fit_bpe`'s default bound does: a distributed deterministic top-N
+    truncation (count desc, word asc — TakeOrderedAndProject, a
+    per-partition heap), after which the total is the RETAINED-token
+    total, i.e. the truncated model is the exact unigram model of the
+    vocabulary-restricted corpus. Default None keeps the exact full
+    model (the catalog's hash contract); production perplexity filters
+    cap the vocabulary anyway (KenLM prunes singletons)."""
+    counts_df = (
         df.select(F.explode(F.col(words_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
+    if max_vocab is not None:
+        counts_df = counts_df.orderBy(
+            F.col("c").desc(), F.col("w").asc()
+        ).limit(max_vocab)
+    rows = counts_df.collect()
     counts = sorted((r["w"], r["c"]) for r in rows)
     return counts, sum(c for _, c in counts)
 

@@ -342,6 +342,16 @@ def test_dedup_text_single_shared_tokenization(spark, sf_dir):
     assert _uncached_scans(df._jdf.queryExecution().executedPlan()) == 0
 
 
+def test_dedup_incremental_single_shared_tokenization(spark, sf_dir):
+    """r8: all four dedup_incremental branches (probe corpus/batch,
+    decontam and bloom train/eval) read filters of the ONE persisted
+    tokenization — no uncached corpus scan anywhere in the plan."""
+    from rq_spark.queries import dedup
+
+    df = dedup.dedup_incremental(spark, sf_dir)
+    assert _uncached_scans(df._jdf.queryExecution().executedPlan()) == 0
+
+
 def test_curation_single_shared_tokenization(spark, sf_dir):
     """r8: corpus_curation's scoring projection reads the persisted
     tokenization (the LM/DSIR model scans consumed it at train time);

@@ -392,3 +392,25 @@ def test_budget_mixture_rejects_degenerate_groups(spark):
     )
     with pytest.raises(ValueError, match="NULL group key"):
         budget_mixture_thresholds(nullkey, "src", "sz")
+
+
+def test_unigram_lm_vocab_bound_is_distributed_and_deterministic(spark):
+    """r8: the LM model's driver collect can be bounded like fit_bpe's
+    (TakeOrderedAndProject truncation, count desc / word asc); a bound
+    wider than the vocabulary reproduces the exact full model."""
+    from rq_spark.operators.dedup import normalize_text
+    from rq_spark.operators.text import unigram_lm_model_from_words
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    full = unigram_lm_model_from_words(df, "w")
+    assert unigram_lm_model_from_words(df, "w", max_vocab=10_000) == full
+    counts, total = unigram_lm_model_from_words(df, "w", max_vocab=5)
+    assert len(counts) == 5
+    # the retained set is exactly the top-5 by (count desc, word asc)
+    want = sorted(
+        sorted(full[0], key=lambda t: (-t[1], t[0]))[:5]
+    )
+    assert counts == want
+    assert total == sum(c for _, c in want)
