@@ -919,6 +919,49 @@ def ivfpq_topk_join(
     return _topk_per_query(scored, k)
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH of the corpus against
+    itself — the building block of semantic clustering, graph-based
+    dedup (cut edges above a cosine threshold → connected components
+    → keep one per cluster), and hard-negative mining.
+
+    This is exactly the corpus-sized-query-set shape `ivfpq_topk_join`
+    exists for: both sides are the corpus, the per-vector ADC lookup
+    tables ride as a joined column (no driver collect anywhere), and
+    the cell equi-join runs as a shuffle join — candidate work ≈
+    |corpus|² · nprobe/n_centroids, the IVF pruning bound, never the
+    raw quadratic. Feed the (a,b) edges above a threshold into
+    `dedup.connected_components` for cluster-level dedup.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) — k rows per
+    corpus vector, exact-cosine re-ranked."""
+    return ivfpq_topk_join(
+        corpus,
+        corpus,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        m=m,
+        n_codes=n_codes,
+        iters=iters,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        broadcast_queries=False,
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float,

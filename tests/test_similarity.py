@@ -305,3 +305,52 @@ def test_ivfpq_join_matches_collected_path_and_is_collect_free(spark):
         iters=2, rerank=150, broadcast_queries=False,
     )
     assert {(r.query_id, r.neighbor_id) for r in df2.collect()} == collected
+
+
+def test_knn_graph_recall_and_shape(spark):
+    """r8: the self-join kNN graph — k rows per vector, exact-cosine
+    values, recall vs the brute-force graph over the IVF pruning
+    floor, and no nested loop in the plan (shuffle cell equi-join)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from rq_spark.operators.similarity import knn_graph
+    from rq_spark.queries.helpers import table as _table
+
+    corpus = _table(spark, SF, "embeddings")
+    n = corpus.count()
+    got = knn_graph(corpus, k=5, n_centroids=8, nprobe=6, rerank=60).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == n
+    assert all(len(v) == 5 for v in per_q.values())
+    assert all(r.query_id != r.neighbor_id for r in got)
+
+    # brute-force ground-truth graph
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in corpus.collect()}
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    brute = set()
+    for qi, q in enumerate(ids):
+        # same deterministic tiebreak as the engine: cos desc, id asc
+        order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids[j]))
+        for j in order[:5]:
+            brute.add((q, ids[j]))
+    pairs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(brute & pairs) / len(brute)
+    assert recall >= 0.65, f"knn_graph recall below IVF floor: {recall}"
+    # reported similarities are the exact re-ranked cosines
+    for r in got[:50]:
+        a, b = emb[r.query_id], emb[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - want) < 1e-9
+
+    plan = knn_graph(corpus, k=5, n_centroids=8, nprobe=6, rerank=60)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
