@@ -96,6 +96,14 @@ def main() -> int:
             failures.append((name, "SPARK-ERROR"))
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
+        finally:
+            # a finished key's pinned working set (shingle caches,
+            # tokenizations) must not occupy storage memory for the
+            # rest of the gate — same hygiene as bench.py
+            from rq_spark.util import release_all_caches
+
+            release_all_caches()
+            spark.catalog.clearCache()
         if name not in oracles:
             rows_only.append(name)
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
