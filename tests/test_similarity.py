@@ -354,3 +354,42 @@ def test_knn_graph_recall_and_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_composition_knn_to_components(spark):
+    """r8 end-to-end composition: knn_graph edges above a cosine
+    threshold -> connected_components -> cluster representatives. The
+    full graph-dedup pipeline a training corpus runs at embedding
+    level, on organic near-dup geometry (token-hash 3-gram vectors of
+    the documents corpus, bimodal: near-dups >= 0.95, background
+    < 0.5). Verified against the exact pair set: thresholded knn edges
+    must yield the same components as exact all-pairs edges."""
+    from pyspark.sql import functions as F
+    from rq_spark.operators.dedup import connected_components
+    from rq_spark.operators.similarity import knn_graph
+    from rq_spark.queries.dedup import _token_hash_corpus, _LSH_EMB_DIM
+
+    corpus = _token_hash_corpus(spark, SF)
+    edges = (
+        knn_graph(corpus, k=5, n_centroids=8, nprobe=8, rerank=60)
+        .filter(F.col("cos_sim") >= 0.95)
+        .select(
+            F.col("query_id").alias("a_id"), F.col("neighbor_id").alias("b_id")
+        )
+    )
+    nodes = corpus.select(F.col("vec_id").alias("node"))
+    comp = {
+        (r.node, r.rep) for r in connected_components(edges, nodes).collect()
+    }
+    exact_edges = S.embedding_near_pairs(corpus, 0.95, dim=_LSH_EMB_DIM).select(
+        "a_id", "b_id"
+    )
+    want = {
+        (r.node, r.rep)
+        for r in connected_components(exact_edges, nodes).collect()
+    }
+    assert comp == want
+    # and real clusters exist (organic near-dups, not all singletons)
+    n_nodes = len(comp)
+    n_clusters = len({rep for _, rep in comp})
+    assert n_clusters < n_nodes
