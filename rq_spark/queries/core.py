@@ -706,11 +706,50 @@ WHERE val IS NOT NULL
 # --------------------------------------------------------------------------
 
 
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (r8) — the URL-level selection op
+    of crawl pipelines: no domain contributes more than N documents
+    (operators/url.py:domain_cap — one window keyed on the registrable
+    domain, deterministic rank order). The per-doc URL is synthesized
+    SQL-reconstructibly (13 domains), so the driver hash certifies the
+    domain extraction AND the capping window."""
+    from ..operators import url as U
+
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.lit("http://www.site"),
+        (did % 7).cast("string"),
+        F.lit(".Dom"),
+        (did % 13).cast("string"),
+        F.lit(".org/p/"),
+        did.cast("string"),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url", synth
+    )
+    capped = U.domain_cap(d, "url", "doc_id", 25)
+    return capped.filter("domain_keep").select("doc_id", "domain", "domain_rank")
+
+
+_SAMPLE_DOMAIN_CAP_SQL = """
+SELECT doc_id, domain, rk AS domain_rank
+FROM (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+  FROM (SELECT doc_id,
+               'dom' || CAST(doc_id % 13 AS VARCHAR) || '.org' AS domain
+        FROM documents)
+)
+WHERE rk <= 25
+"""
+
+
 def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct / sort+limit / deterministic sample / stratified sample
-    / domain-mixture sample in one tagged result (branches = the
-    former distinct_dims, sort_limit, sample_deterministic,
-    sample_stratified, plus late-r6 sample_mixture)."""
+    / domain-mixture sample / per-domain capping in one tagged result
+    (branches = the former distinct_dims, sort_limit,
+    sample_deterministic, sample_stratified, late-r6 sample_mixture,
+    r7 mixture_budget, r8 domain_cap)."""
     nulls = F.lit(None)
     distinct = distinct_dims(spark, sf_dir).select(
         F.lit("distinct").alias("op"),
@@ -760,12 +799,21 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s1"),
         nulls.cast("string").alias("s2"),
     )
+    cap = sample_domain_cap(spark, sf_dir).select(
+        F.lit("domain_cap").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("domain_rank").cast("bigint").alias("k2"),
+        nulls.cast("double").alias("v"),
+        F.col("domain").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
     return (
         distinct.unionByName(sort)
         .unionByName(sample)
         .unionByName(strat)
         .unionByName(mix)
         .unionByName(mixb)
+        .unionByName(cap)
     )
 
 
@@ -789,6 +837,9 @@ FROM ({_SAMPLE_MIX_SQL})
 UNION ALL
 SELECT 'mixture_budget', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
 FROM ({_SAMPLE_MIX_BUDGET_SQL})
+UNION ALL
+SELECT 'domain_cap', doc_id, domain_rank, NULL, domain, NULL
+FROM ({_SAMPLE_DOMAIN_CAP_SQL})
 """
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import text as X
+from ..operators import url as U
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from .helpers import spread, table
@@ -325,6 +326,92 @@ JOIN dsw ON dsw.doc_id = packed.doc_id
 """
 
 
+# Deterministic per-doc URL for the url-hygiene branch of
+# text_metrics: every normalization rule gets exercised (mixed-case
+# scheme/host, default AND non-default ports, trailing slashes,
+# tracking params before sorted keepers, fragments) and the oracle
+# rebuilds the same raw string, so the driver hash certifies the
+# whole canonicalization expression (operators/url.py).
+def _url_raw_col() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("Http")),
+        F.lit("://News.Site"),
+        (did % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.element_at(
+            F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"), F.lit("")),
+            (did % 4 + 1).cast("int"),
+        ),
+        F.lit("/Sec/item"),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        (did % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(did % 2 == 1, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+_URL_RAW_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'Http' END
+|| '://News.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+|| CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                   WHEN 2 THEN ':8080' ELSE '' END
+|| '/Sec/item' || CAST(doc_id % 5 AS VARCHAR)
+|| CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+|| '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+|| CASE WHEN doc_id % 2 = 1 THEN '#top' ELSE '' END
+"""
+
+_URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?(#.*)?$"
+_URL_TRACK_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)="
+
+
+def _url_sql() -> str:
+    """DuckDB mirror of operators/url.py:url_normalize — the same
+    master regex (identical group numbering in RE2 and Java regex),
+    the same byte-wise param sort, the same default-port/trailing-
+    slash rules. array_to_string of an empty list is NULL in DuckDB
+    (Spark's array_join gives ''): coalesce."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN scheme <> ''
+            THEN scheme || '://' || authority || pth || tail END AS url_norm,
+       host AS url_host,
+       CASE WHEN dom <> '' THEN dom ELSE host END AS url_domain
+FROM (
+  SELECT doc_id, scheme, host,
+         CASE WHEN (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+                OR port = ''
+              THEN host ELSE host || ':' || port END AS authority,
+         CASE WHEN trimmed = '' THEN '/' ELSE trimmed END AS pth,
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS tail,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS dom
+  FROM (
+    SELECT doc_id, scheme, port,
+           regexp_replace(auth, ':[0-9]*$', '') AS host,
+           regexp_replace(regexp_extract(u, '{_URL_PARTS_RE}', 3),
+                          '/+$', '') AS trimmed,
+           COALESCE(array_to_string(
+             list_sort(list_filter(
+               string_split(regexp_extract(u, '{_URL_PARTS_RE}', 5), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACK_RE}')
+             )), '&'), '') AS q
+    FROM (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '{_URL_PARTS_RE}', 1)) AS scheme,
+             lower(regexp_extract(u, '{_URL_PARTS_RE}', 2)) AS auth,
+             regexp_extract(lower(regexp_extract(u, '{_URL_PARTS_RE}', 2)),
+                            ':([0-9]+)$', 1) AS port
+      FROM (SELECT doc_id, {_URL_RAW_SQL} AS u FROM documents)
+    )
+  )
+)
+"""
+
+
 # GPT-2-style pretokenizer, minus the \s+(?!\S) lookahead (RE2 — the
 # oracle's regex engine — has no lookahead; Java and RE2 agree on
 # everything kept): contractions, space-prefixed letter runs, digit
@@ -477,6 +564,13 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.dup_ngram_frac(t).alias("dup_3gram_frac"),
         *[pii[name].alias(f"n_pii_{name}") for name in X.PII_PATTERNS],
         F.md5(X.redact_pii(enriched)).alias("redacted_fp"),
+        # r8 url-hygiene branch: canonical URL / host / registrable
+        # domain (operators/url.py — expression-only, stays inside
+        # this single scan) over a deterministic synthesized URL the
+        # oracle reconstructs; see _url_raw_col
+        U.url_normalize(_url_raw_col()).alias("url_norm"),
+        U.url_host(_url_raw_col()).alias("url_host"),
+        U.url_domain(_url_raw_col()).alias("url_domain"),
     )
 
 
@@ -492,7 +586,8 @@ WITH t AS ({_TOKEN_SQL}),
      b AS ({_BPE_SQL}),
      fp AS ({_FP_SQL}),
      r AS ({_DUP_NGRAM_SQL}),
-     pii AS ({_pii_sql()})
+     pii AS ({_pii_sql()}),
+     u AS ({_url_sql()})
 SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
        l.lang_guess,
        q.n_chars, q.alpha_ratio, q.space_ratio, q.uniq_ratio,
@@ -500,7 +595,8 @@ SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
        b.n_ws_tokens, b.n_bpe_tokens,
        fp.fp,
        r.dup_3gram_frac,
-       {pii_cols}, pii.redacted_fp
+       {pii_cols}, pii.redacted_fp,
+       u.url_norm, u.url_host, u.url_domain
 FROM t
 JOIN l  USING (doc_id)
 JOIN q  USING (doc_id)
@@ -508,6 +604,7 @@ JOIN b  USING (doc_id)
 JOIN fp USING (doc_id)
 JOIN r  USING (doc_id)
 JOIN pii USING (doc_id)
+JOIN u  USING (doc_id)
 """
 
 

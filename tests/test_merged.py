@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 # key -> set of op tags that must each contribute rows
 TAGGED = {
-    "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget"},
+    "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "domain_cap"},
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
     "agg_stats": {"corr", "percentile", "profile"},
     "set_ops": {"union", "intersect", "except"},

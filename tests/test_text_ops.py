@@ -414,3 +414,99 @@ def test_unigram_lm_vocab_bound_is_distributed_and_deterministic(spark):
     )
     assert counts == want
     assert total == sum(c for _, c in want)
+
+
+URL_FIXTURES = [
+    "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "https://Example.org:443/",
+    "https://example.org:8443/path",
+    "http://example.com",
+    "http://EXAMPLE.com/deep/path///",
+    "https://sub.news.example.co:443/x?gclid=abc",
+    "http://example.com/?fbclid=1&z=9&y=8&utm_campaign=c",
+    "http://localhost:8080/q?a=1",
+    "not a url at all",
+    "ftp://Files.Example.NET:21/pub/",
+    "http://single",
+    "https://a.b.c.d.example.com/p?b=2&a=1&a=0",
+]
+
+
+def _py_url_normalize(u: str):
+    """Independent reference: stdlib urllib.parse + the documented
+    rules, nothing shared with the Spark expression tree."""
+    import re
+    from urllib.parse import urlsplit
+
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", u):
+        return None
+    s = urlsplit(u)
+    scheme = s.scheme.lower()
+    host = (s.hostname or "")
+    port = s.port
+    authority = host
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        authority = f"{host}:{port}"
+    path = re.sub(r"/+$", "", s.path) or "/"
+    params = sorted(
+        p for p in s.query.split("&")
+        if p and not re.match(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)=", p)
+    )
+    tail = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{authority}{path}{tail}"
+
+
+def test_url_normalize_matches_urllib_reference(spark):
+    """r8: expression-only URL canonicalization vs an independent
+    urllib.parse implementation of the same documented rules."""
+    from rq_spark.operators import url as U
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URL_FIXTURES)], "i long, u string"
+    )
+    got = {
+        r["i"]: (r["n"], r["h"], r["d"])
+        for r in df.select(
+            "i",
+            U.url_normalize(F.col("u")).alias("n"),
+            U.url_host(F.col("u")).alias("h"),
+            U.url_domain(F.col("u")).alias("d"),
+        ).collect()
+    }
+    import re
+    from urllib.parse import urlsplit
+
+    for i, u in enumerate(URL_FIXTURES):
+        want = _py_url_normalize(u)
+        assert got[i][0] == want, (u, got[i][0], want)
+        if want is not None:
+            host = (urlsplit(u).hostname or "")
+            assert got[i][1] == host, (u, got[i][1])
+            m = re.search(r"([^.]+\.[^.]+)$", host)
+            assert got[i][2] == (m.group(1) if m else host), (u, got[i][2])
+    # canonical forms actually COLLAPSE equivalent spellings
+    assert (
+        _py_url_normalize("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+        == "http://www.example.com/a/b?a=1&b=2"
+    )
+
+
+def test_domain_cap_keeps_first_n_per_domain(spark):
+    from rq_spark.operators.url import domain_cap
+
+    rows = [
+        (1, "http://a.example.com/1"),
+        (2, "http://b.example.com/2"),
+        (3, "https://example.com/3"),
+        (4, "http://c.other.org/4"),
+        (5, "http://other.org/5"),
+        (6, "http://d.other.org/6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in domain_cap(df, "url", "doc_id", 2).collect()}
+    assert out[1].domain == "example.com" and out[1].domain_keep
+    assert out[2].domain == "example.com" and out[2].domain_keep
+    assert out[3].domain == "example.com" and not out[3].domain_keep
+    assert out[4].domain_keep and out[5].domain_keep and not out[6].domain_keep
