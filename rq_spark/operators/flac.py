@@ -453,6 +453,8 @@ def decode(data: bytes):
         if bps is None:
             raise FlacFormatError("flac: reserved sample size code")
         br.align()
+        if br.byte >= len(data):
+            raise FlacFormatError("flac: truncated frame header")
         if _crc8(data[pos : br.byte]) != data[br.byte]:
             raise FlacFormatError("flac: frame header CRC-8 mismatch")
         br.byte += 1
@@ -480,6 +482,10 @@ def decode(data: bytes):
         if len(sub) != ch0:
             raise FlacFormatError("flac: frame channel count != STREAMINFO")
         br.align()
+        if br.byte + 2 > len(data):
+            # a slice here would silently truncate to <2 bytes and turn
+            # the CRC-16 compare into a 1-in-256 (or always-true) check
+            raise FlacFormatError("flac: truncated frame footer")
         if _crc16(data[pos : br.byte]) != int.from_bytes(
             data[br.byte : br.byte + 2], "big"
         ):

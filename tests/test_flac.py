@@ -256,3 +256,20 @@ def test_extract_audio_features_flac_matches_wav(spark):
     # lossless: FLAC features must be bit-identical to the WAV's
     assert rows[1].rms_windows == rows[2].rms_windows
     assert rows[1].zero_cross_rate == rows[2].zero_cross_rate
+
+
+def test_bitflip_near_footer_raises_not_misdecodes():
+    # Regression (hypothesis, r8): flipping the byte just before the
+    # frame CRC-16 made the subframe decode run one byte LONG, so the
+    # footer slice data[br.byte : br.byte+2] silently truncated to one
+    # byte and the CRC compare passed 1-in-256 — returning wrong
+    # samples instead of raising. The footer read is now bounds-checked.
+    import numpy as np
+    import pytest
+
+    x = np.frombuffer(b"\x07".ljust(8, b"\0"), dtype=np.uint8).astype(np.int64)
+    data = bytearray(flac.encode(x, 8000, 16))
+    frames_start = flac._frames_start(bytes(data))
+    data[frames_start + 12] ^= 0xFF
+    with pytest.raises(flac.FlacFormatError):
+        flac.decode(bytes(data))
