@@ -28,6 +28,12 @@ RUNTIME_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as long and convert in the table loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark still defaults TIMESTAMP_LTZ writes to legacy INT96, which
+    # parquet stores WITHOUT min/max statistics — every row group then
+    # matches every time predicate and layout work (layout.py) buys
+    # nothing on the time axis. INT64 micros carries stats and is what
+    # every modern reader (and the NTZ path) already uses.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
