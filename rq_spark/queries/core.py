@@ -419,37 +419,104 @@ GROUP BY l_returnflag
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct, HASH-CHECKED as an assertion: the
-    raw sketch value has no cross-engine oracle (DuckDB's sketch
-    differs), so the query emits the exact distinct count (oracle =
+    """Sketch family, tagged branches: 'hll' (approximate distinct) +
+    'cms_hh' (Count-Min heavy hitters, r8).
+
+    hll — HLL++ approximate distinct, HASH-CHECKED as an assertion:
+    the raw sketch value has no cross-engine oracle (DuckDB's sketch
+    differs), so the branch emits the exact distinct count (oracle =
     COUNT(DISTINCT)) plus a sketch-within-tolerance flag the oracle
     asserts TRUE. The sketch is deterministic for a fixed dataset, so
     the flag is stable — a regression in the sketch's error shows up
     as a hash mismatch instead of hiding behind a rows-only check. At
     scale approx_count_distinct replaces the exact distinct's second
-    shuffle with O(1) state per group."""
+    shuffle with O(1) state per group.
+
+    cms_hh — Count-Min Sketch heavy hitters over the document corpus
+    vocabulary (operators/sketch.py): unlike HLL, the md5-derived CMS
+    buckets are bit-identical in DuckDB, so estimates and the
+    heavy-hitter set are ORACLE-EXACT (no tolerance flag), and the
+    no-underestimate invariant est ≥ cnt is pinned per item by the
+    driver hash. d=4×w=32 forces real collisions at this corpus's
+    vocabulary size, so the min-over-rows estimator is actually
+    exercised. Sketch build shuffles ≤ d·w rows after map-side
+    combine; probing broadcasts the sketch — no corpus shuffle."""
+    from ..operators.dedup import normalize_text
+    from ..operators.sketch import cms_heavy_hitters
+
+    nulls = F.lit(None)
     li = table(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         F.countDistinct("l_partkey").alias("n_parts_exact"),
     )
-    return g.select(
-        "l_returnflag",
-        "n_parts_exact",
+    hll = g.select(
+        F.lit("hll").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n_parts_exact").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
         (
             F.abs(F.col("_approx") - F.col("n_parts_exact"))
             / F.col("n_parts_exact")
             <= 0.05
-        ).alias("sketch_within_5pct"),
+        ).alias("ok"),
     )
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    hh = cms_heavy_hitters(words, "w", depth=4, width=32, inv_frac=64).select(
+        F.lit("cms_hh").alias("op"),
+        F.col("item").alias("grp"),
+        F.col("cnt").cast("bigint").alias("n1"),
+        F.col("est").cast("bigint").alias("n2"),
+        F.col("never_under").alias("ok"),
+    )
+    return hll.unionByName(hh)
 
 
-_AGG_APPROX_SQL = """
-SELECT l_returnflag,
-       COUNT(DISTINCT l_partkey) AS n_parts_exact,
-       TRUE AS sketch_within_5pct
+_CMS_HH_SQL = """
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+cms_counts AS (SELECT w AS item, COUNT(*) AS cnt FROM toks GROUP BY w),
+cms_total AS (SELECT SUM(cnt) AS total FROM cms_counts),
+cms_sk AS (
+  SELECT s.seed,
+         ('0x' || substr(md5(s.seed::VARCHAR || ':' || t.w), 1, 8))::BIGINT % 32 AS bucket,
+         COUNT(*) AS c
+  FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+  GROUP BY 1, 2
+),
+cms_est AS (
+  SELECT c0.item, c0.cnt, MIN(sk.c) AS est
+  FROM cms_counts c0
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+  JOIN cms_sk sk
+    ON sk.seed = s.seed
+   AND sk.bucket = ('0x' || substr(md5(s.seed::VARCHAR || ':' || c0.item), 1, 8))::BIGINT % 32
+  GROUP BY 1, 2
+)
+SELECT item, cnt, est, est >= cnt AS never_under
+FROM cms_est, cms_total
+WHERE est * 64 >= total
+"""
+
+
+_AGG_APPROX_SQL = f"""
+SELECT 'hll' AS op, l_returnflag AS grp,
+       COUNT(DISTINCT l_partkey) AS n1,
+       CAST(NULL AS BIGINT) AS n2,
+       TRUE AS ok
 FROM lineitem
 GROUP BY l_returnflag
+UNION ALL
+SELECT 'cms_hh', item, cnt, est, never_under
+FROM ({_CMS_HH_SQL})
 """
 
 
