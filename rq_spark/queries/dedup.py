@@ -18,6 +18,8 @@ from pyspark.sql import types as T
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators.graph import PR_ITERS as _PR_ITERS
+from ..operators.graph import pagerank_cte_sql as _pagerank_cte_sql
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from ..util import spread as _spread
@@ -83,24 +85,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
-    the near-dup pair graph by iterative min-label propagation
+    """Graph analytics over the near-dup pair graph, tagged branches:
+
+    'components' — near-dup PAIRS → duplicate CLUSTERS: connected
+    components by iterative min-label propagation
     (operators/dedup.py:connected_components). One row per document,
     rep_id = smallest doc_id in its duplicate group (itself for
     singletons) — the canonical 'pick one representative per cluster'
     step of a dedup pipeline.
 
+    'pagerank' (r8) — fixed-point integer PageRank over the SAME graph
+    (operators/graph.py:pagerank_fixed): duplication centrality per
+    document. Integer arithmetic makes the iterative computation
+    bit-reproducible, so five unrolled CTE iterations in the oracle
+    pin every rank unit under the driver hash — an evidence channel
+    float PageRank can never have.
+
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
-    the quadratic shingle self-join); with 24 bands × 4 rows the
-    verified pair set equals the exact-Jaccard pairs w.h.p. (P(miss)
-    ≈ 3e-6 at j=0.8), so the recursive-CTE oracle below — which IS the
-    exact pair graph — stays valid unchanged."""
+    the quadratic shingle self-join), computed ONCE and persisted for
+    both branches; with 24 bands × 4 rows the verified pair set equals
+    the exact-Jaccard pairs w.h.p. (P(miss) ≈ 3e-6 at j=0.8), so the
+    recursive-CTE oracle below — which IS the exact pair graph —
+    stays valid unchanged."""
+    from ..operators.graph import pagerank_fixed
+
+    _release_caches("connected_groups")
     docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    return D.connected_components(pairs, nodes).select(
-        F.col("node").alias("doc_id"), F.col("rep").alias("rep_id")
+    pairs = _persist_tracked(
+        D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T),
+        scope="connected_groups",
     )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    nulls = F.lit(None)
+    comp = D.connected_components(pairs, nodes).select(
+        F.lit("components").alias("op"),
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        nulls.cast("bigint").alias("pr"),
+    )
+    pr = pagerank_fixed(pairs, nodes).select(
+        F.lit("pagerank").alias("op"),
+        F.col("node").alias("doc_id"),
+        nulls.cast("bigint").alias("rep_id"),
+        F.col("pr"),
+    )
+    return comp.unionByName(pr)
 
 
 # recursive-CTE oracle: min reachable doc_id = component representative
@@ -129,8 +158,14 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
-)
-SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+), pr_nodes AS (
+  SELECT doc_id AS node FROM documents
+){_pagerank_cte_sql("edges", "pr_nodes")}
+SELECT 'components' AS op, node AS doc_id, MIN(lbl) AS rep_id,
+       CAST(NULL AS BIGINT) AS pr
+FROM reach GROUP BY node
+UNION ALL
+SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
 """
 
 
