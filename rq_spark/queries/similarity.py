@@ -22,12 +22,59 @@ def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
 
 
-def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: dim stays None — the unrolled dot only wins inside
     # whole-stage codegen, and the broadcast cross join here runs
     # interpreted, where the fold is ~3× faster (measured at sf0.1)
     corpus = table(spark, sf_dir, "embeddings")
     return S.brute_topk(corpus, _query_vectors(spark, sf_dir), k=_K)
+
+
+# fixed keyword queries for the sparse branch, drawn from the
+# documents vocabulary; query_id = list index
+_BM25_QUERIES = [
+    "hash join",
+    "window agg stream",
+    "customer order line",
+    "slow scan filter",
+    "vector batch",
+]
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval, dense + sparse, tagged branches:
+
+    'cosine' — exact brute-force cosine top-k over the embeddings
+    table (operators/similarity.py:brute_topk); scores bit-identical
+    to the oracle's list_dot_product.
+
+    'bm25' (r8) — Okapi BM25 keyword top-k over the documents table
+    (operators/retrieval.py:bm25_topk) in the hash-exact log-free
+    mode: odds-ratio idf plus an ordered IEEE fold over query terms
+    makes every score bit-reproducible, so the oracle pins scores AND
+    ranks. The true-ln form (production default) is pinned against an
+    independent pure-Python reference in tests/test_retrieval.py.
+    """
+    from ..operators.retrieval import bm25_topk
+
+    cos = _brute_cosine(spark, sf_dir).select(
+        F.lit("cosine").alias("op"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("cos_sim").alias("score"),
+        F.col("rk"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, "text", "doc_id", _BM25_QUERIES, k=_K, log_idf=False
+    ).select(
+        F.lit("bm25").alias("op"),
+        F.col("query_id"),
+        F.col("doc").cast("long").alias("neighbor_id"),
+        F.col("score"),
+        F.col("rk"),
+    )
+    return cos.unionByName(bm)
 
 
 _TOPK_SQL = f"""
@@ -44,9 +91,19 @@ WITH v AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
   FROM scored
-)
-SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {_K}
+){{BM25_CTES}}
+SELECT 'cosine' AS op, CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim AS score, rk
+FROM ranked WHERE rk <= {_K}
+UNION ALL
+SELECT 'bm25', query_id, CAST(doc AS BIGINT), score, rk FROM bm_top
 """
+
+from ..operators.retrieval import bm25_cte_sql as _bm25_cte_sql  # noqa: E402
+
+_TOPK_SQL = _TOPK_SQL.replace(
+    "{BM25_CTES}", _bm25_cte_sql("documents", "text", "doc_id", _BM25_QUERIES, k=_K)
+)
 
 
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,7 +217,7 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes, deterministic Lloyd init) for a fixed dataset, so the
     flags are stable — a recall regression now flips the driver hash
     instead of hiding behind a rows-only check."""
-    brute = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = _brute_cosine(spark, sf_dir).select("query_id", "neighbor_id")
 
     def scored(df: DataFrame, op: str) -> DataFrame:
         # recall is asserted at the op level (hits across all queries /

@@ -40,6 +40,7 @@ TAGGED = {
     "udf_vectorized": {"pandas_udf", "map_in_pandas"},
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq", "ivfpq_join"},
+    "sim_topk_cosine": {"cosine", "bm25"},
     "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span", "excise"},
     "dedup_connected_groups": {"components", "pagerank"},
     "dedup_incremental": {

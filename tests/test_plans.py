@@ -373,3 +373,23 @@ def test_semdedup_cells_dedup_in_arrow_batches(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan  # no pairwise corpus join anywhere
+
+
+def test_bm25_probe_broadcasts_into_corpus(spark, sf_dir):
+    """BM25's query probe must reach the tf relation as a broadcast
+    hash join — the corpus-sized posting side never shuffles for the
+    probe (the per-term df and per-query term sets ride the small
+    side). The unavoidable shuffles are the index-build groupBys."""
+    from rq_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_topk(docs, "text", "doc_id", ["hash join", "vector"], k=5)
+    df.collect()  # AQE finalizes join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]  # AQE final plan only
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop join allowed is the broadcast CROSS join
+    # that ships the 1-row (N, total_len) stats aggregate
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BuildRight, Cross" in plan
+    assert "CartesianProduct" not in plan
