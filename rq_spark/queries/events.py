@@ -251,9 +251,26 @@ def stream_agg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed aggregation + streaming exact dedup in one
     tagged result (branches = the former stream_tumble_10min,
     stream_dedup — each still executes its own micro-batch streaming
-    query end-to-end)."""
+    query end-to-end; the two independent queries run CONCURRENTLY
+    via streaming.run_many_to_memory, r8)."""
+    from ..streaming import (
+        dedup_keys,
+        run_many_to_memory,
+        stream_events,
+        tumble_counts,
+    )
+
     nulls = F.lit(None)
-    tumble = stream_tumble_10min(spark, sf_dir).select(
+    tumble_r, dedup_r = run_many_to_memory(
+        [
+            (tumble_counts(stream_events(spark, sf_dir)), "complete"),
+            (
+                dedup_keys(stream_events(spark, sf_dir), "user_id", "event_type"),
+                "append",
+            ),
+        ]
+    )
+    tumble = tumble_r.select(
         F.lit("tumble").alias("op"),
         F.col("window_start"),
         nulls.cast("bigint").alias("user_id"),
@@ -261,7 +278,7 @@ def stream_agg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         "sum_value",
     )
-    dedup = stream_dedup(spark, sf_dir).select(
+    dedup = dedup_r.select(
         F.lit("dedup").alias("op"),
         nulls.cast(dict(tumble.dtypes)["window_start"]).alias("window_start"),
         F.col("user_id").cast("bigint").alias("user_id"),
@@ -292,11 +309,32 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     The `running` branch is `streaming.running_user_stats`: every
     event enriched with its user's life-to-date count (e2) and exact
     decimal sum (v — integer-micro state, so it hash-matches the
-    oracle's cumulative DECIMAL(38,6) window sum bit-for-bit)."""
-    from ..streaming import stream_running_user_stats
+    oracle's cumulative DECIMAL(38,6) window sum bit-for-bit).
+
+    The three independent streaming queries run CONCURRENTLY via
+    streaming.run_many_to_memory (r8) — the key costs its slowest
+    branch, not the sum."""
+    from ..streaming import (
+        first_seen_per_user,
+        interval_join,
+        run_many_to_memory,
+        running_user_stats,
+        stream_events,
+    )
 
     nulls = F.lit(None)
-    first_df = stream_first_seen(spark, sf_dir)
+    first_df, ijoin_df, running_df = run_many_to_memory(
+        [
+            (first_seen_per_user(stream_events(spark, sf_dir)), "append"),
+            (
+                interval_join(
+                    stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+                ),
+                "append",
+            ),
+            (running_user_stats(stream_events(spark, sf_dir)), "append"),
+        ]
+    )
     ts_type = dict(first_df.dtypes)["first_ts"]
     first = first_df.select(
         F.lit("first_seen").alias("op"),
@@ -308,7 +346,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_event_type").alias("etype"),
         F.col("first_value").cast("double").alias("v"),
     )
-    ijoin = stream_interval_join(spark, sf_dir).select(
+    ijoin = ijoin_df.select(
         F.lit("interval_join").alias("op"),
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("a_event_id").cast("bigint").alias("e1"),
@@ -318,7 +356,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("string").alias("etype"),
         F.col("b_value").cast("double").alias("v"),
     )
-    running = stream_running_user_stats(spark, sf_dir).select(
+    running = running_df.select(
         F.lit("running").alias("op"),
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("event_id").cast("bigint").alias("e1"),
