@@ -1673,11 +1673,57 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("double").alias("jaccard"),
         F.col("n_removed").cast("bigint").alias("n"),
     )
+    # op='cdc' / op='cdc_dup' (r8): byte-level content-defined
+    # chunking (operators/cdc.py). 'cdc' certifies per-doc
+    # LOSSLESSNESS cross-engine: b_id is the md5 prefix of the chunks
+    # re-concatenated in order, which the oracle computes as md5 of
+    # the ORIGINAL text (the excise-branch trick), and n is the
+    # chunker's byte total vs the oracle's strlen. 'cdc_dup' pins the
+    # chunk-multiplicity analysis with the exact-twin containment
+    # invariant: a doc with a byte-identical twin must have EVERY
+    # chunk shared. The corpus has no byte-identical pairs, so the
+    # twin is CONSTRUCTED (same text under doc_id + 10^6, mirrored in
+    # the oracle trivially) — per original doc the branch then pins
+    # dup_bytes == total_bytes == the oracle's strlen, which a
+    # nondeterministic / partition-context-dependent chunker or a
+    # broken multiplicity join flips. One chunking pass over the
+    # corpus+twins union feeds both branches.
+    from ..operators.cdc import cdc_chunks, cdc_doc_report
+
+    _CDC_TWIN_OFF = 1_000_000
+    base = docs.select("doc_id", "text")
+    with_twins = base.unionByName(
+        base.select((F.col("doc_id") + _CDC_TWIN_OFF).alias("doc_id"), "text")
+    )
+    report = _persist_tracked(
+        cdc_doc_report(cdc_chunks(_spread(with_twins), "text", "doc_id")).filter(
+            F.col("doc") < _CDC_TWIN_OFF
+        ),
+        scope="dedup_text",
+    )
+    cdc = report.select(
+        F.lit("cdc").alias("op"),
+        F.col("doc").cast("bigint").alias("a_id"),
+        F.conv(F.substring("recon_md5", 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("total_bytes").alias("n"),
+    )
+    cdc_dup = report.select(
+        F.lit("cdc_dup").alias("op"),
+        F.col("doc").cast("bigint").alias("a_id"),
+        F.col("dup_bytes").alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("total_bytes").alias("n"),
+    )
     return (
         exact.unionByName(pairs(mh, "minhash_lsh"))
         .unionByName(pairs(ex, "ngram_jaccard"))
         .unionByName(span)
         .unionByName(excise)
+        .unionByName(cdc)
+        .unionByName(cdc_dup)
     )
 
 
@@ -1743,6 +1789,14 @@ UNION ALL
 SELECT 'span', doc_id, pos, NULL, n_docs FROM ({_SPAN_ORACLE})
 UNION ALL
 SELECT 'excise', doc_id, clean_hash, NULL, n_removed FROM ({_EXCISE_ORACLE})
+UNION ALL
+SELECT 'cdc', doc_id,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT),
+       NULL, strlen(text)
+FROM documents
+UNION ALL
+SELECT 'cdc_dup', doc_id, strlen(text), NULL, strlen(text)
+FROM documents
 """
 
 

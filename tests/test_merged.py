@@ -41,7 +41,10 @@ TAGGED = {
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq", "ivfpq_join"},
     "sim_topk_cosine": {"cosine", "bm25"},
-    "dedup_text": {"exact", "minhash_lsh", "ngram_jaccard", "span", "excise"},
+    "dedup_text": {
+        "exact", "minhash_lsh", "ngram_jaccard", "span", "excise",
+        "cdc", "cdc_dup",
+    },
     "dedup_connected_groups": {"components", "pagerank"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
