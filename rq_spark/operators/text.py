@@ -476,6 +476,54 @@ def budget_mixture_thresholds(
     return [(g, min(65536, budget * 65536 // t)) for g, t in counts]
 
 
+def temperature_mixture_thresholds(
+    df: DataFrame, group_col: str, size_col: str, denom: int = 2
+) -> list[tuple[str, int]]:
+    """Temperature-based mixture sampling (α = 0.5): per-source target
+    shares ∝ size^α instead of the equal shares of
+    `budget_mixture_thresholds` — the α-smoothed multinomial every
+    multilingual/multi-domain training recipe uses (upweight small
+    sources relative to proportional, keep big sources dominant but
+    flattened).
+
+    Derivation stays INTEGER-ONLY for the hash contract, with the one
+    irrational step done as math.isqrt (exact):
+        budget   = Σ size // denom
+        share_s  = budget · isqrt(size_s) // Σ isqrt(size_j)
+        thr_s    = min(65536, share_s · 65536 // size_s)
+    An oracle reproduces isqrt as FLOOR(SQRT(CAST(c AS DOUBLE))) —
+    exact for counts below 2^51 (the correctly-rounded double sqrt of
+    an integer c < 2^51 never crosses an integer boundary), far above
+    any per-source corpus size.
+
+    Same scale shape and degenerate-input policy as
+    `budget_mixture_thresholds`: one tiny groupBy, driver-side
+    integer math, loud ValueError on NULL/zero groups; the APPLY half
+    is the same pushdown `mixture_sample` scan filter."""
+    import math
+
+    rows = df.groupBy(group_col).agg(F.sum(size_col).alias("t")).collect()
+    bad = [
+        r[group_col]
+        for r in rows
+        if r[group_col] is None or r["t"] is None or int(r["t"]) <= 0
+    ]
+    if bad:
+        raise ValueError(
+            "temperature_mixture_thresholds: NULL group key or NULL/zero "
+            f"{size_col} total for group(s) {bad!r}; filter or fix these "
+            "sources before deriving a mixture"
+        )
+    counts = sorted((r[group_col], int(r["t"])) for r in rows)
+    budget = sum(t for _, t in counts) // denom
+    roots = {g: math.isqrt(t) for g, t in counts}
+    sum_r = sum(roots.values())
+    return [
+        (g, min(65536, (budget * roots[g] // sum_r) * 65536 // t))
+        for g, t in counts
+    ]
+
+
 def threshold_hex(thr: Column) -> Column:
     """4-digit lowercase hex of a 16-bit threshold, 'g' for keep-all
     (sorts above every hex digit). Matches `mixture_sample`'s string

@@ -300,6 +300,51 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
            ELSE printf('%04x', CAST(thri AS INT)) END
 """
 
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE mixture sampling (r8, α = 0.5): target shares ∝
+    √size — the α-smoothed multinomial of multilingual training
+    recipes — derived with integer-only thresholds
+    (operators/text.py:temperature_mixture_thresholds; the isqrt step
+    is exact on both engines) and applied as the same
+    pushdown-friendly md5-bucket scan filter as the other mixture
+    branches. Compared to the equal-share budget mixture, small
+    sources keep a larger fraction and big sources a smaller one."""
+    from ..operators.text import (
+        mixture_sample,
+        temperature_mixture_thresholds,
+        threshold_hex,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    thrs = temperature_mixture_thresholds(d, "source", "n_chars", denom=2)
+    mp = F.create_map(*[F.lit(x) for g, t in thrs for x in (g, t)])
+    thr_int = F.element_at(mp, F.col("source"))
+    kept = mixture_sample(d, "doc_id", threshold_hex(thr_int))
+    return kept.select(
+        "doc_id",
+        "source",
+        (thr_int.cast("double") / F.lit(65536.0)).alias("rate"),
+    )
+
+
+_SAMPLE_MIX_TEMP_SQL = """
+SELECT doc_id, source, CAST(thri AS DOUBLE) / 65536.0 AS rate
+FROM documents
+JOIN (
+  WITH cnt AS (SELECT source, SUM(n_chars) AS c FROM documents GROUP BY source),
+       r AS (SELECT source, c,
+                    CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) AS rs
+             FROM cnt),
+       tot AS (SELECT SUM(c) AS tc, SUM(rs) AS tr FROM r)
+  SELECT source, LEAST(65536, ((tc // 2) * rs // tr) * 65536 // c) AS thri
+  FROM r, tot
+) USING (source)
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN thri >= 65536 THEN 'g'
+           ELSE printf('%04x', CAST(thri AS INT)) END
+"""
+
+
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation: result identical to a plain
     groupBy, but phase 1 shuffles on (key, salt) so a pathologically
@@ -866,6 +911,14 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s1"),
         nulls.cast("string").alias("s2"),
     )
+    mixt = sample_mixture_temperature(spark, sf_dir).select(
+        F.lit("mixture_temp").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("rate").cast("double").alias("v"),
+        F.col("source").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
     cap = sample_domain_cap(spark, sf_dir).select(
         F.lit("domain_cap").alias("op"),
         F.col("doc_id").cast("bigint").alias("k1"),
@@ -880,6 +933,7 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(strat)
         .unionByName(mix)
         .unionByName(mixb)
+        .unionByName(mixt)
         .unionByName(cap)
     )
 
@@ -904,6 +958,9 @@ FROM ({_SAMPLE_MIX_SQL})
 UNION ALL
 SELECT 'mixture_budget', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
 FROM ({_SAMPLE_MIX_BUDGET_SQL})
+UNION ALL
+SELECT 'mixture_temp', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
+FROM ({_SAMPLE_MIX_TEMP_SQL})
 UNION ALL
 SELECT 'domain_cap', doc_id, domain_rank, NULL, domain, NULL
 FROM ({_SAMPLE_DOMAIN_CAP_SQL})

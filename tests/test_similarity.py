@@ -18,7 +18,7 @@ def test_brute_topk_matches_numpy(spark):
     m = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
 
-    got = SQ.sim_topk_cosine(spark, SF).collect()
+    got = SQ._brute_cosine(spark, SF).collect()
     by_query = {}
     for r in got:
         by_query.setdefault(r.query_id, []).append(r)
@@ -36,7 +36,7 @@ def test_brute_topk_matches_numpy(spark):
 def test_ann_never_invents_and_has_recall(spark):
     brute = {
         (r.query_id, r.neighbor_id)
-        for r in SQ.sim_topk_cosine(spark, SF).collect()
+        for r in SQ._brute_cosine(spark, SF).collect()
     }
     ann = SQ.sim_ann_lsh_topk(spark, SF).collect()
     ann_pairs = {(r.query_id, r.neighbor_id) for r in ann}
@@ -114,7 +114,7 @@ def test_lsh_near_pairs_equals_exact_at_high_threshold(spark):
 def test_ivf_never_invents_and_has_recall(spark):
     brute = {
         (r.query_id, r.neighbor_id)
-        for r in SQ.sim_topk_cosine(spark, SF).collect()
+        for r in SQ._brute_cosine(spark, SF).collect()
     }
     ivf = SQ.sim_ann_ivf_topk(spark, SF).collect()
     ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf}
@@ -145,7 +145,7 @@ def test_pq_recall_compression_and_exact_rerank(spark):
 
     brute = {
         (r.query_id, r.neighbor_id)
-        for r in SQ.sim_topk_cosine(spark, SF).collect()
+        for r in SQ._brute_cosine(spark, SF).collect()
     }
     pq = SQ.sim_ann_pq_topk(spark, SF).collect()
     pq_pairs = {(r.query_id, r.neighbor_id) for r in pq}
@@ -176,7 +176,7 @@ def test_ivfpq_recall_and_exact_rerank(spark):
     floor, similarities exact after re-rank."""
     brute = {
         (r.query_id, r.neighbor_id)
-        for r in SQ.sim_topk_cosine(spark, SF).collect()
+        for r in SQ._brute_cosine(spark, SF).collect()
     }
     got = SQ.sim_ann_ivfpq_topk(spark, SF).collect()
     pairs = {(r.query_id, r.neighbor_id) for r in got}

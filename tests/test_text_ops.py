@@ -510,3 +510,35 @@ def test_domain_cap_keeps_first_n_per_domain(spark):
     assert out[2].domain == "example.com" and out[2].domain_keep
     assert out[3].domain == "example.com" and not out[3].domain_keep
     assert out[4].domain_keep and out[5].domain_keep and not out[6].domain_keep
+
+
+def test_temperature_mixture_thresholds(spark):
+    """r8: α=0.5 temperature mixture — exact integer derivation pinned
+    against hand computation, flatter than proportional (small source
+    keeps a larger fraction than the big one), same loud degenerate
+    policy as the budget variant."""
+    import math
+
+    import pytest
+
+    from rq_spark.operators.text import temperature_mixture_thresholds
+
+    df = spark.createDataFrame(
+        [("big", 90_000), ("small", 10_000)], "src string, sz long"
+    )
+    got = dict(temperature_mixture_thresholds(df, "src", "sz", denom=2))
+    budget = 100_000 // 2
+    sr = math.isqrt(90_000) + math.isqrt(10_000)
+    for g, t in (("big", 90_000), ("small", 10_000)):
+        share = budget * math.isqrt(t) // sr
+        assert got[g] == min(65536, share * 65536 // t), g
+    # temperature flattening: the small source's keep-RATE exceeds the
+    # big one's (proportional sampling would give both the same rate)
+    assert got["small"] > got["big"]
+    # the float-sqrt mirror an SQL oracle uses is exact in range
+    for c in (1, 2, 3, 90_000, 10_000, 2**40, 2**40 + 7, (1 << 25) ** 2 - 1):
+        assert int(math.floor(math.sqrt(float(c)))) == math.isqrt(c), c
+
+    zero = spark.createDataFrame([("a", 10), ("b", 0)], "src string, sz long")
+    with pytest.raises(ValueError, match="zero"):
+        temperature_mixture_thresholds(zero, "src", "sz")
