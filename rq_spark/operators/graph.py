@@ -125,6 +125,86 @@ def pagerank_fixed(
     return ranks.select("node", F.col("r").alias("pr"))
 
 
+def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node triangle counts over undirected (a_id, b_id) edges —
+    the local clustering signal of a graph pipeline (dense duplicate
+    cliques vs chains in a near-dup graph; community density in a kNN
+    graph). Returns (node, tri) for EVERY node row, 0 for
+    triangle-free nodes.
+
+    Distributed shape (node-iterator++ / Schank-Wagner): orient each
+    edge from the (degree, id)-smaller endpoint to the larger, which
+    turns the graph into a DAG whose out-degrees are O(sqrt(edges))
+    even at power-law hubs — the wedge join (dag ⋈ dag on v=u') then
+    enumerates each triangle EXACTLY once, and closing it is one more
+    equi-join against the dag. Three shuffles ∝ edges/wedges, no
+    driver state; the same plan an oracle reproduces verbatim in SQL,
+    so per-node counts are hash-exact."""
+    sym = edges.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).unionAll(
+        edges.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    e = (
+        sym.join(deg.withColumnRenamed("s", "_u"), F.col("s") == F.col("_u"))
+        .withColumnRenamed("dg", "dg_s")
+        .join(deg.withColumnRenamed("s", "_v"), F.col("d") == F.col("_v"))
+        .withColumnRenamed("dg", "dg_d")
+    )
+    dag = e.filter(
+        (F.col("dg_s") < F.col("dg_d"))
+        | ((F.col("dg_s") == F.col("dg_d")) & (F.col("s") < F.col("d")))
+    ).select(F.col("s").alias("u"), F.col("d").alias("v"))
+    w1 = dag.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = dag.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    w3 = dag.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        w1.join(w2, F.col("y") == F.col("y2"))
+        .join(w3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("tri")
+    )
+
+
+def triangle_cte_sql(edges_cte: str, nodes_cte: str) -> str:
+    """The matching DuckDB CTE chain (appended inside an existing WITH
+    clause): `edges_cte` must expose symmetric (s, d) rows and
+    `nodes_cte` a `node` column. Final relation `tc_out`(node, tri) —
+    the same degree-ordered orientation and joins triangle_counts
+    executes."""
+    return f"""
+, tc_deg AS (SELECT s, COUNT(*) AS dg FROM {edges_cte} GROUP BY s),
+tc_dag AS (
+  SELECT e.s AS u, e.d AS v
+  FROM {edges_cte} e
+  JOIN tc_deg a ON a.s = e.s
+  JOIN tc_deg b ON b.s = e.d
+  WHERE a.dg < b.dg OR (a.dg = b.dg AND e.s < e.d)
+), tc_tri AS (
+  SELECT w1.u AS x, w1.v AS y, w2.v AS z
+  FROM tc_dag w1
+  JOIN tc_dag w2 ON w2.u = w1.v
+  JOIN tc_dag w3 ON w3.u = w1.u AND w3.v = w2.v
+), tc_cnt AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tc_tri
+    UNION ALL SELECT y FROM tc_tri
+    UNION ALL SELECT z FROM tc_tri
+  ) GROUP BY node
+), tc_out AS (
+  SELECT n.node, COALESCE(c.t, 0) AS tri
+  FROM {nodes_cte} n LEFT JOIN tc_cnt c ON c.node = n.node
+)"""
+
+
 def pagerank_cte_sql(
     edges_cte: str,
     nodes_cte: str,

@@ -20,6 +20,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.graph import PR_ITERS as _PR_ITERS
 from ..operators.graph import pagerank_cte_sql as _pagerank_cte_sql
+from ..operators.graph import triangle_cte_sql as _triangle_cte_sql
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from ..util import spread as _spread
@@ -101,13 +102,20 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin every rank unit under the driver hash — an evidence channel
     float PageRank can never have.
 
+    'triangles' (r8) — per-node triangle counts
+    (operators/graph.py:triangle_counts): the local clustering signal
+    separating dense duplicate cliques from chains. The degree-ordered
+    DAG orientation enumerates each triangle once; counts are integer
+    and the oracle replays the same joins, so every count is
+    hash-exact.
+
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
     the quadratic shingle self-join), computed ONCE and persisted for
-    both branches; with 24 bands × 4 rows the verified pair set equals
+    all branches; with 24 bands × 4 rows the verified pair set equals
     the exact-Jaccard pairs w.h.p. (P(miss) ≈ 3e-6 at j=0.8), so the
     recursive-CTE oracle below — which IS the exact pair graph —
     stays valid unchanged."""
-    from ..operators.graph import pagerank_fixed
+    from ..operators.graph import pagerank_fixed, triangle_counts
 
     _release_caches("connected_groups")
     docs = table(spark, sf_dir, "documents")
@@ -129,7 +137,13 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("bigint").alias("rep_id"),
         F.col("pr"),
     )
-    return comp.unionByName(pr)
+    tri = triangle_counts(pairs, nodes).select(
+        F.lit("triangles").alias("op"),
+        F.col("node").alias("doc_id"),
+        nulls.cast("bigint").alias("rep_id"),
+        F.col("tri").alias("pr"),
+    )
+    return comp.unionByName(pr).unionByName(tri)
 
 
 # recursive-CTE oracle: min reachable doc_id = component representative
@@ -160,12 +174,14 @@ WITH RECURSIVE toks AS (
   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
 ), pr_nodes AS (
   SELECT doc_id AS node FROM documents
-){_pagerank_cte_sql("edges", "pr_nodes")}
+){_pagerank_cte_sql("edges", "pr_nodes")}{_triangle_cte_sql("edges", "pr_nodes")}
 SELECT 'components' AS op, node AS doc_id, MIN(lbl) AS rep_id,
        CAST(NULL AS BIGINT) AS pr
 FROM reach GROUP BY node
 UNION ALL
 SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
+UNION ALL
+SELECT 'triangles', node, NULL, tri FROM tc_out
 """
 
 

@@ -78,3 +78,31 @@ def test_validation(spark):
         pagerank_fixed(edges, nodes, damping_pct=100)
     with pytest.raises(ValueError):
         pagerank_fixed(edges, nodes, scale=1 << 62)
+
+
+def test_triangle_counts(spark):
+    """K4 on {1,2,3,4} (4 triangles, 3 per node), a pendant 4-5, an
+    isolated 6: counts match combinatorics; every node appears."""
+    from rq_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], ["a_id", "b_id"])
+    nodes = spark.createDataFrame([(v,) for v in range(1, 7)], ["node"])
+    got = {r["node"]: r["tri"] for r in triangle_counts(edges, nodes).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+
+
+def test_pagerank_plan_depth_is_bounded_by_checkpoint(spark):
+    """The scale contract of the iterative loop: each round's eager
+    (local)checkpoint truncates lineage, so the FINAL plan reads a
+    materialized RDD scan instead of replaying all prior rounds — the
+    plan depth is O(1) in iters, not O(iters)."""
+    from rq_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(EDGES, ["a_id", "b_id"])
+    nodes = spark.createDataFrame([(v,) for v in NODES], ["node"])
+    p3 = pagerank_fixed(edges, nodes, iters=3)._jdf.queryExecution().executedPlan().toString()
+    p6 = pagerank_fixed(edges, nodes, iters=6)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in p6
+    # doubling the iterations must not grow the consumer-visible plan
+    assert len(p6) <= len(p3) + 200

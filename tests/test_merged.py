@@ -45,7 +45,7 @@ TAGGED = {
         "exact", "minhash_lsh", "ngram_jaccard", "span", "excise",
         "cdc", "cdc_dup",
     },
-    "dedup_connected_groups": {"components", "pagerank"},
+    "dedup_connected_groups": {"components", "pagerank", "triangles"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
     },
