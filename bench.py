@@ -52,6 +52,9 @@ HEADLINE = [
     "mm_real_decode",
     "stream_stateful",
     "udf_grouped_table",
+    # late r8: the iterative graph family (components + fixed-point
+    # pagerank + triangles over the near-dup pair graph)
+    "dedup_connected_groups",
 ]
 
 
