@@ -39,6 +39,12 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# the DuckDB mirror of normalize_text — ONE definition shared by every
+# oracle (queries/dedup.py, queries/text.py, operators/retrieval.py) so
+# the tokenizations cannot drift apart
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
 def tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, words array<string>) — THE shared normalize+split pass.
 

@@ -85,7 +85,13 @@ def pagerank_fixed(
         sym = sym.unionAll(
             edges.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
         )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg is consumed every round by BOTH the contribution join (via
+    # ed) and the dangling anti-join — persist it or each iteration
+    # re-derives the symmetrized edge scan + groupBy
+    deg = _persist_tracked(
+        sym.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")),
+        scope="pagerank",
+    )
     ed = _persist_tracked(sym.join(deg, "s"), scope="pagerank")
     nodes_p = _persist_tracked(nodes.select("node"), scope="pagerank")
 

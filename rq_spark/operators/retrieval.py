@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import normalize_text, tokenized
+from .dedup import NORM_SQL, tokenized
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -57,6 +57,18 @@ def tokenize_query(q: str) -> list[str]:
     ignores within-query term repetition; sorting fixes the fold
     order for the hash contract."""
     return sorted({t for t in q.lower().split() if t})
+
+
+def _validate_queries(queries: list[str]) -> None:
+    """Loud rejection of empty query sets AND queries that tokenize to
+    zero terms — a term-less query can never match and would otherwise
+    silently vanish from the result (and emit an empty VALUES list in
+    the SQL oracle)."""
+    if not queries:
+        raise ValueError("bm25: queries must be non-empty")
+    bad = [q for q in queries if not tokenize_query(q)]
+    if bad:
+        raise ValueError(f"bm25: queries tokenize to zero terms: {bad!r}")
 
 
 def term_freqs(toks: DataFrame) -> DataFrame:
@@ -95,8 +107,7 @@ def bm25_topk_from_words(
     """
     if k < 1:
         raise ValueError(f"bm25_topk: k={k} must be >= 1")
-    if not queries:
-        raise ValueError("bm25_topk: queries must be non-empty")
+    _validate_queries(queries)
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"bm25_topk: invalid k1={k1} or b={b}")
     spark = toks.sparkSession
@@ -185,15 +196,16 @@ def bm25_cte_sql(
     expression tree bm25_topk_from_words(log_idf=False) evaluates —
     same casts, same parenthesization, same ordered fold — so every
     double is bit-identical."""
+    _validate_queries(queries)
     vals = ", ".join(
-        f"({qi}, '{t}')"
+        "({}, '{}')".format(qi, t.replace("'", "''"))
         for qi, q in enumerate(queries)
         for t in tokenize_query(q)
     )
     k1r, br, omb, k1p1 = repr(float(k1)), repr(float(b)), repr(float(1 - b)), repr(
         float(k1 + 1)
     )
-    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    norm = NORM_SQL.replace("lower(text)", f"lower({text_col})")
     return f"""
 , bm_tf AS (
   SELECT doc, term, COUNT(*) AS tf FROM (

@@ -458,22 +458,32 @@ def budget_mixture_thresholds(
 
     Returns sorted [(group, threshold_int)].
     """
-    rows = (
-        df.groupBy(group_col)
-        .agg(F.sum(size_col).alias("t"))
-        .collect()
-    )
-    bad = [r[group_col] for r in rows if r[group_col] is None or r["t"] is None or int(r["t"]) <= 0]
-    if bad:
-        raise ValueError(
-            "budget_mixture_thresholds: NULL group key or NULL/zero "
-            f"{size_col} total for group(s) {bad!r}; filter or fix these "
-            "sources before deriving a mixture"
-        )
-    counts = sorted((r[group_col], int(r["t"])) for r in rows)
+    counts = _mixture_counts(df, group_col, size_col)
     total = sum(t for _, t in counts)
     budget = total // (denom * len(counts))
     return [(g, min(65536, budget * 65536 // t)) for g, t in counts]
+
+
+def _mixture_counts(
+    df: DataFrame, group_col: str, size_col: str
+) -> list[tuple[str, int]]:
+    """Shared measure half of the mixture-threshold derivations: exact
+    per-group size totals (one tiny partial-agg groupBy, shuffle ∝
+    sources), sorted for determinism, with the loud degenerate-input
+    policy both variants share."""
+    rows = df.groupBy(group_col).agg(F.sum(size_col).alias("t")).collect()
+    bad = [
+        r[group_col]
+        for r in rows
+        if r[group_col] is None or r["t"] is None or int(r["t"]) <= 0
+    ]
+    if bad:
+        raise ValueError(
+            "mixture thresholds: NULL group key or NULL/zero "
+            f"{size_col} total for group(s) {bad!r}; filter or fix these "
+            "sources before deriving a mixture"
+        )
+    return sorted((r[group_col], int(r["t"])) for r in rows)
 
 
 def temperature_mixture_thresholds(
@@ -497,24 +507,12 @@ def temperature_mixture_thresholds(
     any per-source corpus size.
 
     Same scale shape and degenerate-input policy as
-    `budget_mixture_thresholds`: one tiny groupBy, driver-side
-    integer math, loud ValueError on NULL/zero groups; the APPLY half
-    is the same pushdown `mixture_sample` scan filter."""
+    `budget_mixture_thresholds` (shared `_mixture_counts` measure
+    half); the APPLY half is the same pushdown `mixture_sample` scan
+    filter."""
     import math
 
-    rows = df.groupBy(group_col).agg(F.sum(size_col).alias("t")).collect()
-    bad = [
-        r[group_col]
-        for r in rows
-        if r[group_col] is None or r["t"] is None or int(r["t"]) <= 0
-    ]
-    if bad:
-        raise ValueError(
-            "temperature_mixture_thresholds: NULL group key or NULL/zero "
-            f"{size_col} total for group(s) {bad!r}; filter or fix these "
-            "sources before deriving a mixture"
-        )
-    counts = sorted((r[group_col], int(r["t"])) for r in rows)
+    counts = _mixture_counts(df, group_col, size_col)
     budget = sum(t for _, t in counts) // denom
     roots = {g: math.isqrt(t) for g, t in counts}
     sum_r = sum(roots.values())

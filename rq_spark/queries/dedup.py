@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import dedup as D
+from ..operators.dedup import NORM_SQL as _D_NORM_SQL
 from ..operators import similarity as S
 from ..operators.graph import PR_ITERS as _PR_ITERS
 from ..operators.graph import pagerank_cte_sql as _pagerank_cte_sql
@@ -30,7 +31,7 @@ _JACCARD_T = 0.5
 
 # normalized-text expression shared by the SQL oracles (DuckDB needs
 # the 'g' flag for global regexp_replace; Spark is global by default)
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = _D_NORM_SQL
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1706,8 +1707,12 @@ def dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus+twins union feeds both branches.
     from ..operators.cdc import cdc_chunks, cdc_doc_report
 
-    _CDC_TWIN_OFF = 1_000_000
     base = docs.select("doc_id", "text")
+    # collision-proof twin id space: one MAX over a pruned 1-column
+    # scan (metadata-scale) instead of a fixed offset a large corpus's
+    # doc_ids could silently collide with; the oracle never sees twin
+    # ids, so the derived offset needs no SQL mirror
+    _CDC_TWIN_OFF = (base.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
     with_twins = base.unionByName(
         base.select((F.col("doc_id") + _CDC_TWIN_OFF).alias("doc_id"), "text")
     )

@@ -11,12 +11,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import text as X
+from ..operators.dedup import NORM_SQL as _D_NORM_SQL
 from ..operators import url as U
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from .helpers import spread, table
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = _D_NORM_SQL
 
 
 _TOKEN_SQL = f"""

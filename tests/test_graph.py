@@ -101,8 +101,17 @@ def test_pagerank_plan_depth_is_bounded_by_checkpoint(spark):
 
     edges = spark.createDataFrame(EDGES, ["a_id", "b_id"])
     nodes = spark.createDataFrame([(v,) for v in NODES], ["node"])
-    p3 = pagerank_fixed(edges, nodes, iters=3)._jdf.queryExecution().executedPlan().toString()
-    p6 = pagerank_fixed(edges, nodes, iters=6)._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" in p6
-    # doubling the iterations must not grow the consumer-visible plan
-    assert len(p6) <= len(p3) + 200
+    def ops(iters):
+        p = (
+            pagerank_fixed(edges, nodes, iters=iters)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Scan ExistingRDD" in p  # reads the checkpoint, not lineage
+        return p.count("Join"), p.count("Exchange")
+
+    # doubling the iterations must not grow the consumer-visible plan:
+    # same operator counts, because rounds 1..n-1 live behind the
+    # materialized checkpoint scan
+    assert ops(6) == ops(3)

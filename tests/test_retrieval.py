@@ -139,3 +139,15 @@ def test_tokenize_query_and_validation(docs_df):
         bm25_topk(docs_df, "text", "doc_id", ["x"], k=0)
     with pytest.raises(ValueError):
         bm25_topk(docs_df, "text", "doc_id", ["x"], b=1.5)
+    # term-less queries are rejected loudly, not silently empty
+    with pytest.raises(ValueError, match="zero terms"):
+        bm25_topk(docs_df, "text", "doc_id", ["   "], k=5)
+
+
+def test_cte_sql_escapes_and_validates():
+    from rq_spark.operators.retrieval import bm25_cte_sql
+
+    sql = bm25_cte_sql("documents", "text", "doc_id", ["customer's order"])
+    assert "'customer''s'" in sql  # SQL-escaped term literal
+    with pytest.raises(ValueError, match="zero terms"):
+        bm25_cte_sql("documents", "text", "doc_id", [" \t "])
