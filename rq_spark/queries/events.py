@@ -388,10 +388,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW = "1 hour"
+
+
 def event_sessions_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows + daily per-user rollup in one tagged result
-    (branches = the former session_window_30min,
-    event_rate_per_user_day)."""
+    """Session windows + daily per-user rollup + funnel depth + cohort
+    retention in one tagged result (branches = the former
+    session_window_30min, event_rate_per_user_day, plus r8 'funnel'
+    and 'retention').
+
+    'funnel' (operators/funnel.py:funnel_levels) — greedy-earliest
+    view→click→purchase depth within 1 hour per user; each level is a
+    filtered aggregate + user-level join the oracle replays verbatim,
+    so levels AND anchor/completion timestamps are hash-exact.
+
+    'retention' (operators/funnel.py:cohort_retention) — users
+    bucketed by first-seen week, distinct-active counts per (cohort,
+    week offset); integer counts, ISO week truncation on both
+    engines."""
+    from ..operators.funnel import cohort_retention, funnel_levels
+
     nulls = F.lit(None)
     sess_df = session_window_30min(spark, sf_dir)
     ts_type = dict(sess_df.dtypes)["session_start"]
@@ -417,10 +434,55 @@ def event_sessions_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         nulls.cast(ts_type).alias("t3"),
     )
-    return sess.unionByName(rate)
+    ev = table(spark, sf_dir, "events")
+    fun = funnel_levels(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW).select(
+        F.lit("funnel").alias("op"),
+        F.col("user").cast("bigint").alias("user_id"),
+        F.col("t_first").alias("t1"),
+        F.col("t_complete").alias("t2"),
+        nulls.cast("date").alias("day"),
+        F.col("level").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        nulls.cast("double").alias("sum_value"),
+        nulls.cast(ts_type).alias("t3"),
+    )
+    ret = cohort_retention(ev, "week").select(
+        F.lit("retention").alias("op"),
+        nulls.cast("bigint").alias("user_id"),
+        nulls.cast(ts_type).alias("t1"),
+        nulls.cast(ts_type).alias("t2"),
+        F.col("cohort").alias("day"),
+        F.col("offset").alias("n1"),
+        F.col("n_users").alias("n2"),
+        nulls.cast("double").alias("sum_value"),
+        nulls.cast(ts_type).alias("t3"),
+    )
+    return sess.unionByName(rate).unionByName(fun).unionByName(ret)
 
 
 _EVENT_SESSIONS_RATE_SQL = f"""
+WITH fn1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), fn2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN fn1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.ts > fn1.t1 AND e.ts <= fn1.t1 + INTERVAL {_FUNNEL_WINDOW}
+  GROUP BY e.user_id
+), fn3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN fn1 USING (user_id) JOIN fn2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.ts > fn2.t2 AND e.ts <= fn1.t1 + INTERVAL {_FUNNEL_WINDOW}
+  GROUP BY e.user_id
+), coh AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events
+)
 SELECT 'session' AS op, user_id, session_start AS t1, session_end AS t2,
        CAST(NULL AS DATE) AS day, n_events AS n1, CAST(NULL AS BIGINT) AS n2,
        sum_value, first_ts AS t3
@@ -428,6 +490,19 @@ FROM ({_SESSION_SQL})
 UNION ALL
 SELECT 'rate', user_id, NULL, NULL, day, n, n_types, sum_value, NULL
 FROM ({_RATE_SQL})
+UNION ALL
+SELECT 'funnel', fn1.user_id, fn1.t1, fn3.t3, NULL,
+       CASE WHEN fn3.user_id IS NOT NULL THEN 3
+            WHEN fn2.user_id IS NOT NULL THEN 2
+            ELSE 1 END,
+       NULL, NULL, NULL
+FROM fn1 LEFT JOIN fn2 USING (user_id) LEFT JOIN fn3 USING (user_id)
+UNION ALL
+SELECT 'retention', NULL, NULL, NULL, cohort,
+       datediff('day', cohort, p) // 7, COUNT(DISTINCT act.user_id),
+       NULL, NULL
+FROM act JOIN coh USING (user_id)
+GROUP BY cohort, datediff('day', cohort, p) // 7
 """
 
 

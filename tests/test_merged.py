@@ -46,6 +46,7 @@ TAGGED = {
         "cdc", "cdc_dup",
     },
     "dedup_connected_groups": {"components", "pagerank", "triangles"},
+    "event_sessions_rate": {"session", "rate", "funnel", "retention"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
     },
