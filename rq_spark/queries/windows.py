@@ -287,16 +287,37 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("bigint").alias("k3"),
         F.col("trailing_30d_rev").alias("v"),
     )
-    return running.unionByName(trailing)
+    # op='ewma' (r8): fixed-point α=1/2 exponential smoothing of each
+    # user's event values (operators/timeseries.py:ewma_fixed) — the
+    # integer recurrence is replayed by a recursive-CTE oracle, so
+    # every smoothed micro-unit is hash-exact. v carries the int64
+    # micro-units exactly (< 2^53) as a double.
+    from ..operators.timeseries import ewma_fixed
 
+    ewma = ewma_fixed(
+        table(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "value"
+    ).select(
+        F.lit("ewma").alias("op"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        F.col("event_id").cast("bigint").alias("k2"),
+        F.col("seq").alias("k3"),
+        F.col("ewma_micros").cast("double").alias("v"),
+    )
+    return running.unionByName(trailing).unionByName(ewma)
+
+
+from ..operators.timeseries import ewma_cte_sql as _ewma_cte_sql  # noqa: E402
 
 _FRAMES_SQL = f"""
+WITH RECURSIVE _ew_seed AS (SELECT 1 AS one){_ewma_cte_sql("events", "user_id", "ts, event_id", "value")}
 SELECT 'running' AS op, CAST(l_suppkey AS BIGINT) AS k1, l_orderkey AS k2,
        CAST(l_linenumber AS BIGINT) AS k3, running_qty AS v
 FROM ({_RUNNING_SQL})
 UNION ALL
 SELECT 'trailing_30d', o_custkey, o_orderkey, NULL, trailing_30d_rev
 FROM ({_TRAILING_SQL})
+UNION ALL
+SELECT 'ewma', k, eid, seq, CAST(s AS DOUBLE) FROM ew
 """
 
 
