@@ -89,6 +89,31 @@ def funnel_levels(
     )
 
 
+def type_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, next_type, n): global counts of consecutive
+    event-type transitions within each user's (ts, id)-ordered stream
+    — the Markov/Sankey edge weights of behavioral flow analysis (and
+    of agent-trace step profiling). One user-keyed window shuffle +
+    one tiny groupBy on the (prev, next) pairs; integer counts with a
+    LAG-window oracle, hash-exact."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(type_col).over(w)
+    return (
+        events.select(prev.alias("prev_type"), F.col(type_col).alias("next_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     period: str = "week",

@@ -228,15 +228,29 @@ GROUP BY e.user_id, m.first_ts
 
 
 def window_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding event-time windows in one tagged result
-    (branches = the former tumble_10min, slide_10min_5min; identical
-    per-branch schemas, so the merge is a pure tag-union)."""
+    """Tumbling + sliding event-time windows + r8 type-transition
+    counts (operators/funnel.py:type_transitions — Markov/Sankey edge
+    weights over each user's ordered stream, LAG-window oracle) in one
+    tagged result. The transition pair rides the event_type column as
+    'prev>next'."""
 
     def tag(df: DataFrame, op: str) -> DataFrame:
         return df.select(F.lit(op).alias("op"), "*")
 
-    return tag(tumble_10min(spark, sf_dir), "tumble").unionByName(
-        tag(slide_10min_5min(spark, sf_dir), "slide")
+    from ..operators.funnel import type_transitions
+
+    nulls = F.lit(None)
+    trans = type_transitions(table(spark, sf_dir, "events")).select(
+        F.lit("transition").alias("op"),
+        nulls.cast("timestamp").alias("window_start"),
+        F.concat_ws(">", "prev_type", "next_type").alias("event_type"),
+        F.col("n"),
+        nulls.cast("double").alias("sum_value"),
+    )
+    return (
+        tag(tumble_10min(spark, sf_dir), "tumble")
+        .unionByName(tag(slide_10min_5min(spark, sf_dir), "slide"))
+        .unionByName(trans)
     )
 
 
@@ -244,6 +258,18 @@ _WINDOW_AGG_TIME_SQL = f"""
 SELECT 'tumble' AS op, * FROM ({_TUMBLE_SQL})
 UNION ALL
 SELECT 'slide' AS op, * FROM ({_SLIDE_SQL})
+UNION ALL
+SELECT 'transition', NULL, pair, n, NULL FROM (
+  SELECT prev_type || '>' || event_type AS pair, COUNT(*) AS n
+  FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1
+)
 """
 
 

@@ -90,3 +90,22 @@ def test_cohort_retention(spark):
     }
     with pytest.raises(ValueError):
         cohort_retention(ev, "day")
+
+
+def test_type_transitions(spark):
+    """Crafted stream: per-user ordered bigrams, cross-user boundaries
+    never produce a transition, ties broken by event_id."""
+    from rq_spark.operators.funnel import type_transitions
+
+    rows = [
+        (1, 1, _ts(0), "view"), (1, 2, _ts(1), "click"), (1, 3, _ts(2), "view"),
+        (2, 4, _ts(0), "click"),  # singleton stream: no transitions
+        # user 3: same ts — event_id orders view(5) before click(6)
+        (3, 5, _ts(0), "view"), (3, 6, _ts(0), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in type_transitions(ev).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}

@@ -48,6 +48,7 @@ TAGGED = {
     "dedup_connected_groups": {"components", "pagerank", "triangles"},
     "event_sessions_rate": {"session", "rate", "funnel", "retention"},
     "window_frames": {"running", "trailing_30d", "ewma"},
+    "window_agg_time": {"tumble", "slide", "transition"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
     },

@@ -393,3 +393,21 @@ def test_bm25_probe_broadcasts_into_corpus(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BuildRight, Cross" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_step_scans_are_type_filtered(spark, sf_dir):
+    """Each funnel level reads ONLY its step's event type: the
+    event_type equality predicate must reach every parquet scan
+    (pushdown), so a deep funnel over a large corpus reads per-type
+    fractions, not the whole stream per level."""
+    from rq_spark.operators.funnel import funnel_levels
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = funnel_levels(ev, ["view", "click", "purchase"], "1 hour")
+    plan = _formatted(df)
+    pushed = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    typed = [p for p in pushed if "event_type" in p]
+    assert len(typed) >= 3, pushed
