@@ -506,6 +506,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("ok"),
     )
+    # 'hll_union' (late r8): MERGEABLE Datasketches HLL — sketch per
+    # (returnflag, linestatus) sub-group, then hll_union_agg rolls the
+    # binary sketches up to returnflag without touching the raw keys
+    # again. This two-level build is the 100 TB cardinality pattern
+    # (sketch per day/partition once, union forever); the union'd
+    # estimate is asserted within tolerance of the same exact oracle.
+    sub = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("_sk")
+    )
+    merged = sub.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_union_est")
+    )
+    hll_u = merged.join(
+        g.select("l_returnflag", "n_parts_exact"), "l_returnflag"
+    ).select(
+        F.lit("hll_union").alias("op"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("n_parts_exact").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        (
+            F.abs(F.col("_union_est") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= 0.05
+        ).alias("ok"),
+    )
     words = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"))
@@ -518,7 +543,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("bigint").alias("n2"),
         F.col("never_under").alias("ok"),
     )
-    return hll.unionByName(hh)
+    return hll.unionByName(hll_u).unionByName(hh)
 
 
 _CMS_HH_SQL = """
@@ -557,6 +582,11 @@ SELECT 'hll' AS op, l_returnflag AS grp,
        COUNT(DISTINCT l_partkey) AS n1,
        CAST(NULL AS BIGINT) AS n2,
        TRUE AS ok
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'hll_union', l_returnflag,
+       COUNT(DISTINCT l_partkey), NULL, TRUE
 FROM lineitem
 GROUP BY l_returnflag
 UNION ALL

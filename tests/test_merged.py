@@ -22,7 +22,7 @@ SF = "/root/testdata/sf0.001"
 TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "domain_cap"},
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
-    "agg_approx_distinct": {"hll", "cms_hh"},
+    "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
     "agg_stats": {"corr", "percentile", "profile"},
     "set_ops": {"union", "intersect", "except"},
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},

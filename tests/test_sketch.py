@@ -98,3 +98,31 @@ def test_validation():
         cms_sketch(None, "w", depth=0, width=8)
     with pytest.raises(ValueError):
         cms_heavy_hitters(None, "w", inv_frac=0)
+
+
+def test_hll_union_is_lossless_vs_global_sketch(spark):
+    """Late r8 (the 'hll_union' branch's mergeability contract): the
+    union of per-sub-group Datasketches HLL sketches estimates EXACTLY
+    what one global sketch over the same keys estimates — sketch
+    merging loses nothing, which is why per-partition sketches can
+    roll up across days/shards at 100 TB without re-scanning keys."""
+    rows = [(i % 7, i % 3, i * 31 % 101) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "sub", "k"])
+    direct = {
+        r["g"]: r["est"]
+        for r in df.groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est"))
+        .collect()
+    }
+    unioned = {
+        r["g"]: r["est"]
+        for r in df.groupBy("g", "sub")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+        .groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert direct == unioned
+    exact = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count_distinct("k").alias("n")).collect()}
+    for g, est in unioned.items():
+        assert abs(est - exact[g]) / exact[g] <= 0.05
