@@ -41,3 +41,51 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, null_frac, ndv, min_val, max_val)",
     ).select("col_name", "n", "null_frac", "ndv", "min_val", "max_val")
+
+
+def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_keys, max_cnt, skew_ratio, top_share) — the
+    'should I salt this join?' diagnostic per candidate shuffle key:
+    skew_ratio = hottest key's count over the mean per-key count
+    (1.0 = perfectly uniform; the rule of thumb is to salt or enable
+    AQE skew handling when it climbs into the hundreds), top_share =
+    the hottest key's fraction of all rows.
+
+    ONE scan for every analyzed column: the keys explode as
+    (col_name, value) pairs off a map literal (an Expand, like
+    `profile_columns`' multi-distinct plan), then two hash
+    aggregations — shuffle ∝ Σ distinct keys across the columns,
+    never a second pass over the table. Counts are exact integers and
+    the two ratios single correctly-rounded double divisions, so the
+    report is hash-exact against any engine."""
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(F.col(c).cast("string"), F.lit("∅")),
+                    )
+                ]
+            )
+        ).alias("col_name", "_k")
+    )
+    per_key = pairs.groupBy("col_name", "_k").agg(F.count(F.lit(1)).alias("_c"))
+    maxd = F.col("max_cnt").cast("double")
+    return (
+        per_key.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_c").alias("max_cnt"),
+            F.sum("_c").alias("_total"),
+        )
+        .select(
+            "col_name",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            (maxd / (F.col("_total").cast("double") / F.col("n_keys").cast("double"))).alias("skew_ratio"),
+            (maxd / F.col("_total").cast("double")).alias("top_share"),
+        )
+    )

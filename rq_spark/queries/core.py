@@ -1104,7 +1104,22 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("null_frac").alias("v3"),
         F.col("ndv").cast("bigint").alias("n"),
     )
-    return corr.unionByName(pct).unionByName(prof)
+    # key-skew diagnostic (late r8): the 'should I salt this join?'
+    # report per candidate shuffle key — one Expand scan for all keys,
+    # exact counts + two single-division ratios, hash-exact
+    from ..operators.profiling import key_skew_report
+
+    skew = key_skew_report(
+        table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_suppkey"]
+    ).select(
+        F.lit("skew").alias("op"),
+        F.col("col_name").alias("l_returnflag"),
+        F.col("max_cnt").cast("double").alias("v1"),
+        F.col("skew_ratio").alias("v2"),
+        F.col("top_share").alias("v3"),
+        F.col("n_keys").alias("n"),
+    )
+    return corr.unionByName(pct).unionByName(prof).unionByName(skew)
 
 
 _PROFILE_SQL = """
@@ -1137,6 +1152,20 @@ FROM ({_AGG_PCT_SQL})
 UNION ALL
 SELECT 'profile', col_name, min_val, max_val, null_frac, ndv
 FROM ({_PROFILE_SQL})
+UNION ALL
+SELECT 'skew', col_name, CAST(max_cnt AS DOUBLE),
+       CAST(max_cnt AS DOUBLE)
+         / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)),
+       CAST(max_cnt AS DOUBLE) / CAST(total AS DOUBLE),
+       n_keys
+FROM (
+  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_keys, MAX(c) AS max_cnt,
+         SUM(c) AS total
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+  UNION ALL
+  SELECT 'l_suppkey', COUNT(*), MAX(c), SUM(c)
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+)
 """
 
 

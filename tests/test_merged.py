@@ -23,7 +23,7 @@ TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "domain_cap"},
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
-    "agg_stats": {"corr", "percentile", "profile"},
+    "agg_stats": {"corr", "percentile", "profile", "skew"},
     "set_ops": {"union", "intersect", "except"},
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},
     "join_outer_family": {"left", "right", "full"},

@@ -411,3 +411,16 @@ def test_funnel_step_scans_are_type_filtered(spark, sf_dir):
     ]
     typed = [p for p in pushed if "event_type" in p]
     assert len(typed) >= 3, pushed
+
+
+def test_key_skew_report_is_single_scan(spark, sf_dir):
+    """All analyzed key columns profile off ONE table scan (the map
+    explode), not one scan per column."""
+    from rq_spark.operators.profiling import key_skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = key_skew_report(li, ["l_orderkey", "l_suppkey", "l_partkey"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==", 1)[0]  # AQE final plan only
+    assert plan.count("Scan parquet") == 1
