@@ -124,15 +124,26 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T),
         scope="connected_groups",
     )
+    pairs.count()  # materialize the shared edge relation exactly once
     nodes = docs.select(F.col("doc_id").alias("node"))
     nulls = F.lit(None)
-    comp = D.connected_components(pairs, nodes).select(
+    # components and pagerank each run a driver-side iteration loop
+    # (per-round checkpoint / count jobs); the loops are independent,
+    # so submit them from two threads — Spark schedules concurrent
+    # jobs safely, and the key costs max(loop) instead of the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_comp = ex.submit(D.connected_components, pairs, nodes)
+        f_pr = ex.submit(pagerank_fixed, pairs, nodes)
+        comp_df, pr_df = f_comp.result(), f_pr.result()
+    comp = comp_df.select(
         F.lit("components").alias("op"),
         F.col("node").alias("doc_id"),
         F.col("rep").alias("rep_id"),
         nulls.cast("bigint").alias("pr"),
     )
-    pr = pagerank_fixed(pairs, nodes).select(
+    pr = pr_df.select(
         F.lit("pagerank").alias("op"),
         F.col("node").alias("doc_id"),
         nulls.cast("bigint").alias("rep_id"),
