@@ -15,7 +15,7 @@ columns are profiled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,6 +41,55 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, null_frac, ndv, min_val, max_val)",
     ).select("col_name", "n", "null_frac", "ndv", "min_val", "max_val")
+
+
+def exact_quantiles_histogram(
+    df: DataFrame, group_col: str, value_col: str, q_percents: list[int]
+) -> DataFrame:
+    """Exact per-group quantiles WITHOUT a per-group sort: the
+    value-histogram plan for discrete/fixed-point measures (prices in
+    cents, integer sizes, latencies in µs) whose distinct-value count
+    is tiny next to the row count.
+
+    `percentile()` (the `percentile` branch of agg_stats) materializes
+    and sorts every row per group — O(rows log rows) and a full-width
+    shuffle. This plan is: one scan → hash-agg on (group, value)
+    [map-side partials, shuffle ∝ DISTINCT values, not rows] → a
+    cumulative window over each group's histogram (thousands of rows,
+    not billions) → one final agg. At 100 TB of lineitem, the shuffle
+    drops from the table size to the histogram size.
+
+    Nearest-rank definition, integer-exact: the q-th percentile is the
+    smallest value whose cumulative count reaches ceil(q·n/100). With
+    integer cum the test `cum ≥ q·n/100` is exactly `100·cum ≥ q·n` —
+    no division, no rounding, so every emitted value is bit-identical
+    cross-engine (`value_col` must be integral; callers quantize
+    fixed-point columns, e.g. price → cents, before the call).
+
+    Returns (group, n, p{q}... one column per requested percent).
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in q_percents:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") * 100 >= F.col("_n") * q, F.col(value_col)
+                )
+            ).alias(f"p{q}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)
 
 
 def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:

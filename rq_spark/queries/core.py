@@ -1119,7 +1119,29 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_share").alias("v3"),
         F.col("n_keys").alias("n"),
     )
-    return corr.unionByName(pct).unionByName(prof).unionByName(skew)
+    # histogram-exact quantiles (r8): same p90 family as the
+    # 'percentile' branch but shuffle ∝ distinct cent values, not rows
+    # — the fixed-point-measure plan that survives a 100 TB lineitem
+    from ..operators.profiling import exact_quantiles_histogram
+
+    cents = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    qh = exact_quantiles_histogram(
+        cents, "l_returnflag", "cents", [25, 50, 90]
+    ).select(
+        F.lit("qhist").alias("op"),
+        "l_returnflag",
+        (F.col("p25").cast("double") / 100).alias("v1"),
+        (F.col("p50").cast("double") / 100).alias("v2"),
+        (F.col("p90").cast("double") / 100).alias("v3"),
+        F.col("n").alias("n"),
+    )
+    return (
+        corr.unionByName(pct).unionByName(prof).unionByName(skew)
+        .unionByName(qh)
+    )
 
 
 _PROFILE_SQL = """
@@ -1165,6 +1187,30 @@ FROM (
   UNION ALL
   SELECT 'l_suppkey', COUNT(*), MAX(c), SUM(c)
   FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+)
+UNION ALL
+SELECT 'qhist', l_returnflag,
+       CAST(p25 AS DOUBLE) / 100, CAST(p50 AS DOUBLE) / 100,
+       CAST(p90 AS DOUBLE) / 100, n
+FROM (
+  SELECT l_returnflag,
+         MAX(n) AS n,
+         MIN(CASE WHEN 100 * cum >= 25 * n THEN cents END) AS p25,
+         MIN(CASE WHEN 100 * cum >= 50 * n THEN cents END) AS p50,
+         MIN(CASE WHEN 100 * cum >= 90 * n THEN cents END) AS p90
+  FROM (
+    SELECT l_returnflag, cents,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    )
+  )
+  GROUP BY l_returnflag
 )
 """
 

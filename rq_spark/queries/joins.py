@@ -214,7 +214,12 @@ _BAND = 0.5
 
 
 def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs of parts within ±0.5 of each other's retail price.
+    """Tagged theta-join family over the part table: the ``band``
+    branch (pairs within ±0.5 retail price) and the r8 ``linkage``
+    branch (fuzzy record linkage: per-part fuzzy-match report via
+    blocked Levenshtein, operators/linkage.py). Both share the same
+    bucketed-equi-join strategy — a declared key bounds candidates so
+    no O(n²) nested loop ever appears in the plan.
 
     A naive theta join is O(n²). Bucketing the range key to band-sized
     buckets and equi-joining each left bucket against {b-1, b, b+1}
@@ -222,6 +227,28 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join strategy; each qualifying pair matches exactly once
     because the left side keeps a single bucket.
     """
+    band = _price_band_pairs(spark, sf_dir).select(
+        F.lit("band").alias("op"),
+        "a_key",
+        "b_key",
+        F.col("a_price").alias("v1"),
+        F.col("b_price").alias("v2"),
+    )
+    from ..operators.linkage import record_linkage_report
+
+    link = record_linkage_report(
+        table(spark, sf_dir, "part"), "p_partkey", "p_name", max_distance=4
+    ).select(
+        F.lit("linkage").alias("op"),
+        F.col("key").alias("a_key"),
+        F.col("nearest_key").alias("b_key"),
+        F.col("min_distance").cast("double").alias("v1"),
+        F.col("n_matches").cast("double").alias("v2"),
+    )
+    return band.unionByName(link)
+
+
+def _price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("a_key"),
         F.col("p_retailprice").alias("a_price"),
@@ -249,11 +276,27 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_SQL = f"""
-SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-       a.p_retailprice AS a_price, b.p_retailprice AS b_price
+SELECT 'band' AS op, a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_retailprice AS v1, b.p_retailprice AS v2
 FROM part a JOIN part b
   ON a.p_partkey < b.p_partkey
  AND abs(a.p_retailprice - b.p_retailprice) <= {_BAND}
+UNION ALL
+SELECT 'linkage', a_key, b_key, CAST(d AS DOUBLE), CAST(nm AS DOUBLE)
+FROM (
+  SELECT a_key, b_key, d,
+         ROW_NUMBER() OVER (PARTITION BY a_key ORDER BY d, b_key) AS rn,
+         COUNT(*) OVER (PARTITION BY a_key) AS nm
+  FROM (
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           levenshtein(a.p_name, b.p_name) AS d
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey <> b.p_partkey
+  )
+  WHERE d <= 4
+)
+WHERE rn = 1
 """
 
 # --------------------------------------------------------------------------

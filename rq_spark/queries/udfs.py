@@ -199,6 +199,62 @@ WHERE i <= len(w)
 """
 
 
+# ----------------------------------------------- distributed BPE encode
+
+
+def udf_bpe_encode_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE — the apply side of `fit_bpe`
+    (operators/bpe.py): train the merge table on the corpus's own
+    distributed word counts, broadcast the ranks in the UDF closure,
+    and tokenize every document in one Arrow-batched pass (per-batch
+    word memo: Zipf repetition means ~one `encode_word` per DISTINCT
+    word per batch).
+
+    Evidence pattern = the CDC losslessness certificate
+    (operators/cdc.py): BPE inference is not SQL-expressible, but its
+    DECODE is concatenation, so the md5 of the reconstructed text
+    (pieces joined, end-of-word markers back to spaces) must equal the
+    oracle's md5 of the normalized text — any dropped, duplicated,
+    reordered or corrupted piece flips the driver hash. Two integer
+    bounds ride along as an oracle-asserted flag: n_words ≤ n_pieces ≤
+    n_chars (each word is 1..len(word) pieces — merges only ever
+    shrink the initial character segmentation). Exact piece identity
+    is pytest-pinned against the reference merge loop
+    (tests/test_bpe.py).
+    """
+    from ..operators.bpe import EOW, bpe_tokens, fit_bpe
+    from ..operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, "text", n_merges=40)
+    nt = normalize_text(F.col("text"))
+    toks = bpe_tokens(merges, F.col("text"))
+    recon = F.trim(F.regexp_replace(F.array_join(toks, ""), EOW, " "))
+    n_pieces = F.size(toks)
+    n_words = F.size(F.split(nt, " "))
+    n_chars = F.length(F.regexp_replace(nt, " ", ""))
+    bounds_ok = (nt == "") | (
+        (n_pieces >= n_words) & (n_pieces <= n_chars)
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(recon), 1, 16).alias("recon_md5"),
+        bounds_ok.cast("bigint").alias("bounds_ok"),
+        n_words.cast("bigint").alias("n_words"),
+    )
+
+
+_BPE_ENCODE_SQL = """
+SELECT doc_id, substr(md5(nt), 1, 16) AS recon_md5,
+       CAST(1 AS BIGINT) AS bounds_ok,
+       CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words
+FROM (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # tagged multi-op merges (catalog ≤ 50 keys; each branch still runs
 # its original Arrow-batched UDF path, any divergence flips the hash)
@@ -207,8 +263,9 @@ WHERE i <= len(w)
 
 def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-wise Arrow UDF tiers in one tagged result: scalar pandas_udf
-    + mapInPandas (branches = the former udf_scalar_log1p,
-    udf_map_in_pandas_enrich)."""
+    + mapInPandas + the r8 certified BPE encoder (branches = the former
+    udf_scalar_log1p, udf_map_in_pandas_enrich, plus
+    udf_bpe_encode_certified)."""
     nulls = F.lit(None)
     scalar = udf_scalar_log1p(spark, sf_dir).select(
         F.lit("pandas_udf").alias("op"),
@@ -226,7 +283,15 @@ def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k"),
         F.col("n_props").cast("bigint").alias("n_props"),
     )
-    return scalar.unionByName(mip)
+    bpe = udf_bpe_encode_certified(spark, sf_dir).select(
+        F.lit("bpe").alias("op"),
+        F.col("doc_id").cast("bigint").alias("event_id"),
+        nulls.cast("double").alias("v"),
+        F.col("recon_md5").alias("event_type"),
+        F.col("bounds_ok").alias("k"),
+        F.col("n_words").alias("n_props"),
+    )
+    return scalar.unionByName(mip).unionByName(bpe)
 
 
 _UDF_VECTORIZED_SQL = f"""
@@ -237,6 +302,9 @@ FROM ({_SCALAR_SQL})
 UNION ALL
 SELECT 'map_in_pandas', event_id, NULL, event_type, k, CAST(n_props AS BIGINT)
 FROM ({_MAP_IN_PANDAS_SQL})
+UNION ALL
+SELECT 'bpe', doc_id, NULL, recon_md5, bounds_ok, n_words
+FROM ({_BPE_ENCODE_SQL})
 """
 
 

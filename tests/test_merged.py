@@ -23,21 +23,19 @@ TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "domain_cap"},
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
-    "agg_stats": {"corr", "percentile", "profile", "skew"},
+    "agg_stats": {"corr", "percentile", "profile", "skew", "qhist"},
     "set_ops": {"union", "intersect", "except"},
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},
     "join_outer_family": {"left", "right", "full"},
     "join_filtering": {"semi", "anti", "cross"},
+    "join_range_price_band": {"band", "linkage"},
     "window_ranking": {"rank_dense", "dist_rank"},
-    "window_frames": {"running", "trailing_30d"},
     "func_array": {"element", "agg"},
-    "window_agg_time": {"tumble", "slide"},
-    "event_sessions_rate": {"session", "rate"},
     "stream_agg_dedup": {"tumble", "dedup"},
     "stream_stateful": {"first_seen", "interval_join", "running"},
     "explode_ops": {"posexplode", "explode_outer"},
     "struct_ops": {"with_field", "flatten"},
-    "udf_vectorized": {"pandas_udf", "map_in_pandas"},
+    "udf_vectorized": {"pandas_udf", "map_in_pandas", "bpe"},
     "udf_grouped_table": {"apply_in_pandas", "udtf"},
     "sim_ann_topk": {"lsh", "ivf", "pq", "ivfpq", "ivfpq_join"},
     "sim_topk_cosine": {"cosine", "bm25"},

@@ -1,0 +1,79 @@
+"""Histogram-exact quantiles (operators/profiling.py): value equality
+with the nearest-rank definition and the shuffle-∝-distinct plan."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from rq_spark.operators.profiling import exact_quantiles_histogram
+
+
+def _nearest_rank(vals: list[int], q: int) -> int:
+    s = sorted(vals)
+    return s[max(0, math.ceil(q * len(s) / 100) - 1)]
+
+
+def test_qhist_matches_nearest_rank_reference(spark):
+    rng = random.Random(7)
+    # heavy ties (20 distinct values across 3000 rows) + ragged groups
+    rows = [
+        (g, rng.choice([rng.randrange(20), 0, 19]))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randrange(800, 1200))
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: (r["n"], r["p25"], r["p50"], r["p90"])
+        for r in exact_quantiles_histogram(df, "g", "v", [25, 50, 90]).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {
+        g: (
+            len(vs),
+            _nearest_rank(vs, 25),
+            _nearest_rank(vs, 50),
+            _nearest_rank(vs, 90),
+        )
+        for g, vs in by_g.items()
+    }
+    assert got == want
+
+
+def test_qhist_extremes_and_single_row_group(spark):
+    df = spark.createDataFrame(
+        [("s", 42)] + [("m", v) for v in range(1, 101)], ["g", "v"]
+    )
+    got = {
+        r["g"]: (r["p1"], r["p100"])
+        for r in exact_quantiles_histogram(df, "g", "v", [1, 100]).collect()
+    }
+    assert got == {"s": (42, 42), "m": (1, 100)}
+
+
+def test_qhist_aggregates_before_the_window(spark):
+    """The point of the histogram plan: rows collapse to (group, value)
+    counts BEFORE any window/sort touches them, so the shuffle is ∝
+    distinct values. A regression to percentile()-style per-group row
+    sort would put the Window/Sort below the first aggregate."""
+    df = spark.range(100000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 50).alias("v"),
+    )
+    plan = (
+        exact_quantiles_histogram(df, "g", "v", [50])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    first_agg = plan.rindex("HashAggregate")  # deepest operator = last printed
+    assert "Window" in plan
+    assert plan.index("Window") < first_agg, (
+        "histogram aggregate must run below (after-in-dataflow, "
+        "printed-above) the cumulative window"
+    )

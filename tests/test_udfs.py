@@ -61,3 +61,43 @@ def test_udtf_leaves_session_catalog_clean(spark, sf_dir):
     udf_udtf_split_terms(spark, sf_dir).count()
     after = {v.name for v in spark.catalog.listTables()}
     assert after == before
+
+
+def test_bpe_encode_reconstruction_is_lossless(spark, sf_dir):
+    """r8: the certified-encode branch — every document's BPE pieces
+    must concatenate back to its normalized text exactly (not just the
+    md5 the driver hash checks), and the piece-count bounds must hold
+    with real trained merges."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators.bpe import EOW, bpe_tokens, fit_bpe
+    from rq_spark.operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = fit_bpe(docs, "text", n_merges=25)
+    assert len(merges) == 25
+    toks = bpe_tokens(merges, F.col("text"))
+    bad = (
+        docs.select(
+            normalize_text(F.col("text")).alias("nt"),
+            F.trim(F.regexp_replace(F.array_join(toks, ""), EOW, " ")).alias(
+                "recon"
+            ),
+            F.size(toks).alias("np"),
+        )
+        .filter(
+            (F.col("recon") != F.col("nt"))
+            | (
+                (F.col("nt") != "")
+                & (
+                    (F.col("np") < F.size(F.split(F.col("nt"), " ")))
+                    | (
+                        F.col("np")
+                        > F.length(F.regexp_replace(F.col("nt"), " ", ""))
+                    )
+                )
+            )
+        )
+        .count()
+    )
+    assert bad == 0
