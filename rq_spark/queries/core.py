@@ -390,7 +390,17 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT in one tagged result (set semantics:
     ``distinct`` / ``intersect`` / ``subtract``, not the ALL variants).
     Each branch is a small dim-key set, so the tag-union costs one
-    distinct-shuffle per branch — same as three separate queries."""
+    distinct-shuffle per branch — same as three separate queries.
+
+    The r8 ``diff_*`` branches are the set family's production shape:
+    a corpus snapshot diff (operators/snapshot.py — added / removed /
+    changed keys between two snapshots via ONE union+groupBy shuffle,
+    no full-outer join). The "new" snapshot is a deterministic twin of
+    documents (the CDC-twin evidence pattern): doc_id%7==0 removed,
+    doc_id%5==0 text-mutated, doc_id%11==0 re-added under key+10^6 —
+    the oracle constructs the identical twin and joins, so every
+    per-key status is hash-exact.
+    """
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("v"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("v"))
     p = table(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
@@ -399,10 +409,32 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tag(df: DataFrame, op: str) -> DataFrame:
         return df.select(F.lit(op).alias("op"), F.col("v").cast("bigint").alias("v"))
 
+    from ..operators.snapshot import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select("doc_id", F.md5("text").alias("fp"))
+    mutated = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.md5(mutated).alias("fp"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, "doc_id", "fp").select(
+        F.concat(F.lit("diff_"), F.col("status")).alias("op"),
+        F.col("key").cast("bigint").alias("v"),
+    )
     return (
         tag(c.unionByName(s).distinct(), "union")
         .unionByName(tag(c.intersect(s), "intersect"))
         .unionByName(tag(p.subtract(li), "except"))
+        .unionByName(diff)
     )
 
 
@@ -418,6 +450,23 @@ UNION ALL
 SELECT 'except' AS op, CAST(v AS BIGINT) AS v FROM (
   SELECT p_size AS v FROM part
   EXCEPT SELECT l_linenumber FROM lineitem)
+UNION ALL
+SELECT 'diff_' || status AS op, CAST(key AS BIGINT) AS v FROM (
+  WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       new AS (
+         SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                         ELSE text END) AS fp
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, md5(text)
+         FROM documents WHERE doc_id % 11 = 0)
+  SELECT COALESCE(o.doc_id, new.doc_id) AS key,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN new.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> new.fp THEN 'changed' END AS status
+  FROM old o FULL OUTER JOIN new ON o.doc_id = new.doc_id
+) WHERE status IS NOT NULL
 """
 
 # --------------------------------------------------------------------------

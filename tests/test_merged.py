@@ -24,7 +24,10 @@ TAGGED = {
     "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
     "agg_stats": {"corr", "percentile", "profile", "skew", "qhist"},
-    "set_ops": {"union", "intersect", "except"},
+    "set_ops": {
+        "union", "intersect", "except",
+        "diff_added", "diff_removed", "diff_changed",
+    },
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},
     "join_outer_family": {"left", "right", "full"},
     "join_filtering": {"semi", "anti", "cross"},
