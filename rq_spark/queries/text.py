@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window
 
+from ..operators import gopher as G
 from ..operators import text as X
 from ..operators.dedup import NORM_SQL as _D_NORM_SQL
 from ..operators import url as U
@@ -433,6 +434,102 @@ _FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
 # ---------------------------------------------------------------------------
+# Gopher / C4 line rules (operators/gopher.py)
+#
+# The synthetic corpus is single-line unpunctuated word-salad, so the
+# line rules run over a deterministically LINE-INJECTED twin (same
+# evidence pattern as the PII enrichment below and the CDC twin):
+# three chained literal replaces turn frequent vocabulary words into
+# line breaks carrying terminal '.', '- ' bullets and '...' ellipses,
+# so every rule has real per-document variance and the oracle
+# reconstructs the identical twin. Operators are corpus-agnostic.
+
+
+def _twin_lines(t: Column) -> Column:
+    return F.split(
+        F.replace(
+            F.replace(
+                F.replace(t, F.lit(" line "), F.lit(".\n- line ")),
+                F.lit(" row "),
+                F.lit("...\nrow "),
+            ),
+            F.lit(" window "),
+            F.lit("!\nwindow "),
+        ),
+        "\n",
+    )
+
+
+_TWIN_LINES_SQL = (
+    "string_split(replace(replace(replace(text,"
+    " ' line ', '.' || chr(10) || '- line '),"
+    " ' row ', '...' || chr(10) || 'row '),"
+    " ' window ', '!' || chr(10) || 'window '), chr(10))"
+)
+
+_SQL_TERMINAL = "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?'))"
+
+
+def _gopher_sql() -> str:
+    stop_sql = " + ".join(
+        f"CASE WHEN {_sql_word_count(w)} > 0 THEN 1 ELSE 0 END"
+        for w in G.GOPHER_STOPWORDS
+    )
+    mean_wl = (
+        "CAST(LENGTH(list_aggregate(words, 'string_agg', '')) AS DOUBLE)"
+        " / len(words)"
+    )
+    return f"""
+WITH tw AS (
+  SELECT doc_id, text, {_TWIN_LINES_SQL} AS l,
+         string_split({_NORM_SQL}, ' ') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id, text, l, words,
+         len(l) AS n_lines,
+         len(words) AS n_words,
+         coalesce(array_to_string(l, chr(10)), '') AS joined,
+         list_sum(list_transform(l, x ->
+           CASE WHEN len(list_filter(l, y -> y = x)) > 1
+                THEN length(x) ELSE 0 END)) AS dup_chars,
+         list_sum(list_transform(l, x -> length(x))) AS total_chars,
+         list_filter(l, x -> {_SQL_TERMINAL}
+                             AND len(string_split(x, ' ')) >= 3) AS kept
+  FROM tw
+)
+SELECT doc_id,
+  n_lines AS g_n_lines,
+  CAST(len(list_filter(l, x -> starts_with(x, '- '))) AS DOUBLE)
+    / n_lines AS g_frac_bullet,
+  CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS DOUBLE)
+    / n_lines AS g_frac_ellipsis,
+  CAST(len(list_filter(l, x -> {_SQL_TERMINAL})) AS DOUBLE)
+    / n_lines AS g_frac_terminal,
+  1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / n_lines AS g_frac_dup_lines,
+  CAST(dup_chars AS DOUBLE) / total_chars AS g_frac_dup_chars,
+  CAST(len(regexp_extract_all(joined, '#'))
+       + len(regexp_extract_all(joined, '\\.\\.\\.')) AS DOUBLE)
+    / n_words AS g_symbol_ratio,
+  CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+    / n_words AS g_frac_alpha,
+  ({stop_sql}) AS g_stop_hits,
+  CAST((n_words >= 50 AND n_words <= 100000
+        AND {mean_wl} >= CAST(3.0 AS DOUBLE)
+        AND {mean_wl} <= CAST(10.0 AS DOUBLE)
+        AND g_symbol_ratio <= CAST(0.1 AS DOUBLE)
+        AND g_frac_bullet <= CAST(0.9 AS DOUBLE)
+        AND g_frac_ellipsis <= CAST(0.3 AS DOUBLE)
+        AND g_frac_alpha >= CAST(0.8 AS DOUBLE)
+        AND g_stop_hits >= 1
+        AND g_frac_dup_lines <= CAST(0.30 AS DOUBLE)
+        AND g_frac_dup_chars <= CAST(0.20 AS DOUBLE)) AS INT) AS gopher_keep,
+  CAST(len(kept) AS DOUBLE) / n_lines AS c4_frac_kept,
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_clean_fp
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing + within-doc repetition
 #
 # The synthetic corpus is word-salad with no PII surface, so the PII
@@ -548,6 +645,10 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = X.quality_features(t)
     enriched = _pii_enriched(F.col("doc_id"), t)
     pii = X.pii_counts(enriched)
+    lines = _twin_lines(t)
+    rules = G.line_rules(lines)
+    kept = G.c4_keep_lines(lines)
+    n_words = F.size(F.split(X.normalize_text(t), " "))
     return X.token_stats(
         d,
         "text",
@@ -572,6 +673,26 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.url_normalize(_url_raw_col()).alias("url_norm"),
         U.url_host(_url_raw_col()).alias("url_host"),
         U.url_domain(_url_raw_col()).alias("url_domain"),
+        # r8 gopher/c4 branch: published line-rule filters
+        # (operators/gopher.py) over the line-injected twin — same
+        # single scan, all codegen expressions
+        rules["n_lines"].alias("g_n_lines"),
+        rules["frac_bullet_lines"].alias("g_frac_bullet"),
+        rules["frac_ellipsis_lines"].alias("g_frac_ellipsis"),
+        rules["frac_terminal_lines"].alias("g_frac_terminal"),
+        rules["frac_dup_lines"].alias("g_frac_dup_lines"),
+        rules["frac_dup_line_chars"].alias("g_frac_dup_chars"),
+        G.symbol_word_ratio(F.array_join(lines, "\n"), n_words).alias(
+            "g_symbol_ratio"
+        ),
+        G.frac_alpha_words(t).alias("g_frac_alpha"),
+        G.stop_hits(t).alias("g_stop_hits"),
+        # min_stop_hits=1: the synthetic vocabulary carries exactly one
+        # Gopher stop word ('the'); the paper's 2-of-8 would be
+        # constant-false here (see gopher_keep docstring)
+        G.gopher_keep(t, lines, min_stop_hits=1).alias("gopher_keep"),
+        (F.size(kept).cast("double") / F.size(lines)).alias("c4_frac_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("c4_clean_fp"),
     )
 
 
@@ -588,7 +709,8 @@ WITH t AS ({_TOKEN_SQL}),
      fp AS ({_FP_SQL}),
      r AS ({_DUP_NGRAM_SQL}),
      pii AS ({_pii_sql()}),
-     u AS ({_url_sql()})
+     u AS ({_url_sql()}),
+     g AS ({_gopher_sql()})
 SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
        l.lang_guess,
        q.n_chars, q.alpha_ratio, q.space_ratio, q.uniq_ratio,
@@ -597,7 +719,11 @@ SELECT t.doc_id, t.n_chars_raw, t.n_words, t.n_tokens, t.n_uniq_words,
        fp.fp,
        r.dup_3gram_frac,
        {pii_cols}, pii.redacted_fp,
-       u.url_norm, u.url_host, u.url_domain
+       u.url_norm, u.url_host, u.url_domain,
+       g.g_n_lines, g.g_frac_bullet, g.g_frac_ellipsis, g.g_frac_terminal,
+       g.g_frac_dup_lines, g.g_frac_dup_chars, g.g_symbol_ratio,
+       g.g_frac_alpha, g.g_stop_hits, g.gopher_keep,
+       g.c4_frac_kept, g.c4_clean_fp
 FROM t
 JOIN l  USING (doc_id)
 JOIN q  USING (doc_id)
@@ -606,6 +732,7 @@ JOIN fp USING (doc_id)
 JOIN r  USING (doc_id)
 JOIN pii USING (doc_id)
 JOIN u  USING (doc_id)
+JOIN g  USING (doc_id)
 """
 
 

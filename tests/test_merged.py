@@ -66,6 +66,10 @@ COLUMN_MERGED = {
         "dup_3gram_frac",                                      # repetition
         "n_pii_email", "n_pii_phone", "n_pii_ipv4", "n_pii_ssn",  # PII detect
         "redacted_fp",                                         # PII redact
+        "g_frac_dup_lines", "g_frac_dup_chars", "g_symbol_ratio",
+        "g_frac_bullet", "g_frac_ellipsis", "g_stop_hits",
+        "gopher_keep",                                         # Gopher rules
+        "c4_frac_kept", "c4_clean_fp",                         # C4 line filter
     },
     "mm_pipeline": {
         "size_bytes", "sha256", "mime",                        # binary meta
