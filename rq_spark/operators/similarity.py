@@ -271,6 +271,55 @@ def lsh_near_pairs(
     ).filter(F.col("cos_sim") >= float(threshold))
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: (train_id, eval_id,
+    cos_sim) for every train document whose embedding is within cosine
+    ≥ threshold of ANY eval/benchmark document — the semantic
+    complement of n-gram decontamination (paraphrased or lightly
+    reworded eval leakage that shares no exact 5-gram).
+
+    Scale shape mirrors `decontaminate` (operators/dedup.py): the eval
+    side is a benchmark suite — thousands of rows, not a corpus — so
+    its banded buckets BROADCAST and the training corpus streams
+    through a map-side (band, bucket) equi-join without ever
+    shuffling; candidates ∝ band collisions, each verified with the
+    exact cosine, so output equals the exact cross-side pair set minus
+    the LSH miss probability ((1 − p^r)^B, see `lsh_near_pairs` — at
+    threshold 0.9 with B=16, r=8 the qualifying pairs of the bimodal
+    3-gram geometry collide with P(miss) ≤ 1.5e-4)."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+    bucket = band_bucket_udf(planes, bands, rows_per_band)
+
+    def banded(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(vec_col).alias(f"{tag}_vec"),
+            F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+        )
+
+    cand = (
+        banded(train, "train")
+        .join(F.broadcast(banded(evals, "eval")), ["band", "bucket"])
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    # fold-based dot (dim-agnostic): integer-valued vectors sum exactly,
+    # so the fold is bit-identical to any evaluation order
+    return cand.select(
+        "train_id",
+        "eval_id",
+        cosine(F.col("train_vec"), F.col("eval_vec")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= float(threshold))
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -308,7 +308,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_LSH_SQL = f"""
+def _tokvec_pairs_sql(pair_pred: str) -> str:
+    """Exact cross-engine pair SQL over the reconstructed 3-gram
+    token-hash vectors; ``pair_pred`` selects the pair space (self
+    upper-triangle for the LSH key, train×eval for sem_decontam)."""
+    return f"""
 WITH norm AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
 ), sh AS (
@@ -332,11 +336,14 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        list_dot_product(a.e, b.e)
          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
          AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM v a JOIN v b ON {pair_pred}
 WHERE list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
       >= {_LSH_EMB_T}
 """
+
+
+_EMB_LSH_SQL = _tokvec_pairs_sql("a.vec_id < b.vec_id")
 
 
 _MM_FRAMES_SQL = """
@@ -1863,6 +1870,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction and probe cross-engine — the oracle rebuilds the
     same md5-positioned bits in SQL.
 
+    op='sem_decontam' — SEMANTIC decontamination
+    (operators/similarity.py:semantic_decontaminate): train docs
+    whose 3-gram token-hash embedding sits at cosine ≥ 0.9 of any
+    eval doc — the paraphrase-leakage complement of the exact n-gram
+    checks above, same %11 split. Eval bands broadcast, corpus
+    map-side only; cos_sim rides the jaccard column (both are the
+    branch's similarity score). Oracle = exact cross-side pair SQL
+    over the reconstructed vectors, so an LSH miss flips the hash.
+
     r8: ONE persisted tokenization of the documents table feeds every
     branch's side (probe corpus/batch, decontam and bloom train/eval
     are all FILTERS of the same relation), replacing six independent
@@ -1903,6 +1919,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_toks=toks.filter(F.col("doc") % 11 != 0),
         eval_toks=toks.filter(F.col("doc") % 11 == 0),
     )
+    vecs = _token_hash_corpus(spark, sf_dir)
+    sem = S.semantic_decontaminate(
+        vecs.filter(F.col("vec_id") % 11 != 0),
+        vecs.filter(F.col("vec_id") % 11 == 0),
+        threshold=_LSH_EMB_T,
+        dim=_LSH_EMB_DIM,
+        bands=_LSH_EMB_BANDS,
+        rows_per_band=_LSH_EMB_ROWS,
+    )
     nulls = F.lit(None)
     return probe.select(
         F.lit("ingest_probe").alias("op"),
@@ -1933,6 +1958,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_passed").cast("bigint").alias("b_id"),
             nulls.cast("double").alias("jaccard"),
             F.col("n_eval").cast("bigint").alias("n_shared"),
+        )
+    ).unionByName(
+        sem.select(
+            F.lit("sem_decontam").alias("op"),
+            F.col("train_id").cast("bigint").alias("a_id"),
+            F.col("eval_id").cast("bigint").alias("b_id"),
+            F.col("cos_sim").cast("double").alias("jaccard"),
+            nulls.cast("bigint").alias("n_shared"),
         )
     )
 
@@ -2009,6 +2042,9 @@ SELECT 'bloom_stats',
        (SELECT COUNT(*) FROM tpass),
        CAST(NULL AS DOUBLE),
        (SELECT COUNT(*) FROM evg)
+UNION ALL
+SELECT 'sem_decontam', a_id, b_id, cos_sim, CAST(NULL AS BIGINT)
+FROM ({_tokvec_pairs_sql("a.vec_id % 11 != 0 AND b.vec_id % 11 = 0")})
 """
 
 

@@ -393,3 +393,36 @@ def test_semantic_dedup_composition_knn_to_components(spark):
     n_nodes = len(comp)
     n_clusters = len({rep for _, rep in comp})
     assert n_clusters < n_nodes
+
+
+def test_semantic_decontaminate_pairs_and_broadcast_plan(spark):
+    """sem decontam: exact verify keeps only true cross-side pairs, and
+    the eval side rides a broadcast join (the corpus never shuffles to
+    meet the benchmark suite)."""
+    dim = 8
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # ∥ eval 100
+            (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 3.0, 3.0]),   # ⊥ eval 100
+        ],
+        ["vec_id", "embedding"],
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.semantic_decontaminate(
+        train, evals, threshold=0.9, dim=dim, bands=4, rows_per_band=2
+    )
+    rows = {(r.train_id, r.eval_id): r.cos_sim for r in out.collect()}
+    assert set(rows) == {(1, 100)}
+    assert abs(rows[(1, 100)] - 1.0) < 1e-12
+
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
