@@ -182,6 +182,60 @@ def dup_ngram_frac(col: Column, n: int = 3) -> Column:
     return F.when(F.size(words) >= n, frac)
 
 
+def chunk_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-ingestion primitive:
+    each document becomes overlapping word-window chunks with the char
+    offset a retrieval citation needs. Window starts step by
+    ``chunk_words - overlap_words``; the start sequence stops at
+    ``len - overlap`` so the final window always covers the tail (for
+    any n > 0 the last chunk's end ≥ n).
+
+    Offsets are into the NORMALIZED single-space text (the same form
+    the chunk text itself is cut from), so
+    ``substr(norm, char_start + 1, length(chunk))`` reproduces every
+    chunk exactly.
+
+    Scale shape: a pure flat-map — expression-only (split, sequence,
+    slice, posexplode), one scan, zero shuffle, output rows ∝
+    tokens / stride. Returns (id, chunk_pos, char_start, n_chunk_words,
+    chunk_text)."""
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    stride = chunk_words - overlap_words
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(words) - overlap_words, F.lit(1)),
+        F.lit(stride),
+    )
+    s = F.col("_start")
+    chunk = F.slice(F.col("_w"), s, chunk_words)
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.posexplode(starts).alias("chunk_pos", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_pos",
+            F.when(s == 1, F.lit(0))
+            .otherwise(
+                F.length(F.array_join(F.slice(F.col("_w"), 1, s - 1), " ")) + 1
+            )
+            .alias("char_start"),
+            F.size(chunk).alias("n_chunk_words"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 def topk_words(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     """Corpus-level top-k vocabulary — the frequency/heavy-hitters
     report a pipeline runs for tokenizer training and corpus QA.

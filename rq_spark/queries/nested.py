@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import NORM_SQL as _NORM_SQL
+from ..operators.text import chunk_docs
 from .helpers import table
 
 # --------------------------------------------------------------- explode
@@ -139,10 +141,20 @@ WHERE c_custkey % 11 = 0
 # --------------------------------------------------------------------------
 
 
+_CHUNK_WORDS = 64
+_CHUNK_OVERLAP = 16
+
+
 def explode_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode over a physical array + explode_outer over a computed
     array in one tagged result (branches = the former
-    explode_embedding, explode_tokens_outer)."""
+    explode_embedding, explode_tokens_outer).
+
+    op='chunk' (r8) — RAG sliding-window chunking
+    (operators/text.py:chunk_docs, 64-word windows, 16 overlap): one
+    row per chunk with k=doc_id, pos=chunk index, val=char offset into
+    the normalized text, token=md5(chunk text) — the md5 certifies
+    every chunk's exact content and boundary cross-engine."""
     nulls = F.lit(None)
     emb = explode_embedding(spark, sf_dir).select(
         F.lit("posexplode").alias("op"),
@@ -158,7 +170,20 @@ def explode_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("double").alias("val"),
         F.col("token"),
     )
-    return emb.unionByName(toks)
+    chunks = chunk_docs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        chunk_words=_CHUNK_WORDS,
+        overlap_words=_CHUNK_OVERLAP,
+    ).select(
+        F.lit("chunk").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        F.col("chunk_pos").cast("bigint").alias("pos"),
+        F.col("char_start").cast("double").alias("val"),
+        F.md5("chunk_text").alias("token"),
+    )
+    return emb.unionByName(toks).unionByName(chunks)
 
 
 _EXPLODE_OPS_SQL = f"""
@@ -168,6 +193,19 @@ FROM ({_EXPLODE_SQL})
 UNION ALL
 SELECT 'explode_outer', doc_id, NULL, NULL, token
 FROM ({_EXPLODE_TOKENS_SQL})
+UNION ALL
+SELECT 'chunk', doc_id,
+       CAST((s - 1) // {_CHUNK_WORDS - _CHUNK_OVERLAP} AS BIGINT),
+       CAST(CASE WHEN s = 1 THEN 0
+                 ELSE length(array_to_string(w[1:s-1], ' ')) + 1 END
+            AS DOUBLE),
+       md5(coalesce(array_to_string(w[s:s+{_CHUNK_WORDS - 1}], ' '), ''))
+FROM (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {_CHUNK_OVERLAP}, 1),
+                                {_CHUNK_WORDS - _CHUNK_OVERLAP})) AS s
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents)
+)
 """
 
 

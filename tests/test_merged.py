@@ -36,7 +36,7 @@ TAGGED = {
     "func_array": {"element", "agg"},
     "stream_agg_dedup": {"tumble", "dedup"},
     "stream_stateful": {"first_seen", "interval_join", "running"},
-    "explode_ops": {"posexplode", "explode_outer"},
+    "explode_ops": {"posexplode", "explode_outer", "chunk"},
     "struct_ops": {"with_field", "flatten"},
     "udf_vectorized": {"pandas_udf", "map_in_pandas", "bpe"},
     "udf_grouped_table": {"apply_in_pandas", "udtf"},

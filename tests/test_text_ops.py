@@ -542,3 +542,45 @@ def test_temperature_mixture_thresholds(spark):
     zero = spark.createDataFrame([("a", 10), ("b", 0)], "src string, sz long")
     with pytest.raises(ValueError, match="zero"):
         temperature_mixture_thresholds(zero, "src", "sz")
+
+
+def test_chunk_docs_coverage_offsets_and_overlap(spark):
+    """Every word is covered, consecutive chunks overlap by exactly
+    `overlap_words`, and char_start reproduces each chunk via substr
+    of the normalized text."""
+    from rq_spark.operators.text import chunk_docs, normalize_text
+
+    text = " ".join(f"w{i:03d}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_docs(df, "text", "doc_id", chunk_words=64, overlap_words=16)
+        .collect(),
+        key=lambda r: r.chunk_pos,
+    )
+    norm = df.select(normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
+    # starts 1, 49, 97 cover 150 words; 145 > 150-16=134 so 3 chunks
+    assert [r.chunk_pos for r in rows] == [0, 1, 2]
+    assert rows[0].n_chunk_words == 64 and rows[-1].n_chunk_words == 54
+    covered = set()
+    words = norm.split(" ")
+    for r in rows:
+        # offset reconstructs the chunk exactly
+        assert norm[r.char_start : r.char_start + len(r.chunk_text)] == r.chunk_text
+        cw = r.chunk_text.split(" ")
+        start = r.chunk_pos * 48
+        assert words[start : start + len(cw)] == cw
+        covered.update(range(start, start + len(cw)))
+    assert covered == set(range(150))
+    # consecutive overlap = 16 words
+    assert rows[0].chunk_text.split(" ")[48:] == rows[1].chunk_text.split(" ")[:16]
+
+
+def test_chunk_docs_short_doc_single_chunk(spark):
+    from rq_spark.operators.text import chunk_docs
+
+    df = spark.createDataFrame([(7, "alpha beta gamma")], ["doc_id", "text"])
+    rows = chunk_docs(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chunk_pos, r.char_start, r.n_chunk_words) == (0, 0, 3)
+    assert r.chunk_text == "alpha beta gamma"
