@@ -322,6 +322,81 @@ def unigram_lm_product(model: tuple[list, int], words: Column) -> Column:
     return F.aggregate(probs, F.lit(1.0), lambda acc, p: acc * p)
 
 
+def bigram_lm_model_from_words(
+    df: DataFrame,
+    words_col: str,
+    max_vocab: int | None = None,
+    unigram: tuple[list, int] | None = None,
+) -> tuple[list, list, int]:
+    """The bigram half of a stupid-backoff LM (Brants et al. 2007 —
+    the web-scale backoff CCNet-style perplexity filters approximate):
+    exact bigram counts alongside the unigram model. Same scale shape
+    as the unigram trainer: explode → partial-agg groupBy, shuffle ∝
+    distinct bigrams, collected as a broadcast-literal model
+    (``max_vocab`` gives the same deterministic top-N driver bound;
+    at real scale the model ships as a broadcast table or hashed
+    buckets — see dsir_model).
+
+    Pass ``unigram`` to reuse an already-trained unigram model (the
+    shared-tokenization pattern: one cached relation, one unigram
+    aggregation feeding both LM variants).
+
+    Returns (sorted [(bigram, count)], unigram model list, total)."""
+    uni, total = unigram or unigram_lm_model_from_words(
+        df, words_col, max_vocab
+    )
+    grams_df = (
+        df.select(
+            F.explode(word_grams(F.col(words_col), 2)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_vocab is not None:
+        grams_df = grams_df.orderBy(
+            F.col("c").desc(), F.col("g").asc()
+        ).limit(max_vocab)
+    bi = sorted((r["g"], r["c"]) for r in grams_df.collect())
+    return bi, uni, total
+
+
+def bigram_backoff_product(
+    model: tuple[list, list, int], words: Column, alpha: float = 0.4
+) -> Column:
+    """Per-document transition likelihood under stupid backoff:
+    Π over word bigrams of [ c(w₁w₂)/c(w₁) if the bigram was seen,
+    else α · c(w₂)/total ] — an ORDERED left fold, kept as a raw IEEE
+    product for the same bit-determinism contract as
+    `unigram_lm_product` (no libm log). An unseen w₂ contributes
+    α·0 = 0 (hard out-of-vocabulary reject); single-word docs have no
+    transitions and score 1.0. Very long documents can gradually
+    underflow — IEEE subnormal arithmetic is still deterministic on
+    both engines, but the signal saturates at 0; switch to the log
+    form past a few hundred words."""
+    bi, uni, total = model
+    mp_bi = F.create_map(*[F.lit(x) for gc in bi for x in gc])
+    mp_uni = F.create_map(*[F.lit(x) for wc in uni for x in wc])
+
+    def p(g: Column) -> Column:
+        parts = F.split(g, " ")
+        bc = F.element_at(mp_bi, g)
+        return F.when(
+            bc.isNotNull(),
+            bc.cast("double")
+            / F.element_at(mp_uni, parts.getItem(0)).cast("double"),
+        ).otherwise(
+            F.lit(float(alpha))
+            * F.coalesce(
+                F.element_at(mp_uni, parts.getItem(1)).cast("double"),
+                F.lit(0.0),
+            )
+            / F.lit(float(total))
+        )
+
+    probs = F.transform(word_grams(words, 2), p)
+    return F.aggregate(probs, F.lit(1.0), lambda acc, x: acc * x)
+
+
 def mixture_sample(df: DataFrame, id_col: str, threshold_hex: Column) -> DataFrame:
     """Deterministic domain-mixture sampling — the 'hit a target
     source/domain mix' step of corpus assembly (e.g. upsample curated

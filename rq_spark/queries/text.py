@@ -157,6 +157,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scope="curation",
     )
     lm = X.unigram_lm_model_from_words(toks, "words")
+    # r8: the bigram stupid-backoff model (CCNet-shaped transition
+    # likelihood) trains off the SAME persisted tokenization — the
+    # unigram half is reused, so only the bigram-count aggregation is
+    # a new scan of the cached relation
+    bi = X.bigram_lm_model_from_words(toks, "words", unigram=lm)
     ds = X.dsir_model_from_words(
         toks, "words", F.col("lang") == "en", buckets=_DSIR_B
     )
@@ -169,6 +174,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.quality_score(t).alias("quality"),
             F.size(w).alias("n_words"),
             X.unigram_lm_product(lm, w).alias("lm_product"),
+            X.bigram_backoff_product(bi, w).alias("lm_bigram"),
             X.dsir_weight(ds, w).alias("dsir_weight"),
         ),
         scope="curation",
@@ -191,6 +197,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "n_words",
         "lm_product",
+        "lm_bigram",
         "dsir_weight",
         "shard_id",
         F.floor(start / _CTX).cast("long").alias("ctx_id"),
@@ -249,6 +256,13 @@ WITH RECURSIVE s AS (
   SELECT map_from_entries(list(row(w, c) ORDER BY w)) AS mp,
          CAST(SUM(c) AS DOUBLE) AS tot
   FROM lmcounts
+), bicounts AS (
+  SELECT w[i] || ' ' || w[i+1] AS g, COUNT(*) AS c
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM (SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents))
+  GROUP BY g
+), bimodel AS (
+  SELECT map_from_entries(list(row(g, c) ORDER BY g)) AS mpb FROM bicounts
 ), dsg AS (
   SELECT doc_id, i,
          CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 4)) AS INT)
@@ -287,8 +301,22 @@ WITH RECURSIVE s AS (
            list_prepend(CAST(1.0 AS DOUBLE),
              list_transform(string_split({_NORM_SQL.replace("text", "s.text")}, ' '),
                             w -> CAST(mp[w][1] AS DOUBLE) / tot)),
-           (a, p) -> a * p) AS lm_product
-  FROM f JOIN s USING (doc_id), lmmodel
+           (a, p) -> a * p) AS lm_product,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(
+               [dw[i] || ' ' || dw[i+1] for i in generate_series(1, len(dw) - 1)],
+               g -> CASE WHEN mpb[g][1] IS NOT NULL
+                         THEN CAST(mpb[g][1] AS DOUBLE)
+                              / CAST(mp[string_split(g, ' ')[1]][1] AS DOUBLE)
+                         ELSE CAST(0.4 AS DOUBLE)
+                              * coalesce(CAST(mp[string_split(g, ' ')[2]][1]
+                                              AS DOUBLE), CAST(0.0 AS DOUBLE))
+                              / tot END)),
+           (a, p) -> a * p) AS lm_bigram
+  FROM (SELECT *, string_split({_NORM_SQL.replace("text", "s2.text")}, ' ') AS dw
+        FROM s s2) s
+  JOIN f USING (doc_id), lmmodel, bimodel
   WHERE lang_guess = 'en'
     AND alpha_ratio * 0.5 + uniq_ratio * 0.3
           + (1.0 - digit_ratio) * 0.1 + (1.0 - punct_ratio) * 0.1 >= 0.55
@@ -318,6 +346,7 @@ WITH RECURSIVE s AS (
   FROM walk w JOIN seq s2 ON s2.shard_id = w.shard_id AND s2.rn = w.rn + 1
 )
 SELECT packed.doc_id, lang_guess, quality, n_words, lm_product,
+       lm_bigram,
        dsw.dsir_weight,
        packed.shard_id,
        tok_start // {_CTX} AS ctx_id,

@@ -584,3 +584,26 @@ def test_chunk_docs_short_doc_single_chunk(spark):
     r = rows[0]
     assert (r.chunk_pos, r.char_start, r.n_chunk_words) == (0, 0, 3)
     assert r.chunk_text == "alpha beta gamma"
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Stupid backoff: seen bigram = c(w1w2)/c(w1); unseen bigram =
+    0.4*c(w2)/total; unseen word = 0 (OOV reject); 1-word doc = 1.0."""
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["b", "a"])], ["doc_id", "words"]
+    )
+    model = X.bigram_lm_model_from_words(docs, "words")
+    bi, uni, total = model
+    assert dict(bi) == {"a b": 1, "b a": 2}
+    assert dict(uni) == {"a": 3, "b": 2} and total == 5
+
+    def score(words):
+        df = spark.createDataFrame([(words,)], "words array<string>")
+        return df.select(
+            X.bigram_backoff_product(model, F.col("words")).alias("s")
+        ).collect()[0]["s"]
+
+    assert score(["a", "b", "a"]) == (1 / 3) * 1.0
+    assert score(["a", "a"]) == 0.4 * 3 / 5       # unseen bigram, seen w2
+    assert score(["a", "z"]) == 0.0                # OOV w2
+    assert score(["a"]) == 1.0                     # no transitions
