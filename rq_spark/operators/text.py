@@ -448,7 +448,25 @@ def token_hash_vectors(
 
     Returns (id_col, embedding: array<double>).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    return token_hash_vectors_from_words(
+        df.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_thv_w"),
+        ),
+        "_thv_w",
+        id_col,
+        dim=dim,
+        ngram=ngram,
+    )
+
+
+def token_hash_vectors_from_words(
+    df: DataFrame, words_col: str, id_col: str, dim: int = 64, ngram: int = 1
+) -> DataFrame:
+    """`token_hash_vectors` off a pre-split words-array column — the
+    shared-tokenization shape (one persisted normalize+split pass
+    feeding featurization alongside shingling/decontamination)."""
+    words = F.col(words_col)
     grams = words if ngram == 1 else word_grams(words, ngram)
     toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
     bucket = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % dim)

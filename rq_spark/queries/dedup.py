@@ -1919,7 +1919,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_toks=toks.filter(F.col("doc") % 11 != 0),
         eval_toks=toks.filter(F.col("doc") % 11 == 0),
     )
-    vecs = _token_hash_corpus(spark, sf_dir)
+    # vectors off the SAME persisted tokenization (no second
+    # normalize+split scan for the sem branch)
+    from ..operators.text import token_hash_vectors_from_words
+
+    vecs = token_hash_vectors_from_words(
+        toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
+    ).select(F.col("doc").alias("vec_id"), "embedding")
     sem = S.semantic_decontaminate(
         vecs.filter(F.col("vec_id") % 11 != 0),
         vecs.filter(F.col("vec_id") % 11 == 0),
