@@ -111,3 +111,23 @@ def test_pagerank_reference_mass_conserved(edges):
         dang = sum(r[v] for v in nodes if v not in out)
         r = {v: 0.15 + 0.85 * (contrib[v] + dang / n) for v in nodes}
         assert abs(sum(r.values()) - n) < 1e-9 * n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 5000), st.integers(2, 128), st.data())
+def test_chunk_start_sequence_covers_and_tiles(n, chunk, data):
+    """Arithmetic twin of chunk_docs' start sequence
+    (1, stride, ..., ≤ max(n-overlap, 1)): the last window always
+    reaches the tail, consecutive windows overlap by exactly
+    `overlap`, and the chunk count is ceil(max(n-overlap,1)/stride)."""
+    overlap = data.draw(st.integers(0, chunk - 1))
+    stride = chunk - overlap
+    hi = max(n - overlap, 1)
+    starts = list(range(1, hi + 1, stride))
+    assert starts[0] == 1
+    assert starts[-1] + chunk - 1 >= n          # tail coverage
+    assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+    assert len(starts) == -(-hi // stride)
+    # every word index 1..n falls inside at least one window
+    if len(starts) > 1:
+        assert all(b <= a + chunk for a, b in zip(starts, starts[1:]))
