@@ -55,6 +55,9 @@ HEADLINE = [
     # late r8: the iterative graph family (components + fixed-point
     # pagerank + triangles over the near-dup pair graph)
     "dedup_connected_groups",
+    # late r8 session 3: RAG chunking flat-map (the corpus-sized
+    # explode path) rides explode_ops
+    "explode_ops",
 ]
 
 

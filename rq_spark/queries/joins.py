@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import asof_join
 from .helpers import dsum, sql_dsum, table
 
 # --------------------------------------------------------------------------
@@ -305,56 +306,65 @@ WHERE rn = 1
 
 
 def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each purchase event: the most recent view (≤ ts) by the same
-    user. Union the two tagged streams, one window shuffle on user_id,
-    carry the last view forward — no candidate-pair explosion, unlike a
-    range self-join. Reference rq has no joins at all (SURVEY §2.1);
-    this is the extension layer's streaming-friendly as-of.
-    """
+    """For each purchase event: the matching view by the same user in
+    all three merge_asof directions, tagged — op='backward' (most
+    recent view ≤ ts, the original branch), op='forward' (earliest
+    view ≥ ts), op='nearest' (closer of the two, earlier wins ties —
+    the pandas rule). operators/asof.py: union + ONE keyed window pass
+    per direction (nearest evaluates both frames off one sort), no
+    candidate-pair explosion, unlike a range self-join. Reference rq
+    has no joins at all (SURVEY §2.1); this is the extension layer's
+    streaming-friendly as-of family."""
     e = table(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        F.col("value").alias("v_value"),
-        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id", "ts", F.col("value").alias("view_value")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("v_value"),
-        "event_id",
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tagged = views.unionByName(purchases).select(
-        "*",
-        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("view_ts"),
-        F.last(F.when(F.col("side") == 0, F.col("v_value")), ignorenulls=True)
-        .over(w)
-        .alias("view_value"),
-    )
-    return tagged.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        "view_ts",
-        "view_value",
+
+    def branch(direction: str) -> DataFrame:
+        return asof_join(
+            purchases, views, "user_id", "ts", direction=direction
+        ).select(
+            F.lit(direction).alias("op"),
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("asof_ts").alias("view_ts"),
+            "view_value",
+        )
+
+    return (
+        branch("backward")
+        .unionByName(branch("forward"))
+        .unionByName(branch("nearest"))
     )
 
 
 _ASOF_SQL = """
-SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+SELECT 'backward' AS op, p.event_id, p.user_id, p.ts AS purchase_ts,
        v.ts AS view_ts, v.value AS view_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
+UNION ALL
+SELECT 'forward', p.event_id, p.user_id, p.ts, v.ts, v.value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts <= v.ts
+UNION ALL
+SELECT 'nearest', event_id, user_id, purchase_ts, view_ts, view_value
+FROM (
+  SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+         v.ts AS view_ts, v.value AS view_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), v.ts) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    USING (user_id)
+) WHERE rn = 1
 """
 
 

@@ -1,0 +1,81 @@
+"""asof_join (operators/asof.py): direction semantics, exact-match
+inclusion, equidistant tie rule, tolerance nulling, single-window
+plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from rq_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(15), 100), (1, _ts(20), 101), (1, _ts(3), 102), (2, _ts(9), 103)],
+        ["k", "ts", "id"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(20), 2.0), (1, _ts(30), 3.0)],
+        ["k", "ts", "v"],
+    )
+    return left, right
+
+
+def _run(spark, direction, tolerance=None):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "ts", direction=direction, tolerance_micros=tolerance
+    )
+    return {r.id: (r.asof_ts, r.v) for r in out.collect()}
+
+
+def test_asof_backward(spark):
+    got = _run(spark, "backward")
+    assert got[100] == (_ts(10), 1.0)
+    assert got[101] == (_ts(20), 2.0)   # exact match included
+    assert got[102] == (None, None)     # nothing before
+    assert got[103] == (None, None)     # key with no right rows
+
+
+def test_asof_forward(spark):
+    got = _run(spark, "forward")
+    assert got[100] == (_ts(20), 2.0)
+    assert got[101] == (_ts(20), 2.0)   # exact match included
+    assert got[102] == (_ts(10), 1.0)
+    assert got[103] == (None, None)
+
+
+def test_asof_nearest_prefers_backward_on_tie(spark):
+    got = _run(spark, "nearest")
+    # id 100 at 15: back=10 (d=5), fwd=20 (d=5) -> tie -> backward
+    assert got[100] == (_ts(10), 1.0)
+    assert got[101] == (_ts(20), 2.0)
+    assert got[102] == (_ts(10), 1.0)   # only forward exists
+    assert got[103] == (None, None)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    got = _run(spark, "backward", tolerance=3_000_000)  # 3s
+    assert got[100] == (None, None)     # 5s away > 3s
+    assert got[101] == (_ts(20), 2.0)   # exact, 0s
+
+
+def test_asof_nearest_is_one_window_pass(spark):
+    """nearest evaluates both frames off ONE sort: a single Exchange
+    and no join in the plan."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", direction="nearest")
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

@@ -32,6 +32,7 @@ TAGGED = {
     "join_outer_family": {"left", "right", "full"},
     "join_filtering": {"semi", "anti", "cross"},
     "join_range_price_band": {"band", "linkage"},
+    "join_asof_event": {"backward", "forward", "nearest"},
     "window_ranking": {"rank_dense", "dist_rank"},
     "func_array": {"element", "agg"},
     "stream_agg_dedup": {"tumble", "dedup"},
