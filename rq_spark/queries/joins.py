@@ -246,7 +246,38 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_distance").cast("double").alias("v1"),
         F.col("n_matches").cast("double").alias("v2"),
     )
-    return band.unionByName(link)
+    # r8 'interval' branch: interval OVERLAP join
+    # (operators/intervals.py — binned equi-join + report-once rule,
+    # no dedup shuffle) over deterministic per-event activity windows
+    # of 1-7 minutes the oracle reconstructs; pairs scoped per user.
+    from ..operators.intervals import interval_overlap_join
+
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.col("event_id") % 7 + 1) * 60_000_000
+        ).alias("e"),
+    )
+    overlap = (
+        interval_overlap_join(iv, iv, "user_id", "s", "e", bin_width=420_000_000)
+        .filter(F.col("a_event_id") < F.col("b_event_id"))
+        .select(
+            F.lit("interval").alias("op"),
+            F.col("a_event_id").alias("a_key"),
+            F.col("b_event_id").alias("b_key"),
+            (
+                F.least(F.col("a_e"), F.col("b_e"))
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+            )
+            .cast("double")
+            .alias("v1"),
+            F.greatest(F.col("a_s"), F.col("b_s")).cast("double").alias("v2"),
+        )
+    )
+    return band.unionByName(link).unionByName(overlap)
 
 
 def _price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +329,20 @@ FROM (
   WHERE d <= 4
 )
 WHERE rn = 1
+UNION ALL
+SELECT 'interval', a.event_id, b.event_id,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS DOUBLE),
+       CAST(greatest(a.s, b.s) AS DOUBLE)
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+) a JOIN (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+) b ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s <= b.e AND b.s <= a.e
 """
 
 # --------------------------------------------------------------------------

@@ -31,7 +31,7 @@ TAGGED = {
     "rollup_cube_gsets": {"rollup", "cube", "gsets"},
     "join_outer_family": {"left", "right", "full"},
     "join_filtering": {"semi", "anti", "cross"},
-    "join_range_price_band": {"band", "linkage"},
+    "join_range_price_band": {"band", "linkage", "interval"},
     "join_asof_event": {"backward", "forward", "nearest"},
     "window_ranking": {"rank_dense", "dist_rank"},
     "func_array": {"element", "agg"},
