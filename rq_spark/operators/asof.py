@@ -28,6 +28,79 @@ from pyspark.sql.window import Window
 DIRECTIONS = ("backward", "forward", "nearest")
 
 
+def asof_join_directions(
+    left: DataFrame, right: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """ALL THREE directions in ONE union + window pass — one shuffle,
+    one sort, both frames evaluated in a single WindowExec. Returns
+    every left row with ``{d}_asof_ts`` / ``{d}_<value col>`` for d in
+    backward/forward/nearest.
+
+    The single sort uses the right-first tie order, which the
+    following frame cannot see at equal ts — but an exact-ts right row
+    IS the forward match and the PRECEDING frame holds it, so
+    forward = (backward if backward_ts == ts else first-following).
+    Nearest picks the closer of the two, earlier on ties."""
+    l_extra = [c for c in left.columns if c not in (key_col, ts_col)]
+    r_vals = [c for c in right.columns if c not in (key_col, ts_col)]
+    if set(l_extra) & set(r_vals):
+        raise ValueError("left/right value column names must not overlap")
+
+    def tag(df: DataFrame, is_left: bool) -> DataFrame:
+        cols = [F.col(key_col), F.col(ts_col).alias("_ts")]
+        for c in l_extra:
+            cols.append(
+                F.col(c)
+                if is_left
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            )
+        for c in r_vals:
+            cols.append(
+                F.lit(None).cast(right.schema[c].dataType).alias(c)
+                if is_left
+                else F.col(c)
+            )
+        cols.append(F.lit(1 if is_left else 0).alias("_side"))
+        return df.select(*cols)
+
+    tagged = tag(left, True).unionByName(tag(right, False))
+    is_right = F.col("_side") == 0
+    order = Window.partitionBy(key_col).orderBy("_ts", "_side")
+    w_back = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = order.rowsBetween(0, Window.unboundedFollowing)
+
+    def back(c):
+        return F.last(F.when(is_right, F.col(c)), ignorenulls=True).over(w_back)
+
+    def fwd(c):
+        return F.first(F.when(is_right, F.col(c)), ignorenulls=True).over(w_fwd)
+
+    exact = back("_ts") == F.col("_ts")
+    now = F.unix_micros(F.col("_ts"))
+    fwd_ts = F.when(exact, back("_ts")).otherwise(fwd("_ts"))
+    d_back = now - F.unix_micros(back("_ts"))
+    d_fwd = F.unix_micros(fwd_ts) - now
+    use_back = fwd_ts.isNull() | (back("_ts").isNotNull() & (d_back <= d_fwd))
+    picked = {"backward_asof_ts": back("_ts"), "forward_asof_ts": fwd_ts}
+    picked["nearest_asof_ts"] = F.when(use_back, back("_ts")).otherwise(fwd_ts)
+    for c in r_vals:
+        f_c = F.when(exact, back(c)).otherwise(fwd(c))
+        picked[f"backward_{c}"] = back(c)
+        picked[f"forward_{c}"] = f_c
+        picked[f"nearest_{c}"] = F.when(use_back, back(c)).otherwise(f_c)
+    return (
+        tagged.select(
+            key_col,
+            F.col("_ts").alias(ts_col),
+            *l_extra,
+            "_side",
+            *[expr.alias(name) for name, expr in picked.items()],
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

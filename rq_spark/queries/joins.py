@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_directions
 from .helpers import dsum, sql_dsum, table
 
 # --------------------------------------------------------------------------
@@ -359,7 +359,13 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     per direction (nearest evaluates both frames off one sort), no
     candidate-pair explosion, unlike a range self-join. Reference rq
     has no joins at all (SURVEY §2.1); this is the extension layer's
-    streaming-friendly as-of family."""
+    streaming-friendly as-of family.
+
+    Plan shape: asof_join_directions computes all three matches in ONE
+    union + window pass (one shuffle, one sort, both frames in a
+    single WindowExec — forward's exact-ts match is recovered from the
+    preceding frame), and the branches unpivot via explode, so the
+    whole family costs one pass instead of three."""
     e = table(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("value").alias("view_value")
@@ -367,23 +373,29 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-
-    def branch(direction: str) -> DataFrame:
-        return asof_join(
-            purchases, views, "user_id", "ts", direction=direction
-        ).select(
-            F.lit(direction).alias("op"),
-            "event_id",
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("asof_ts").alias("view_ts"),
-            "view_value",
-        )
-
-    return (
-        branch("backward")
-        .unionByName(branch("forward"))
-        .unionByName(branch("nearest"))
+    multi = asof_join_directions(purchases, views, "user_id", "ts")
+    branches = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("op"),
+                F.col(f"{d}_asof_ts").alias("view_ts"),
+                F.col(f"{d}_view_value").alias("view_value"),
+            )
+            for d in ("backward", "forward", "nearest")
+        ]
+    )
+    return multi.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.explode(branches).alias("_b"),
+    ).select(
+        F.col("_b.op").alias("op"),
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("_b.view_ts").alias("view_ts"),
+        F.col("_b.view_value").alias("view_value"),
     )
 
 

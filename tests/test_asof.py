@@ -79,3 +79,27 @@ def test_asof_nearest_is_one_window_pass(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_directions_matches_single_direction_calls(spark):
+    """The one-pass multi-direction operator returns exactly the three
+    single-direction results, and the whole family costs ONE Exchange."""
+    from rq_spark.operators.asof import asof_join_directions
+
+    left, right = _frames(spark)
+    multi = asof_join_directions(left, right, "k", "ts")
+    got = {r.id: r for r in multi.collect()}
+    for d in ("backward", "forward", "nearest"):
+        single = _run(spark, d)
+        for _id, (ts, v) in single.items():
+            assert got[_id][f"{d}_asof_ts"] == ts, (d, _id)
+            assert got[_id][f"{d}_v"] == v, (d, _id)
+
+    plan = (
+        multi._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
