@@ -236,6 +236,68 @@ def chunk_docs(
     )
 
 
+def phrase_blocklist_hits(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-phrase exact matching — the banned-phrase / policy
+    blocklist filter: which documents contain which of N phrases, with
+    exact whole-word occurrence counts.
+
+    Scale shape: NOT a doc×phrase contains() nested loop. Each
+    phrase's FIRST word anchors a broadcast equi-join against the
+    document's distinct words (one explode ∝ tokens, candidates ∝
+    anchor hits), and only candidates pay the contains verify + the
+    exact count (the replace length-delta idiom — one pass over the
+    text per matched phrase, not per blocklist entry). The phrase
+    table is benchmark/policy-sized: it broadcasts.
+
+    Matching is on the NORMALIZED text with word boundaries (a phrase
+    never matches inside another word). Pass ``toks`` (a (doc, words)
+    relation — the shared persisted tokenization) to skip the
+    normalize+split scan. Returns (id, phrase_id, n_hits ≥ 1)."""
+    if toks is None:
+        from .dedup import tokenized
+
+        toks = tokenized(df, text_col, id_col)
+    words = toks.select(
+        F.col("doc"),
+        # single-space rejoin reproduces normalize_text exactly (the
+        # normalized form has no leading/trailing/duplicate spaces)
+        F.concat(F.lit(" "), F.concat_ws(" ", "words"), F.lit(" ")).alias(
+            "_padded"
+        ),
+        F.explode(F.array_distinct(F.col("words"))).alias("_w"),
+    )
+    p = phrases.select(
+        F.col(phrase_id_col),
+        F.col(phrase_col).alias("_p"),
+        F.split(F.col(phrase_col), " ").getItem(0).alias("_anchor"),
+    )
+    cand = words.join(
+        F.broadcast(p), words["_w"] == p["_anchor"]
+    ).drop("_w", "_anchor")
+    target = F.concat(F.lit(" "), F.col("_p"), F.lit(" "))
+    removed = F.replace(F.col("_padded"), target, F.lit(" "))
+    n_hits = (
+        (F.length("_padded") - F.length(removed))
+        / (F.length(target) - 1)
+    ).cast("int")
+    return (
+        cand.select(
+            F.col("doc").alias(id_col),
+            phrase_id_col,
+            n_hits.alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
 def topk_words(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     """Corpus-level top-k vocabulary — the frequency/heavy-hitters
     report a pipeline runs for tokenizer training and corpus QA.

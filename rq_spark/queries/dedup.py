@@ -1870,6 +1870,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction and probe cross-engine — the oracle rebuilds the
     same md5-positioned bits in SQL.
 
+    op='blocklist' — banned-phrase filtering
+    (operators/text.py:phrase_blocklist_hits): exact whole-word
+    occurrence counts of a phrase blocklist via an anchored broadcast
+    equi-join (first phrase word vs the doc's distinct words) — never
+    a doc×phrase contains() loop. The blocklist is organic: the 3-word
+    sequence at words 4-6 of every doc_id % 97 == 0 document, which
+    the oracle reconstructs; those phrases recur in their source docs
+    and near-duplicates, so hits have real variance.
+
     op='sem_decontam' — SEMANTIC decontamination
     (operators/similarity.py:semantic_decontaminate): train docs
     whose 3-gram token-hash embedding sits at cosine ≥ 0.9 of any
@@ -1934,6 +1943,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_LSH_EMB_BANDS,
         rows_per_band=_LSH_EMB_ROWS,
     )
+    from ..operators.text import phrase_blocklist_hits
+
+    phrases = toks.filter(
+        (F.col("doc") % 97 == 0) & (F.size("words") >= 6)
+    ).select(
+        F.col("doc").alias("phrase_id"),
+        F.concat_ws(" ", F.slice("words", 4, 3)).alias("phrase"),
+    )
+    bl = phrase_blocklist_hits(
+        docs, phrases, "text", "doc_id", toks=toks
+    )
     nulls = F.lit(None)
     return probe.select(
         F.lit("ingest_probe").alias("op"),
@@ -1972,6 +1992,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eval_id").cast("bigint").alias("b_id"),
             F.col("cos_sim").cast("double").alias("jaccard"),
             nulls.cast("bigint").alias("n_shared"),
+        )
+    ).unionByName(
+        bl.select(
+            F.lit("blocklist").alias("op"),
+            F.col("doc_id").cast("bigint").alias("a_id"),
+            F.col("phrase_id").cast("bigint").alias("b_id"),
+            nulls.cast("double").alias("jaccard"),
+            F.col("n_hits").cast("bigint").alias("n_shared"),
         )
     )
 
@@ -2051,6 +2079,15 @@ SELECT 'bloom_stats',
 UNION ALL
 SELECT 'sem_decontam', a_id, b_id, cos_sim, CAST(NULL AS BIGINT)
 FROM ({_tokvec_pairs_sql("a.vec_id % 11 != 0 AND b.vec_id % 11 = 0")})
+UNION ALL
+SELECT 'blocklist', d.doc_id, ph.phrase_id, CAST(NULL AS DOUBLE),
+       CAST((LENGTH(d.pad) - LENGTH(REPLACE(d.pad, ' ' || ph.phrase || ' ', ' ')))
+            // (LENGTH(ph.phrase) + 1) AS BIGINT)
+FROM (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS pad FROM documents) d
+JOIN (
+  SELECT doc_id AS phrase_id, w[4] || ' ' || w[5] || ' ' || w[6] AS phrase
+  FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 6
+) ph ON LENGTH(d.pad) <> LENGTH(REPLACE(d.pad, ' ' || ph.phrase || ' ', ' '))
 """
 
 

@@ -53,7 +53,7 @@ TAGGED = {
     "window_agg_time": {"tumble", "slide", "transition"},
     "dedup_incremental": {
         "ingest_probe", "decontam", "bloom_decontam", "bloom_stats",
-        "sem_decontam",
+        "sem_decontam", "blocklist",
     },
 }
 

@@ -607,3 +607,33 @@ def test_bigram_backoff_hand_computed(spark):
     assert score(["a", "a"]) == 0.4 * 3 / 5       # unseen bigram, seen w2
     assert score(["a", "z"]) == 0.0                # OOV w2
     assert score(["a"]) == 1.0                     # no transitions
+
+
+def test_phrase_blocklist_hits_boundaries_counts_and_plan(spark):
+    """Whole-word matching (no intra-word hits), exact non-overlapping
+    counts, anchored candidates verified — and the blocklist side
+    broadcasts (no corpus shuffle for the probe)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the bad phrase here and the bad phrase again"),
+            (2, "nothing to see"),
+            (3, "embadphrase is one word"),     # no whole-word match
+            (4, "bad phrase"),                  # exact doc == phrase
+        ],
+        ["doc_id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [(10, "bad phrase"), (11, "see")], ["phrase_id", "phrase"]
+    )
+    out = X.phrase_blocklist_hits(docs, phrases, "text", "doc_id")
+    got = {(r.doc_id, r.phrase_id): r.n_hits for r in out.collect()}
+    assert got == {(1, 10): 2, (4, 10): 1, (2, 11): 1}
+
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
