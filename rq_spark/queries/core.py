@@ -1083,7 +1083,47 @@ def agg_groupby_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("double").alias("v2"),
         nulls.cast("double").alias("v3"),
     )
-    return plain.unionByName(dist).unionByName(topk)
+    # late-r8 copair branch: frequent co-occurrence pair mining with
+    # the a-priori prune (operators/itemsets.py) — parts co-ordered in
+    # ≥2 distinct orders, both parts individually in ≥31 orders; the
+    # stats row pins the prune funnel (n frequent items, n pruned
+    # (basket,item) rows) so a silently-wrong prefilter flips the hash
+    from ..operators.itemsets import cooccurrence_pairs
+
+    pairs, freq = cooccurrence_pairs(
+        table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=31,
+        min_pair_support=2,
+    )
+    copair = pairs.select(
+        F.lit("copair").alias("op"),
+        F.concat_ws(":", F.col("a_item"), F.col("b_item")).alias("grp"),
+        F.col("support").cast("bigint").alias("n1"),
+        nulls.cast("bigint").alias("n2"),
+        nulls.cast("double").alias("v1"),
+        nulls.cast("double").alias("v2"),
+        nulls.cast("double").alias("v3"),
+    )
+    costats = freq.agg(
+        F.count(F.lit(1)).alias("_nf"),
+        F.sum("support").alias("_rows"),
+    ).select(
+        F.lit("copair_stats").alias("op"),
+        nulls.cast("string").alias("grp"),
+        F.col("_nf").cast("bigint").alias("n1"),
+        F.col("_rows").cast("bigint").alias("n2"),
+        nulls.cast("double").alias("v1"),
+        nulls.cast("double").alias("v2"),
+        nulls.cast("double").alias("v3"),
+    )
+    return (
+        plain.unionByName(dist)
+        .unionByName(topk)
+        .unionByName(copair)
+        .unionByName(costats)
+    )
 
 
 _TOPK_WORDS_SQL = """
@@ -1113,6 +1153,31 @@ FROM ({_AGG_DISTINCT_SQL})
 UNION ALL
 SELECT 'topk_words', word, cnt, rank, NULL, NULL, NULL
 FROM ({_TOPK_WORDS_SQL})
+UNION ALL
+SELECT op, grp, n1, n2, NULL, NULL, NULL FROM (
+  WITH item AS (
+    SELECT l_partkey AS item, COUNT(DISTINCT l_orderkey) AS support
+    FROM lineitem GROUP BY 1
+  ), freq AS (
+    SELECT item, support FROM item WHERE support >= 31
+  ), pruned AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem WHERE l_partkey IN (SELECT item FROM freq)
+  ), pc AS (
+    SELECT a.item AS a_item, b.item AS b_item, COUNT(*) AS support
+    FROM pruned a JOIN pruned b
+      ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2
+  )
+  SELECT 'copair' AS op,
+         CAST(a_item AS VARCHAR) || ':' || CAST(b_item AS VARCHAR) AS grp,
+         support AS n1, CAST(NULL AS BIGINT) AS n2
+  FROM pc WHERE support >= 2
+  UNION ALL
+  SELECT 'copair_stats', CAST(NULL AS VARCHAR),
+         (SELECT COUNT(*) FROM freq),
+         (SELECT SUM(support) FROM freq)
+)
 """
 
 

@@ -21,7 +21,9 @@ SF = "/root/testdata/sf0.001"
 # key -> set of op tags that must each contribute rows
 TAGGED = {
     "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "domain_cap"},
-    "agg_groupby_distinct": {"groupby", "distinct", "topk_words"},
+    "agg_groupby_distinct": {
+        "groupby", "distinct", "topk_words", "copair", "copair_stats",
+    },
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
     "agg_stats": {"corr", "percentile", "profile", "skew", "qhist"},
     "set_ops": {
