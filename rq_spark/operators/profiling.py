@@ -69,6 +69,20 @@ def exact_quantiles_histogram(
     Returns (group, n, p{q}... one column per requested percent).
     """
     hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    return quantiles_from_hist(hist, group_col, value_col, q_percents)
+
+
+def quantiles_from_hist(
+    hist: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_percents: list[int],
+    count_col: str = "_c",
+) -> DataFrame:
+    """`exact_quantiles_histogram` off a prebuilt (group, value, count)
+    histogram — the reusable half: derived histograms (absolute
+    deviations, residuals) get exact quantiles without touching the
+    raw rows again."""
     cum_w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -77,8 +91,8 @@ def exact_quantiles_histogram(
     cum = hist.select(
         group_col,
         value_col,
-        F.sum("_c").over(cum_w).alias("_cum"),
-        F.sum("_c").over(Window.partitionBy(group_col)).alias("_n"),
+        F.sum(count_col).over(cum_w).alias("_cum"),
+        F.sum(count_col).over(Window.partitionBy(group_col)).alias("_n"),
     )
     aggs = [F.max("_n").alias("n")]
     for q in q_percents:
@@ -90,6 +104,52 @@ def exact_quantiles_histogram(
             ).alias(f"p{q}")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def mad_outlier_report(
+    df: DataFrame, group_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """Robust per-group outlier report: median, MAD (median absolute
+    deviation — the robust spread that one corrupt batch can't drag
+    the way stddev can), and the count of rows beyond k·MAD — the
+    data-QA pass that flags poisoned shards / unit mix-ups before
+    training.
+
+    ONE raw scan: the value histogram feeds everything. The deviation
+    histogram is DERIVED from it (|v − median| keyed re-aggregation of
+    the counts — rows ∝ distinct values, the raw table is never read
+    again), the MAD is a quantile of that derived histogram, and the
+    outlier count folds the same histogram against k·MAD. Group-sized
+    medians/MADs travel by broadcast. All integer arithmetic
+    (``value_col`` integral, `k` an int): every output is bit-exact
+    cross-engine.
+
+    Returns (group, n, median, mad, n_outliers)."""
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    med = quantiles_from_hist(hist, group_col, value_col, [50]).select(
+        group_col, F.col("n"), F.col("p50").alias("median")
+    )
+    dev_hist = (
+        hist.join(F.broadcast(med.select(group_col, "median")), group_col)
+        .groupBy(group_col, F.abs(F.col(value_col) - F.col("median")).alias("_dev"))
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = quantiles_from_hist(dev_hist, group_col, "_dev", [50]).select(
+        group_col, F.col("p50").alias("mad")
+    )
+    outliers = (
+        dev_hist.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(F.col("_dev") > F.lit(int(k)) * F.col("mad"), F.col("_c"))
+                .otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return med.join(F.broadcast(mad), group_col).join(
+        F.broadcast(outliers), group_col
+    )
 
 
 def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -1252,9 +1252,23 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p90").cast("double") / 100).alias("v3"),
         F.col("n").alias("n"),
     )
+    # MAD robust-outlier report (late r8, operators/profiling.py):
+    # median / MAD / beyond-3-MAD counts off the SAME histogram shape
+    # as qhist — one scan, derived deviation histogram, broadcast
+    # medians, all-integer arithmetic
+    from ..operators.profiling import mad_outlier_report
+
+    madr = mad_outlier_report(cents, "l_returnflag", "cents", k=3).select(
+        F.lit("mad").alias("op"),
+        "l_returnflag",
+        (F.col("median").cast("double") / 100).alias("v1"),
+        (F.col("mad").cast("double") / 100).alias("v2"),
+        F.col("n_outliers").cast("double").alias("v3"),
+        F.col("n").alias("n"),
+    )
     return (
         corr.unionByName(pct).unionByName(prof).unionByName(skew)
-        .unionByName(qh)
+        .unionByName(qh).unionByName(madr)
     )
 
 
@@ -1326,6 +1340,41 @@ FROM (
   )
   GROUP BY l_returnflag
 )
+UNION ALL
+SELECT 'mad', g, CAST(med AS DOUBLE) / 100,
+       CAST(mad AS DOUBLE) / 100, CAST(n_out AS DOUBLE), n
+FROM (
+  WITH h AS (
+    SELECT l_returnflag AS g,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v, COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+  ), med AS (
+    SELECT g, MIN(CASE WHEN 100 * cum >= 50 * n THEN v END) AS med,
+           MAX(n) AS n
+    FROM (SELECT g, v,
+                 SUM(c) OVER (PARTITION BY g ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY g) AS n
+          FROM h)
+    GROUP BY g
+  ), dh AS (
+    SELECT h.g, abs(h.v - med.med) AS dv, SUM(h.c) AS c
+    FROM h JOIN med ON h.g = med.g GROUP BY 1, 2
+  ), mad AS (
+    SELECT g, MIN(CASE WHEN 100 * cum >= 50 * n THEN dv END) AS mad
+    FROM (SELECT g, dv,
+                 SUM(c) OVER (PARTITION BY g ORDER BY dv
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY g) AS n
+          FROM dh)
+    GROUP BY g
+  ), outl AS (
+    SELECT dh.g, SUM(CASE WHEN dh.dv > 3 * mad.mad THEN dh.c ELSE 0 END) AS n_out
+    FROM dh JOIN mad ON dh.g = mad.g GROUP BY 1
+  )
+  SELECT med.g, med.med, med.n, mad.mad, outl.n_out
+  FROM med JOIN mad ON med.g = mad.g JOIN outl ON outl.g = med.g
+) AS _m(g, med, n, mad, n_out)
 """
 
 

@@ -77,3 +77,23 @@ def test_qhist_aggregates_before_the_window(spark):
         "histogram aggregate must run below (after-in-dataflow, "
         "printed-above) the cumulative window"
     )
+
+
+def test_mad_outlier_report_hand_computed(spark):
+    """median/MAD/outlier-count vs a hand-computed reference, incl. a
+    group whose single far value exceeds 3*MAD."""
+    from rq_spark.operators.profiling import mad_outlier_report
+
+    rows = (
+        [("a", v) for v in [10, 12, 14, 16, 18, 1000]]  # med 14, MAD 2-4
+        + [("b", v) for v in [5, 5, 5]]                  # MAD 0
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in mad_outlier_report(df, "g", "v", k=3).collect()}
+    # nearest-rank on 6 values: p50 = 3rd smallest = 14
+    # deviations: 0,2,2,4,4,986 -> p50 = 3rd = 2 -> outliers: 4>6? no;
+    # 986>6 yes -> 1... deviations sorted: 0,2,2,4,4,986; rank test
+    assert (got["a"].median, got["a"].mad) == (14, 2)
+    assert got["a"].n_outliers == 1 and got["a"].n == 6
+    # constant group: MAD 0, everything equals the median, no outliers
+    assert (got["b"].median, got["b"].mad, got["b"].n_outliers) == (5, 0, 0)
