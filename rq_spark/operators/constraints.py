@@ -1,0 +1,115 @@
+"""Declarative data-quality constraints (the Deequ / dbt-test /
+Great-Expectations shape): named checks with pass/fail semantics —
+the data CONTRACT a pipeline verifies before training on a drop, as
+opposed to the descriptive profiling report (profile_columns).
+
+Scale shape: every scalar check compiles to ONE aggregation over a
+single scan (exact integer counters + one division each — hash-exact
+cross-engine); uniqueness rides the same pass as a count-distinct;
+referential checks are co-partitioned anti-join counts (orphans ∝
+violations, never a materialized join product). One row per check:
+(check, observed, threshold, passed, n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: a check = (name, numerator aggregate, threshold on numerator/n)
+Check = tuple[str, Column, float]
+
+
+def completeness(col: str) -> Check:
+    """Fraction of non-NULL values; threshold 1.0 = NOT NULL contract."""
+    return (f"completeness({col})", F.count(F.col(col)), 1.0)
+
+
+def uniqueness(*cols: str) -> Check:
+    """distinct/total over the key columns; 1.0 = primary-key contract."""
+    name = f"uniqueness({', '.join(cols)})"
+    return (name, F.count_distinct(*[F.col(c) for c in cols]), 1.0)
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    """Fraction of values inside [lo, hi]."""
+    c = F.col(col)
+    return (
+        f"in_range({col}, {lo}, {hi})",
+        F.sum(((c >= lo) & (c <= hi)).cast("long")),
+        1.0,
+    )
+
+
+def in_set(col: str, values: list) -> Check:
+    """Fraction of values inside the allowed set."""
+    return (
+        f"in_set({col})",
+        F.sum(F.col(col).isin(values).cast("long")),
+        1.0,
+    )
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every scalar check in ONE aggregation pass; unpivot to one
+    row per check via an explode (no per-check scan, no driver loop)."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        num.cast("long").alias(f"_c{i}") for i, (_, num, _) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                (F.col(f"_c{i}").cast("double") / F.col("_n")).alias(
+                    "observed"
+                ),
+                F.lit(float(thr)).alias("threshold"),
+            )
+            for i, (name, _, thr) in enumerate(checks)
+        ]
+    )
+    return one.select(F.col("_n").alias("n"), F.explode(entries).alias("_e")).select(
+        F.col("_e.check").alias("check"),
+        F.col("_e.observed").alias("observed"),
+        F.col("_e.threshold").alias("threshold"),
+        (F.col("_e.observed") >= F.col("_e.threshold")).cast("int").alias(
+            "passed"
+        ),
+        "n",
+    )
+
+
+def fk_check(
+    child: DataFrame,
+    key_cols: list[str],
+    parent: DataFrame,
+    parent_key_cols: list[str],
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity check: fraction of child rows whose key
+    exists in the parent (1.0 = no orphans). Orphans count through a
+    LEFT ANTI join — co-partitioned on the key at scale, output ∝
+    violations. NULL keys count as orphans (a NULL FK never joins),
+    which is the strict contract; relax with a pre-filter if NULLs
+    are allowed."""
+    name = name or (
+        f"fk({', '.join(key_cols)} -> {', '.join(parent_key_cols)})"
+    )
+    cond = None
+    for ck, pk in zip(key_cols, parent_key_cols):
+        c = child[ck] == parent[pk]
+        cond = c if cond is None else (cond & c)
+    orphans = child.join(parent, cond, "left_anti").agg(
+        F.count(F.lit(1)).alias("_orph")
+    )
+    total = child.agg(F.count(F.lit(1)).alias("_n"))
+    return orphans.crossJoin(total).select(
+        F.lit(name).alias("check"),
+        (
+            (F.col("_n") - F.col("_orph")).cast("double") / F.col("_n")
+        ).alias("observed"),
+        F.lit(1.0).alias("threshold"),
+        (F.col("_orph") == 0).cast("int").alias("passed"),
+        F.col("_n").alias("n"),
+    )

@@ -1266,9 +1266,36 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_outliers").cast("double").alias("v3"),
         F.col("n").alias("n"),
     )
+    # declarative data-quality contract (late r8,
+    # operators/constraints.py): five scalar checks in ONE agg pass +
+    # a referential anti-join check; the synthetic lineitem genuinely
+    # FAILS uniqueness and the tight discount range, so pass AND fail
+    # paths are both under the driver hash
+    from ..operators import constraints as C
+
+    li = table(spark, sf_dir, "lineitem")
+    dq = C.check_suite(
+        li,
+        [
+            C.completeness("l_quantity"),
+            C.uniqueness("l_orderkey", "l_linenumber"),
+            C.in_range("l_quantity", 1, 50),
+            C.in_range("l_discount", 0, 0.08),
+            C.in_set("l_returnflag", ["A", "N", "R"]),
+        ],
+    ).unionByName(
+        C.fk_check(li, ["l_orderkey"], table(spark, sf_dir, "orders"), ["o_orderkey"])
+    ).select(
+        F.lit("dq").alias("op"),
+        F.col("check").alias("l_returnflag"),
+        F.col("observed").alias("v1"),
+        F.col("threshold").alias("v2"),
+        F.col("passed").cast("double").alias("v3"),
+        F.col("n").cast("bigint").alias("n"),
+    )
     return (
         corr.unionByName(pct).unionByName(prof).unionByName(skew)
-        .unionByName(qh).unionByName(madr)
+        .unionByName(qh).unionByName(madr).unionByName(dq)
     )
 
 
@@ -1375,6 +1402,44 @@ FROM (
   SELECT med.g, med.med, med.n, mad.mad, outl.n_out
   FROM med JOIN mad ON med.g = mad.g JOIN outl ON outl.g = med.g
 ) AS _m(g, med, n, mad, n_out)
+UNION ALL
+SELECT 'dq', chk, observed, CAST(1.0 AS DOUBLE),
+       CASE WHEN observed >= 1.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+       n
+FROM (
+  SELECT unnest(['completeness(l_quantity)',
+                 'uniqueness(l_orderkey, l_linenumber)',
+                 'in_range(l_quantity, 1, 50)',
+                 'in_range(l_discount, 0, 0.08)',
+                 'in_set(l_returnflag)']) AS chk,
+         unnest([CAST(c0 AS DOUBLE) / n, CAST(c1 AS DOUBLE) / n,
+                 CAST(c2 AS DOUBLE) / n, CAST(c3 AS DOUBLE) / n,
+                 CAST(c4 AS DOUBLE) / n]) AS observed,
+         n
+  FROM (
+    SELECT COUNT(*) AS n,
+           COUNT(l_quantity) AS c0,
+           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS c1,
+           SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                    THEN 1 ELSE 0 END) AS c2,
+           SUM(CASE WHEN l_discount >= CAST(0 AS DOUBLE)
+                     AND l_discount <= CAST(0.08 AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS c3,
+           SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) AS c4
+    FROM lineitem
+  )
+)
+UNION ALL
+SELECT 'dq', 'fk(l_orderkey -> o_orderkey)',
+       CAST(n - orph AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
+       CASE WHEN orph = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+       n
+FROM (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orph
+)
 """
 
 

@@ -1,0 +1,70 @@
+"""Declarative DQ constraints (operators/constraints.py): observed
+fractions, pass/fail thresholds, FK orphans incl. NULL keys, and the
+one-aggregation plan."""
+
+from __future__ import annotations
+
+from rq_spark.operators import constraints as C
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A"),
+            (1, 2, 20.0, "B"),
+            (1, 2, 30.0, "A"),    # duplicate (k1, k2)
+            (2, 1, None, "A"),    # NULL value
+            (2, 2, 500.0, "Z"),   # out of range + out of set
+        ],
+        ["k1", "k2", "v", "flag"],
+    )
+
+
+def test_check_suite_observed_and_passed(spark):
+    out = C.check_suite(
+        _df(spark),
+        [
+            C.completeness("v"),
+            C.uniqueness("k1", "k2"),
+            C.in_range("v", 0, 100),
+            C.in_set("flag", ["A", "B"]),
+        ],
+    )
+    got = {r.check: r for r in out.collect()}
+    assert got["completeness(v)"].observed == 4 / 5
+    assert got["completeness(v)"].passed == 0
+    assert got["uniqueness(k1, k2)"].observed == 4 / 5
+    # NULL v fails the range test (NULL comparison -> not counted)
+    assert got["in_range(v, 0, 100)"].observed == 3 / 5
+    assert got["in_set(flag)"].observed == 4 / 5
+    assert all(r.n == 5 for r in got.values())
+
+
+def test_check_suite_all_pass(spark):
+    df = _df(spark).filter("k2 = 1")
+    out = C.check_suite(df, [C.uniqueness("k1"), C.in_set("flag", ["A"])])
+    assert all(r.passed == 1 for r in out.collect())
+
+
+def test_check_suite_is_one_scan(spark):
+    out = C.check_suite(
+        _df(spark),
+        [C.completeness("v"), C.in_range("v", 0, 100), C.uniqueness("k1", "k2")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+def test_fk_check_orphans_and_null_keys(spark):
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z"), (None, "w")], ["fk", "payload"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    r = C.fk_check(child, ["fk"], parent, ["pk"]).collect()[0]
+    # 9 is an orphan; NULL never joins -> also an orphan
+    assert r.observed == 2 / 4
+    assert r.passed == 0 and r.n == 4
+    ok = C.fk_check(
+        child.filter("fk IS NOT NULL AND fk <= 2"), ["fk"], parent, ["pk"]
+    ).collect()[0]
+    assert ok.passed == 1 and ok.observed == 1.0

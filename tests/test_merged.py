@@ -25,7 +25,9 @@ TAGGED = {
         "groupby", "distinct", "topk_words", "copair", "copair_stats",
     },
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
-    "agg_stats": {"corr", "percentile", "profile", "skew", "qhist", "mad"},
+    "agg_stats": {
+        "corr", "percentile", "profile", "skew", "qhist", "mad", "dq",
+    },
     "set_ops": {
         "union", "intersect", "except",
         "diff_added", "diff_removed", "diff_changed",
