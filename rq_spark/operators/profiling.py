@@ -198,3 +198,65 @@ def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
             (maxd / F.col("_total").cast("double")).alias("top_share"),
         )
     )
+
+
+def drift_report(
+    df: DataFrame, side: Column, cols: list[str]
+) -> DataFrame:
+    """Distribution drift between two corpus slices (crawl vs crawl,
+    snapshot vs snapshot, shard vs shard): per analyzed column the
+    exact TOTAL VARIATION DISTANCE between the two sides' value
+    distributions — the drift gate a pipeline checks before mixing a
+    new drop into training. TVD is chosen over PSI/KL deliberately:
+    their log terms are libm calls (cross-engine ulp drift), while
+    TVD = Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b) is INTEGER arithmetic
+    until one final division — order-independent, bit-exact on any
+    engine, no smoothing needed for empty buckets.
+
+    ``side`` is any boolean Column splitting the rows (side A = true).
+
+    ONE scan for every analyzed column (the key_skew_report Expand
+    shape): values explode as (col, value) pairs, one hash-agg counts
+    both sides conditionally (shuffle ∝ Σ distinct values), one more
+    folds the integer TVD numerator. Returns (col_name, n_a, n_b,
+    n_values, n_only_one_side, tvd)."""
+    pairs = df.select(
+        side.alias("_a"),
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for c in cols
+                    for x in (
+                        F.lit(c),
+                        F.coalesce(F.col(c).cast("string"), F.lit("∅")),
+                    )
+                ]
+            )
+        ).alias("col_name", "_v"),
+    )
+    per_val = pairs.groupBy("col_name", "_v").agg(
+        F.sum(F.col("_a").cast("long")).alias("_ca"),
+        F.sum((~F.col("_a")).cast("long")).alias("_cb"),
+    )
+    w = Window.partitionBy("col_name")
+    tot = per_val.select(
+        "col_name",
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(w).alias("_na"),
+        F.sum("_cb").over(w).alias("_nb"),
+    )
+    return tot.groupBy("col_name").agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(((F.col("_ca") == 0) | (F.col("_cb") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_only_one_side"),
+        (
+            F.sum(F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")))
+            .cast("double")
+            / (F.lit(2.0) * F.max("_na") * F.max("_nb"))
+        ).alias("tvd"),
+    )

@@ -1293,9 +1293,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("passed").cast("double").alias("v3"),
         F.col("n").cast("bigint").alias("n"),
     )
+    # distribution drift (late r8, operators/profiling.py): exact
+    # total-variation distance between the even/odd order halves per
+    # column — integer numerator, one division, so drift is hash-exact
+    # where PSI/KL's log terms never could be
+    from ..operators.profiling import drift_report
+
+    drift = drift_report(
+        li,
+        F.col("l_orderkey") % 2 == 0,
+        ["l_quantity", "l_returnflag", "l_linenumber"],
+    ).select(
+        F.lit("drift").alias("op"),
+        F.col("col_name").alias("l_returnflag"),
+        F.col("tvd").alias("v1"),
+        F.col("n_values").cast("double").alias("v2"),
+        F.col("n_only_one_side").cast("double").alias("v3"),
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
+    )
     return (
         corr.unionByName(pct).unionByName(prof).unionByName(skew)
         .unionByName(qh).unionByName(madr).unionByName(dq)
+        .unionByName(drift)
     )
 
 
@@ -1429,6 +1448,36 @@ FROM (
                     THEN 1 ELSE 0 END) AS c4
     FROM lineitem
   )
+)
+UNION ALL
+SELECT 'drift', col_name, tvd, CAST(n_values AS DOUBLE),
+       CAST(n_only AS DOUBLE), n_a + n_b
+FROM (
+  SELECT col_name,
+         MAX(na) AS n_a, MAX(nb) AS n_b,
+         COUNT(*) AS n_values,
+         SUM(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS n_only,
+         CAST(SUM(abs(ca * nb - cb * na)) AS DOUBLE)
+           / (CAST(2.0 AS DOUBLE) * MAX(na) * MAX(nb)) AS tvd
+  FROM (
+    SELECT col_name, v,
+           SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb,
+           SUM(SUM(CASE WHEN a THEN 1 ELSE 0 END))
+             OVER (PARTITION BY col_name) AS na,
+           SUM(SUM(CASE WHEN a THEN 0 ELSE 1 END))
+             OVER (PARTITION BY col_name) AS nb
+    FROM (
+      SELECT l_orderkey % 2 = 0 AS a,
+             unnest(['l_quantity', 'l_returnflag', 'l_linenumber']) AS col_name,
+             unnest([COALESCE(CAST(l_quantity AS VARCHAR), '∅'),
+                     COALESCE(CAST(l_returnflag AS VARCHAR), '∅'),
+                     COALESCE(CAST(l_linenumber AS VARCHAR), '∅')]) AS v
+      FROM lineitem
+    )
+    GROUP BY col_name, v
+  )
+  GROUP BY col_name
 )
 UNION ALL
 SELECT 'dq', 'fk(l_orderkey -> o_orderkey)',

@@ -97,3 +97,23 @@ def test_mad_outlier_report_hand_computed(spark):
     assert got["a"].n_outliers == 1 and got["a"].n == 6
     # constant group: MAD 0, everything equals the median, no outliers
     assert (got["b"].median, got["b"].mad, got["b"].n_outliers) == (5, 0, 0)
+
+
+def test_drift_report_tvd_hand_computed(spark):
+    """TVD vs hand-computed fractions; identical halves drift 0."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators.profiling import drift_report
+
+    rows = [(True, "x"), (True, "x"), (True, "y"),
+            (False, "x"), (False, "y"), (False, "y"), (False, "z")]
+    df = spark.createDataFrame(rows, ["a", "c"])
+    r = drift_report(df, F.col("a"), ["c"]).collect()[0]
+    # pA=[2/3,1/3,0], pB=[1/4,1/2,1/4] -> TVD = 5/12
+    assert (r.n_a, r.n_b, r.n_values, r.n_only_one_side) == (3, 4, 3, 1)
+    assert abs(r.tvd - 5 / 12) < 1e-15
+
+    same = spark.createDataFrame(
+        [(True, "x"), (True, "y"), (False, "x"), (False, "y")], ["a", "c"]
+    )
+    assert drift_report(same, F.col("a"), ["c"]).collect()[0].tvd == 0.0
