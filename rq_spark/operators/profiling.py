@@ -126,6 +126,16 @@ def mad_outlier_report(
 
     Returns (group, n, median, mad, n_outliers)."""
     hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    return mad_outlier_report_from_hist(hist, group_col, value_col, k=k)
+
+
+def mad_outlier_report_from_hist(
+    hist: DataFrame, group_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """`mad_outlier_report` off a prebuilt (group, value, _c)
+    histogram — share ONE (ideally persisted) histogram between the
+    quantile report and the outlier report instead of scanning the
+    raw table once per report."""
     med = quantiles_from_hist(hist, group_col, value_col, [50]).select(
         group_col, F.col("n"), F.col("p50").alias("median")
     )

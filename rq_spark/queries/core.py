@@ -1236,14 +1236,26 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram-exact quantiles (r8): same p90 family as the
     # 'percentile' branch but shuffle ∝ distinct cent values, not rows
     # — the fixed-point-measure plan that survives a 100 TB lineitem
-    from ..operators.profiling import exact_quantiles_histogram
+    from ..operators.profiling import quantiles_from_hist
+    from ..util import persist_tracked as _persist_tracked
+    from ..util import release_caches as _release_caches
 
     cents = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    qh = exact_quantiles_histogram(
-        cents, "l_returnflag", "cents", [25, 50, 90]
+    # ONE persisted cents histogram (rows ∝ distinct cent values)
+    # feeds both the quantile report and the MAD report — one lineitem
+    # scan instead of two
+    _release_caches("agg_stats")
+    cents_hist = _persist_tracked(
+        cents.groupBy("l_returnflag", "cents").agg(
+            F.count(F.lit(1)).alias("_c")
+        ),
+        scope="agg_stats",
+    )
+    qh = quantiles_from_hist(
+        cents_hist, "l_returnflag", "cents", [25, 50, 90]
     ).select(
         F.lit("qhist").alias("op"),
         "l_returnflag",
@@ -1256,9 +1268,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median / MAD / beyond-3-MAD counts off the SAME histogram shape
     # as qhist — one scan, derived deviation histogram, broadcast
     # medians, all-integer arithmetic
-    from ..operators.profiling import mad_outlier_report
+    from ..operators.profiling import mad_outlier_report_from_hist
 
-    madr = mad_outlier_report(cents, "l_returnflag", "cents", k=3).select(
+    madr = mad_outlier_report_from_hist(
+        cents_hist, "l_returnflag", "cents", k=3
+    ).select(
         F.lit("mad").alias("op"),
         "l_returnflag",
         (F.col("median").cast("double") / 100).alias("v1"),
