@@ -270,3 +270,52 @@ def drift_report(
             / (F.lit(2.0) * F.max("_na") * F.max("_nb"))
         ).alias("tvd"),
     )
+
+
+def join_size_report(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """Pre-flight join-size guard: the EXACT output cardinality of
+    a ⋈ b on the key, computed from the two key histograms BEFORE
+    running the join — |A ⋈ B| = Σ_k c_a(k)·c_b(k), plus the hottest
+    key's contribution and a blowup factor. The "will this join
+    explode" check a pipeline runs before an expensive shuffle; pure
+    integer arithmetic, hash-exact.
+
+    Scale shape: one partial-agg histogram per side (shuffle ∝
+    distinct keys each), an inner join of the two histograms (∝
+    shared keys), one fold. The join itself never runs.
+
+    Returns (n_a, n_b, n_out, max_key_out, blowup) where blowup =
+    n_out / max(n_a, n_b) — > 1 means the join multiplies rows."""
+    ha = a.groupBy(F.col(a_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    hb = b.groupBy(F.col(b_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    per_key = ha.join(hb, "_k").select(
+        (F.col("_ca") * F.col("_cb")).alias("_out")
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        per_key.agg(
+            F.coalesce(F.sum("_out"), F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce(F.max("_out"), F.lit(0)).cast("long").alias(
+                "max_key_out"
+            ),
+        )
+        .crossJoin(na)
+        .crossJoin(nb)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_out",
+            "max_key_out",
+            (
+                F.col("n_out").cast("double")
+                / F.greatest(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("blowup"),
+        )
+    )

@@ -1325,10 +1325,26 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_only_one_side").cast("double").alias("v3"),
         (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
     )
+    # join-size preflight (late r8, operators/profiling.py): the exact
+    # lineitem⋈orders output cardinality from the two key histograms —
+    # the "will this join explode" guard, integer-exact, the join
+    # itself never runs
+    from ..operators.profiling import join_size_report
+
+    jsz = join_size_report(
+        li, "l_orderkey", table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
+        F.lit("joinsize").alias("op"),
+        F.lit("l_orderkey=o_orderkey").alias("l_returnflag"),
+        F.col("n_a").cast("double").alias("v1"),
+        F.col("n_b").cast("double").alias("v2"),
+        F.col("blowup").alias("v3"),
+        F.col("n_out").alias("n"),
+    )
     return (
         corr.unionByName(pct).unionByName(prof).unionByName(skew)
         .unionByName(qh).unionByName(madr).unionByName(dq)
-        .unionByName(drift)
+        .unionByName(drift).unionByName(jsz)
     )
 
 
@@ -1492,6 +1508,21 @@ FROM (
     GROUP BY col_name, v
   )
   GROUP BY col_name
+)
+UNION ALL
+SELECT 'joinsize', 'l_orderkey=o_orderkey',
+       CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE),
+       CAST(n_out AS DOUBLE) / greatest(CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE)),
+       n_out
+FROM (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n_a,
+         (SELECT COUNT(*) FROM orders) AS n_b,
+         (SELECT COALESCE(SUM(ca * cb), 0) FROM
+            (SELECT l_orderkey AS k, COUNT(*) AS ca
+             FROM lineitem GROUP BY 1) a
+          JOIN
+            (SELECT o_orderkey AS k, COUNT(*) AS cb
+             FROM orders GROUP BY 1) b USING (k)) AS n_out
 )
 UNION ALL
 SELECT 'dq', 'fk(l_orderkey -> o_orderkey)',

@@ -27,7 +27,7 @@ TAGGED = {
     "agg_approx_distinct": {"hll", "hll_union", "cms_hh"},
     "agg_stats": {
         "corr", "percentile", "profile", "skew", "qhist", "mad", "dq",
-        "drift",
+        "drift", "joinsize",
     },
     "set_ops": {
         "union", "intersect", "except",

@@ -117,3 +117,23 @@ def test_drift_report_tvd_hand_computed(spark):
         [(True, "x"), (True, "y"), (False, "x"), (False, "y")], ["a", "c"]
     )
     assert drift_report(same, F.col("a"), ["c"]).collect()[0].tvd == 0.0
+
+
+def test_join_size_report_exact(spark):
+    """n_out equals the actually-executed join's count; hot key and
+    blowup are exact."""
+    from rq_spark.operators.profiling import join_size_report
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], ["k"]
+    )
+    b = spark.createDataFrame([(1,), (1,), (2,), (9,)], ["j"])
+    r = join_size_report(a, "k", b, "j").collect()[0]
+    real = a.join(b, a.k == b.j).count()
+    assert r.n_out == real == 7          # 3*2 + 1*1
+    assert r.max_key_out == 6
+    assert (r.n_a, r.n_b) == (5, 4)
+    assert r.blowup == 7 / 5
+    # disjoint keys -> 0, no NULL poisoning
+    empty = join_size_report(a, "k", b.filter("j = 9"), "j").collect()[0]
+    assert empty.n_out == 0 and empty.blowup == 0.0
