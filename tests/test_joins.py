@@ -28,8 +28,24 @@ def test_asof_semantics(spark, sf_dir):
     rows = joins.join_asof_event(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        if r.view_ts is not None:
+        if r.view_ts is None:
+            continue
+        if r.op == "backward":
             assert r.view_ts <= r.purchase_ts
+        elif r.op == "forward":
+            assert r.view_ts >= r.purchase_ts
+    # nearest is never farther than either directed match
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r.event_id, {})[r.op] = r
+    for ops in by_event.values():
+        near = ops["nearest"].view_ts
+        p = ops["nearest"].purchase_ts
+        for d in ("backward", "forward"):
+            other = ops[d].view_ts
+            if other is not None:
+                assert near is not None
+                assert abs(near - p) <= abs(other - p)
 
 
 def test_semi_anti_partition_customers(spark, sf_dir):
