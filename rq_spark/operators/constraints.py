@@ -26,9 +26,19 @@ def completeness(col: str) -> Check:
 
 
 def uniqueness(*cols: str) -> Check:
-    """distinct/total over the key columns; 1.0 = primary-key contract."""
+    """distinct/total over the key TUPLES; 1.0 = primary-key contract.
+    The tuple folds as a struct so rows with NULL key components still
+    count as (distinct) tuples — `count_distinct(a, b)` would DROP
+    them entirely, failing the contract even with zero duplicates and
+    diverging from SQL's COUNT(DISTINCT (a, b)) row semantics. NULL
+    components compare like DISTINCT does (two (NULL, 1) rows are
+    duplicates of each other)."""
     name = f"uniqueness({', '.join(cols)})"
-    return (name, F.count_distinct(*[F.col(c) for c in cols]), 1.0)
+    return (
+        name,
+        F.count_distinct(F.struct(*[F.col(c) for c in cols])),
+        1.0,
+    )
 
 
 def in_range(col: str, lo: float, hi: float) -> Check:
@@ -96,20 +106,32 @@ def fk_check(
     name = name or (
         f"fk({', '.join(key_cols)} -> {', '.join(parent_key_cols)})"
     )
+    # deduped parent keys: a non-unique parent can't multiply child
+    # rows, and matched/total both come from ONE left join + ONE agg —
+    # a single pass over the child instead of anti-join + re-count
+    pkeys = parent.select(
+        *[
+            F.col(pk).alias(f"_pk{i}")
+            for i, pk in enumerate(parent_key_cols)
+        ]
+    ).distinct()
     cond = None
-    for ck, pk in zip(key_cols, parent_key_cols):
-        c = child[ck] == parent[pk]
+    for i, ck in enumerate(key_cols):
+        c = child[ck] == pkeys[f"_pk{i}"]
         cond = c if cond is None else (cond & c)
-    orphans = child.join(parent, cond, "left_anti").agg(
-        F.count(F.lit(1)).alias("_orph")
-    )
-    total = child.agg(F.count(F.lit(1)).alias("_n"))
-    return orphans.crossJoin(total).select(
-        F.lit(name).alias("check"),
-        (
-            (F.col("_n") - F.col("_orph")).cast("double") / F.col("_n")
-        ).alias("observed"),
-        F.lit(1.0).alias("threshold"),
-        (F.col("_orph") == 0).cast("int").alias("passed"),
-        F.col("_n").alias("n"),
+    return (
+        child.join(pkeys, cond, "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.col("_pk0")).alias("_matched"),
+        )
+        .select(
+            F.lit(name).alias("check"),
+            (F.col("_matched").cast("double") / F.col("_n")).alias(
+                "observed"
+            ),
+            F.lit(1.0).alias("threshold"),
+            (F.col("_matched") == F.col("_n")).cast("int").alias("passed"),
+            F.col("_n").alias("n"),
+        )
     )

@@ -50,13 +50,16 @@ def line_rules(lines: Column) -> dict[str, Column]:
     """The per-document line-shape signals, as exact-count ratios
     (single IEEE division each, engine-portable)."""
     n = F.size(lines)
+    # chars in EXCESS copies of duplicated lines (first occurrence
+    # excluded) — the same convention as frac_dup_lines' 1−distinct/n,
+    # and the published MassiveText counting; iterating DISTINCT lines
+    # keeps the nested count O(distinct·lines) and each copy counted
+    # once
     dup_chars = F.aggregate(
-        lines,
+        F.array_distinct(lines),
         F.lit(0),
         lambda acc, x: acc
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
+        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x),
     )
     total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
     return {

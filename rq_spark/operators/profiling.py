@@ -228,8 +228,12 @@ def drift_report(
     ONE scan for every analyzed column (the key_skew_report Expand
     shape): values explode as (col, value) pairs, one hash-agg counts
     both sides conditionally (shuffle ∝ Σ distinct values), one more
-    folds the integer TVD numerator. Returns (col_name, n_a, n_b,
-    n_values, n_only_one_side, tvd)."""
+    folds the integer TVD numerator — in DECIMAL(38,0): each term is
+    bounded by N_a·N_b, which overflows int64 already at ~3e9 rows per
+    side, exactly the scale this is for (decimal sums stay exact to
+    1e38). An EMPTY side reports tvd = 1.0 — maximal drift, so a
+    `tvd > threshold` gate can never silently pass a vanished slice.
+    Returns (col_name, n_a, n_b, n_values, n_only_one_side, tvd)."""
     pairs = df.select(
         side.alias("_a"),
         F.explode(
@@ -257,6 +261,13 @@ def drift_report(
         F.sum("_ca").over(w).alias("_na"),
         F.sum("_cb").over(w).alias("_nb"),
     )
+    dec = "decimal(38,0)"
+    num = F.sum(
+        F.abs(
+            F.col("_ca").cast(dec) * F.col("_nb").cast(dec)
+            - F.col("_cb").cast(dec) * F.col("_na").cast(dec)
+        )
+    )
     return tot.groupBy("col_name").agg(
         F.max("_na").cast("long").alias("n_a"),
         F.max("_nb").cast("long").alias("n_b"),
@@ -264,11 +275,14 @@ def drift_report(
         F.sum(((F.col("_ca") == 0) | (F.col("_cb") == 0)).cast("long"))
         .cast("long")
         .alias("n_only_one_side"),
-        (
-            F.sum(F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")))
-            .cast("double")
+        F.when(
+            (F.max("_na") == 0) | (F.max("_nb") == 0), F.lit(1.0)
+        )
+        .otherwise(
+            num.cast("double")
             / (F.lit(2.0) * F.max("_na") * F.max("_nb"))
-        ).alias("tvd"),
+        )
+        .alias("tvd"),
     )
 
 
@@ -283,22 +297,33 @@ def join_size_report(
     integer arithmetic, hash-exact.
 
     Scale shape: one partial-agg histogram per side (shuffle ∝
-    distinct keys each), an inner join of the two histograms (∝
-    shared keys), one fold. The join itself never runs.
+    distinct keys each, PERSISTED so the row totals fold from the
+    histogram instead of re-scanning the table), an inner join of the
+    two histograms (∝ shared keys), one fold. The join itself never
+    runs; each input is scanned exactly once.
 
     Returns (n_a, n_b, n_out, max_key_out, blowup) where blowup =
     n_out / max(n_a, n_b) — > 1 means the join multiplies rows."""
-    ha = a.groupBy(F.col(a_key).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_ca")
+    from ..util import persist_tracked, release_caches
+
+    release_caches("join_size_report")
+    ha = persist_tracked(
+        a.groupBy(F.col(a_key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_ca")
+        ),
+        scope="join_size_report",
     )
-    hb = b.groupBy(F.col(b_key).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_cb")
+    hb = persist_tracked(
+        b.groupBy(F.col(b_key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_cb")
+        ),
+        scope="join_size_report",
     )
     per_key = ha.join(hb, "_k").select(
         (F.col("_ca") * F.col("_cb")).alias("_out")
     )
-    na = a.agg(F.count(F.lit(1)).alias("n_a"))
-    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    na = ha.agg(F.coalesce(F.sum("_ca"), F.lit(0)).alias("n_a"))
+    nb = hb.agg(F.coalesce(F.sum("_cb"), F.lit(0)).alias("n_b"))
     return (
         per_key.agg(
             F.coalesce(F.sum("_out"), F.lit(0)).cast("long").alias("n_out"),
@@ -313,9 +338,11 @@ def join_size_report(
             F.col("n_b").cast("long").alias("n_b"),
             "n_out",
             "max_key_out",
-            (
+            F.when(F.greatest(F.col("n_a"), F.col("n_b")) == 0, F.lit(0.0))
+            .otherwise(
                 F.col("n_out").cast("double")
                 / F.greatest(F.col("n_a"), F.col("n_b")).cast("double")
-            ).alias("blowup"),
+            )
+            .alias("blowup"),
         )
     )

@@ -260,7 +260,14 @@ def phrase_blocklist_hits(
     Matching is on the NORMALIZED text with word boundaries (a phrase
     never matches inside another word). Pass ``toks`` (a (doc, words)
     relation — the shared persisted tokenization) to skip the
-    normalize+split scan. Returns (id, phrase_id, n_hits ≥ 1)."""
+    normalize+split scan. Returns (id, phrase_id, n_hits ≥ 1).
+
+    Counting detail: word boundaries are DOUBLED spaces on the text
+    side and single spaces at the phrase's edges, so back-to-back
+    occurrences ("bad phrase bad phrase") each keep a boundary space
+    to match against — the plain ' p ' replace idiom consumes the
+    shared space and undercounts exactly the repetitive-spam case a
+    blocklist exists for."""
     if toks is None:
         from .dedup import tokenized
 
@@ -268,10 +275,14 @@ def phrase_blocklist_hits(
     words = toks.select(
         F.col("doc"),
         # single-space rejoin reproduces normalize_text exactly (the
-        # normalized form has no leading/trailing/duplicate spaces)
-        F.concat(F.lit(" "), F.concat_ws(" ", "words"), F.lit(" ")).alias(
-            "_padded"
-        ),
+        # normalized form has no leading/trailing/duplicate spaces);
+        # then every boundary doubles so adjacent matches can't starve
+        # each other of a space
+        F.concat(
+            F.lit(" "),
+            F.replace(F.concat_ws(" ", "words"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ).alias("_padded"),
         F.explode(F.array_distinct(F.col("words"))).alias("_w"),
     )
     p = phrases.select(
@@ -282,7 +293,11 @@ def phrase_blocklist_hits(
     cand = words.join(
         F.broadcast(p), words["_w"] == p["_anchor"]
     ).drop("_w", "_anchor")
-    target = F.concat(F.lit(" "), F.col("_p"), F.lit(" "))
+    target = F.concat(
+        F.lit(" "),
+        F.replace(F.col("_p"), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
     removed = F.replace(F.col("_padded"), target, F.lit(" "))
     n_hits = (
         (F.length("_padded") - F.length(removed))

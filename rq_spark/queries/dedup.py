@@ -2081,13 +2081,16 @@ SELECT 'sem_decontam', a_id, b_id, cos_sim, CAST(NULL AS BIGINT)
 FROM ({_tokvec_pairs_sql("a.vec_id % 11 != 0 AND b.vec_id % 11 = 0")})
 UNION ALL
 SELECT 'blocklist', d.doc_id, ph.phrase_id, CAST(NULL AS DOUBLE),
-       CAST((LENGTH(d.pad) - LENGTH(REPLACE(d.pad, ' ' || ph.phrase || ' ', ' ')))
-            // (LENGTH(ph.phrase) + 1) AS BIGINT)
-FROM (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS pad FROM documents) d
+       CAST((LENGTH(d.pad) - LENGTH(REPLACE(d.pad, ph.tgt, ' ')))
+            // (LENGTH(ph.tgt) - 1) AS BIGINT)
+FROM (SELECT doc_id,
+             ' ' || REPLACE({_NORM_SQL}, ' ', '  ') || ' ' AS pad
+      FROM documents) d
 JOIN (
-  SELECT doc_id AS phrase_id, w[4] || ' ' || w[5] || ' ' || w[6] AS phrase
+  SELECT doc_id AS phrase_id,
+         ' ' || w[4] || '  ' || w[5] || '  ' || w[6] || ' ' AS tgt
   FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 6
-) ph ON LENGTH(d.pad) <> LENGTH(REPLACE(d.pad, ' ' || ph.phrase || ' ', ' '))
+) ph ON LENGTH(d.pad) <> LENGTH(REPLACE(d.pad, ph.tgt, ' '))
 """
 
 

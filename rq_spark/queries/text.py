@@ -518,9 +518,8 @@ WITH tw AS (
          len(l) AS n_lines,
          len(words) AS n_words,
          coalesce(array_to_string(l, chr(10)), '') AS joined,
-         list_sum(list_transform(l, x ->
-           CASE WHEN len(list_filter(l, y -> y = x)) > 1
-                THEN length(x) ELSE 0 END)) AS dup_chars,
+         list_sum(list_transform(list_distinct(l), x ->
+           (len(list_filter(l, y -> y = x)) - 1) * length(x))) AS dup_chars,
          list_sum(list_transform(l, x -> length(x))) AS total_chars,
          list_filter(l, x -> {_SQL_TERMINAL}
                              AND len(string_split(x, ' ')) >= 3) AS kept

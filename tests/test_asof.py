@@ -103,3 +103,28 @@ def test_asof_join_directions_matches_single_direction_calls(spark):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_asof_matched_row_stays_atomic_with_null_values(spark):
+    """A NULL value in the matched right row must come back as that
+    row's NULL — never a value smuggled from an earlier right row
+    (the per-column ignorenulls pitfall)."""
+    left = spark.createDataFrame([(1, _ts(25), 100)], ["k", "ts", "id"])
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(20), None)], ["k", "ts", "v"]
+    )
+    r = asof_join(left, right, "k", "ts", direction="backward").collect()[0]
+    assert r.asof_ts == _ts(20) and r.v is None
+    # tolerance is measured against the matched row's ts (20, 5s away)
+    tol = asof_join(
+        left, right, "k", "ts", direction="backward",
+        tolerance_micros=4_000_000,
+    ).collect()[0]
+    assert tol.asof_ts is None and tol.v is None
+    # forward + nearest directions hold the same atomicity
+    fr = asof_join(left, right, "k", "ts", direction="nearest").collect()[0]
+    assert fr.asof_ts == _ts(20) and fr.v is None
+    from rq_spark.operators.asof import asof_join_directions
+
+    m = asof_join_directions(left, right, "k", "ts").collect()[0]
+    assert m["backward_asof_ts"] == _ts(20) and m["backward_v"] is None

@@ -68,3 +68,18 @@ def test_fk_check_orphans_and_null_keys(spark):
         child.filter("fk IS NOT NULL AND fk <= 2"), ["fk"], parent, ["pk"]
     ).collect()[0]
     assert ok.passed == 1 and ok.observed == 1.0
+
+
+def test_uniqueness_counts_null_key_tuples(spark):
+    """NULL key components still count as tuples (SQL DISTINCT-row
+    semantics): no duplicates -> pass; duplicated NULL rows -> fail."""
+    ok = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k long, x string"
+    )
+    r = C.check_suite(ok, [C.uniqueness("k")]).collect()[0]
+    assert r.observed == 1.0 and r.passed == 1
+    dup = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k long, x string"
+    )
+    r2 = C.check_suite(dup, [C.uniqueness("k")]).collect()[0]
+    assert r2.observed == 0.5 and r2.passed == 0

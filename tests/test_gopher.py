@@ -27,8 +27,9 @@ def test_line_rules_hand_computed(spark):
     # every line ends in '.' (the ellipsis line included)
     assert row["frac_terminal_lines"] == 1.0
     assert row["frac_dup_lines"] == pytest.approx(1 - 4 / 5)
-    # 'c.' duplicated: 2+2 chars of 4+4+2+2+14 total
-    assert row["frac_dup_line_chars"] == pytest.approx(4 / 26)
+    # 'c.' duplicated: the EXCESS copy's 2 chars of 4+4+2+2+14 total
+    # (first occurrence excluded — the frac_dup_lines convention)
+    assert row["frac_dup_line_chars"] == pytest.approx(2 / 26)
 
 
 def test_c4_keep_lines_needs_terminal_punct_and_words(spark):

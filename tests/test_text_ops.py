@@ -619,6 +619,7 @@ def test_phrase_blocklist_hits_boundaries_counts_and_plan(spark):
             (2, "nothing to see"),
             (3, "embadphrase is one word"),     # no whole-word match
             (4, "bad phrase"),                  # exact doc == phrase
+            (5, "bad phrase bad phrase bad phrase"),  # back-to-back
         ],
         ["doc_id", "text"],
     )
@@ -627,7 +628,8 @@ def test_phrase_blocklist_hits_boundaries_counts_and_plan(spark):
     )
     out = X.phrase_blocklist_hits(docs, phrases, "text", "doc_id")
     got = {(r.doc_id, r.phrase_id): r.n_hits for r in out.collect()}
-    assert got == {(1, 10): 2, (4, 10): 1, (2, 11): 1}
+    # adjacent occurrences each count (the repetitive-spam case)
+    assert got == {(1, 10): 2, (4, 10): 1, (2, 11): 1, (5, 10): 3}
 
     plan = (
         out._jdf.queryExecution()
