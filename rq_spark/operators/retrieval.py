@@ -12,8 +12,10 @@ reduce to it.
 Scale shape (the inverted-index build, expressed relationally):
 - ONE tokenize+explode scan of the corpus -> per-(doc, term) tf via
   groupBy — shuffle ∝ corpus tokens, the same cost any index build
-  pays. Document lengths derive from the tf relation (groupBy doc),
-  NOT a second corpus scan.
+  pays. Document lengths ride THROUGH the explode as a carried int
+  (dl = the words array's non-empty size), so scoring needs no
+  doc-keyed length join; the 1-row N/avgdl stats fold off tf's own
+  reused exchange — never a second corpus scan.
 - Per-term document frequencies are vocabulary-sized; the literal
   query set joins INTO them and the tiny (term, query, df) result is
   broadcast into the tf relation — the corpus never shuffles for the
@@ -78,13 +80,20 @@ def term_freqs(toks: DataFrame) -> DataFrame:
     (it is just the non-empty token count of the words array), so
     BM25 scoring needs no separate doc-length aggregation or join —
     one extra int per shuffled posting instead of a corpus-keyed
-    join."""
-    nonempty = F.filter(F.col("words"), lambda w: w != "")
+    join.
+
+    Precondition: ONE row per doc (what `tokenized()` produces by
+    construction). With duplicate doc rows the carried dl is that of
+    a single source row, not a merged total — pre-concatenate rows if
+    a doc spans several."""
+    filtered = toks.select(
+        "doc", F.filter(F.col("words"), lambda w: w != "").alias("_w")
+    )
     return (
-        toks.select(
+        filtered.select(
             "doc",
-            F.size(nonempty).alias("dl"),
-            F.explode(nonempty).alias("term"),
+            F.size("_w").alias("dl"),
+            F.explode("_w").alias("term"),
         )
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
@@ -120,17 +129,17 @@ def bm25_topk_from_words(
         raise ValueError(f"bm25_topk: invalid k1={k1} or b={b}")
     spark = toks.sparkSession
 
-    # tf feeds two consumers (document frequencies + the probe join);
-    # no persist on purpose — both branch after the same (doc, term)
-    # exchange, which AQE reuses (ReusedExchange), so a cache would
-    # only add a materialization barrier (measured ~35% slower at
-    # sf0.1). Doc lengths ride inside tf (see term_freqs); the global
-    # N/avgdl stats come straight off the tokenized relation.
+    # tf feeds three consumers (document frequencies, the N/avgdl
+    # stats, and the probe join); no persist on purpose — all branch
+    # after the same (doc, term) exchange, which AQE reuses
+    # (ReusedExchange), so a cache would only add a materialization
+    # barrier (measured ~35% slower at sf0.1), and no consumer
+    # re-runs the normalize+split corpus scan. Doc lengths ride
+    # inside tf (see term_freqs).
     tf = term_freqs(toks)
-    nonempty_dl = F.size(F.filter(F.col("words"), lambda w: w != ""))
     stats = (
-        toks.select(nonempty_dl.alias("dl"))
-        .filter(F.col("dl") > 0)
+        tf.groupBy("doc")
+        .agg(F.max("dl").alias("dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_len"),
