@@ -439,3 +439,57 @@ def test_codec_zstandard_superset_vs_parity(tmp_path):
     r = _run_env(["-j", "-J", "--codec", "zstandard", "--rq-parity"],
                  b"1", str(tmp_path))
     assert r.returncode == 0 and r.stdout == b"1\n"
+
+
+def test_error_golden_bad_cbor(tmp_path):
+    _golden(
+        ["-c"],
+        b"\xff\xff\xff",
+        [b"Encountered: syntax error in cbor: unexpected break code"],
+        tmp_path,
+    )
+
+
+def test_error_golden_bad_msgpack(tmp_path):
+    _golden(
+        ["-m"],
+        b"\xc1",
+        [b"Encountered: syntax error in msgpack: unknown type byte 0xc1"],
+        tmp_path,
+    )
+
+
+def test_error_golden_bad_toml(tmp_path):
+    _golden(
+        ["-t"],
+        b"= bad toml [[",
+        [
+            b"Encountered: syntax error in toml: Invalid statement "
+            b"(at line 1, column 1)",
+            b"Caused by: Invalid statement (at line 1, column 1)",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_bad_yaml_multiline_continuation(tmp_path):
+    """Multi-line parser messages keep their own indentation under the
+    per-line '[ERROR] [rq] ' prefix (the cause-chain continuation
+    format)."""
+    _golden(
+        ["-y"],
+        b"{unclosed: [",
+        [
+            b"Encountered: syntax error in yaml: while parsing a flow node",
+            b"  expected the node content, but found '<stream end>'",
+            b'    in "<unicode string>", line 1, column 13:',
+            b"      {unclosed: [",
+            b" " * 18 + b"^",
+            b"Caused by: while parsing a flow node",
+            b"  expected the node content, but found '<stream end>'",
+            b'    in "<unicode string>", line 1, column 13:',
+            b"      {unclosed: [",
+            b" " * 18 + b"^",
+        ],
+        tmp_path,
+    )
