@@ -274,25 +274,42 @@ SELECT 'transition', NULL, pair, n, NULL FROM (
 
 
 def stream_agg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming windowed aggregation + streaming exact dedup in one
-    tagged result (branches = the former stream_tumble_10min,
-    stream_dedup — each still executes its own micro-batch streaming
-    query end-to-end; the two independent queries run CONCURRENTLY
-    via streaming.run_many_to_memory, r8)."""
+    """Streaming windowed aggregation + streaming exact dedup +
+    stream-STATIC enrichment in one tagged result (branches = the
+    former stream_tumble_10min, stream_dedup, plus the late-r8
+    'enrich' — each still executes its own micro-batch streaming
+    query end-to-end; the independent queries run CONCURRENTLY via
+    streaming.run_many_to_memory, r8).
+
+    op='enrich' — streaming.enrich_segment_counts: the event stream
+    joins the STATIC customer dimension per micro-batch (the third
+    Structured Streaming join shape; no join state, dim broadcast per
+    batch) and aggregates per market segment; the exact decimal sum
+    makes the result micro-batch-split-invariant, so the batch SQL
+    oracle is hash-exact."""
     from ..streaming import (
         dedup_keys,
+        enrich_segment_counts,
         run_many_to_memory,
         stream_events,
         tumble_counts,
     )
+    from .helpers import table
 
     nulls = F.lit(None)
-    tumble_r, dedup_r = run_many_to_memory(
+    tumble_r, dedup_r, enrich_r = run_many_to_memory(
         [
             (tumble_counts(stream_events(spark, sf_dir)), "complete"),
             (
                 dedup_keys(stream_events(spark, sf_dir), "user_id", "event_type"),
                 "append",
+            ),
+            (
+                enrich_segment_counts(
+                    stream_events(spark, sf_dir),
+                    table(spark, sf_dir, "customer"),
+                ),
+                "complete",
             ),
         ]
     )
@@ -312,7 +329,15 @@ def stream_agg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("bigint").alias("n"),
         nulls.cast("double").alias("sum_value"),
     )
-    return tumble.unionByName(dedup)
+    enrich = enrich_r.select(
+        F.lit("enrich").alias("op"),
+        nulls.cast(dict(tumble.dtypes)["window_start"]).alias("window_start"),
+        nulls.cast("bigint").alias("user_id"),
+        F.col("c_mktsegment").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+    )
+    return tumble.unionByName(dedup).unionByName(enrich)
 
 
 _STREAM_AGG_DEDUP_SQL = f"""
@@ -322,6 +347,11 @@ FROM ({_TUMBLE_SQL})
 UNION ALL
 SELECT 'dedup', NULL, user_id, event_type, NULL, NULL
 FROM ({_STREAM_DEDUP_SQL})
+UNION ALL
+SELECT 'enrich', NULL, NULL, c_mktsegment,
+       COUNT(*), CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
 """
 
 

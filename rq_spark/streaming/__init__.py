@@ -66,6 +66,22 @@ def tumble_counts(stream: DataFrame, width: str = "10 minutes",
     )
 
 
+def enrich_segment_counts(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join — the third Structured Streaming
+    join shape next to windowed aggregation and the stream-stream
+    interval join: every micro-batch hash-joins against the static
+    dimension (Spark broadcasts the dim per batch when it fits; no
+    join state is kept, unlike stream-stream), then aggregates per
+    dimension attribute. State ∝ segments, not events. The exact
+    decimal sum keeps the result bit-equal to the batch oracle however
+    micro-batches split the input."""
+    j = stream.join(dim, stream["user_id"] == dim["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
 def session_counts(stream: DataFrame, gap: str = "30 minutes",
                    watermark: str = "30 minutes") -> DataFrame:
     """Watermarked session windows per user."""

@@ -40,7 +40,7 @@ TAGGED = {
     "join_asof_event": {"backward", "forward", "nearest"},
     "window_ranking": {"rank_dense", "dist_rank"},
     "func_array": {"element", "agg"},
-    "stream_agg_dedup": {"tumble", "dedup"},
+    "stream_agg_dedup": {"tumble", "dedup", "enrich"},
     "stream_stateful": {"first_seen", "interval_join", "running"},
     "explode_ops": {"posexplode", "explode_outer", "chunk"},
     "struct_ops": {"with_field", "flatten"},

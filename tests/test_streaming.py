@@ -5,6 +5,7 @@ converge to batch truth."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from rq_spark import streaming
 from rq_spark.queries import events as batch_events
@@ -281,3 +282,38 @@ def test_running_user_stats_tws_requires_protobuf(spark, sf_dir):
     pytest.importorskip("google.protobuf")
     streamed = streaming.run_to_memory(sdf, "append")
     assert streamed.count() == table(spark, sf_dir, "events").count()
+
+
+def test_enrich_segment_counts_equals_batch_join(spark, sf_dir):
+    """Stream-static enrichment: driving the join through the
+    micro-batch engine reproduces the batch join exactly (the decimal
+    sum makes the result invariant to micro-batch splits)."""
+    from rq_spark.queries.helpers import DEC, table
+    from rq_spark.streaming import (
+        enrich_segment_counts,
+        run_to_memory,
+        stream_events,
+    )
+
+    got = {
+        r.c_mktsegment: (r.n, r.sum_value)
+        for r in run_to_memory(
+            enrich_segment_counts(
+                stream_events(spark, sf_dir), table(spark, sf_dir, "customer")
+            ),
+            "complete",
+        ).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    want = {
+        r.c_mktsegment: (r.n, r.sum_value)
+        for r in e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 1
