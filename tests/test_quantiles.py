@@ -137,3 +137,32 @@ def test_join_size_report_exact(spark):
     # disjoint keys -> 0, no NULL poisoning
     empty = join_size_report(a, "k", b.filter("j = 9"), "j").collect()[0]
     assert empty.n_out == 0 and empty.blowup == 0.0
+
+
+def test_mad_and_drift_scan_once(spark):
+    """Both reports read their input exactly once: MAD derives the
+    deviation histogram from the value histogram, drift folds all
+    columns off one Expand."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators.profiling import drift_report, mad_outlier_report
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).alias("v"),
+        (F.col("id") % 2 == 0).alias("a"),
+    )
+    for out in (
+        mad_outlier_report(df.select("g", "v"), "g", "v"),
+        drift_report(df, F.col("a"), ["g", "v"]),
+    ):
+        out.collect()
+        plan = (
+            out._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # one source read; every other consumer reuses the first
+        # exchange (ReusedExchange / ReusedSubquery)
+        assert plan.count("Range") <= 1, plan
