@@ -62,7 +62,15 @@ def in_set(col: str, values: list) -> Check:
 
 def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run every scalar check in ONE aggregation pass; unpivot to one
-    row per check via an explode (no per-check scan, no driver loop)."""
+    row per check via an explode (no per-check scan, no driver loop).
+
+    An empty ``checks`` list is a caller error (the untyped empty
+    array would silently explode to zero rows — a vacuously "passing"
+    contract). An EMPTY TABLE is a vacuous pass: observed is defined
+    as 1.0 when n = 0 (every check's numerator trivially covers all
+    zero rows), never NULL."""
+    if not checks:
+        raise ValueError("check_suite: checks must be non-empty")
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         num.cast("long").alias(f"_c{i}") for i, (_, num, _) in enumerate(checks)
     ]
@@ -71,9 +79,9 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
         *[
             F.struct(
                 F.lit(name).alias("check"),
-                (F.col(f"_c{i}").cast("double") / F.col("_n")).alias(
-                    "observed"
-                ),
+                F.when(F.col("_n") == 0, F.lit(1.0))
+                .otherwise(F.col(f"_c{i}").cast("double") / F.col("_n"))
+                .alias("observed"),
                 F.lit(float(thr)).alias("threshold"),
             )
             for i, (name, _, thr) in enumerate(checks)
@@ -127,9 +135,11 @@ def fk_check(
         )
         .select(
             F.lit(name).alias("check"),
-            (F.col("_matched").cast("double") / F.col("_n")).alias(
-                "observed"
-            ),
+            # empty child = vacuous pass (same n=0 convention as
+            # check_suite): observed 1.0, never NULL
+            F.when(F.col("_n") == 0, F.lit(1.0))
+            .otherwise(F.col("_matched").cast("double") / F.col("_n"))
+            .alias("observed"),
             F.lit(1.0).alias("threshold"),
             (F.col("_matched") == F.col("_n")).cast("int").alias("passed"),
             F.col("_n").alias("n"),

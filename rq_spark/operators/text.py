@@ -285,10 +285,18 @@ def phrase_blocklist_hits(
         ).alias("_padded"),
         F.explode(F.array_distinct(F.col("words"))).alias("_w"),
     )
-    p = phrases.select(
-        F.col(phrase_id_col),
-        F.col(phrase_col).alias("_p"),
-        F.split(F.col(phrase_col), " ").getItem(0).alias("_anchor"),
+    # the phrase side goes through the SAME normalize_text as the
+    # document side — an uppercase / oddly-spaced blocklist entry must
+    # match, not silently return zero hits (the anchor join compares
+    # against lowercased normalized words). Phrases that normalize to
+    # empty can never match and are dropped.
+    p = (
+        phrases.select(
+            F.col(phrase_id_col),
+            normalize_text(F.col(phrase_col)).alias("_p"),
+        )
+        .filter(F.col("_p") != "")
+        .withColumn("_anchor", F.split(F.col("_p"), " ").getItem(0))
     )
     cand = words.join(
         F.broadcast(p), words["_w"] == p["_anchor"]

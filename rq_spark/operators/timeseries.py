@@ -40,7 +40,9 @@ def ewma_fixed(
     seq = 1-based position in the key's (order_cols)-sorted sequence,
     ewma_micros = the α=1/2 fixed-point smoothed value (int64 units of
     10^-6). Order columns must be unique per key for a deterministic
-    sequence."""
+    sequence. Negative values are supported: halving is FLOOR division
+    (arithmetic shift) on both engines, so the hash contract holds for
+    any int64-representable micro-unit."""
     if not order_cols:
         raise ValueError("ewma_fixed: order_cols must be non-empty")
     micros = F.expr(
@@ -50,8 +52,11 @@ def ewma_fixed(
         F.collect_list(F.struct(*order_cols, micros.alias("_x")))
     )
     # fold to the RUNNING state array: acc = (last state, states so far);
-    # shiftright(·, 1) is the floor-halving (values are non-negative
-    # micro-units, where >>1 == integer div 2 == DuckDB //2)
+    # shiftright(·, 1) is FLOOR-halving (arithmetic shift: -7>>1 = -4),
+    # valid for negative values too — the oracle uses DuckDB's `>> 1`,
+    # which is the same arithmetic shift (NOT `// 2`, which DuckDB
+    # truncates toward zero: -7//2 = -3, and NOT floor(x/2.0), which
+    # loses integer exactness above 2^53)
     def _step(acc, x):
         nxt = F.when(acc["s"].isNull(), x["_x"]).otherwise(
             F.shiftright(acc["s"] + x["_x"], 1)
@@ -105,6 +110,6 @@ def ewma_cte_sql(
 ), ew(k, seq, eid, s) AS (
   SELECT k, seq, eid, x FROM ew_base WHERE seq = 1
   UNION ALL
-  SELECT b.k, b.seq, b.eid, (ew.s + b.x) // 2
+  SELECT b.k, b.seq, b.eid, (ew.s + b.x) >> 1
   FROM ew JOIN ew_base b ON b.k = ew.k AND b.seq = ew.seq + 1
 )"""

@@ -397,9 +397,13 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed keys between two snapshots via ONE union+groupBy shuffle,
     no full-outer join). The "new" snapshot is a deterministic twin of
     documents (the CDC-twin evidence pattern): doc_id%7==0 removed,
-    doc_id%5==0 text-mutated, doc_id%11==0 re-added under key+10^6 —
-    the oracle constructs the identical twin and joins, so every
-    per-key status is hash-exact.
+    doc_id%5==0 text-mutated, doc_id%11==0 re-added under
+    key + (max(doc_id)+1) — the offset is DERIVED (one MAX over a
+    pruned 1-column scan, the cdc-twin pattern) so re-added keys can
+    never collide with real ids on a large corpus, preserving
+    snapshot_diff's unique-key precondition; the oracle derives the
+    same offset via a scalar subquery, so every per-key status is
+    hash-exact.
     """
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("v"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("v"))
@@ -416,12 +420,13 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutated = F.when(
         F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
+    twin_off = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
     new = (
         docs.filter(F.col("doc_id") % 7 != 0)
         .select("doc_id", F.md5(mutated).alias("fp"))
         .unionByName(
             docs.filter(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") + twin_off).alias("doc_id"),
                 F.md5("text").alias("fp"),
             )
         )
@@ -459,7 +464,7 @@ SELECT 'diff_' || status AS op, CAST(key AS BIGINT) AS v FROM (
                          ELSE text END) AS fp
          FROM documents WHERE doc_id % 7 <> 0
          UNION ALL
-         SELECT doc_id + 1000000, md5(text)
+         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), md5(text)
          FROM documents WHERE doc_id % 11 = 0)
   SELECT COALESCE(o.doc_id, new.doc_id) AS key,
          CASE WHEN o.doc_id IS NULL THEN 'added'

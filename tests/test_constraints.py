@@ -83,3 +83,25 @@ def test_uniqueness_counts_null_key_tuples(spark):
     )
     r2 = C.check_suite(dup, [C.uniqueness("k")]).collect()[0]
     assert r2.observed == 0.5 and r2.passed == 0
+
+
+def test_check_suite_empty_checks_raises(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        C.check_suite(df, [])
+
+
+def test_check_suite_empty_table_vacuous_pass(spark):
+    """n = 0 is a defined vacuous pass (observed 1.0), never a NULL
+    propagating into the passed flag."""
+    empty = spark.createDataFrame([], "k long, x string")
+    rows = C.check_suite(
+        empty, [C.completeness("x"), C.uniqueness("k")]
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.observed == 1.0 and r.passed == 1 and r.n == 0
+    fk = C.fk_check(empty, ["k"], empty.select("k"), ["k"]).collect()[0]
+    assert fk.observed == 1.0 and fk.passed == 1 and fk.n == 0

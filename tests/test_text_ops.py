@@ -639,3 +639,23 @@ def test_phrase_blocklist_hits_boundaries_counts_and_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_phrase_blocklist_normalizes_phrase_side(spark):
+    """A blocklist entry with uppercase / ragged whitespace must match
+    the normalized document text — pre-fix it silently returned zero
+    hits. Phrases normalizing to empty are dropped, not matched."""
+    docs = spark.createDataFrame(
+        [(1, "the bad phrase here and the bad phrase again")],
+        ["doc_id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [
+            (10, "  Bad   PHRASE "),   # case + lead/trail/run whitespace
+            (11, "   "),               # normalizes to empty: never hits
+        ],
+        ["phrase_id", "phrase"],
+    )
+    out = X.phrase_blocklist_hits(docs, phrases, "text", "doc_id")
+    got = {(r.doc_id, r.phrase_id): r.n_hits for r in out.collect()}
+    assert got == {(1, 10): 2}

@@ -51,3 +51,41 @@ def test_matches_python_reference(ev):
 def test_validation(ev):
     with pytest.raises(ValueError):
         ewma_fixed(ev, "user_id", [], "value")
+
+
+def test_negative_values_floor_consistent(spark):
+    """Negative inputs: Spark's shiftright is floor-halving; the DuckDB
+    oracle must use `>> 1` (arithmetic shift), NOT `// 2` (truncates
+    toward zero: -7//2 = -3 vs -7>>1 = -4). This replays the exact
+    catalog oracle CTE against duckdb on a negative fixture — a
+    regression to `//` flips these values."""
+    import duckdb
+
+    from rq_spark.operators.timeseries import ewma_cte_sql
+
+    vals = [-7.0, -0.000003, 5.5, -123.456789, 0.0, -1.0]
+    rows = [(1, i, T0 + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = [
+        r["ewma_micros"]
+        for r in ewma_fixed(ev, "user_id", ["ts", "event_id"], "value")
+        .orderBy("seq")
+        .collect()
+    ]
+    assert got == _ref(vals)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(1, {i}, TIMESTAMP '2024-01-01 00:{i:02d}:00', {v})"
+            for i, v in enumerate(vals)
+        )
+        + ") t(user_id, event_id, ts, value)"
+    )
+    sql = (
+        "WITH RECURSIVE _seed AS (SELECT 1)"
+        + ewma_cte_sql("events", "user_id", "ts, event_id", "value")
+        + "\nSELECT s FROM ew ORDER BY seq"
+    )
+    assert [r[0] for r in con.execute(sql).fetchall()] == got
