@@ -12,6 +12,29 @@ MEDIAN is reported — a single run on a 32-core box carries a ±0.5 s
 noise band that swallows real regressions. The emitted JSON records
 ``runs`` and ``warmup`` so results from different harness
 configurations are never compared as if equivalent.
+
+Per-branch attribution (r9): the multi-branch headline keys also get a
+SOLO timing per tagged branch (rq_spark/bench_branches.py —
+filter-pruned union branches or explicit solo builders), emitted under
+``"branches": {"key/tag": sec}`` with its own ``branch_runs`` count
+(default 1: the sweep covers ~58 solos, and attribution — is a key's
+growth branch work or a regression? — survives single-sample noise
+where the headline gate does not). Solo times include each branch's
+required inputs, so they need not sum to the key total; the delta is
+the key's fusion win.
+
+The full sweep runs at a FIXED sf0.01 sibling of sf_dir (recorded as
+``branch_sf``): attribution needs relative shares, and a full-sf sweep
+would put the whole bench over the per-round wall-clock ceiling. The
+few solos directly comparable to an r1 BASELINE key (the asof
+directions vs r1 join_asof_event, window_frames/running vs r1
+window_running_revenue, sim_topk_cosine/cosine vs r1 sim_topk_cosine)
+ALSO run at the headline sf, under ``"branches_at_sf"`` — the driver
+artifact that clears/flags a per-key baseline breach. A wall-clock
+budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 450) truncates the
+sweeps (never the headline) with ``branch_sweep_truncated: true`` so
+the headline JSON always lands inside the driver's timeout; the sweep
+is ordered so the highest-attribution-value keys go first.
 """
 
 from __future__ import annotations
@@ -62,6 +85,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    bench_start = time.time()  # the sweep budget bounds TOTAL wall-clock
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -125,6 +149,81 @@ def main() -> None:
         release_all_caches()
         spark.catalog.clearCache()
 
+    # --- per-branch attribution sweeps (solo plans, see module doc) ---
+    from rq_spark.bench_branches import SOLO_BUILT, branch_queries
+
+    branch_runs = int(os.environ.get("SPARK_GRAFT_BENCH_BRANCH_RUNS", "1"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+
+    # sweep order: attribution value first (the keys whose totals grew
+    # most across rounds / carry a formal baseline comparison), so the
+    # budget valve truncates only the low-value tail
+    _PRIORITY = (
+        "join_asof_event", "window_frames", "sim_topk_cosine",
+        "agg_groupby_distinct", "dedup_text", "dedup_incremental",
+        "dedup_connected_groups",
+    )
+
+    def _sweep(entries, data_dir, n_runs) -> tuple[dict[str, float], bool]:
+        out: dict[str, float] = {}
+        truncated = False
+        for name, fn in entries:
+            if time.time() - bench_start > budget:
+                truncated = True
+                break
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            out[name] = round(statistics.median(samples), 3)
+            release_all_caches()
+            spark.catalog.clearCache()
+        return out, truncated
+
+    branches: dict[str, float] = {}
+    branches_at_sf: dict[str, float] = {}
+    truncated = False
+    branch_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(branch_dir):
+        branch_dir = sf_dir
+    branch_sf = float(
+        os.path.basename(branch_dir.rstrip("/")).replace("sf", "") or sf
+    )
+    if branch_runs > 0:
+        bqs = branch_queries()
+        for name in (n for n in bqs if n.split("/")[0] in SOLO_BUILT):
+            # solo-built plans never ran in the headline warmup; the
+            # filter-pruned ones are sub-plans of already-warm keys
+            try:
+                bqs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — surface loudly, keep timing
+                print(
+                    f"WARN bench branch warmup failed for {name}: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+        release_all_caches()
+        spark.catalog.clearCache()
+        prio = {k: i for i, k in enumerate(_PRIORITY)}
+        ordered = sorted(
+            bqs.items(), key=lambda kv: prio.get(kv[0].split("/")[0], 99)
+        )
+        # the r1-comparable solos, at the headline sf (cheap: <10 s)
+        at_sf = [
+            (n, f)
+            for n, f in ordered
+            if n.split("/")[0]
+            in ("join_asof_event", "window_frames", "sim_topk_cosine")
+        ]
+        if branch_dir != sf_dir:
+            branches_at_sf, t1 = _sweep(at_sf, sf_dir, branch_runs)
+            truncated |= t1
+        branches, t2 = _sweep(ordered, branch_dir, branch_runs)
+        truncated |= t2
+
     print(
         json.dumps(
             {
@@ -132,6 +231,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "branches": branches,
+                "branches_at_sf": branches_at_sf,
+                "branch_sf": branch_sf,
+                "branch_runs": branch_runs,
+                "branch_sweep_truncated": truncated,
                 "sf": sf,
                 "runs": runs,
                 "warmup": warmup_mode,
