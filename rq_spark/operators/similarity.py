@@ -640,6 +640,19 @@ def pq_encode_udf(codebooks: np.ndarray):
     return enc
 
 
+#: Query-set size above which the collected-LUT ADC paths auto-route
+#: to the collect-free `ivfpq_topk_join` LUT-column path. 10k queries
+#: ≈ 20 MB of LUTs at (m=8, n_codes=32) — past that, a driver collect
+#: stops being "serving-sized" and the join path wins.
+COLLECT_DISPATCH_MAX = 10_000
+
+
+def _query_count_exceeds(queries: DataFrame, n: int) -> bool:
+    """Bounded preflight: counts at most n+1 rows of the query
+    relation — never a full scan of a corpus-sized query set."""
+    return queries.limit(n + 1).count() > n
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -650,6 +663,7 @@ def pq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_queries: int | None = COLLECT_DISPATCH_MAX,
 ) -> DataFrame:
     """PQ/ADC ANN top-k: encode the corpus as m-byte codes, score
     every code against per-query LOOKUP TABLES (asymmetric distance
@@ -669,12 +683,32 @@ def pq_topk(
     the IVFPQ of production systems.
 
     The query set is collected for the LUT closure — the SERVING shape
-    (small query batches). For corpus-sized query sets use
-    `ivfpq_topk_join`, whose LUTs travel as a joined column with no
-    driver collect.
+    (small query batches). A query set larger than
+    ``max_collect_queries`` (bounded limit-probe, never a full count)
+    AUTO-DISPATCHES to `ivfpq_topk_join`, whose LUTs travel as a
+    joined column with no driver collect; that path additionally
+    prunes candidates through IVF cells (the production composition —
+    a corpus-sized brute ADC sweep would be quadratic regardless of
+    transport). Pass ``max_collect_queries=None`` to force the
+    collected path.
     """
     if rerank is None:
         rerank = 4 * k
+    if max_collect_queries is not None and _query_count_exceeds(
+        queries, max_collect_queries
+    ):
+        return ivfpq_topk_join(
+            corpus,
+            queries,
+            k=k,
+            m=m,
+            n_codes=n_codes,
+            iters=iters,
+            rerank=rerank,
+            id_col=id_col,
+            vec_col=vec_col,
+            broadcast_queries=False,
+        )
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
@@ -750,6 +784,7 @@ def ivfpq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_queries: int | None = COLLECT_DISPATCH_MAX,
 ) -> DataFrame:
     """IVFPQ: the production billion-scale composition — IVF cells
     prune WHICH corpus rows are scored (candidates ≈ corpus ·
@@ -763,10 +798,30 @@ def ivfpq_topk(
     (query, codes) rows, window top-R, and the R·nq-row re-rank join.
     Nothing corpus-sized is broadcast, shuffled wide, or held raw
     past the first scan. Queries are collected for the LUT closure
-    (serving shape) — `ivfpq_topk_join` is the collect-free variant
-    for corpus-sized query sets."""
+    (serving shape); a query set larger than ``max_collect_queries``
+    (bounded limit-probe) AUTO-DISPATCHES to `ivfpq_topk_join` — the
+    same model, candidates, and re-rank with the LUTs as a shuffled
+    column instead of a driver closure. ``None`` forces the collected
+    path."""
     if rerank is None:
         rerank = 4 * k
+    if max_collect_queries is not None and _query_count_exceeds(
+        queries, max_collect_queries
+    ):
+        return ivfpq_topk_join(
+            corpus,
+            queries,
+            k=k,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+            m=m,
+            n_codes=n_codes,
+            iters=iters,
+            rerank=rerank,
+            id_col=id_col,
+            vec_col=vec_col,
+            broadcast_queries=False,
+        )
     cents = ivf_centroids(
         corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -426,3 +426,56 @@ def test_semantic_decontaminate_pairs_and_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_adc_auto_dispatch_routes_large_query_sets(spark):
+    """r9 (r8 verdict task #2): pq_topk / ivfpq_topk with a query set
+    over max_collect_queries auto-route to the collect-free LUT-column
+    join path — same top-k as calling ivfpq_topk_join directly, and the
+    dispatched plan carries NO MapInPandas (the collected-closure ADC
+    marker); the collected path does."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators import similarity as S
+    from rq_spark.queries.helpers import table as _table
+
+    corpus = _table(spark, SF, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    kw = dict(k=10, n_centroids=8, nprobe=6, m=8, n_codes=32, iters=2,
+              rerank=150)
+    direct = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk_join(
+            corpus, queries, broadcast_queries=False, **kw
+        ).collect()
+    }
+    # 5 queries > max_collect_queries=3 -> dispatched
+    routed_df = S.ivfpq_topk(corpus, queries, max_collect_queries=3, **kw)
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "dispatch failed: collected ADC ran"
+    assert {(r.query_id, r.neighbor_id) for r in routed_df.collect()} == direct
+
+    # under the threshold (or with None): the collected path runs
+    kept_df = S.ivfpq_topk(corpus, queries, max_collect_queries=None, **kw)
+    plan = kept_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+    # pq_topk's large-query route goes to the same join path (IVF
+    # pruning added — the production composition), also MapInPandas-free
+    routed_pq = S.pq_topk(
+        corpus, queries, k=10, m=8, n_codes=32, iters=2, rerank=150,
+        max_collect_queries=3,
+    )
+    plan = routed_pq._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    # pq has no IVF params of its own: the dispatch uses the join
+    # path's defaults (n_centroids=8, nprobe=4)
+    pq_direct = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk_join(
+            corpus, queries, k=10, m=8, n_codes=32, iters=2, rerank=150,
+            broadcast_queries=False,
+        ).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in routed_pq.collect()} == pq_direct
