@@ -22,20 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | list[str],
     buckets: int = 8,
     sort: bool = True,
 ) -> None:
     """Materialize df as a bucketed (and bucket-sorted) catalog table.
+    ``key`` may be a single column or a composite key list (e.g.
+    ``["band", "bhash"]`` for the LSH band index) — a later equi-join
+    must use EXACTLY these columns for the zero-Exchange path.
 
     At 100 TB pick buckets so one bucket of the BIGGER table fits an
     executor's sort budget (e.g. 4096 buckets for ~25 GB each); both
     join sides must use the SAME bucket count or Spark re-shuffles the
     mismatched side.
     """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(*keys)
     w.saveAsTable(table_name)
 
 

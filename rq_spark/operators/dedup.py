@@ -471,6 +471,116 @@ def incremental_minhash_pairs(
     )
 
 
+def write_minhash_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_name: str,
+    num_hashes: int = 96,
+    bands: int = 24,
+    shingle_n: int = 3,
+    buckets: int = 8,
+) -> None:
+    """Materialize the standing corpus's LSH index ON DISK — the
+    daily-ingest shape `incremental_minhash_pairs` documents: at 100 TB
+    the corpus bands/shingles are computed ONCE at ingest, and every
+    subsequent batch probe reads them back without recomputing (or
+    re-shuffling) anything corpus-sized.
+
+    Writes three catalog tables:
+
+    * ``{base}_bands`` (corpus_id, band, bhash) — bucketed AND
+      bucket-sorted on (band, bhash), so a non-broadcast probe join on
+      exactly those keys reads the corpus side zero-Exchange, zero-Sort
+      (bucket i of the batch's shuffle meets bucket i of the table,
+      task-local; plan-asserted in tests/test_dedup.py).
+    * ``{base}_shingles`` (doc, sh_arr) — bucketed on doc: the verify
+      join shuffles only the candidate pairs (∝ matches) while the
+      corpus shingle arrays stay put.
+    * ``{base}_meta`` — one row pinning (num_hashes, bands, shingle_n).
+      The probe takes its banding parameters FROM this table (never
+      from the caller), so batch and index banding cannot drift apart
+      — band hashes are only comparable under identical banding.
+    """
+    from ..bucketing import write_bucketed
+
+    sets = shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n).filter(
+        F.size("sh_arr") > 0
+    )
+    sets = _persist_tracked(sets, scope="minhash_index_write")
+    bands_df = band_table(
+        minhash_signatures(sets, num_hashes=num_hashes),
+        bands,
+        num_hashes // bands,
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash")
+    write_bucketed(
+        bands_df, f"{base_name}_bands", ["band", "bhash"], buckets=buckets
+    )
+    write_bucketed(sets, f"{base_name}_shingles", "doc", buckets=buckets)
+    corpus.sparkSession.createDataFrame(
+        [(num_hashes, bands, shingle_n)],
+        "num_hashes int, bands int, shingle_n int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
+    _release_caches("minhash_index_write")
+
+
+def incremental_minhash_pairs_from_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_name: str,
+    threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """`incremental_minhash_pairs` against a SAVED index
+    (`write_minhash_index`): only the batch is shingled/hashed
+    in-query; the corpus band and shingle relations stream from the
+    bucketed tables. Banding parameters come from the index's meta
+    table, so results are identical to the in-query operator on the
+    same split (parity-asserted in tests/test_dedup.py).
+
+    With ``broadcast_batch`` (the daily-ingest default) the probe is a
+    broadcast-hash join into the band table — the corpus side never
+    leaves its scan. When the batch outgrows the broadcast budget,
+    pass False: the batch shuffles INTO the table's (band, bhash)
+    bucketing while the corpus side still reads zero-Exchange — the
+    layout the index was written for."""
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    num_hashes, bands, shingle_n = meta.num_hashes, meta.bands, meta.shingle_n
+    _release_caches("incremental_idx")
+    b_sets = _persist_tracked(
+        shingle_sets(_spread(batch), text_col, id_col, n=shingle_n).filter(
+            F.size("sh_arr") > 0
+        ),
+        scope="incremental_idx",
+    )
+    b_bands = band_table(
+        minhash_signatures(b_sets, num_hashes=num_hashes),
+        bands,
+        num_hashes // bands,
+    ).select(F.col("doc").alias("new_id"), "band", "bhash")
+    if broadcast_batch:
+        b_bands = F.broadcast(b_bands)
+    c_bands = spark.table(f"{base_name}_bands")
+    cand = (
+        b_bands.join(c_bands, ["band", "bhash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    c_sets = spark.table(f"{base_name}_shingles")
+    ca = c_sets.select(F.col("doc").alias("corpus_id"), F.col("sh_arr").alias("_cc"))
+    ba = b_sets.select(F.col("doc").alias("new_id"), F.col("sh_arr").alias("_bb"))
+    c = F.size(F.array_intersect("_bb", "_cc")).cast("double")
+    j = c / (F.size("_bb") + F.size("_cc") - c)
+    return (
+        cand.join(ba, "new_id")
+        .join(ca, "corpus_id")
+        .select("new_id", "corpus_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str,
