@@ -50,6 +50,23 @@ PR_DAMPING_PCT = 85
 PR_ITERS = 5
 
 
+def _contribution(shares: DataFrame, contrib_salt: int) -> DataFrame:
+    """Destination-keyed contribution sum of one PageRank round —
+    (node, c) off (s, node, share) rows. contrib_salt > 1 runs the
+    two-level salted sum (see pagerank_fixed); exact either way
+    because integer + is associative."""
+    if contrib_salt > 1:
+        return (
+            shares.groupBy(
+                "node", F.pmod(F.col("s"), F.lit(contrib_salt)).alias("_sl")
+            )
+            .agg(F.sum("share").alias("_pc"))
+            .groupBy("node")
+            .agg(F.sum("_pc").alias("c"))
+        )
+    return shares.groupBy("node").agg(F.sum("share").alias("c"))
+
+
 def pagerank_fixed(
     edges: DataFrame,
     nodes: DataFrame,
@@ -57,13 +74,32 @@ def pagerank_fixed(
     scale: int = PR_SCALE,
     damping_pct: int = PR_DAMPING_PCT,
     undirected: bool = True,
+    contrib_salt: int = 1,
 ) -> DataFrame:
     """PageRank over (a_id, b_id) edges for every row of nodes(node).
 
     Returns (node, pr) with pr in integer units of 1/scale of one
     node's initial mass. `undirected=True` symmetrizes the edge list
     (the near-dup / kNN graph case); pass False for a true link graph.
-    """
+
+    ``contrib_salt``: the per-round contribution sum shuffles keyed by
+    DESTINATION node, so a power-law hub (one node most edges point
+    at) concentrates one reducer — exactly what
+    `profiling.key_skew_report` on the edge destinations flags. With
+    contrib_salt = k > 1 the sum runs two-level: partial sums keyed
+    (node, source % k) spread the hub over k reducers, then a final
+    sum over ∝ distinct-nodes·k rows. Integer addition is associative,
+    so ranks are IDENTICAL to the unsalted path (equality + skew
+    evidence in tests/test_graph.py); the salt key derives from the
+    source id — deterministic, zero RNG state. Note Spark's map-side
+    partial aggregation already absorbs most hub skew when sources
+    are spread across partitions; the explicit salt is the guarantee
+    for the adversarial layout (hub contributions arriving
+    pre-partitioned by destination)."""
+    if contrib_salt < 1:
+        raise ValueError(
+            f"pagerank_fixed: contrib_salt={contrib_salt} must be >= 1"
+        )
     if iters < 1:
         raise ValueError(f"pagerank_fixed: iters={iters} must be >= 1")
     if not 0 < damping_pct < 100:
@@ -99,12 +135,12 @@ def pagerank_fixed(
     reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
     ranks = nodes_p.select("node", F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):
-        contrib = (
-            ranks.join(ed, ranks["node"] == ed["s"])
-            .select(F.col("d").alias("node"), F.expr("r div outdeg").alias("share"))
-            .groupBy("node")
-            .agg(F.sum("share").alias("c"))
+        shares = ranks.join(ed, ranks["node"] == ed["s"]).select(
+            F.col("s"),
+            F.col("d").alias("node"),
+            F.expr("r div outdeg").alias("share"),
         )
+        contrib = _contribution(shares, contrib_salt)
         dang = (
             ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))

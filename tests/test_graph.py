@@ -115,3 +115,69 @@ def test_pagerank_plan_depth_is_bounded_by_checkpoint(spark):
     # same operator counts, because rounds 1..n-1 live behind the
     # materialized checkpoint scan
     assert ops(6) == ops(3)
+
+
+def test_pagerank_hub_skew_flagged_and_salted_ranks_identical(spark):
+    """r9 (r8 verdict task #7): a power-law hub concentrates the
+    destination-keyed contribution shuffle on one reducer.
+    (1) key_skew_report on the edge destinations FLAGS the hub;
+    (2) the salted fallback spreads the hub's partial sums over k
+        groups (group-size evidence + a two-Exchange plan);
+    (3) salted fixed-point ranks are IDENTICAL to unsalted — integer
+        addition is associative, so salting costs nothing in evidence.
+    """
+    from rq_spark.operators.graph import _contribution
+    from rq_spark.operators.profiling import key_skew_report
+
+    # star: 400 spokes all pointing at hub 0, plus a 10-chain for
+    # non-hub structure
+    spokes = [(i, 0) for i in range(1, 401)]
+    chain = [(i, i + 1) for i in range(401, 410)]
+    edges = spark.createDataFrame(spokes + chain, ["a_id", "b_id"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 411)], ["node"]
+    )
+
+    # (1) the diagnostic flags the hub destination
+    sym = edges.select(F.col("a_id").alias("s"), F.col("b_id").alias("d")).unionAll(
+        edges.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+    )
+    rep = {r.col_name: r for r in key_skew_report(sym, ["d"]).collect()}["d"]
+    assert rep.max_cnt == 400            # hub in-degree
+    assert rep.skew_ratio > 100          # "salt this" territory
+    assert rep.top_share > 0.4
+
+    # (2) salted partial groups bound the hub reducer at ~hub_deg/k
+    shares = sym.select(
+        "s", F.col("d").alias("node"), F.lit(5).alias("share")
+    )
+    k = 8
+    partial = shares.groupBy(
+        "node", F.pmod(F.col("s"), F.lit(k)).alias("_sl")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sizes = {(r.node, r._sl): r.n for r in partial.collect()}
+    hub_groups = [n for (node, _), n in sizes.items() if node == 0]
+    assert len(hub_groups) == k
+    assert max(hub_groups) <= 400 // k + 1
+    plan = (
+        _contribution(shares, k)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("\n+- == Initial Plan ==")[0]
+    )
+    # two shuffle levels: (node, pmod-salt) partials, then node
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "pmod(" in plan
+
+    # (3) rank equality, bit for bit
+    plain = {
+        r.node: r.pr for r in pagerank_fixed(edges, nodes, iters=3).collect()
+    }
+    salted = {
+        r.node: r.pr
+        for r in pagerank_fixed(edges, nodes, iters=3, contrib_salt=k).collect()
+    }
+    assert salted == plain
+    assert plain[0] > plain[1]  # the hub actually dominates
+
+    with pytest.raises(ValueError):
+        pagerank_fixed(edges, nodes, contrib_salt=0)
