@@ -306,7 +306,21 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     sub = _split_subcommand(argv)
     if sub is not None:
-        ProtoRegistry().add(sub.schema, base=sub.base)
+        # the subcommand fails through the SAME cause-chain report as
+        # the pipeline (the reference's run() returns its errors to
+        # log_error, rq.rs:96-113 + 359-390); a missing/unreadable
+        # schema file is the `Io` variant
+        setup_log(None, False)
+        try:
+            ProtoRegistry().add(sub.schema, base=sub.base)
+        except RqError as e:
+            _log_error(e, False)
+            return 1
+        except OSError as e:
+            err = IoError("IO error")
+            err.__cause__ = e
+            _log_error(err, False)
+            return 1
         return 0
 
     try:

@@ -29,7 +29,11 @@ class IoError(RqError):
 
 
 class Utf8Error(RqError):
-    """error.rs `Utf8` — "UTF-8 error"."""
+    """error.rs `Utf8` — "UTF-8 error". CLI-unreachable in the
+    reference too: no source builds a string via from_utf8 (raw goes
+    through BufReader::lines, whose invalid UTF-8 is an InvalidData
+    io::Error → the `Io` variant; golden-tested). Kept for taxonomy
+    completeness."""
 
 
 class UnimplementedError(RqError):
@@ -98,7 +102,9 @@ class HjsonError(SyntaxError_):
 
 
 class MessagePackEncodeError(RqError):
-    """error.rs `MessagePackEncode` (rmpv::encode::Error)."""
+    """error.rs `MessagePackEncode` (rmpv::encode::Error) —
+    io-propagation only in the reference; CLI-unreachable with an
+    in-memory sink buffer. Kept for taxonomy completeness."""
 
 
 class MessagePackDecodeError(SyntaxError_):

@@ -32,8 +32,10 @@ import json as _json
 from collections.abc import Iterable, Iterator
 
 from ..errors import (
+    CsvError,
     IllegalRecordError,
     IllegalSequenceError,
+    IoError,
     JsonError,
     SyntaxError_,
     TomlDeserializeError,
@@ -52,9 +54,33 @@ OUTPUT_FORMATS = ("json", "csv", "cbor", "msgpack", "avro", "toml", "yaml", "raw
 # ------------------------------------------------------------------ sources
 
 
+def _utf8(data: bytes, arm: str) -> str:
+    """Decode input bytes, mapping invalid UTF-8 to the reference's
+    error arm for that source instead of an unhandled crash:
+    * "io" — sources that read-to-string/line (raw, toml, yaml):
+      std::io turns invalid UTF-8 into an InvalidData io::Error with
+      this exact message (raw.rs:21 BufReader::lines), reported as the
+      `Io` variant. (The `Utf8` variant itself is CLI-unreachable in
+      the reference: string::FromUtf8Error never flows from a source.)
+    * "json" — serde_json reports invalid bytes as a syntax error.
+    * "csv" — the csv crate reports a Utf8 error kind under
+      `Error::Csv`.
+    """
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError as e:
+        if arm == "json":
+            raise JsonError(str(e)) from e
+        if arm == "csv":
+            raise CsvError(f"invalid UTF-8: {e}") from e
+        raise IoError("IO error") from OSError(
+            "stream did not contain valid UTF-8"
+        )
+
+
 def _decode_json(data: bytes, **_) -> Iterator:
     """Concatenated / whitespace-separated JSON values (S1)."""
-    text = data.decode("utf-8")
+    text = _utf8(data, "json")
     dec = _json.JSONDecoder()
     pos, n = 0, len(text)
     while True:
@@ -70,13 +96,26 @@ def _decode_json(data: bytes, **_) -> Iterator:
 
 
 def _decode_csv(data: bytes, **_) -> Iterator:
-    """Headerless; every field a string; row → sequence (S2)."""
-    for row in _csv.reader(io.StringIO(data.decode("utf-8"))):
+    """Headerless; every field a string; row → sequence (S2).
+
+    Ragged rows are an error, like the reference: csv.rs:22-23 builds
+    the reader with defaults apart from has_headers(false), and the
+    csv crate's default flexible=false rejects a record whose field
+    count differs from the first record's."""
+    width = None
+    for i, row in enumerate(_csv.reader(io.StringIO(_utf8(data, "csv")))):
+        if width is None:
+            width = len(row)
+        elif len(row) != width:
+            raise CsvError(
+                f"record {i}: found record with {len(row)} fields, but "
+                f"the previous record has {width} fields"
+            )
         yield list(row)
 
 
 def _decode_raw(data: bytes, **_) -> Iterator:
-    for line in data.decode("utf-8").splitlines():
+    for line in _utf8(data, "io").splitlines():
         yield line
 
 
@@ -84,7 +123,7 @@ def _decode_toml(data: bytes, **_) -> Iterator:
     import tomllib
 
     try:
-        yield tomllib.loads(data.decode("utf-8"))  # whole input = 1 record (S7)
+        yield tomllib.loads(_utf8(data, "io"))  # whole input = 1 record (S7)
     except tomllib.TOMLDecodeError as e:
         raise TomlDeserializeError(str(e)) from e
 
@@ -95,7 +134,7 @@ def _decode_yaml(data: bytes, **_) -> Iterator:
     # parity: despite "series of documents" help text, only the FIRST
     # document is read (yaml.rs Option<R>::take, SURVEY §2.1 S8)
     try:
-        docs = yaml.safe_load_all(data.decode("utf-8"))
+        docs = yaml.safe_load_all(_utf8(data, "io"))
         for doc in docs:
             yield doc
             return

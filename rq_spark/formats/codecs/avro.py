@@ -368,7 +368,12 @@ def write_container(schema_json: str | dict, records, codec: str = "null") -> by
     snappy_compress = _snappy_funcs()[0] if codec == "snappy" else None
     schema = parse_schema(schema_json) if isinstance(schema_json, str) else schema_json
     if isinstance(schema, str):
-        schema = json.loads(schema)
+        try:
+            schema = json.loads(schema)
+        except ValueError as e:
+            # error.rs Avro::ParseSchema — a malformed .avsc must
+            # report through the taxonomy, not crash
+            raise AvroParseSchemaError("error when parsing schema") from e
     named: dict = {}
     body = bytearray()
     count = 0

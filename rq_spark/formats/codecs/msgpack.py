@@ -16,7 +16,11 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
-from ...errors import MessagePackDecodeError, MessagePackEncodeError
+from ...errors import (
+    FormatError,
+    MessagePackDecodeError,
+    MessagePackEncodeError,
+)
 from .. import values as _values
 
 
@@ -123,8 +127,12 @@ class _Reader:
         b = self.take(n)
         try:
             return b.decode("utf-8")
-        except UnicodeDecodeError as e:  # rq hard-errors here (§1.4)
-            raise MessagePackDecodeError(f"invalid UTF-8 string: {e}") from e
+        except UnicodeDecodeError as e:
+            # messagepack.rs:73-77: an invalid-UTF-8 str is the
+            # `Format` variant ("format error: {msg}"), not a decode
+            # error — rmpv parses it as Utf8String and rq errors on
+            # the is_err() branch
+            raise FormatError(f"invalid utf-8 sequence: {e}") from e
 
     def decode_one(self):
         b = self.take(1)[0]

@@ -493,3 +493,122 @@ def test_error_golden_bad_yaml_multiline_continuation(tmp_path):
         ],
         tmp_path,
     )
+
+
+# --------------------------- r9: remaining error-variant goldens (task #6)
+#
+# Variant coverage sweep vs /root/reference/src/error.rs:21-119. Variants
+# NOT golden-testable from the CLI surface, with the reason each is N/A:
+#   * Hjson           — vestigial in the reference; nothing raises it.
+#   * Utf8            — string::FromUtf8Error never flows from a source
+#                       (raw.rs:21 goes through io::BufReader::lines,
+#                       whose invalid-UTF-8 is an InvalidData io::Error
+#                       -> the `Io` variant, golden below).
+#   * MessagePackEncode — rmpv encode errors are io-propagation only;
+#                       our sink writes to an in-memory buffer.
+#   * Glob/GlobPattern — config.rs:87 globs a FIXED internal pattern
+#                       over the config dir; no user-supplied pattern
+#                       reaches glob from the CLI surface.
+#   * Avro::SchemaResolution — the read path always decodes with the
+#                       embedded writer schema (no reader schema flag),
+#                       same as the reference CLI.
+#   * Internal        — engine-bug guard, unreachable by input.
+#   * IllegalState    — raised only by library-layer preconditions
+#                       (e.g. session timezone checks), not the pipe.
+
+
+def test_error_golden_protobuf_add_missing_file(tmp_path):
+    """`rq protobuf add missing.proto` fails through the same
+    cause-chain report as the pipeline (Io variant), not a traceback."""
+    r = _run_env(["protobuf", "add", str(tmp_path / "nope.proto")],
+                 b"", str(tmp_path))
+    assert r.returncode == 1
+    want = (
+        b"[ERROR] [rq] Encountered: IO error\n"
+        b"[ERROR] [rq] Caused by: [Errno 2] No such file or directory: '"
+        + str(tmp_path / "nope.proto").encode() + b"'\n" + _TRAILER
+    )
+    assert r.stderr == want, r.stderr
+
+
+def test_error_golden_bad_avsc_is_parse_schema_variant(tmp_path):
+    """error.rs Avro::ParseSchema: a malformed schema file reports
+    'error when parsing schema' with the JSON cause — not a crash."""
+    sch = tmp_path / "bad.avsc"
+    sch.write_text("not json")
+    _golden(
+        ["-j", "-A", str(sch)],
+        b'{"x": 1}',
+        [
+            b"Encountered: error when parsing schema",
+            b"Caused by: Expecting value: line 1 column 1 (char 0)",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_raw_invalid_utf8_is_io_variant(tmp_path):
+    """raw.rs:21 reads through BufReader::lines — invalid UTF-8 is an
+    InvalidData io::Error, i.e. the `Io` variant with the std
+    message."""
+    _golden(
+        ["-r", "-J"],
+        b"\xff\xfe bad",
+        [
+            b"Encountered: IO error",
+            b"Caused by: stream did not contain valid UTF-8",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_csv_ragged_rows(tmp_path):
+    """csv.rs:22-23 keeps the csv crate's flexible=false default: a
+    record whose width differs from the first record's is an error."""
+    _golden(
+        ["--input-csv", "-J"],
+        b"a,b\nc\n",
+        [
+            b"Encountered: syntax error in csv: record 1: found record "
+            b"with 1 fields, but the previous record has 2 fields",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_msgpack_invalid_utf8_is_format_variant(tmp_path):
+    """messagepack.rs:73-77: an invalid-UTF-8 msgpack str is the
+    `Format` variant ('format error: ...'), distinct from wire-level
+    MessagePackDecode errors."""
+    _golden(
+        ["-m"],
+        b"\xa1\xff",
+        [
+            b"Encountered: format error: invalid utf-8 sequence: 'utf-8' "
+            b"codec can't decode byte 0xff in position 0: invalid start byte",
+            b"Caused by: 'utf-8' codec can't decode byte 0xff in position 0: "
+            b"invalid start byte",
+        ],
+        tmp_path,
+    )
+
+
+def test_error_golden_avro_validation(tmp_path):
+    """error.rs Avro::Validation: a value that doesn't satisfy the
+    write schema."""
+    sch = tmp_path / "s.avsc"
+    sch.write_text(
+        '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
+    )
+    _golden(
+        ["-j", "-A", str(sch)],
+        b'{"x": "s"}',
+        [b"Encountered: expected long, got str"],
+        tmp_path,
+    )
+
+
+def test_csv_equal_width_rows_still_pass(tmp_path):
+    r = _run_env(["--input-csv", "-J"], b"a,b\nc,d\n", str(tmp_path))
+    assert r.returncode == 0
+    assert r.stdout == b'["a","b"]\n["c","d"]\n'

@@ -114,11 +114,13 @@ def test_msgpack_unsigned_preference():
 
 
 def test_msgpack_invalid_utf8_string_errors():
-    # messagepack.rs: invalid UTF-8 in str → error
+    # messagepack.rs:73-77: invalid UTF-8 in str → the Format variant
+    # (r9; previously misfiled under MessagePackDecode)
+    from rq_spark.errors import FormatError
     from rq_spark.formats.codecs import msgpack
 
     bad = b"\xa2\xff\xfe"  # fixstr len 2 with invalid utf-8
-    with pytest.raises(SyntaxError_):
+    with pytest.raises(FormatError):
         msgpack.decode(bad)
 
 
