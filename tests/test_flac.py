@@ -65,19 +65,21 @@ def test_flac_compresses_smooth_audio():
 
 
 def test_flac_decode_throughput_floor():
-    # the vectorized decode paths (set-bit Rice walk, cumsum FIXED
-    # reconstruction, table CRCs) run ~0.5 Msamples/s; this floor is
-    # 10x looser to stay robust on a loaded box while still catching
-    # a regression to the per-bit loops (~0.04 Msamples/s)
+    # r9: the cached jump-table Rice walk + numpy-end-to-end frame
+    # reconstruction run ~1.5 Msamples/s warm (was ~0.5 before the
+    # per-code bisect loop was replaced); the floor is ~10x looser to
+    # stay robust on a loaded box while still catching a regression to
+    # the old per-code loop (~0.3 Msamples/s) or per-bit loops (~0.04)
     import time
 
     x = _smoothish(200_000, 12, scale=200)
     data = flac.encode(x, 44100, 16)
+    dec, _, _ = flac.decode(data)  # warm numpy/code paths
     t0 = time.time()
     dec, _, _ = flac.decode(data)
     elapsed = time.time() - t0
     assert np.array_equal(dec[:, 0], x)
-    assert len(x) / elapsed > 50_000, f"{len(x) / elapsed:.0f} samples/s"
+    assert len(x) / elapsed > 150_000, f"{len(x) / elapsed:.0f} samples/s"
 
 
 def test_flac_nonstandard_sample_rates_roundtrip():

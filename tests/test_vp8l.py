@@ -253,3 +253,25 @@ def test_vp8l_multimodal_wiring(spark):
     assert rrow.out_channels == 4  # RGBA decode path
     small = vp8l.decode(bytes(rrow.resized))
     assert small.shape == (6, 8, 4)
+
+
+def test_vp8l_decode_throughput_floor():
+    """r9: packed-LUT + inlined pixel loop runs ~930 Kpx/s warm; the
+    floor is ~10x looser to stay robust on a loaded box while still
+    catching a regression to the method-call-per-symbol loop
+    (~250 Kpx/s would pass; the per-bit shape at ~57 Kpx/s fails)."""
+    import time
+
+    rng = np.random.RandomState(7)
+    h, w = 150, 200
+    img = np.empty((h, w, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    img[..., :3] = (
+        np.cumsum(rng.randint(-3, 4, (h, w, 3)), axis=1) % 256
+    ).astype(np.uint8)
+    blob = vp8l.encode(img)
+    assert np.array_equal(vp8l.decode(blob), img)  # warm + lossless
+    t0 = time.time()
+    vp8l.decode(blob)
+    elapsed = time.time() - t0
+    assert h * w / elapsed > 90_000, f"{h * w / elapsed:.0f} px/s"
