@@ -136,6 +136,40 @@ def main() -> None:
     release_all_caches()  # drop every warmup working set before timing
     spark.catalog.clearCache()
 
+    import threading
+
+    timed_out: list[str] = []
+
+    def _run_bounded(fn, data_dir) -> float | None:
+        """Execute one query inside the remaining budget. A run that
+        straddles an ambient-load spike is CANCELLED (cancelAllJobs)
+        rather than allowed to push the whole bench past the driver's
+        timeout — the artifact always lands; the key is reported under
+        'timed_out' instead of carrying a fake number."""
+        box: list = []
+
+        def work():
+            try:
+                fn(spark, data_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                box.append(None)
+            except Exception as e:  # noqa: BLE001 — reported by caller
+                box.append(e)
+
+        t0 = time.time()
+        remaining = max(10.0, budget - (t0 - bench_start))
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(remaining)
+        if th.is_alive():
+            spark.sparkContext.cancelAllJobs()
+            th.join(30)
+            return None
+        if box and isinstance(box[0], Exception):
+            raise box[0]
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     reduced_runs: list[str] = []
     for name in HEADLINE:
@@ -152,15 +186,17 @@ def main() -> None:
             reduced_runs.append(name)
         samples = []
         for _ in range(n_runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            dt = _run_bounded(fn, sf_dir)
+            if dt is None:
+                break
+            samples.append(dt)
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
+        else:
+            timed_out.append(name)
         # a finished query's persisted working set must not sit in
         # storage memory while the NEXT key is timed (its own persists
         # stay inside its own timed runs, so this is fair)
-        from rq_spark.util import release_all_caches
-
         release_all_caches()
         spark.catalog.clearCache()
 
@@ -200,10 +236,13 @@ def main() -> None:
                 spark.catalog.clearCache()
             samples = []
             for _ in range(n_runs):
-                t0 = time.time()
-                fn(spark, data_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-            out[name] = round(statistics.median(samples), 3)
+                dt = _run_bounded(fn, data_dir)
+                if dt is None:
+                    truncated = True
+                    break
+                samples.append(dt)
+            if samples:
+                out[name] = round(statistics.median(samples), 3)
             release_all_caches()
             spark.catalog.clearCache()
         return out, truncated
@@ -249,6 +288,7 @@ def main() -> None:
                 "branch_runs": branch_runs,
                 "branch_sweep_truncated": truncated,
                 "reduced_runs": reduced_runs,
+                "timed_out": timed_out,
                 "sf": sf,
                 "runs": runs,
                 "warmup": warmup_mode,
