@@ -67,8 +67,6 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
     from the payload hash so the distributed plumbing is exercised for
     real on any payload.
     """
-    from . import png
-
     # copy: StructType.add mutates in place (would corrupt df's schema)
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -79,30 +77,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         ]
     )
 
-    def dims(p) -> tuple[int, int, int]:
-        b = bytes(p)
-        d = png.header_dims(b)
-        if d is not None:
-            return d
-        if strict:
-            # header-only sniffs (no pixel decode) are STRICT-mode
-            # only: in strict=False the fake-dims contract must hold
-            # unconditionally for every non-PNG payload, or a text
-            # document that happens to start with 'GIF87a'/'BM'
-            # would silently diverge from the sha256-derived oracle.
-            for sniff in (_jpeg_dims, _gif_dims, _bmp_dims, _webp_dims, _tiff_dims):
-                d = sniff(b)
-                if d is not None:
-                    return d
-            raise NotImplementedError(
-                "only PNG/JPEG/GIF/BMP/WEBP/TIFF headers parse without a "
-                "codec library; wire Pillow/libvips here for other formats"
-            )
-        return _fake_dims(b)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [dims(p) for p in pdf[payload_col]]
+            out = [image_dims_one(p, strict=strict) for p in pdf[payload_col]]
             yield pdf.assign(
                 width=[d[0] for d in out],
                 height=[d[1] for d in out],
@@ -110,6 +87,34 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_dims_one(p, *, strict: bool = True) -> tuple[int, int, int]:
+    """Per-payload kernel behind ``decode_image`` — exposed so fused
+    single-stage pipelines (one mapInPandas running every codec, e.g.
+    mm_real_decode) can call it batch-side without paying a separate
+    Python-worker stage per decode step."""
+    from . import png
+
+    b = bytes(p)
+    d = png.header_dims(b)
+    if d is not None:
+        return d
+    if strict:
+        # header-only sniffs (no pixel decode) are STRICT-mode
+        # only: in strict=False the fake-dims contract must hold
+        # unconditionally for every non-PNG payload, or a text
+        # document that happens to start with 'GIF87a'/'BM'
+        # would silently diverge from the sha256-derived oracle.
+        for sniff in (_jpeg_dims, _gif_dims, _bmp_dims, _webp_dims, _tiff_dims):
+            d = sniff(b)
+            if d is not None:
+                return d
+        raise NotImplementedError(
+            "only PNG/JPEG/GIF/BMP/WEBP/TIFF headers parse without a "
+            "codec library; wire Pillow/libvips here for other formats"
+        )
+    return _fake_dims(b)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -330,22 +335,27 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 16)
         + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
-    def feat(p) -> list[float]:
-        b = bytes(p)
-        arr = decode_pixels(b)
-        if arr is not None:
-            gray = arr.mean(axis=2, dtype=np.float64).ravel()
-            hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
-            return (hist.astype(np.float32) / np.float32(max(gray.size, 1))).tolist()
-        d = hashlib.sha256(b).digest()
-        arr = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype="<u4")
-        return (arr.astype(np.float32) / np.float32(2**32)).tolist()
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pdf.assign(features=[feat(p) for p in pdf[payload_col]])
+            yield pdf.assign(
+                features=[image_features_one(p, dim) for p in pdf[payload_col]]
+            )
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_features_one(p, dim: int = 16) -> list[float]:
+    """Per-payload kernel behind ``extract_features`` (see
+    ``image_dims_one`` for why it is module-level)."""
+    b = bytes(p)
+    arr = decode_pixels(b)
+    if arr is not None:
+        gray = arr.mean(axis=2, dtype=np.float64).ravel()
+        hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+        return (hist.astype(np.float32) / np.float32(max(gray.size, 1))).tolist()
+    d = hashlib.sha256(b).digest()
+    arr = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype="<u4")
+    return (arr.astype(np.float32) / np.float32(2**32)).tolist()
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = True) -> DataFrame:
@@ -366,44 +376,9 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
         ]
     )
 
-    def params(p) -> tuple[int, int, int, float]:
-        b = bytes(p)
-        if _is_wav(b):
-            # one chunk walk covers PCM AND the companded/ADPCM tags
-            # (G.711 µ/A-law, IMA — operators/g711.py) without
-            # decoding samples: O(header), the dims-only contract
-            from .g711 import wav_params_any
-
-            return wav_params_any(b)
-        if strict:
-            from .containers import is_ogg, ogg_params
-
-            if is_ogg(b):
-                # page walk (CRC-verified): rate/channels from the
-                # OpusHead / Vorbis ident packet, length from the last
-                # granule (RFC 3533/7845); sample DECODE needs a codec
-                _codec, rate, ch, n, dur = ogg_params(b)
-                return rate, ch, n, dur
-            # header-only parameter parses (no sample decode) —
-            # strict-mode only, same contract as the image sniffs
-            for sniff in (_flac_params, _mp3_params):
-                d = sniff(b)
-                if d is not None:
-                    return d
-            raise NotImplementedError(
-                "only WAV/PCM and FLAC decode (Ogg/MP3 parse header "
-                "params) without a codec library; wire ffmpeg/"
-                "soundfile here for other formats"
-            )
-        h = hashlib.sha256(b).digest()
-        rate = (8000, 16000, 22050, 44100)[h[3] % 4]
-        ch = 1 + h[4] % 2
-        n = 1 + int.from_bytes(h[5:8], "little") % 100_000
-        return rate, ch, n, n / rate
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [params(p) for p in pdf[payload_col]]
+            out = [audio_params_one(p, strict=strict) for p in pdf[payload_col]]
             yield pdf.assign(
                 sample_rate=[o[0] for o in out],
                 n_channels=[o[1] for o in out],
@@ -412,6 +387,44 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", *, strict: bool = 
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def audio_params_one(p, *, strict: bool = True) -> tuple[int, int, int, float]:
+    """Per-payload kernel behind ``decode_audio`` (see
+    ``image_dims_one`` for why it is module-level)."""
+    b = bytes(p)
+    if _is_wav(b):
+        # one chunk walk covers PCM AND the companded/ADPCM tags
+        # (G.711 µ/A-law, IMA — operators/g711.py) without
+        # decoding samples: O(header), the dims-only contract
+        from .g711 import wav_params_any
+
+        return wav_params_any(b)
+    if strict:
+        from .containers import is_ogg, ogg_params
+
+        if is_ogg(b):
+            # page walk (CRC-verified): rate/channels from the
+            # OpusHead / Vorbis ident packet, length from the last
+            # granule (RFC 3533/7845); sample DECODE needs a codec
+            _codec, rate, ch, n, dur = ogg_params(b)
+            return rate, ch, n, dur
+        # header-only parameter parses (no sample decode) —
+        # strict-mode only, same contract as the image sniffs
+        for sniff in (_flac_params, _mp3_params):
+            d = sniff(b)
+            if d is not None:
+                return d
+        raise NotImplementedError(
+            "only WAV/PCM and FLAC decode (Ogg/MP3 parse header "
+            "params) without a codec library; wire ffmpeg/"
+            "soundfile here for other formats"
+        )
+    h = hashlib.sha256(b).digest()
+    rate = (8000, 16000, 22050, 44100)[h[3] % 4]
+    ch = 1 + h[4] % 2
+    n = 1 + int.from_bytes(h[5:8], "little") % 100_000
+    return rate, ch, n, n / rate
 
 
 def _is_wav(b: bytes) -> bool:
@@ -512,7 +525,6 @@ def extract_audio_features(
     holds — and since FLAC is lossless, a FLAC encoding of the same
     PCM yields bit-identical features. Arrow-batched like every
     multimodal stage."""
-    from . import flac as flac_codec
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -521,76 +533,83 @@ def extract_audio_features(
         ]
     )
 
-    def stats(x: np.ndarray, nch: int) -> tuple[list[float], float]:
-        if nch > 1 and x.size % nch == 0:
-            x = x.reshape(-1, nch).mean(axis=1)
-        if x.size == 0:
-            return [0.0] * n_windows, 0.0
-        rms = [
-            float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0
-            for c in np.array_split(x, n_windows)
-        ]
-        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
-        return rms, zc
-
-    def fake(b: bytes) -> tuple[list[float], float]:
-        d = hashlib.sha256(b).digest()
-        arr = np.frombuffer((d * ((n_windows * 4) // len(d) + 1))[: n_windows * 4], "<u4")
-        return (arr.astype(np.float32) / np.float32(2**32)).tolist(), d[0] / 255.0
-
-    def feats(p) -> tuple[list[float], float]:
-        b = bytes(p)
-        if _is_wav(b):
-            import io
-            import wave
-
-            try:
-                with wave.open(io.BytesIO(b)) as w:
-                    width = w.getsampwidth()
-                    nch = w.getnchannels()
-                    raw = w.readframes(w.getnframes())
-            except wave.Error:
-                # non-PCM WAVE: G.711 µ/A-law or IMA ADPCM — REAL
-                # decode via the audioop-cross-validated codecs
-                from .g711 import decode_wav_any
-
-                try:
-                    _rate, nch, x16 = decode_wav_any(b)
-                except ValueError:
-                    # unsupported compressed tag (e.g. MS-ADPCM 0x02):
-                    # deterministic fake, same contract as non-audio
-                    # payloads — never fail the whole Arrow batch
-                    return fake(b)
-                return stats(x16.astype(np.float64) / 32768.0, nch)
-            if width == 2:
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-            elif width == 1:  # 8-bit WAV is unsigned
-                x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-            elif width == 3:  # 24-bit: widen to i32 via a zero low byte
-                r = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-                w32 = np.zeros((len(r), 4), dtype=np.uint8)
-                w32[:, 1:] = r
-                x = w32.view("<i4").ravel().astype(np.float64) / 2147483648.0
-            elif width == 4:
-                x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
-            else:
-                raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
-            return stats(x, nch)
-        if flac_codec.is_flac(b):
-            samples, _rate, bits = flac_codec.decode(b)
-            x = samples.astype(np.float64).ravel() / float(1 << (bits - 1))
-            return stats(x, samples.shape[1])
-        return fake(b)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [feats(p) for p in pdf[payload_col]]
+            out = [audio_features_one(p, n_windows) for p in pdf[payload_col]]
             yield pdf.assign(
                 rms_windows=[o[0] for o in out],
                 zero_cross_rate=[o[1] for o in out],
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def _audio_stats(x: np.ndarray, nch: int, n_windows: int) -> tuple[list[float], float]:
+    if nch > 1 and x.size % nch == 0:
+        x = x.reshape(-1, nch).mean(axis=1)
+    if x.size == 0:
+        return [0.0] * n_windows, 0.0
+    rms = [
+        float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0
+        for c in np.array_split(x, n_windows)
+    ]
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    return rms, zc
+
+
+def _audio_fake(b: bytes, n_windows: int) -> tuple[list[float], float]:
+    d = hashlib.sha256(b).digest()
+    arr = np.frombuffer((d * ((n_windows * 4) // len(d) + 1))[: n_windows * 4], "<u4")
+    return (arr.astype(np.float32) / np.float32(2**32)).tolist(), d[0] / 255.0
+
+
+def audio_features_one(p, n_windows: int = 8) -> tuple[list[float], float]:
+    """Per-payload kernel behind ``extract_audio_features`` (see
+    ``image_dims_one`` for why it is module-level)."""
+    from . import flac as flac_codec
+
+    b = bytes(p)
+    if _is_wav(b):
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                width = w.getsampwidth()
+                nch = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+        except wave.Error:
+            # non-PCM WAVE: G.711 µ/A-law or IMA ADPCM — REAL
+            # decode via the audioop-cross-validated codecs
+            from .g711 import decode_wav_any
+
+            try:
+                _rate, nch, x16 = decode_wav_any(b)
+            except ValueError:
+                # unsupported compressed tag (e.g. MS-ADPCM 0x02):
+                # deterministic fake, same contract as non-audio
+                # payloads — never fail the whole Arrow batch
+                return _audio_fake(b, n_windows)
+            return _audio_stats(x16.astype(np.float64) / 32768.0, nch, n_windows)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 3:  # 24-bit: widen to i32 via a zero low byte
+            r = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            w32 = np.zeros((len(r), 4), dtype=np.uint8)
+            w32[:, 1:] = r
+            x = w32.view("<i4").ravel().astype(np.float64) / 2147483648.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
+        return _audio_stats(x, nch, n_windows)
+    if flac_codec.is_flac(b):
+        samples, _rate, bits = flac_codec.decode(b)
+        x = samples.astype(np.float64).ravel() / float(1 << (bits - 1))
+        return _audio_stats(x, samples.shape[1], n_windows)
+    return _audio_fake(b, n_windows)
 
 
 def _is_mp4(b: bytes) -> bool:
@@ -687,7 +706,6 @@ def decode_video_meta(
     the FRAMES also decode, see sample_animation_frames). Other
     formats: strict=True raises NotImplementedError, strict=False
     derives deterministic fake metadata from the payload hash."""
-    from . import avi as avi_codec
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -698,29 +716,9 @@ def decode_video_meta(
         ]
     )
 
-    def meta(p) -> tuple[float, int, int, int]:
-        b = bytes(p)
-        if _is_mp4(b):
-            return _mp4_meta(b)
-        if avi_codec.is_avi(b):
-            dur, w, h, streams, _total, _fps = avi_codec.meta(b)
-            return dur, w, h, streams
-        if strict:
-            from .containers import is_matroska, matroska_meta
-
-            if is_matroska(b):
-                return matroska_meta(b)
-            raise NotImplementedError(
-                "only MP4/ISO-BMFF, RIFF/AVI and Matroska/WebM "
-                "metadata parse without a codec library; wire ffprobe "
-                "here for other formats"
-            )
-        h = hashlib.sha256(b).digest()
-        return 1.0 + h[6] % 600, 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[7] % 3
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [meta(p) for p in pdf[payload_col]]
+            out = [video_meta_one(p, strict=strict) for p in pdf[payload_col]]
             yield pdf.assign(
                 duration_s=[o[0] for o in out],
                 width=[o[1] for o in out],
@@ -729,6 +727,31 @@ def decode_video_meta(
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+def video_meta_one(p, *, strict: bool = True) -> tuple[float, int, int, int]:
+    """Per-payload kernel behind ``decode_video_meta`` (see
+    ``image_dims_one`` for why it is module-level)."""
+    from . import avi as avi_codec
+
+    b = bytes(p)
+    if _is_mp4(b):
+        return _mp4_meta(b)
+    if avi_codec.is_avi(b):
+        dur, w, h, streams, _total, _fps = avi_codec.meta(b)
+        return dur, w, h, streams
+    if strict:
+        from .containers import is_matroska, matroska_meta
+
+        if is_matroska(b):
+            return matroska_meta(b)
+        raise NotImplementedError(
+            "only MP4/ISO-BMFF, RIFF/AVI and Matroska/WebM "
+            "metadata parse without a codec library; wire ffprobe "
+            "here for other formats"
+        )
+    h = hashlib.sha256(b).digest()
+    return 1.0 + h[6] % 600, 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[7] % 3
 
 
 def sample_animation_frames(

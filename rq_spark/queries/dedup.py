@@ -719,10 +719,11 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     .warc.zst record: the pure RFC 8878 zstd decoder, then the WARC
     record + HTTP parse — URI, status, recovered-payload sha — plus
     direct lz round-trip and guaranteed-compression assertion
-    columns, codecs/zstd_pure.py). Payloads
-    are built and decoded executor-side in Arrow batches, each dropped
-    after its last consumer so the stage chain never ships dead binary
-    columns; nothing but scalars leaves."""
+    columns, codecs/zstd_pure.py). Payloads are built and decoded
+    executor-side inside ONE fused mapInPandas (r9 — see the inline
+    comment at the fused stage for the measured why), each freed
+    in-process after its last consumer; nothing but scalars leaves
+    Python."""
     import math
 
     import pandas as pd
@@ -740,14 +741,7 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import vp8l as vp8l_codec
     from ..operators import warc as warc_codec
     from ..formats.codecs import zstd_pure as zstd_codec
-    from ..operators.multimodal import (
-        decode_audio,
-        decode_image,
-        decode_video_meta,
-        extract_audio_features,
-        extract_features,
-        mp4_stub_bytes,
-    )
+    from ..operators.multimodal import mp4_stub_bytes
 
     # spread BEFORE the synth stage: a single local parquet file scans
     # as one partition, which would serialize the whole 17-codec
@@ -975,360 +969,264 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = docs.mapInPandas(
-        synth,
-        "doc_id long, text string, png_payload binary, jpeg_payload binary, "
-        "gif_payload binary, bmp_payload binary, tiff_payload binary, "
-        "wav_payload binary, "
-        "tone_payload binary, mp4_payload binary, avi_payload binary, "
-        "flac_payload binary, webp_payload binary, ogg_payload binary, "
-        "webm_payload binary, warc_payload binary, ulaw_payload binary, "
-        "alaw_payload binary, ima_payload binary",
-    )
-    d = decode_image(d, "png_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "png_width", "height": "png_height", "channels": "png_channels"}
-    )
-    d = extract_features(d, "png_payload", dim=8)
-    # perceptual hash (r7): the dHash of the decoded PNG pixels — the
-    # image-dedup signature — with the ORACLE recomputing all 64
-    # gradient bits straight from the text bytes (gray pixel = UTF-8
-    # byte, fixed 16-wide grid), so the decode→gray→9x8 nearest
-    # sample→bit pack chain is hash-exact cross-engine
-    from ..operators.imagehash import image_dhash
-
-    d = image_dhash(d, "png_payload").withColumnRenamed("dhash", "png_dhash")
-    # each payload is dropped after its last consumer: ~15 chained
-    # mapInPandas stages would otherwise ship every binary column
-    # through Arrow both ways at every stage
-    d = d.drop("png_payload")
-
-    # JPEG: real header parse for dims, then a full spec-codec decode
-    # verified against the deterministic source pixels
-    d = decode_image(d, "jpeg_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "jpeg_width", "height": "jpeg_height", "channels": "jpeg_channels"}
+    # ONE fused mapInPandas runs synth + every decode/verify kernel
+    # batch-side and emits ONLY scalars (r9). The previous shape — 29
+    # chained MapInPandas stages, one per decode step — was the right
+    # modularity but the wrong physical plan: every chained stage is
+    # its own Python runner, so each task slot held 29 concurrent
+    # worker processes (each re-importing pandas/numpy — the r9
+    # UDF-profiler pass measured ~700 s of summed import CPU per cold
+    # sf0.01 run vs ~30 s of actual codec work), and every stage
+    # boundary shipped the surviving binary columns JVM<->Python
+    # through Arrow twice more. Fused: one worker per slot, one Arrow
+    # hop (text in, scalars out), payloads freed in-process after
+    # their last consumer. Same kernels, same driver hash. The
+    # per-payload kernels live module-level in operators/multimodal.py
+    # (image_dims_one, audio_params_one, ...), so the modular stage
+    # wrappers (decode_image, decode_audio, ...) — still the right
+    # shape when ONE decode step follows a scan — share them
+    # byte-for-byte with this fused path.
+    from ..operators.exif import parse_exif
+    from ..operators.imagehash import dhash64
+    from ..operators.multimodal import (
+        audio_features_one,
+        audio_params_one,
+        decode_pixels,
+        image_dims_one,
+        image_features_one,
+        video_meta_one,
     )
 
-    def jpeg_verify(batches):
+    def verify(synthed):
         import numpy as np
 
-        for pdf in batches:
+        for pdf in synthed:
+            out: dict = {"doc_id": pdf["doc_id"].to_numpy()}
+            texts = [(t or "").encode("utf-8") for t in pdf["text"]]
+            nbs = [len(b) for b in texts]
+
+            # PNG: strict header dims + normalized-histogram features
+            # + the dHash perceptual signature
+            dims = [image_dims_one(p) for p in pdf["png_payload"]]
+            out["png_width"] = [x[0] for x in dims]
+            out["png_height"] = [x[1] for x in dims]
+            out["png_channels"] = [x[2] for x in dims]
+            out["features"] = [
+                image_features_one(p, 8) for p in pdf["png_payload"]
+            ]
+            hashes = []
+            for p in pdf["png_payload"]:
+                arr = decode_pixels(bytes(p))
+                hashes.append(dhash64(arr) if arr is not None else None)
+            out["png_dhash"] = pd.Series(hashes, dtype="object")
+            del pdf["png_payload"]
+
+            # JPEG: strict dims, full T.81 decode checked against the
+            # deterministic source field, SOF2 marker walk, EXIF IFD
+            # walk (ASCII/SHORT/RATIONAL + GPS sub-IFD, null branch)
+            dims = [image_dims_one(p) for p in pdf["jpeg_payload"]]
+            out["jpeg_width"] = [x[0] for x in dims]
+            out["jpeg_height"] = [x[1] for x in dims]
+            out["jpeg_channels"] = [x[2] for x in dims]
             oks, progs = [], []
-            for p, t in zip(pdf["jpeg_payload"], pdf["text"]):
-                nb = len((t or "").encode("utf-8"))
+            for p, nb in zip(pdf["jpeg_payload"], nbs):
                 decoded = jpeg_codec.decode(bytes(p))[:, :, 0]
                 src = _jpeg_source_pixels(nb)
                 oks.append(
                     decoded.shape == src.shape
-                    and int(np.abs(decoded.astype(int) - src.astype(int)).max()) <= 8
+                    and int(
+                        np.abs(decoded.astype(int) - src.astype(int)).max()
+                    )
+                    <= 8
                 )
                 # marker-walk the payload: proves the odd-nb docs
                 # really carry SOF2 streams (oracle: nb % 2 = 1)
                 progs.append(jpeg_codec.is_progressive(bytes(p)))
-            yield pdf.assign(jpeg_pix_ok=oks, jpeg_progressive=progs)
+            out["jpeg_pix_ok"] = oks
+            out["jpeg_progressive"] = progs
+            exif_rows = [parse_exif(bytes(p)) for p in pdf["jpeg_payload"]]
+            for name, key in (
+                ("exif_orientation", "orientation"),
+                ("exif_model", "model"),
+                ("exif_datetime_original", "datetime_original"),
+                ("exif_iso", "iso"),
+                ("exif_exposure_time", "exposure_time"),
+                ("exif_f_number", "f_number"),
+                ("exif_gps_lat", "gps_lat"),
+                ("exif_gps_lon", "gps_lon"),
+            ):
+                out[name] = pd.Series(
+                    [None if d is None else d[key] for d in exif_rows],
+                    dtype="object",
+                )
+            out["exif_has_gps"] = pd.Series(
+                [
+                    None if d is None else d["gps_lat"] is not None
+                    for d in exif_rows
+                ],
+                dtype="object",
+            )
+            del pdf["jpeg_payload"]
 
-    verify_schema = T.StructType(
-        list(d.schema.fields)
-        + [
-            T.StructField("jpeg_pix_ok", T.BooleanType()),
-            T.StructField("jpeg_progressive", T.BooleanType()),
-        ]
-    )
-    d = d.mapInPandas(jpeg_verify, verify_schema)
-
-    # EXIF: parse the APP1 block back out of the JPEG payloads (real
-    # IFD walk — ASCII, SHORT/LONG, RATIONAL, sub-IFD + GPS IFD); every
-    # field is oracle-recomputed, including the exact GPS double (the
-    # synth wrote integer DMS rationals whose division order the SQL
-    # mirrors) and the no-GPS null branch
-    from ..operators.exif import extract_exif
-
-    d = extract_exif(d, "jpeg_payload")
-    d = d.drop("jpeg_payload")
-
-    # GIF: real header parse for dims (logical screen descriptor via
-    # the decode_image strict sniff), then a full LZW decode verified
-    # EXACTLY against the source bytes — the codec is lossless
-    d = decode_image(d, "gif_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "gif_width", "height": "gif_height", "channels": "gif_channels"}
-    )
-
-    def gif_verify(batches):
-        import numpy as np
-
-        from ..operators import gif as gif_c
-
-        for pdf in batches:
+            # GIF: strict dims + full LZW decode, EXACT pixel equality
+            # (lossless)
+            dims = [image_dims_one(p) for p in pdf["gif_payload"]]
+            out["gif_width"] = [x[0] for x in dims]
+            out["gif_height"] = [x[1] for x in dims]
+            out["gif_channels"] = [x[2] for x in dims]
             oks = []
-            for p, t in zip(pdf["gif_payload"], pdf["text"]):
-                b = (t or "").encode("utf-8")
+            for p, b in zip(pdf["gif_payload"], texts):
                 w = 16
                 h = max(1, math.ceil(len(b) / w))
                 src = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
-                decoded = gif_c.decode(bytes(p))
+                decoded = gif_codec.decode(bytes(p))
                 oks.append(
                     decoded.shape == (h, w, 3)
                     and np.array_equal(decoded[:, :, 0].ravel(), src)
                     and np.array_equal(decoded[:, :, 0], decoded[:, :, 2])
                 )
-            yield pdf.assign(gif_pix_ok=oks)
+            out["gif_pix_ok"] = oks
+            del pdf["gif_payload"]
 
-    gif_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("gif_pix_ok", T.BooleanType())]
-    )
-    d = d.mapInPandas(gif_verify, gif_schema).drop("gif_payload")
-
-    # BMP: strict header dims + exact raw-row decode (lossless)
-    d = decode_image(d, "bmp_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "bmp_width", "height": "bmp_height", "channels": "bmp_channels"}
-    )
-
-    def bmp_verify(batches):
-        import numpy as np
-
-        from ..operators import bmp as bmp_c
-
-        for pdf in batches:
+            # BMP: strict header dims + exact raw-row decode (lossless)
+            dims = [image_dims_one(p) for p in pdf["bmp_payload"]]
+            out["bmp_width"] = [x[0] for x in dims]
+            out["bmp_height"] = [x[1] for x in dims]
+            out["bmp_channels"] = [x[2] for x in dims]
             oks = []
-            for p, t in zip(pdf["bmp_payload"], pdf["text"]):
-                b = (t or "").encode("utf-8")
+            for p, b in zip(pdf["bmp_payload"], texts):
                 w = 16
                 h = max(1, math.ceil(len(b) / w))
                 src = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
-                decoded = bmp_c.decode(bytes(p))
+                decoded = bmp_codec.decode(bytes(p))
                 oks.append(
                     decoded.shape == (h, w, 3)
                     and np.array_equal(decoded[:, :, 0].ravel(), src)
                     and np.array_equal(decoded[:, :, 0], decoded[:, :, 1])
                 )
-            yield pdf.assign(bmp_pix_ok=oks)
+            out["bmp_pix_ok"] = oks
+            del pdf["bmp_payload"]
 
-    bmp_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("bmp_pix_ok", T.BooleanType())]
-    )
-    d = d.mapInPandas(bmp_verify, bmp_schema).drop("bmp_payload")
-
-    # TIFF: strict header dims (first-IFD tag walk) + an exact
-    # LZW+predictor decode (lossless)
-    d = decode_image(d, "tiff_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "tiff_width", "height": "tiff_height", "channels": "tiff_channels"}
-    )
-
-    def tiff_verify(batches):
-        import numpy as np
-
-        from ..operators import tiff as tiff_c
-
-        for pdf in batches:
+            # TIFF: strict dims (first-IFD tag walk) + an exact
+            # LZW+predictor decode (lossless)
+            dims = [image_dims_one(p) for p in pdf["tiff_payload"]]
+            out["tiff_width"] = [x[0] for x in dims]
+            out["tiff_height"] = [x[1] for x in dims]
+            out["tiff_channels"] = [x[2] for x in dims]
             oks = []
-            for p, t in zip(pdf["tiff_payload"], pdf["text"]):
-                b = (t or "").encode("utf-8")
+            for p, b in zip(pdf["tiff_payload"], texts):
                 w = 16
                 h = max(1, math.ceil(len(b) / w))
                 src = np.frombuffer(b.ljust(w * h, b"\0"), dtype=np.uint8)
-                decoded = tiff_c.decode(bytes(p))
+                decoded = tiff_codec.decode(bytes(p))
                 oks.append(
                     decoded.shape == (h, w, 1)
                     and np.array_equal(decoded[:, :, 0].ravel(), src)
                 )
-            yield pdf.assign(tiff_pix_ok=oks)
+            out["tiff_pix_ok"] = oks
+            del pdf["tiff_payload"]
 
-    tiff_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("tiff_pix_ok", T.BooleanType())]
-    )
-    d = d.mapInPandas(tiff_verify, tiff_schema).drop("tiff_payload")
-
-    # WebP lossless: strict header dims (VP8L 14-bit packed fields via
-    # the decode_image sniff) + a full entropy decode (prefix codes,
-    # color cache, LZ77 runs) checked EXACTLY against the source bytes
-    d = decode_image(d, "webp_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {"width": "webp_width", "height": "webp_height", "channels": "webp_channels"}
-    )
-
-    def webp_verify(batches):
-        import numpy as np
-
-        from ..operators import vp8l as vp8l_c
-
-        for pdf in batches:
+            # WebP lossless: strict dims (VP8L 14-bit packed fields) +
+            # full entropy decode (prefix codes, color cache, LZ77),
+            # EXACT pixel equality
+            dims = [image_dims_one(p) for p in pdf["webp_payload"]]
+            out["webp_width"] = [x[0] for x in dims]
+            out["webp_height"] = [x[1] for x in dims]
+            out["webp_channels"] = [x[2] for x in dims]
             oks = []
-            for p, t in zip(pdf["webp_payload"], pdf["text"]):
-                b = (t or "").encode("utf-8")
+            for p, b in zip(pdf["webp_payload"], texts):
                 nbw = len(b) % 256
                 hw = max(1, math.ceil(nbw / 16))
                 src = np.frombuffer(
                     b[:nbw].ljust(16 * hw, b"\0"), dtype=np.uint8
                 )
-                decoded = vp8l_c.decode(bytes(p))
+                decoded = vp8l_codec.decode(bytes(p))
                 oks.append(
                     decoded.shape == (hw, 16, 4)
                     and np.array_equal(decoded[:, :, 0].ravel(), src)
                     and np.array_equal(decoded[:, :, 0], decoded[:, :, 2])
                     and bool((decoded[:, :, 3] == 255).all())
                 )
-            yield pdf.assign(webp_pix_ok=oks)
+            out["webp_pix_ok"] = oks
+            del pdf["webp_payload"]
 
-    webp_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("webp_pix_ok", T.BooleanType())]
-    )
-    d = d.mapInPandas(webp_verify, webp_schema).drop("webp_payload")
+            # WAV/PCM params (O(header) chunk walk)
+            prm = [audio_params_one(p) for p in pdf["wav_payload"]]
+            out["wav_sample_rate"] = [x[0] for x in prm]
+            out["wav_n_samples"] = [x[2] for x in prm]
+            out["wav_duration_s"] = [x[3] for x in prm]
+            del pdf["wav_payload"]
 
-    d = decode_audio(d, "wav_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "wav_duration_s",
-            "sample_rate": "wav_sample_rate",
-            "n_samples": "wav_n_samples",
-            "n_channels": "wav_channels",
-        }
-    )
-    d = extract_audio_features(d, "tone_payload", n_windows=8)
-    d = d.withColumnsRenamed(
-        {"rms_windows": "tone_rms_windows", "zero_cross_rate": "tone_zcr"}
-    )
+            # tone RMS/ZCR (exact square-wave contract, see docstring)
+            feats = [audio_features_one(p, 8) for p in pdf["tone_payload"]]
+            out["tone_rms_windows"] = [f[0] for f in feats]
+            out["tone_zcr"] = [f[1] for f in feats]
+            del pdf["tone_payload"]
 
-    # FLAC: STREAMINFO params through the strict decode_audio dispatch,
-    # then the FULL lossless decode (Rice residuals + fixed prediction)
-    # via extract_audio_features — the compressed stream must reproduce
-    # the tone's exact RMS/ZCR contract bit-for-bit
-    d = decode_audio(d, "flac_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "flac_duration_s",
-            "sample_rate": "flac_sample_rate",
-            "n_samples": "flac_n_samples",
-            "n_channels": "flac_channels",
-        }
-    )
-    d = extract_audio_features(d, "flac_payload", n_windows=8)
-    d = d.withColumnsRenamed(
-        {"rms_windows": "flac_rms_windows", "zero_cross_rate": "flac_zcr"}
-    )
+            # FLAC: STREAMINFO params + the FULL lossless decode (Rice
+            # residuals + fixed prediction) must reproduce the tone
+            # contract bit-for-bit from the compressed stream
+            prm = [audio_params_one(p) for p in pdf["flac_payload"]]
+            out["flac_sample_rate"] = [x[0] for x in prm]
+            out["flac_n_samples"] = [x[2] for x in prm]
+            feats = [audio_features_one(p, 8) for p in pdf["flac_payload"]]
+            out["flac_rms_windows"] = [f[0] for f in feats]
+            out["flac_zcr"] = [f[1] for f in feats]
+            del pdf["flac_payload"]
 
-    # G.711 (r7): REAL companded decode — the square tone at a
-    # quantizer-exact amplitude, so the same RMS/ZCR contract holds on
-    # the µ-law and A-law streams (operators/g711.py, audioop-
-    # cross-validated); IMA ADPCM carries a DC signal whose block
-    # header/nibble walk/fact truncation reproduce amp and n exactly
-    d = extract_audio_features(d, "ulaw_payload", n_windows=8)
-    d = d.withColumnsRenamed(
-        {"rms_windows": "ulaw_rms_windows", "zero_cross_rate": "ulaw_zcr"}
-    )
-    d = extract_audio_features(d, "alaw_payload", n_windows=8)
-    d = d.withColumnsRenamed(
-        {"rms_windows": "alaw_rms_windows", "zero_cross_rate": "alaw_zcr"}
-    )
-    d = decode_audio(d, "ima_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "ima_duration_s",
-            "sample_rate": "ima_sample_rate",
-            "n_samples": "ima_n_samples",
-            "n_channels": "ima_channels",
-        }
-    )
-    d = extract_audio_features(d, "ima_payload", n_windows=8)
-    d = d.withColumnsRenamed(
-        {"rms_windows": "ima_rms_windows", "zero_cross_rate": "ima_zcr"}
-    )
+            # G.711 µ/A-law: REAL companded decode at quantizer-exact
+            # amplitudes, same RMS/ZCR contract
+            feats = [audio_features_one(p, 8) for p in pdf["ulaw_payload"]]
+            out["ulaw_rms_windows"] = [f[0] for f in feats]
+            out["ulaw_zcr"] = [f[1] for f in feats]
+            del pdf["ulaw_payload"]
+            feats = [audio_features_one(p, 8) for p in pdf["alaw_payload"]]
+            out["alaw_rms_windows"] = [f[0] for f in feats]
+            out["alaw_zcr"] = [f[1] for f in feats]
+            del pdf["alaw_payload"]
 
-    # Ogg: CRC-verified page walk through the strict decode_audio
-    # dispatch — Opus (odd nb) and Vorbis (even nb) ident packets both
-    # under the hash, length from the final granule position
-    d = decode_audio(d, "ogg_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "ogg_duration_s",
-            "sample_rate": "ogg_sample_rate",
-            "n_samples": "ogg_n_samples",
-            "n_channels": "ogg_channels",
-        }
-    ).drop("ogg_payload")
+            # IMA ADPCM: params prove the fact-chunk truncation, the
+            # DC decode is exact
+            prm = [audio_params_one(p) for p in pdf["ima_payload"]]
+            out["ima_sample_rate"] = [x[0] for x in prm]
+            out["ima_n_samples"] = [x[2] for x in prm]
+            feats = [audio_features_one(p, 8) for p in pdf["ima_payload"]]
+            out["ima_rms_windows"] = [f[0] for f in feats]
+            out["ima_zcr"] = [f[1] for f in feats]
+            del pdf["ima_payload"]
 
-    # Matroska/WebM: EBML element walk (Info duration scaled by
-    # TimestampScale, video track dims, track count) via the strict
-    # decode_video_meta dispatch
-    d = decode_video_meta(d, "webm_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "webm_duration_s",
-            "width": "webm_width",
-            "height": "webm_height",
-            "n_tracks": "webm_tracks",
-        }
-    ).drop("webm_payload")
+            # Ogg: CRC-verified page walk (Opus odd nb, Vorbis even)
+            prm = [audio_params_one(p) for p in pdf["ogg_payload"]]
+            out["ogg_sample_rate"] = [x[0] for x in prm]
+            out["ogg_channels"] = [x[1] for x in prm]
+            out["ogg_n_samples"] = [x[2] for x in prm]
+            out["ogg_duration_s"] = [x[3] for x in prm]
+            del pdf["ogg_payload"]
 
-    # WARC: gzip-member decompression + record/HTTP parsing (the
-    # Common Crawl ingestion path, operators/warc.py); URI, status,
-    # and recovered-payload hash are all oracle-recomputed
-    def warc_verify(batches):
-        import hashlib as _hl
+            # MP4 + Matroska/WebM container walks
+            meta = [video_meta_one(p) for p in pdf["mp4_payload"]]
+            out["mp4_duration_s"] = [x[0] for x in meta]
+            out["mp4_width"] = [x[1] for x in meta]
+            out["mp4_height"] = [x[2] for x in meta]
+            out["mp4_tracks"] = [x[3] for x in meta]
+            del pdf["mp4_payload"]
+            meta = [video_meta_one(p) for p in pdf["webm_payload"]]
+            out["webm_duration_s"] = [x[0] for x in meta]
+            out["webm_width"] = [x[1] for x in meta]
+            out["webm_height"] = [x[2] for x in meta]
+            out["webm_tracks"] = [x[3] for x in meta]
+            del pdf["webm_payload"]
 
-        from ..formats.codecs import zstd_pure as zstd_c
-        from ..operators import warc as warc_c
-
-        for pdf in batches:
-            uris, statuses, shas, rts, smalls = [], [], [], [], []
-            for p, t in zip(pdf["warc_payload"], pdf["text"]):
-                # the payload itself is .warc.zst — iter_records runs
-                # the pure zstd decoder before the record parse
-                [rec] = list(warc_c.iter_records(bytes(p)))
-                uris.append(rec["target_uri"])
-                statuses.append(rec["http_status"])
-                shas.append(_hl.sha256(bytes(rec["payload"])).hexdigest())
-                # direct codec assertions: lz round-trip identity, and
-                # guaranteed compression on a 4x self-repetition (the
-                # repeats force LZ matches regardless of text content)
-                quad = (t or "").encode("utf-8") * 4
-                c = zstd_c.compress(quad, mode="lz")
-                rts.append(zstd_c.decompress(c) == quad)
-                smalls.append(len(c) < len(quad))
-            yield pdf.assign(
-                warc_uri=uris, warc_status=statuses, warc_payload_sha=shas,
-                zstd_rt_ok=rts, zstd_lz_smaller=smalls,
-            )
-
-    warc_schema = T.StructType(
-        list(d.schema.fields)
-        + [
-            T.StructField("warc_uri", T.StringType()),
-            T.StructField("warc_status", T.IntegerType()),
-            T.StructField("warc_payload_sha", T.StringType()),
-            T.StructField("zstd_rt_ok", T.BooleanType()),
-            T.StructField("zstd_lz_smaller", T.BooleanType()),
-        ]
-    )
-    d = d.mapInPandas(warc_verify, warc_schema).drop("warc_payload")
-
-    # AVI/MJPEG: real container metadata (RIFF avih walk) via the same
-    # strict decode_video_meta dispatch, then real FRAME decode — every
-    # frame through the T.81 decoder, checked against the phase-shifted
-    # source field (the video analogue of jpeg_pix_ok)
-    d = decode_video_meta(d, "avi_payload", strict=True)
-    d = d.withColumnsRenamed(
-        {
-            "duration_s": "avi_duration_s",
-            "width": "avi_width",
-            "height": "avi_height",
-            "n_tracks": "avi_tracks",
-        }
-    )
-
-    def avi_verify(batches):
-        import numpy as np
-
-        from ..operators import avi as avi_c
-
-        for pdf in batches:
+            # AVI/MJPEG: RIFF avih walk + every FRAME through the T.81
+            # decoder against the phase-shifted source field
+            meta = [video_meta_one(p) for p in pdf["avi_payload"]]
+            out["avi_duration_s"] = [x[0] for x in meta]
+            out["avi_width"] = [x[1] for x in meta]
+            out["avi_height"] = [x[2] for x in meta]
+            out["avi_tracks"] = [x[3] for x in meta]
             oks, counts = [], []
-            for p, t in zip(pdf["avi_payload"], pdf["text"]):
-                nb = len((t or "").encode("utf-8"))
-                frames = avi_c.decode_frames(bytes(p))
+            for p, nb in zip(pdf["avi_payload"], nbs):
+                frames = avi_codec.decode_frames(bytes(p))
                 counts.append(len(frames))
                 ok = len(frames) == 2 + nb % 4
                 for i, fr in enumerate(frames):
@@ -1340,18 +1238,74 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         <= 8
                     )
                 oks.append(ok)
-            yield pdf.assign(avi_pix_ok=oks, avi_n_frames=counts)
+            out["avi_pix_ok"] = oks
+            out["avi_n_frames"] = counts
+            del pdf["avi_payload"]
 
-    avi_schema = T.StructType(
-        list(d.schema.fields)
-        + [
-            T.StructField("avi_pix_ok", T.BooleanType()),
-            T.StructField("avi_n_frames", T.IntegerType()),
-        ]
+            # WARC-zstd: the pure RFC 8878 decoder, then the WARC
+            # record + HTTP parse; plus direct lz round-trip and
+            # guaranteed-compression assertions on a 4x repetition
+            import hashlib as _hl
+
+            uris, statuses, shas, rts, smalls = [], [], [], [], []
+            for p, b in zip(pdf["warc_payload"], texts):
+                [rec] = list(warc_codec.iter_records(bytes(p)))
+                uris.append(rec["target_uri"])
+                statuses.append(rec["http_status"])
+                shas.append(_hl.sha256(bytes(rec["payload"])).hexdigest())
+                quad = b * 4
+                c = zstd_codec.compress(quad, mode="lz")
+                rts.append(zstd_codec.decompress(c) == quad)
+                smalls.append(len(c) < len(quad))
+            out["warc_uri"] = uris
+            out["warc_status"] = statuses
+            out["warc_payload_sha"] = shas
+            out["zstd_rt_ok"] = rts
+            out["zstd_lz_smaller"] = smalls
+            del pdf["warc_payload"]
+
+            yield pd.DataFrame(out)
+
+    def fused(batches):
+        yield from verify(synth(batches))
+
+    d = docs.mapInPandas(
+        fused,
+        "doc_id long, png_width int, png_height int, png_channels int, "
+        "features array<float>, png_dhash long, "
+        "jpeg_width int, jpeg_height int, jpeg_channels int, "
+        "jpeg_pix_ok boolean, jpeg_progressive boolean, "
+        "exif_orientation int, exif_model string, "
+        "exif_datetime_original string, exif_iso int, "
+        "exif_exposure_time double, exif_f_number double, "
+        "exif_gps_lat double, exif_gps_lon double, exif_has_gps boolean, "
+        "gif_width int, gif_height int, gif_channels int, "
+        "gif_pix_ok boolean, "
+        "bmp_width int, bmp_height int, bmp_channels int, "
+        "bmp_pix_ok boolean, "
+        "tiff_width int, tiff_height int, tiff_channels int, "
+        "tiff_pix_ok boolean, "
+        "webp_width int, webp_height int, webp_channels int, "
+        "webp_pix_ok boolean, "
+        "wav_sample_rate int, wav_n_samples long, wav_duration_s double, "
+        "tone_rms_windows array<float>, tone_zcr double, "
+        "flac_sample_rate int, flac_n_samples long, "
+        "flac_rms_windows array<float>, flac_zcr double, "
+        "ulaw_rms_windows array<float>, ulaw_zcr double, "
+        "alaw_rms_windows array<float>, alaw_zcr double, "
+        "ima_sample_rate int, ima_n_samples long, "
+        "ima_rms_windows array<float>, ima_zcr double, "
+        "mp4_duration_s double, mp4_width int, mp4_height int, "
+        "mp4_tracks int, "
+        "avi_duration_s double, avi_width int, avi_height int, "
+        "avi_tracks int, avi_n_frames int, avi_pix_ok boolean, "
+        "ogg_sample_rate int, ogg_channels int, ogg_n_samples long, "
+        "ogg_duration_s double, "
+        "webm_duration_s double, webm_width int, webm_height int, "
+        "webm_tracks int, "
+        "warc_uri string, warc_status int, warc_payload_sha string, "
+        "zstd_rt_ok boolean, zstd_lz_smaller boolean",
     )
-    d = d.mapInPandas(avi_verify, avi_schema).drop("avi_payload", "text")
-
-    d = decode_video_meta(d, "mp4_payload", strict=True)
     return d.select(
         "doc_id",
         "png_width",
@@ -1458,10 +1412,10 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ima_rms_q"),
         "ima_zcr",
-        F.col("duration_s").alias("mp4_duration_s"),
-        F.col("width").alias("mp4_width"),
-        F.col("height").alias("mp4_height"),
-        F.col("n_tracks").alias("mp4_tracks"),
+        "mp4_duration_s",
+        "mp4_width",
+        "mp4_height",
+        "mp4_tracks",
         "avi_duration_s",
         "avi_width",
         "avi_height",
