@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 FILTER_PRUNED: dict[str, tuple[str, ...]] = {
     "distinct_sort_sample": (
         "distinct", "sort_limit", "sample", "stratified", "mixture",
-        "mixture_budget", "mixture_temp", "domain_cap",
+        "mixture_budget", "mixture_temp", "mixture_unimax", "domain_cap",
     ),
     "set_ops": (
         "union", "intersect", "except",

@@ -754,6 +754,63 @@ def temperature_mixture_thresholds(
     ]
 
 
+def unimax_mixture_thresholds(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    denom: int = 2,
+    cap_milli_epochs: int = 1000,
+) -> list[tuple[str, int]]:
+    """UniMax mixture sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", public): spread the global budget UNIFORMLY across
+    sources subject to a per-source epoch cap, redistributing any
+    surplus a small source cannot absorb to the remaining ones
+    (water-filling). This fixes the budget waste of
+    `budget_mixture_thresholds`: an equal share granted to a source
+    smaller than the share is simply truncated there, while UniMax
+    re-levels it across the still-unfunded sources, so the kept total
+    actually hits the budget.
+
+    Derivation is INTEGER-ONLY (hash contract) and CLOSED-FORM — no
+    sequential re-leveling loop. With caps sorted ascending
+    (cap_s = min(size_s, size_s·cap_milli_epochs // 1000), the ≤1-epoch
+    cap a keep-filter can realize), source i is *fully funded* iff
+    funding it and giving every later source at least as much fits:
+        prefix_{i-1} + cap_i · (n − i + 1) ≤ budget
+    (prefix-closed under the ascending sort since cap_{i+1} ≥ cap_i, so
+    the funded set is the first k sources). Everyone else gets the
+    integer water level (budget − prefix_k) // (n − k), which the same
+    inequality guarantees is below their cap. Thresholds are then the
+    16-bit bucket bounds of `mixture_sample`. An oracle reproduces the
+    whole derivation with one window pass (row_number + running sum),
+    no recursion.
+
+    Same scale shape and degenerate-input policy as the other mixture
+    derivations (shared `_mixture_counts` measure half, shuffle ∝
+    sources); the APPLY half is the same pushdown md5-bucket scan
+    filter. Returns sorted [(group, threshold_int)]."""
+    counts = _mixture_counts(df, group_col, size_col)
+    budget = sum(t for _, t in counts) // denom
+    capped = sorted(
+        (min(t, t * cap_milli_epochs // 1000), g, t) for g, t in counts
+    )
+    n = len(capped)
+    prefix = 0
+    k = 0  # fully-funded source count
+    for i, (c, _g, _t) in enumerate(capped, 1):
+        if prefix + c * (n - i + 1) <= budget:
+            prefix += c
+            k = i
+        else:
+            break
+    level = (budget - prefix) // (n - k) if k < n else 0
+    return sorted(
+        (g, min(65536, (c if i <= k else level) * 65536 // t))
+        for i, (c, g, t) in enumerate(capped, 1)
+    )
+
+
 def threshold_hex(thr: Column) -> Column:
     """4-digit lowercase hex of a 16-bit threshold, 'g' for keep-all
     (sorts above every hex digit). Matches `mixture_sample`'s string

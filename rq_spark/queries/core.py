@@ -940,12 +940,72 @@ WHERE rk <= 25
 """
 
 
+def sample_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX mixture sampling (r9): uniform budget across sources
+    under a per-source epoch cap, surplus water-filled to the
+    still-unfunded sources (operators/text.py:
+    unimax_mixture_thresholds — closed-form integer derivation, one
+    window pass in the oracle). Where the equal-share budget mixture
+    truncates a small source's unused share, UniMax re-levels it, so
+    the kept char total actually reaches the budget. Applied as the
+    same pushdown-friendly md5-bucket scan filter as every mixture
+    branch."""
+    from ..operators.text import (
+        mixture_sample,
+        threshold_hex,
+        unimax_mixture_thresholds,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    thrs = unimax_mixture_thresholds(d, "source", "n_chars", denom=2)
+    mp = F.create_map(*[F.lit(x) for g, t in thrs for x in (g, t)])
+    thr_int = F.element_at(mp, F.col("source"))
+    kept = mixture_sample(d, "doc_id", threshold_hex(thr_int))
+    return kept.select(
+        "doc_id",
+        "source",
+        (thr_int.cast("double") / F.lit(65536.0)).alias("rate"),
+    )
+
+
+_SAMPLE_MIX_UNIMAX_SQL = """
+SELECT doc_id, source, CAST(thri AS DOUBLE) / 65536.0 AS rate
+FROM documents
+JOIN (
+  WITH cnt AS (SELECT source, SUM(n_chars) AS t FROM documents GROUP BY source),
+       o AS (SELECT source, t, t AS cap,
+                    ROW_NUMBER() OVER (ORDER BY t, source) AS i,
+                    COALESCE(SUM(t) OVER (ORDER BY t, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pfx,
+                    COUNT(*) OVER () AS n,
+                    (SELECT SUM(t) // 2 FROM cnt) AS b
+             FROM cnt),
+       f AS (SELECT *, pfx + cap * (n - i + 1) <= b AS funded FROM o),
+       agg AS (SELECT COUNT(*) FILTER (WHERE funded) AS k,
+                      COALESCE(SUM(cap) FILTER (WHERE funded), 0) AS pk,
+                      ANY_VALUE(n) AS n, ANY_VALUE(b) AS b
+               FROM f)
+  SELECT f.source,
+         LEAST(65536,
+               CASE WHEN f.funded THEN f.cap
+                    ELSE (agg.b - agg.pk) // GREATEST(agg.n - agg.k, 1)
+               END * 65536 // f.t) AS thri
+  FROM f, agg
+) USING (source)
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN thri >= 65536 THEN 'g'
+           ELSE printf('%04x', CAST(thri AS INT)) END
+"""
+
+
 def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct / sort+limit / deterministic sample / stratified sample
     / domain-mixture sample / per-domain capping in one tagged result
     (branches = the former distinct_dims, sort_limit,
     sample_deterministic, sample_stratified, late-r6 sample_mixture,
-    r7 mixture_budget, r8 domain_cap)."""
+    r7 mixture_budget, r8 domain_cap + mixture_temp, r9
+    mixture_unimax)."""
     nulls = F.lit(None)
     distinct = distinct_dims(spark, sf_dir).select(
         F.lit("distinct").alias("op"),
@@ -1003,6 +1063,14 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s1"),
         nulls.cast("string").alias("s2"),
     )
+    mixu = sample_mixture_unimax(spark, sf_dir).select(
+        F.lit("mixture_unimax").alias("op"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        nulls.cast("bigint").alias("k2"),
+        F.col("rate").cast("double").alias("v"),
+        F.col("source").alias("s1"),
+        nulls.cast("string").alias("s2"),
+    )
     cap = sample_domain_cap(spark, sf_dir).select(
         F.lit("domain_cap").alias("op"),
         F.col("doc_id").cast("bigint").alias("k1"),
@@ -1018,6 +1086,7 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix)
         .unionByName(mixb)
         .unionByName(mixt)
+        .unionByName(mixu)
         .unionByName(cap)
     )
 
@@ -1045,6 +1114,9 @@ FROM ({_SAMPLE_MIX_BUDGET_SQL})
 UNION ALL
 SELECT 'mixture_temp', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
 FROM ({_SAMPLE_MIX_TEMP_SQL})
+UNION ALL
+SELECT 'mixture_unimax', doc_id, NULL, CAST(rate AS DOUBLE), source, NULL
+FROM ({_SAMPLE_MIX_UNIMAX_SQL})
 UNION ALL
 SELECT 'domain_cap', doc_id, domain_rank, NULL, domain, NULL
 FROM ({_SAMPLE_DOMAIN_CAP_SQL})

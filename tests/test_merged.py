@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 # key -> set of op tags that must each contribute rows
 TAGGED = {
-    "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "domain_cap"},
+    "distinct_sort_sample": {"distinct", "sort_limit", "sample", "stratified", "mixture", "mixture_budget", "mixture_temp", "mixture_unimax", "domain_cap"},
     "agg_groupby_distinct": {
         "groupby", "distinct", "topk_words", "copair", "copair_stats",
     },

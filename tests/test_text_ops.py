@@ -143,6 +143,59 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert "Exchange" not in plan, "mixture sampling must not shuffle"
 
 
+def test_unimax_water_filling_matches_arithmetic_twin(spark, sf_dir):
+    """UniMax thresholds equal an independent pure-Python water-fill
+    over DuckDB-counted sizes (exact, threshold for threshold), the
+    water-filled allocation exhausts the budget when any source is
+    unfunded (never overshoots), and it strictly beats the equal-share
+    budget mixture's kept total whenever that one truncates a small
+    source's surplus."""
+    import duckdb
+
+    from rq_spark.operators.text import (
+        budget_mixture_thresholds,
+        unimax_mixture_thresholds,
+    )
+    from rq_spark.queries.helpers import table
+
+    sizes = dict(
+        duckdb.sql(
+            f"SELECT source, SUM(n_chars) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    budget = sum(sizes.values()) // 2
+    # independent closed-form twin: funded prefix in ascending-cap
+    # order, then one shared integer level for the rest
+    order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    n, prefix, k = len(order), 0, 0
+    for i, (_g, c) in enumerate(order, 1):
+        if prefix + c * (n - i + 1) > budget:
+            break
+        prefix, k = prefix + c, i
+    level = (budget - prefix) // (n - k) if k < n else 0
+    expect = {
+        g: min(65536, (c if i <= k else level) * 65536 // c)
+        for i, (g, c) in enumerate(order, 1)
+    }
+
+    d = table(spark, sf_dir, "documents")
+    uni = dict(unimax_mixture_thresholds(d, "source", "n_chars", denom=2))
+    assert uni == expect
+
+    # allocation semantics: funded keep all, the rest exhaust the
+    # budget exactly at the integer level (pre-threshold-rounding)
+    alloc = {g: (sizes[g] if expect[g] >= 65536 else level) for g in sizes}
+    if k < n:
+        assert prefix + level * (n - k) <= budget < prefix + (level + 1) * (n - k)
+    # strictly better budget use than the truncating equal-share mix
+    bud = dict(budget_mixture_thresholds(d, "source", "n_chars", denom=2))
+    share = budget // len(sizes)
+    bud_alloc = sum(min(sizes[g], share) for g in sizes)
+    if any(sizes[g] < share for g in sizes) and k < n:
+        assert sum(alloc.values()) > bud_alloc
+
+
 def test_unigram_lm_product_matches_python_fold(spark, sf_dir):
     """The LM likelihood must equal a bit-faithful Python left fold
     over the same counts — same order, same IEEE ops."""
