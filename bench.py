@@ -34,7 +34,13 @@ artifact that clears/flags a per-key baseline breach. A wall-clock
 budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 450) truncates the
 sweeps (never the headline) with ``branch_sweep_truncated: true`` so
 the headline JSON always lands inside the driver's timeout; the sweep
-is ordered so the highest-attribution-value keys go first.
+is ordered so the highest-attribution-value keys go first. A HARD
+deadline (``SPARK_GRAFT_BENCH_HARD_SEC``, default 540) is the last
+line: past it remaining headline keys are skipped outright (recorded
+under ``"skipped"``) — under extreme ambient load the soft budget's
+per-run floors and cancel drains across 24 keys could otherwise
+push total wall past the driver's kill, and a killed bench leaves
+no artifact at all.
 """
 
 from __future__ import annotations
@@ -90,6 +96,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    # hard deadline: past this, remaining HEADLINE keys are skipped
+    # outright (recorded under "skipped"). The soft budget already
+    # degrades runs and truncates sweeps, but under extreme ambient
+    # load the per-run 10 s floor + post-cancel joins across 24 keys
+    # could still push total wall past the driver's kill — and a
+    # killed bench leaves NO artifact, which is strictly worse than a
+    # partial one.
+    hard = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_SEC", "540"))
 
     from rq_spark.queries import all_queries
     from rq_spark.session import get_spark
@@ -112,7 +126,7 @@ def main() -> None:
         warm_dir = sf_dir
         warmup_mode = "sf_dir"
     for name in HEADLINE:
-        if time.time() - bench_start > 0.35 * budget:
+        if time.time() - bench_start > 0.35 * min(budget, hard):
             # extreme ambient load: warmup is optional, a timed-out
             # bench with NO artifact is not — skip the rest
             print("WARN bench: skipping remaining warmups (load)",
@@ -158,13 +172,16 @@ def main() -> None:
                 box.append(e)
 
         t0 = time.time()
-        remaining = max(10.0, budget - (t0 - bench_start))
+        remaining = max(10.0, min(budget, hard) - (t0 - bench_start))
         th = threading.Thread(target=work, daemon=True)
         th.start()
         th.join(remaining)
         if th.is_alive():
             spark.sparkContext.cancelAllJobs()
-            th.join(30)
+            # short post-cancel drain: a worker that ignores the
+            # cancel for longer is abandoned (daemon thread) so the
+            # artifact still lands inside the hard deadline
+            th.join(10)
             return None
         if box and isinstance(box[0], Exception):
             raise box[0]
@@ -172,10 +189,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reduced_runs: list[str] = []
+    skipped: list[str] = []
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             print(f"WARN bench: no catalog entry for {name}", file=sys.stderr)
+            continue
+        if time.time() - bench_start > hard:
+            skipped.append(name)
             continue
         # degradation insurance: with half the budget gone (extreme
         # ambient load), fall back to ONE run per remaining key — a
@@ -218,7 +239,7 @@ def main() -> None:
         out: dict[str, float] = {}
         truncated = False
         for name, fn in entries:
-            if time.time() - bench_start > budget:
+            if time.time() - bench_start > min(budget, hard):
                 truncated = True
                 break
             # per-entry warmup at the tiny sf: a pruned solo plan is a
@@ -289,6 +310,7 @@ def main() -> None:
                 "branch_sweep_truncated": truncated,
                 "reduced_runs": reduced_runs,
                 "timed_out": timed_out,
+                "skipped": skipped,
                 "sf": sf,
                 "runs": runs,
                 "warmup": warmup_mode,
