@@ -792,6 +792,17 @@ def unimax_mixture_thresholds(
     filter. Returns sorted [(group, threshold_int)]."""
     counts = _mixture_counts(df, group_col, size_col)
     budget = sum(t for _, t in counts) // denom
+    return sorted(_unimax_water_fill(counts, budget, cap_milli_epochs))
+
+
+def _unimax_water_fill(
+    counts: list[tuple[str, int]], budget: int, cap_milli_epochs: int = 1000
+) -> list[tuple[str, int]]:
+    """Pure integer half of `unimax_mixture_thresholds` (separated so
+    the derivation is property-testable without a session): given
+    [(group, size)] and a budget, return [(group, 16-bit threshold)]
+    for the water-filled allocation. See the caller for the closed
+    form and its funded-prefix argument."""
     capped = sorted(
         (min(t, t * cap_milli_epochs // 1000), g, t) for g, t in counts
     )
@@ -805,10 +816,10 @@ def unimax_mixture_thresholds(
         else:
             break
     level = (budget - prefix) // (n - k) if k < n else 0
-    return sorted(
+    return [
         (g, min(65536, (c if i <= k else level) * 65536 // t))
         for i, (c, g, t) in enumerate(capped, 1)
-    )
+    ]
 
 
 def threshold_hex(thr: Column) -> Column:

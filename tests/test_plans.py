@@ -424,3 +424,19 @@ def test_key_skew_report_is_single_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==", 1)[0]  # AQE final plan only
     assert plan.count("Scan parquet") == 1
+
+
+def test_mm_real_decode_is_one_fused_python_stage(spark, sf_dir):
+    """The multimodal decode key runs EVERY codec kernel inside ONE
+    MapInPandas (r9 fusion). The previous 29-stage chain held 29
+    Python worker processes per task slot (each re-importing
+    pandas/numpy) and re-shipped every surviving binary column through
+    Arrow at every stage boundary — a regression back to chaining
+    multiplies both."""
+    from rq_spark.queries.dedup import mm_real_decode
+
+    df = mm_real_decode(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("BatchEvalPython") == 0

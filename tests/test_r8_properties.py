@@ -139,3 +139,59 @@ def test_chunk_start_sequence_covers_and_tiles(n, chunk, data):
     # every word index 1..n falls inside at least one window
     if len(starts) > 1:
         assert all(b <= a + chunk for a, b in zip(starts, starts[1:]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=6), st.integers(1, 10**12)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.integers(0, 10**13),
+    st.integers(1, 1000),
+)
+def test_unimax_water_fill_invariants(groups, budget, cap_milli):
+    """The closed-form water-fill (r9): allocations never exceed caps,
+    the total never exceeds the budget, and when any source is
+    unfunded the budget is exhausted maximally (adding one more unit
+    to every unfunded source would overshoot) — i.e. the funded-prefix
+    inequality and shared level really implement water-filling, for
+    ANY sizes/budget/cap, not just the corpus's."""
+    from rq_spark.operators.text import _unimax_water_fill
+
+    sizes = dict(groups)
+    caps = {g: min(t, t * cap_milli // 1000) for g, t in groups}
+    thr = dict(_unimax_water_fill(groups, budget, cap_milli))
+    assert set(thr) == set(sizes)
+    assert all(0 <= v <= 65536 for v in thr.values())
+
+    # reconstruct the pre-rounding allocation the thresholds encode:
+    # funded sources sit at their cap, the rest at one shared level
+    order = sorted((caps[g], g) for g in sizes)
+    n, prefix, k = len(order), 0, 0
+    for i, (c, _g) in enumerate(order, 1):
+        if prefix + c * (n - i + 1) > budget:
+            break
+        prefix, k = prefix + c, i
+    level = (budget - prefix) // (n - k) if k < n else 0
+    alloc = {
+        g: (caps[g] if i <= k else level)
+        for i, (_c, g) in enumerate(order, 1)
+    }
+    # thresholds follow the allocation exactly
+    for g in sizes:
+        assert thr[g] == min(65536, alloc[g] * 65536 // sizes[g])
+    # feasibility: within caps, within budget
+    assert all(alloc[g] <= caps[g] for g in sizes)
+    assert sum(alloc.values()) <= budget
+    # maximality: if anyone is unfunded, one more unit each overshoots
+    if k < n:
+        assert sum(alloc.values()) + (n - k) > budget
+        # the shared level never exceeds any unfunded source's cap
+        for _c, g in order[k:]:
+            assert level <= caps[g]
+    else:
+        # everyone funded: total allocation is the total cap
+        assert sum(alloc.values()) == sum(caps.values())
