@@ -435,3 +435,36 @@ def test_sniffs_never_raise_on_arbitrary_bytes():
         for sniff in sniffs:
             out = sniff(blob)  # must not raise
             assert out is None or isinstance(out, tuple)
+
+
+def test_mm_real_decode_batch_independent(spark, sf_dir):
+    """The fused kernel must be a pure per-row map: shrinking the Arrow
+    batch size to a handful of rows must not change a single value
+    (catches any cross-batch state accidentally introduced in the
+    fused synth+verify stage)."""
+    from pyspark.sql import functions as F
+
+    from rq_spark.queries.dedup import mm_real_decode
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+
+    def digest():
+        df = mm_real_decode(spark, sf_dir)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-insensitive and overflow-free under ANSI
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    try:
+        spark.conf.set(key, "7")
+        small = digest()
+        spark.conf.set(key, "10000")
+        big = digest()
+    finally:
+        spark.conf.set(key, prev)
+    assert small == big and small[0] > 0
