@@ -60,6 +60,26 @@ def gear_table() -> list[int]:
     ]
 
 
+_GEAR_NP: dict = {}  # dtype-keyed cached numpy gear tables
+
+
+def _gear_np(_gear: list[int] | None, dtype):
+    """Gear table as a numpy array of `dtype` — truncation to a small
+    unsigned dtype keeps exactly the LOW bits, which is all the mask
+    test reads (see chunk_boundaries). Cached per dtype for the
+    default table."""
+    import numpy as np
+
+    if _gear is not None:
+        return np.array([v & _MASK64 for v in _gear], dtype=np.uint64).astype(
+            dtype
+        )
+    key = np.dtype(dtype).name
+    if key not in _GEAR_NP:
+        _GEAR_NP[key] = np.array(gear_table(), dtype=np.uint64).astype(dtype)
+    return _GEAR_NP[key]
+
+
 def chunk_boundaries(
     data: bytes,
     min_size: int = CDC_MIN,
@@ -72,13 +92,69 @@ def chunk_boundaries(
     The rolling hash is NOT reset at cut points (the last 64 bytes
     simply keep rolling); min_size applies per chunk via cut-point
     skipping, max_size forces a cut, and the final chunk may be
-    shorter than min_size."""
+    shorter than min_size.
+
+    Vectorized (r9): because the hash never resets, h_i is a pure
+    64-tap window — h_i = Σ_{j<64} GEAR[byte_{i-j}]·2^j mod 2^64.
+    The cut test only reads h & (avg_size−1): a term shifted by
+    j ≥ m = log2(avg_size) contributes nothing below the mask, so
+    candidate positions need just m shifted adds (5 for the default
+    avg=32, NOT 64), and since only the low m bits matter the
+    arithmetic runs in the smallest unsigned dtype that holds them
+    (uint16 here — wraps mod 2^16 preserve bits < m ≤ 16; this
+    numpy's uint64 lane is ~40× slower, measured). The min/max cut
+    rules then walk only the mask-hit candidates (expected
+    n/avg_size of them) with C bisect. Bit-identical to the per-byte
+    reference (`_chunk_boundaries_scalar`, kept for the property
+    tests' A/B); ~10-30× the reference's throughput on corpus-shaped
+    docs."""
     if not 0 < min_size <= avg_size <= max_size:
         raise ValueError(
             f"cdc: need 0 < min={min_size} <= avg={avg_size} <= max={max_size}"
         )
     if avg_size & (avg_size - 1):
         raise ValueError(f"cdc: avg_size={avg_size} must be a power of two")
+    n = len(data)
+    if n == 0:
+        return []
+    import bisect
+
+    import numpy as np
+
+    m = max(1, (avg_size - 1).bit_length())  # taps that reach the mask
+    dtype = np.uint16 if m <= 16 else np.uint32 if m <= 32 else np.uint64
+    gv = _gear_np(_gear, dtype)[np.frombuffer(bytes(data), dtype=np.uint8)]
+    h = gv.copy()
+    for j in range(1, min(m, n)):
+        h[j:] += gv[:-j] << dtype(j)
+    cand = np.nonzero((h & dtype(avg_size - 1)) == 0)[0].tolist()
+
+    out = []
+    start = 0
+    ncand = len(cand)
+    while start < n:
+        lo = start + min_size - 1  # first index where a mask cut counts
+        forced = start + max_size - 1
+        pos = bisect.bisect_left(cand, lo)
+        cut = min(cand[pos], forced) if pos < ncand else forced
+        if cut >= n:  # no boundary inside the data: trailing chunk
+            out.append((start, n - start))
+            break
+        out.append((start, cut - start + 1))
+        start = cut + 1
+    return out
+
+
+def _chunk_boundaries_scalar(
+    data: bytes,
+    min_size: int = CDC_MIN,
+    avg_size: int = CDC_AVG,
+    max_size: int = CDC_MAX,
+    _gear: list[int] | None = None,
+) -> list[tuple[int, int]]:
+    """The naive per-byte reference implementation of
+    `chunk_boundaries` — the executable spec the vectorized form is
+    A/B-tested against (tests/test_cdc.py, tests/test_r8_properties)."""
     g = _gear if _gear is not None else gear_table()
     mask = avg_size - 1
     out = []

@@ -123,3 +123,26 @@ def test_spark_chunks_match_driver_and_report(spark):
     assert rep[2]["dup_bytes"] == 0
     assert rep[3]["total_bytes"] == 0 and rep[3]["n_chunks"] == 1
     assert rep[3]["recon_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_vectorized_boundaries_equal_scalar_reference():
+    """The tap-pruned uint16 form must reproduce the naive per-byte
+    walk boundary-for-boundary on arbitrary data and parameters —
+    including the dtype-selection edges (avg 65536 → uint16 limit,
+    131072 → uint32)."""
+    import random
+
+    from rq_spark.operators.cdc import _chunk_boundaries_scalar
+
+    rng = random.Random(42)
+    cases = [(4, 16, 32), (1, 1, 8), (2, 2, 2), (8, 64, 64),
+             (1, 2, 300), (1, 65536, 70000), (3, 131072, 200000)]
+    for trial in range(120):
+        n = rng.choice([0, 1, 2, 15, 16, 17, 63, 64, 65, 127, 128, 500])
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert chunk_boundaries(data) == _chunk_boundaries_scalar(data)
+        mn, av, mx = cases[trial % len(cases)]
+        g = [rng.getrandbits(64) for _ in range(256)]
+        assert chunk_boundaries(data, mn, av, mx, _gear=g) == (
+            _chunk_boundaries_scalar(data, mn, av, mx, _gear=g)
+        )
