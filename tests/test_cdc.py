@@ -146,3 +146,33 @@ def test_vectorized_boundaries_equal_scalar_reference():
         assert chunk_boundaries(data, mn, av, mx, _gear=g) == (
             _chunk_boundaries_scalar(data, mn, av, mx, _gear=g)
         )
+
+
+def test_vectorized_boundaries_outrun_scalar_reference():
+    """Load-immune throughput floor: the tap-pruned numpy form must
+    beat the naive per-byte walk by ≥2x on the same input measured
+    back-to-back (measured ~4-8x; both paths slow equally under
+    ambient load, so the RATIO holds where an absolute wall floor
+    would flake)."""
+    import random
+    import time
+
+    from rq_spark.operators.cdc import _chunk_boundaries_scalar
+
+    rng = random.Random(9)
+    data = bytes(rng.randrange(256) for _ in range(512 * 1024))
+    chunk_boundaries(data)  # warm the cached gear table
+    fast_t, ref_t = [], []
+    for _ in range(3):  # interleaved best-of-3: noise hits both sides
+        t0 = time.perf_counter()
+        fast = chunk_boundaries(data)
+        t1 = time.perf_counter()
+        ref = _chunk_boundaries_scalar(data)
+        t2 = time.perf_counter()
+        fast_t.append(t1 - t0)
+        ref_t.append(t2 - t1)
+    assert fast == ref
+    assert min(ref_t) >= 2.0 * min(fast_t), (
+        f"vectorized {min(fast_t):.3f}s vs scalar {min(ref_t):.3f}s — "
+        "regressed toward the per-byte shape"
+    )
