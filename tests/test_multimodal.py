@@ -468,3 +468,32 @@ def test_mm_real_decode_batch_independent(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     assert small == big and small[0] > 0
+
+
+def test_mm_real_decode_edge_corpus(spark, tmp_path):
+    """The full 17-codec synth+verify chain on documents the corpus
+    family never produces: empty text (nb=0), single byte, whitespace
+    only, astral-plane UTF-8, odd multi-byte lengths, a 50 KB doc, and
+    control characters. Every *_ok assertion column must hold — an
+    arbitrary user corpus contains all of these."""
+    from rq_spark.queries.dedup import mm_real_decode
+
+    rows = [
+        (1, ""),
+        (2, "x"),
+        (3, " \t\n "),
+        (4, "\U0001F600" * 40),
+        (5, "é" * 333),
+        (6, "word " * 10_000),
+        (7, "\x00\x01\x02 control"),
+    ]
+    sf = str(tmp_path / "edge_sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    out = mm_real_decode(spark, sf).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        d = r.asDict()
+        bad = {k: v for k, v in d.items() if k.endswith("_ok") and v is not True}
+        assert not bad, f"doc {d['doc_id']}: {bad}"
