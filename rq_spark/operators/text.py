@@ -100,8 +100,16 @@ def token_stats(df: DataFrame, text_col: str, id_col: str, *extra: Column) -> Da
 def quality_features(col: Column) -> dict[str, Column]:
     """Length / punctuation / alpha / digit / whitespace ratios — the
     classic cheap quality signals. Counts are exact ints; each ratio is
-    a single IEEE division (engine-portable)."""
+    a single IEEE division (engine-portable). A zero-length document
+    yields NULL ratios (guarded division: under ANSI mode a bare x/0
+    would abort the whole query on the first empty doc — r9 edge-corpus
+    probe; the catalog corpus has none, so oracle hashes are
+    unaffected)."""
     n = F.length(col).cast("double")
+
+    def ratio(cnt: Column) -> Column:
+        return F.when(n > 0, cnt / n)
+
     alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", ""))
     digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
     punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
@@ -109,10 +117,10 @@ def quality_features(col: Column) -> dict[str, Column]:
     words = F.split(normalize_text(col), " ")
     return {
         "n_chars": F.length(col),
-        "alpha_ratio": alpha / n,
-        "digit_ratio": digit / n,
-        "punct_ratio": punct / n,
-        "space_ratio": space / n,
+        "alpha_ratio": ratio(alpha),
+        "digit_ratio": ratio(digit),
+        "punct_ratio": ratio(punct),
+        "space_ratio": ratio(space),
         "mean_word_len": (F.length(F.concat_ws("", words)).cast("double"))
         / F.size(words),
         "uniq_ratio": F.size(F.array_distinct(words)).cast("double") / F.size(words),

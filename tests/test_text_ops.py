@@ -712,3 +712,45 @@ def test_phrase_blocklist_normalizes_phrase_side(spark):
     out = X.phrase_blocklist_hits(docs, phrases, "text", "doc_id")
     got = {(r.doc_id, r.phrase_id): r.n_hits for r in out.collect()}
     assert got == {(1, 10): 2}
+
+
+def test_text_family_survives_edge_corpus(spark, tmp_path):
+    """text_metrics and corpus_curation on documents the synthetic
+    corpus never produces — empty text, whitespace-only, astral-plane
+    UTF-8, control chars, a 50KB doc. Under ANSI mode a bare
+    length-ratio division aborts the whole query on the FIRST empty
+    doc (found by the r9 edge probe); ratios must instead go NULL."""
+    rows = [
+        (1, "", "en", "src0"),
+        (2, "x", "en", "src0"),
+        (3, " \t\n ", "de", "src1"),
+        (4, "\U0001F600" * 40, "de", "src1"),
+        (5, "é" * 333, "fr", "src2"),
+        (6, "word " * 10_000, "fr", "src2"),
+        (7, "\x00\x01\x02 control", "en", "src3"),
+        (8, "the quick brown fox jumps over the lazy dog " * 5, "en", "src3"),
+    ]
+    sf = str(tmp_path / "edge_sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).selectExpr(
+        "doc_id", "text", "lang", "source", "length(text) AS n_chars"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from rq_spark.operators.text import quality_features
+    from rq_spark.queries import all_queries
+    from rq_spark.queries.helpers import table
+
+    feats = quality_features(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in table(spark, sf, "documents")
+        .select("doc_id", *(v.alias(k) for k, v in feats.items()))
+        .collect()
+    }
+    assert got[1]["alpha_ratio"] is None  # empty doc: NULL, not a crash
+    assert got[2]["alpha_ratio"] == 1.0
+
+    qs = all_queries()
+    assert qs["text_metrics"](spark, sf).count() == len(rows)
+    assert qs["corpus_curation"](spark, sf).count() >= 1
