@@ -445,6 +445,15 @@ def ivf_centroids(
         .select("vec")
         .collect()
     )
+    if not seeds:
+        # loud degenerate-input policy (same as the mixture
+        # derivations): a quantizer cannot train on nothing, and
+        # letting the empty array through surfaces later as an
+        # unrelated numpy AxisError inside the assignment UDF
+        raise ValueError(
+            "ivf_centroids: corpus has no vectors; cannot train a "
+            "coarse quantizer"
+        )
     cents = np.array([r.vec for r in seeds], dtype=np.float64)
     for _ in range(iters):
         assigned = v.select(
@@ -572,6 +581,10 @@ def pq_codebooks(
         .select("vec")
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "pq_codebooks: corpus has no vectors; cannot train codebooks"
+        )
     s = np.array([r.vec for r in seeds], dtype=np.float64)
     s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-30)
     dim = s.shape[1]

@@ -479,3 +479,18 @@ def test_adc_auto_dispatch_routes_large_query_sets(spark):
         ).collect()
     }
     assert {(r.query_id, r.neighbor_id) for r in routed_pq.collect()} == pq_direct
+
+
+def test_ann_training_rejects_empty_corpus(spark):
+    """Quantizer/codebook training on zero vectors must fail with a
+    clear ValueError, not surface later as a numpy AxisError inside
+    the assignment UDF (found by the r9 empty-table probe)."""
+    import pytest as _pt
+
+    from rq_spark.operators.similarity import ivf_centroids, pq_codebooks
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="no vectors"):
+        ivf_centroids(empty, n_centroids=4)
+    with _pt.raises(ValueError, match="no vectors"):
+        pq_codebooks(empty, m=4, n_codes=4)
