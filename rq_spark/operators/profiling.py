@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Returns (col_name, n, null_frac, ndv, min_val, max_val) — one
-    row per profiled column; min/max cast to double (numeric columns)."""
+    row per profiled column; min/max cast to double (numeric columns).
+    An EMPTY table still profiles (one row per column, n = 0,
+    null_frac NULL): the guarded division matters under ANSI mode,
+    where a bare nulls/_n would abort the whole report on n = 0 (r9
+    empty-table probe)."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
@@ -32,8 +36,8 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', CAST(`{c}__nulls` AS DOUBLE) / _n, `{c}__ndv`, "
-        f"`{c}__min`, `{c}__max`"
+        f"'{c}', IF(_n > 0, CAST(`{c}__nulls` AS DOUBLE) / _n, NULL), "
+        f"`{c}__ndv`, `{c}__min`, `{c}__max`"
         for c in cols
     )
     return one.selectExpr(

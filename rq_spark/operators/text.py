@@ -710,8 +710,16 @@ def _mixture_counts(
     """Shared measure half of the mixture-threshold derivations: exact
     per-group size totals (one tiny partial-agg groupBy, shuffle ∝
     sources), sorted for determinism, with the loud degenerate-input
-    policy both variants share."""
+    policy every derivation shares."""
     rows = df.groupBy(group_col).agg(F.sum(size_col).alias("t")).collect()
+    if not rows:
+        # empty corpus: a mixture over zero sources is meaningless,
+        # and letting it through surfaces as a bare ZeroDivisionError
+        # in the share arithmetic (r9 empty-table probe)
+        raise ValueError(
+            "mixture thresholds: the corpus has no rows — no sources "
+            "to derive a mixture from"
+        )
     bad = [
         r[group_col]
         for r in rows

@@ -754,3 +754,21 @@ def test_text_family_survives_edge_corpus(spark, tmp_path):
     qs = all_queries()
     assert qs["text_metrics"](spark, sf).count() == len(rows)
     assert qs["corpus_curation"](spark, sf).count() >= 1
+
+
+def test_degenerate_empty_table_policy(spark):
+    """Empty-input behavior is DEFINED, not accidental (r9 empty-table
+    probe over all 50 keys): profile_columns still emits one row per
+    column with n=0 and NULL null_frac (a bare nulls/n would abort
+    under ANSI mode); the mixture derivations raise a NAMED error."""
+    import pytest as _pt
+
+    from rq_spark.operators.profiling import profile_columns
+
+    empty = spark.createDataFrame([], "a long, b string")
+    rows = {r["col_name"]: r for r in profile_columns(empty, ["a", "b"]).collect()}
+    assert set(rows) == {"a", "b"}
+    assert all(r["n"] == 0 and r["null_frac"] is None for r in rows.values())
+
+    with _pt.raises(ValueError, match="no rows"):
+        X.budget_mixture_thresholds(empty.selectExpr("b AS source", "a AS n_chars"), "source", "n_chars")
