@@ -80,10 +80,10 @@ def brute_topk(
     through one stage (no shuffle) and only (query, k) survivors hit
     the window shuffle.
     """
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -169,12 +169,12 @@ def ann_topk(
     broadcast, no nested loop; candidate dedup on ids before scoring."""
     planes = hyperplanes(bands * rows_per_band, dim)
     bucket = band_bucket_udf(planes, bands, rows_per_band)
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -239,7 +239,7 @@ def lsh_near_pairs(
     # to recomputing the corpus pipeline
     release_caches("lsh_near_pairs")
     banded = persist_tracked(
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
             F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -300,7 +300,7 @@ def semantic_decontaminate(
     bucket = band_bucket_udf(planes, bands, rows_per_band)
 
     def banded(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(f"{tag}_id"),
             F.col(vec_col).alias(f"{tag}_vec"),
             F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -358,7 +358,7 @@ def embedding_near_pairs(
         ],
         "cell int, bi int, bj int",
     )
-    v = corpus.select(
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int"))
     # distinct column names per side: both derive from v ⨝ cells, and
@@ -437,7 +437,7 @@ def ivf_centroids(
     volume ∝ n_centroids·dim, never ∝ corpus. The centroid matrix is
     the ONLY thing the driver ever holds.
     """
-    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     seeds = (
         v.withColumn("h", F.xxhash64(F.col("vid")))
         .orderBy("h")
@@ -522,12 +522,12 @@ def ivf_topk(
     cents = ivf_centroids(
         corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
@@ -573,7 +573,7 @@ def pq_codebooks(
 
     Returns codebooks with shape (m, n_codes, dsub).
     """
-    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     seeds = (
         v.withColumn("h", F.xxhash64(F.col("vid")))
         .orderBy("h")
@@ -725,11 +725,11 @@ def pq_topk(
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    codes = corpus.select(
+    codes = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")).collect()
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")).collect()
     qids = np.array([r.qid for r in qrows])
     qv = np.stack([np.array(r.vec, dtype=np.float64) for r in qrows])
     qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
@@ -768,7 +768,7 @@ def pq_topk(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_vec = corpus.sparkSession.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(qids, qv)],
         "query_id long, q_vec array<double>",
@@ -841,12 +841,12 @@ def ivfpq_topk(
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    qrows = queries.select(
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
     ).collect()
     qids = [int(r.qid) for r in qrows]
@@ -855,7 +855,7 @@ def ivfpq_topk(
     mm, ncodes, dsub = cb.shape
     lut = np.einsum("qsd,scd->qsc", qv.reshape(len(qv), mm, dsub), cb)
     lut_by_q = {q: lut[i] for i, q in enumerate(qids)}
-    q_probe = queries.select(
+    q_probe = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
     )
@@ -891,7 +891,7 @@ def ivfpq_topk(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.select(
+    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     q_vec = corpus.sparkSession.createDataFrame(
@@ -988,12 +988,18 @@ def ivfpq_topk_join(
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.select(
+    # the TRAINED codebook can hold fewer codes than requested (corpus
+    # smaller than n_codes: seeds = available vectors). The LUT and
+    # encode UDFs already derive their stride from cb.shape — the ADC
+    # indexing must use the same stride, or element_at walks past the
+    # LUT on any corpus with < n_codes vectors
+    n_codes = cb.shape[1]
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         pq_lut_udf(cb)(F.col(vec_col)).alias("lut"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias(
@@ -1016,10 +1022,10 @@ def ivfpq_topk_join(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.select(
+    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    q_vec = queries.select(
+    q_vec = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     if broadcast_queries:
@@ -1125,7 +1131,7 @@ def semdedup(
     cn = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
     )
-    assigned = corpus.select(
+    assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("cell", ivf_assign_udf(cents)(F.col("vec")))
 

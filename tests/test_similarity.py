@@ -494,3 +494,41 @@ def test_ann_training_rejects_empty_corpus(spark):
         ivf_centroids(empty, n_centroids=4)
     with _pt.raises(ValueError, match="no vectors"):
         pq_codebooks(empty, m=4, n_codes=4)
+
+
+def test_null_vectors_drop_and_small_corpus_codebook(spark):
+    """NULL embeddings are EXCLUDED from every vector operator (the
+    embedding analogue of the zero-shingle drop) instead of crashing
+    the numpy kernels, and a corpus SMALLER than n_codes trains a
+    shrunken codebook whose stride the ADC join must follow (both
+    found by the r9 NULL/small-corpus probes)."""
+    import pyspark.sql.functions as F
+
+    from rq_spark.operators.similarity import (
+        brute_topk,
+        embedding_near_pairs,
+        ivfpq_topk_join,
+    )
+
+    vecs = spark.range(1, 30).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") == 3, None).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: ((F.col("id") * j % 7) - 3).cast("float"),
+            )
+        ).alias("embedding"),
+    )
+    # near-pairs: must run, and the NULL row never appears on any side
+    pairs = embedding_near_pairs(vecs, threshold=0.9).collect()
+    assert all(r["a_id"] != 3 and r["b_id"] != 3 for r in pairs)
+    # brute: the NULL row is neither a query nor a neighbor
+    bt = brute_topk(vecs, vecs.limit(5), k=3, dim=16).collect()
+    assert bt and all(r["neighbor_id"] != 3 for r in bt)
+    # ADC join path: 28 usable vectors < n_codes=32 --> shrunken
+    # codebook; the LUT stride must follow or element_at walks off the
+    # end of the LUT array
+    top = ivfpq_topk_join(
+        vecs, vecs.limit(4), k=3, n_centroids=4, m=4, n_codes=32
+    ).collect()
+    assert top and all(r["neighbor_id"] != 3 for r in top)
