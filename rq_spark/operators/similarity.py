@@ -1042,6 +1042,188 @@ def ivfpq_topk_join(
     return _topk_per_query(scored, k)
 
 
+def write_ann_index(
+    corpus: DataFrame,
+    base_name: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 8,
+) -> None:
+    """Materialize the corpus's IVFPQ index ON DISK — the
+    `write_minhash_index` pattern applied to the vector family. At
+    100 TB the Lloyd training passes and the corpus encode pass are
+    ingest-time costs paid ONCE; every subsequent query batch probes
+    the saved index without retraining centroids, re-deriving
+    codebooks, or re-encoding anything corpus-sized (the in-query
+    `ivfpq_topk_join` pays all three per call).
+
+    Writes five catalog tables:
+
+    * ``{base}_codes`` (neighbor_id, cell, codes) — the encoded corpus
+      (m small ints per vector instead of dim floats), bucketed AND
+      bucket-sorted on ``cell``: a non-broadcast probe shuffles only
+      the query side INTO this layout while the index reads
+      zero-Exchange (plan-asserted in tests/test_similarity.py).
+    * ``{base}_vectors`` (neighbor_id, c_vec) — raw vectors for the
+      exact-cosine re-rank, bucketed on ``neighbor_id`` so the
+      R·nq-row candidate join shuffles only candidates.
+    * ``{base}_centroids`` (cell, centroid) — the coarse quantizer,
+      model-sized (n_centroids rows).
+    * ``{base}_codebooks`` (sub, code, centroid) — the PQ codebooks,
+      model-sized (m·n_codes rows).
+    * ``{base}_meta`` — one row pinning (n_centroids, m, n_codes, dim,
+      dsub), with n_codes/n_centroids the TRAINED sizes (a corpus
+      smaller than the requested code count trains a smaller book).
+      The probe takes every model parameter FROM these tables (never
+      from the caller), so query-side LUTs/assignments cannot drift
+      from the layout the corpus was encoded under.
+    """
+    from ..bucketing import write_bucketed
+
+    cents = ivf_centroids(
+        corpus, n_centroids=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    spark = corpus.sparkSession
+    v = corpus.filter(F.col(vec_col).isNotNull())
+    coded = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+    )
+    write_bucketed(coded, f"{base_name}_codes", "cell", buckets=buckets)
+    write_bucketed(
+        v.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        f"{base_name}_vectors",
+        "neighbor_id",
+        buckets=buckets,
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_centroids"
+    )
+    mm, trained_codes, dsub = cb.shape
+    spark.createDataFrame(
+        [
+            (int(sub), int(code), [float(x) for x in cb[sub, code]])
+            for sub in range(mm)
+            for code in range(trained_codes)
+        ],
+        "sub int, code int, centroid array<double>",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_codebooks"
+    )
+    spark.createDataFrame(
+        [(len(cents), mm, trained_codes, mm * dsub, dsub)],
+        "n_centroids int, m int, n_codes int, dim int, dsub int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_meta"
+    )
+
+
+def _read_ann_model(spark, base_name: str):
+    """Load the (model-sized) trained arrays back from the index's
+    catalog tables: centroids (n_centroids, dim) and codebooks
+    (m, n_codes, dsub), float64-exact (parquet doubles round-trip)."""
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    crows = spark.table(f"{base_name}_centroids").collect()
+    cents = np.zeros((meta.n_centroids, meta.dim))
+    for r in crows:
+        cents[r.cell] = r.centroid
+    brows = spark.table(f"{base_name}_codebooks").collect()
+    cb = np.zeros((meta.m, meta.n_codes, meta.dsub))
+    for r in brows:
+        cb[r.sub, r.code] = r.centroid
+    return meta, cents, cb
+
+
+def ivfpq_topk_join_from_index(
+    spark,
+    queries: DataFrame,
+    base_name: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """`ivfpq_topk_join` against a SAVED index (`write_ann_index`):
+    zero training, zero corpus encoding — only the query batch runs
+    Python (one Arrow pass attaching LUT + probed cells), then the
+    cell equi-join, JVM ADC fold, window top-R, and exact-cosine
+    re-rank all read the persisted tables. Model parameters (m,
+    n_codes stride, centroids, codebooks) come from the index's meta/
+    model tables, never from the caller, so the ADC stride always
+    matches what the corpus codes were encoded under.
+
+    With ``broadcast_queries`` (the serving default) the probed-query
+    table broadcasts and the corpus index never leaves its scan. When
+    the batch outgrows the broadcast budget, pass False: the batch
+    shuffles INTO the ``{base}_codes`` table's cell bucketing while
+    the index side still reads zero-Exchange — the layout the index
+    was written for. Results are identical to the in-query operator
+    given the same (deterministically trained) model
+    (parity-asserted in tests/test_similarity.py)."""
+    if rerank is None:
+        rerank = 4 * k
+    meta, cents, cb = _read_ann_model(spark, base_name)
+    m, n_codes = int(meta.m), int(meta.n_codes)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        pq_lut_udf(cb)(F.col(vec_col)).alias("lut"),
+        F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias(
+            "cell"
+        ),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = spark.table(f"{base_name}_codes")
+    cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored_codes = cand.select(
+        "query_id",
+        "neighbor_id",
+        _adc_expr(F.col("codes"), F.col("lut"), m, n_codes).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored_codes.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = spark.table(f"{base_name}_vectors")
+    q_vec = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    if broadcast_queries:
+        q_vec = F.broadcast(q_vec)
+    scored = (
+        short.join(c_vec, "neighbor_id")
+        .join(q_vec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 10,

@@ -532,3 +532,96 @@ def test_null_vectors_drop_and_small_corpus_codebook(spark):
         vecs, vecs.limit(4), k=3, n_centroids=4, m=4, n_codes=32
     ).collect()
     assert top and all(r["neighbor_id"] != 3 for r in top)
+
+
+def test_ann_index_probe_matches_inline_and_reads_bucketed(spark):
+    """r10 (r9 verdict task #1): the persisted ANN index — train IVF
+    centroids + PQ codebooks once, save (codes, vectors, model, meta)
+    as bucketed catalog tables, probe a query batch from the index,
+    and get EXACTLY the in-query ivfpq_topk_join's top-k (same
+    deterministic training, same candidates, same float64 ADC order).
+    In the non-broadcast probe the corpus codes table must read
+    zero-Exchange from its cell bucketing — the daily batch-scoring
+    shape at 100 TB, with zero per-call Lloyd retraining."""
+    import ast
+    import inspect
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rq_spark.operators import similarity as S
+
+    corpus = table(spark, SF, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    base = "t_ann_index"
+    params = dict(n_centroids=8, m=8, n_codes=32, iters=2)
+    try:
+        S.write_ann_index(corpus, base, **params)
+        want = {
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in S.ivfpq_topk_join(
+                corpus, queries, k=10, nprobe=4, rerank=40, **params
+            ).collect()
+        }
+        got_df = S.ivfpq_topk_join_from_index(
+            spark, queries, base, k=10, nprobe=4, rerank=40
+        )
+        got = {
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in got_df.collect()
+        }
+        assert len(want) == 50 and got == want
+
+        # the probe itself never trains or collects anything
+        # corpus-sized: no Lloyd calls, no collect of a corpus relation
+        src = inspect.getsource(S.ivfpq_topk_join_from_index)
+        assert "ivf_centroids" not in src and "pq_codebooks" not in src
+        tree = ast.parse(src)
+        calls = [
+            n.func.attr
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+        ]
+        assert "collect" not in calls  # model load lives in _read_ann_model
+
+        # serving shape: probed queries broadcast, index never shuffles
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+        # batch shape (broadcast off): the query side shuffles INTO the
+        # codes table's cell bucketing; the index side reads bucketed,
+        # zero-Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+        big_df = S.ivfpq_topk_join_from_index(
+            spark, queries, base, k=10, nprobe=4, rerank=40,
+            broadcast_queries=False,
+        )
+        assert {
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in big_df.collect()
+        } == want
+        plan = (
+            big_df._jdf.queryExecution().executedPlan().toString()
+            .split("\n+- == Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan, "codes table not bucket-read"
+        assert "SelectedBucketsCount" in plan
+        assert "SortMergeJoin [cell" in plan, "probe should bucket-merge-join"
+        scan_lines = [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "_codes" in ln
+        ]
+        assert scan_lines, "corpus codes table scan missing"
+        # exactly ONE Exchange hashpartitioning(cell...) — the query
+        # side shuffling into the bucket layout; a second would mean
+        # the bucketed index scan got re-shuffled
+        cell_ex = re.findall(r"Exchange hashpartitioning\(cell", plan)
+        assert len(cell_ex) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for t in ("codes", "vectors", "centroids", "codebooks", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
