@@ -23,24 +23,42 @@ where the headline gate does not). Solo times include each branch's
 required inputs, so they need not sum to the key total; the delta is
 the key's fusion win.
 
-The full sweep runs at a FIXED sf0.01 sibling of sf_dir (recorded as
-``branch_sf``): attribution needs relative shares, and a full-sf sweep
-would put the whole bench over the per-round wall-clock ceiling. The
-few solos directly comparable to an r1 BASELINE key (the asof
-directions vs r1 join_asof_event, window_frames/running vs r1
-window_running_revenue, sim_topk_cosine/cosine vs r1 sim_topk_cosine)
-ALSO run at the headline sf, under ``"branches_at_sf"`` — the driver
-artifact that clears/flags a per-key baseline breach. A wall-clock
-budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 450) truncates the
-sweeps (never the headline) with ``branch_sweep_truncated: true`` so
-the headline JSON always lands inside the driver's timeout; the sweep
-is ordered so the highest-attribution-value keys go first. A HARD
-deadline (``SPARK_GRAFT_BENCH_HARD_SEC``, default 540) is the last
-line: past it remaining headline keys are skipped outright (recorded
-under ``"skipped"``) — under extreme ambient load the soft budget's
+Sweep placement (r10, r9 verdict task #2): every headline key that
+costs >= ~10 s at sf0.1 (the dedup/graph/stream heavies) plus the
+r1-BASELINE-comparable trio (asof directions, window_frames/running,
+sim_topk_cosine/cosine) runs its branch solos AT THE HEADLINE SF,
+under ``"branches_at_sf"`` — the driver artifact that clears/flags a
+per-key baseline breach and localizes regressions inside the heavy
+keys. The remaining (cheap) keys sweep at a FIXED sf0.01 sibling of
+sf_dir (recorded as ``branch_sf``): attribution there needs relative
+shares only, and double-covering the at-sf keys at sf0.01 would buy
+nothing for its wall-clock.
+
+Noise-immune regression sentinels (r10, r9 verdict task #3): the
+verdict-priority heavy keys also record ``"ratio_vs_ref"`` — each
+timed sample is preceded by a pinned REFERENCE computation (a fixed
+xxhash64 range-fold, rq_spark/bench_ref.py) and the reported value is
+the median of the pairwise sample/reference ratios. Ambient load
+inflates both sides of each interleaved pair, so the ratio separates
+a real regression (key grows, reference does not) from the documented
+±30% machine noise that wall-clock medians cannot. ``"ref_sec"``
+records the reference medians so absolute times stay reconstructable.
+
+Budgets: a wall-clock budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``,
+default 505) cancels any in-flight run that straddles it (headline
+runs included — those report under ``timed_out``) and truncates the
+sweeps with ``branch_sweep_truncated: true`` so the headline JSON
+always lands inside the driver's timeout; sweeps are ordered so the
+highest-attribution-value keys go first. A HARD deadline
+(``SPARK_GRAFT_BENCH_HARD_SEC``, default 540) is the last line: past
+it remaining headline keys are skipped outright (recorded under
+``"skipped"``) — under extreme ambient load the soft budget's
 per-run floors and cancel drains across 24 keys could otherwise
 push total wall past the driver's kill, and a killed bench leaves
-no artifact at all.
+no artifact at all. A query that RAISES (anywhere — headline, ratio
+reference, or sweep) is recorded under ``"errors"`` and the bench
+continues: the artifact always lands with every timing measured
+before the failure.
 """
 
 from __future__ import annotations
@@ -89,13 +107,40 @@ HEADLINE = [
     "explode_ops",
 ]
 
+#: keys whose branch solos run AT THE HEADLINE SF (r10): every key
+#: >= ~10 s at sf0.1 (regressions inside them are the ones that move
+#: the round verdict) plus the r1-BASELINE-comparable trio. Everything
+#: else sweeps at the fixed sf0.01 sibling for relative shares.
+AT_SF_KEYS = (
+    "join_asof_event",
+    "window_frames",
+    "sim_topk_cosine",
+    "dedup_text",
+    "dedup_incremental",
+    "dedup_connected_groups",
+    "stream_stateful",
+)
+
+#: verdict-priority keys that record an interleaved sample/reference
+#: ratio (rq_spark/bench_ref.py) next to their wall-clock median — the
+#: noise-immune regression signal for the keys where ±30% ambient
+#: noise would otherwise mask a real 25% slowdown.
+RATIO_KEYS = (
+    "dedup_text",
+    "dedup_incremental",
+    "dedup_connected_groups",
+    "stream_stateful",
+    "mm_real_decode",
+    "sim_topk_cosine",
+)
+
 
 def main() -> None:
     bench_start = time.time()  # the sweep budget bounds TOTAL wall-clock
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "450"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "505"))
     # hard deadline: past this, remaining HEADLINE keys are skipped
     # outright (recorded under "skipped"). The soft budget already
     # degrades runs and truncates sweeps, but under extreme ambient
@@ -187,7 +232,36 @@ def main() -> None:
             raise box[0]
         return time.time() - t0
 
+    errors: dict[str, str] = {}
+
+    def _run_safe(tag: str, fn, data_dir) -> float | None:
+        """_run_bounded that survives a raising query: the failure is
+        recorded under 'errors' and the bench continues — a broken
+        solo must never discard already-measured headline timings."""
+        try:
+            return _run_bounded(fn, data_dir)
+        except Exception as e:  # noqa: BLE001 — recorded in the artifact
+            errors[tag] = f"{type(e).__name__}: {e}"[:300]
+            print(f"WARN bench: {tag} failed: {errors[tag]}", file=sys.stderr)
+            return None
+
+    from rq_spark.bench_ref import pairwise_ratio, reference_job
+
+    def _ref_once() -> float | None:
+        """One timed run of the pinned reference job (bench_ref.py)."""
+        return _run_safe(
+            "ratio_ref", lambda s, _d: reference_job(s), sf_dir
+        )
+
+    # the reference's first runs carry codegen compile + JIT warm-in
+    # (~2x, measured) — warm it twice UNCOUNTED or the first priority
+    # key's ratio reads against an inflated denominator
+    for _ in range(2):
+        _ref_once()
+
     timings: dict[str, float] = {}
+    ratio_vs_ref: dict[str, float] = {}
+    ref_sec: dict[str, float] = {}
     reduced_runs: list[str] = []
     skipped: list[str] = []
     for name in HEADLINE:
@@ -209,15 +283,27 @@ def main() -> None:
         n_runs = runs if time.time() - bench_start < 0.7 * hard else 1
         if n_runs < runs:
             reduced_runs.append(name)
-        samples = []
+        samples: list[float] = []
+        refs: list[float | None] = []
         for _ in range(n_runs):
-            dt = _run_bounded(fn, sf_dir)
+            if name in RATIO_KEYS:
+                # interleaved pair: the reference samples the machine's
+                # throughput at the same moment as the key sample it
+                # precedes, so their ratio cancels ambient load
+                refs.append(_ref_once())
+            dt = _run_safe(name, fn, sf_dir)
             if dt is None:
                 break
             samples.append(dt)
         if samples:
             timings[name] = round(statistics.median(samples), 3)
-        else:
+            ratio = pairwise_ratio(samples, refs)
+            if ratio is not None:
+                ratio_vs_ref[name] = round(ratio, 2)
+                ref_sec[name] = round(
+                    statistics.median([r for r in refs if r is not None]), 3
+                )
+        elif name not in errors:
             timed_out.append(name)
         # a finished query's persisted working set must not sit in
         # storage memory while the NEXT key is timed (its own persists
@@ -261,9 +347,12 @@ def main() -> None:
                 spark.catalog.clearCache()
             samples = []
             for _ in range(n_runs):
-                dt = _run_bounded(fn, data_dir)
+                dt = _run_safe(name, fn, data_dir)
                 if dt is None:
-                    truncated = True
+                    # distinguish budget cancel (truncation) from a
+                    # raising query (recorded, sweep continues)
+                    if name not in errors:
+                        truncated = True
                     break
                 samples.append(dt)
             if samples:
@@ -287,17 +376,22 @@ def main() -> None:
         ordered = sorted(
             bqs.items(), key=lambda kv: prio.get(kv[0].split("/")[0], 99)
         )
-        # the r1-comparable solos, at the headline sf (cheap: <10 s)
+        # at-sf solos: the heavy keys + the r1-comparable trio (r10 —
+        # every key >= ~10 s gets per-branch numbers at the headline sf)
         at_sf = [
-            (n, f)
-            for n, f in ordered
-            if n.split("/")[0]
-            in ("join_asof_event", "window_frames", "sim_topk_cosine")
+            (n, f) for n, f in ordered if n.split("/")[0] in AT_SF_KEYS
         ]
         if branch_dir != sf_dir:
             branches_at_sf, t1 = _sweep(at_sf, sf_dir, branch_runs)
             truncated |= t1
-        branches, t2 = _sweep(ordered, branch_dir, branch_runs)
+            # the fixed-sf0.01 share sweep covers only what the at-sf
+            # sweep did not — double coverage buys nothing
+            rest = [
+                (n, f) for n, f in ordered if n.split("/")[0] not in AT_SF_KEYS
+            ]
+        else:
+            rest = ordered
+        branches, t2 = _sweep(rest, branch_dir, branch_runs)
         truncated |= t2
 
     print(
@@ -307,6 +401,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "ratio_vs_ref": ratio_vs_ref,
+                "ref_sec": ref_sec,
                 "branches": branches,
                 "branches_at_sf": branches_at_sf,
                 "branch_sf": branch_sf,
@@ -315,6 +411,7 @@ def main() -> None:
                 "reduced_runs": reduced_runs,
                 "timed_out": timed_out,
                 "skipped": skipped,
+                "errors": errors,
                 "sf": sf,
                 "runs": runs,
                 "warmup": warmup_mode,

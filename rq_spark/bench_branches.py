@@ -33,12 +33,15 @@ own shuffle+sort where the catalog pays one for all three). Solo
 times therefore need not sum to the key total — the DELTA is the
 fusion win, which this registry makes measurable per round.
 
-Keys deliberately excluded (documented, enforced in
-tests/test_bench_branches.py): ``stream_stateful`` — its branches are
-separate Structured Streaming queries the catalog key runs
-CONCURRENTLY (the production shape); a solo re-run would serialize
-micro-batch fixed costs and measure a harness artifact, not the
-branch.
+``stream_stateful`` gets solo builders too (r10, r9 verdict task #2):
+each branch runs ALONE as its own bounded streaming query through the
+same `run_many_to_memory` runner and no-data-microbatch setting the
+catalog key uses. A solo stream pays its own micro-batch fixed costs
+that the concurrent catalog key overlaps — per the branch-cost
+semantics above, the solos need not sum to the key total and the
+delta IS the concurrency win (r9 session notes measured solo
+interval_join 8.3s + first_seen 4.5s + running 3.5s vs the 14.3s
+concurrent key).
 """
 
 from __future__ import annotations
@@ -81,8 +84,8 @@ FILTER_PRUNED: dict[str, tuple[str, ...]] = {
 #: headline keys with tagged branches that a filter cannot isolate —
 #: each must have explicit solo builders below, or be excluded with a
 #: reason in EXCLUDED.
-SOLO_BUILT = ("join_asof_event", "dedup_connected_groups")
-EXCLUDED = ("stream_stateful",)  # concurrent streams: see module doc
+SOLO_BUILT = ("join_asof_event", "dedup_connected_groups", "stream_stateful")
+EXCLUDED: tuple[str, ...] = ()
 
 
 def _asof_solo(direction: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -135,6 +138,42 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _stream_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
+    """One stream_stateful branch as a SOLO bounded streaming query —
+    same source, operator, output mode, runner, and no-data-microbatch
+    setting as the catalog key, minus the other two concurrent streams.
+    The streaming work happens at BUILD time (run_many_to_memory drains
+    the query before returning), matching the graph solos' semantics."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .streaming import (
+            first_seen_per_user,
+            interval_join,
+            run_many_to_memory,
+            running_user_stats,
+            stream_events,
+        )
+
+        nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
+        prev = spark.conf.get(nodata, "true")
+        spark.conf.set(nodata, "false")
+        try:
+            if which == "first_seen":
+                sdf = first_seen_per_user(stream_events(spark, sf_dir))
+            elif which == "interval_join":
+                sdf = interval_join(
+                    stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+                )
+            else:
+                sdf = running_user_stats(stream_events(spark, sf_dir))
+            (res,) = run_many_to_memory([(sdf, "append")])
+        finally:
+            spark.conf.set(nodata, prev)
+        return res
+
+    return q
+
+
 def _pruned(
     key: str, tag: str
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -156,4 +195,6 @@ def branch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"join_asof_event/{d}"] = _asof_solo(d)
     for g in ("components", "pagerank", "triangles"):
         out[f"dedup_connected_groups/{g}"] = _graph_solo(g)
+    for s in ("first_seen", "interval_join", "running"):
+        out[f"stream_stateful/{s}"] = _stream_solo(s)
     return out

@@ -103,3 +103,33 @@ def test_graph_solo_builders_return_rows(spark):
     bq = B.branch_queries()
     for g in ("components", "pagerank", "triangles"):
         assert bq[f"dedup_connected_groups/{g}"](spark, SF).count() > 0
+
+
+def test_stream_solo_builders_match_catalog_branches(spark):
+    """r10 (r9 verdict task #2): each stream solo must produce the same
+    rows as the catalog key's corresponding concurrent branch — solo
+    attribution that drifted from the key would attribute the wrong
+    work."""
+    from rq_spark.queries import all_queries
+
+    bq = B.branch_queries()
+    key = all_queries()["stream_stateful"](spark, SF)
+    for tag, cols in (
+        ("first_seen", ("user_id", "first_event_id")),
+        ("interval_join", ("a_event_id", "b_event_id")),
+        ("running", ("event_id", "run_n")),
+    ):
+        solo = {
+            tuple(r[c] for c in cols)
+            for r in bq[f"stream_stateful/{tag}"](spark, SF).collect()
+        }
+        fused_cols = {
+            "first_seen": ("user_id", "e1"),
+            "interval_join": ("e1", "e2"),
+            "running": ("e1", "e2"),
+        }[tag]
+        fused = {
+            tuple(r[c] for c in fused_cols)
+            for r in key.filter(F.col("op") == tag).collect()
+        }
+        assert solo == fused and len(solo) > 0, tag

@@ -84,13 +84,15 @@ def main() -> None:
         if not m:
             continue
         self_t, path, func = float(m.group(1)), m.group(2), m.group(3)
+        # built-in frames print as "{built-in ...}" — keep the function
+        # name in their rollup label or they all collapse to one row
         tag = f"{path}:{func}" if path.startswith("{") else path
         for name, pat in _BUCKETS:
             if pat.search(path) or pat.search(func):
                 buckets[name] += self_t
                 break
         else:
-            mods[path.split("/")[-1]] += self_t
+            mods[tag.split("/")[-1]] += self_t
 
     print(f"query={key} sf={sf_dir}")
     print(f"python UDF nodes: {n_udfs}; summed worker seconds: {total:.1f}")
