@@ -127,16 +127,30 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.count()  # materialize the shared edge relation exactly once
     nodes = docs.select(F.col("doc_id").alias("node"))
     nulls = F.lit(None)
-    # components and pagerank each run a driver-side iteration loop
-    # (per-round checkpoint / count jobs); the loops are independent,
-    # so submit them from two threads — Spark schedules concurrent
-    # jobs safely, and the key costs max(loop) instead of the sum
+    # all THREE branches are independent until the final union (r10,
+    # r9 verdict task #5): components and pagerank each run a
+    # driver-side iteration loop (per-round checkpoint / count jobs),
+    # and triangles — lazy, no loop — would otherwise execute its ~6 s
+    # of sequential stages AFTER the loops, inside the final action.
+    # Submitting all three from threads (triangles force-materialized
+    # through a tracked persist) overlaps every branch's stages on the
+    # shared scheduler: the key costs max(branch), not the sum.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as ex:
+    def _tri() -> DataFrame:
+        t = _persist_tracked(
+            triangle_counts(pairs, nodes), scope="connected_groups"
+        )
+        t.count()
+        return t
+
+    with ThreadPoolExecutor(3) as ex:
         f_comp = ex.submit(D.connected_components, pairs, nodes)
         f_pr = ex.submit(pagerank_fixed, pairs, nodes)
-        comp_df, pr_df = f_comp.result(), f_pr.result()
+        f_tri = ex.submit(_tri)
+        comp_df, pr_df, tri_df = (
+            f_comp.result(), f_pr.result(), f_tri.result()
+        )
     comp = comp_df.select(
         F.lit("components").alias("op"),
         F.col("node").alias("doc_id"),
@@ -149,7 +163,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("bigint").alias("rep_id"),
         F.col("pr"),
     )
-    tri = triangle_counts(pairs, nodes).select(
+    tri = tri_df.select(
         F.lit("triangles").alias("op"),
         F.col("node").alias("doc_id"),
         nulls.cast("bigint").alias("rep_id"),
