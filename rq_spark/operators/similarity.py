@@ -13,12 +13,15 @@
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 _DOUBLE_ARR = "array<double>"
 
@@ -677,6 +680,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_collect_queries: int | None = COLLECT_DISPATCH_MAX,
+    n_centroids: int = 8,
+    nprobe: int = 4,
 ) -> DataFrame:
     """PQ/ADC ANN top-k: encode the corpus as m-byte codes, score
     every code against per-query LOOKUP TABLES (asymmetric distance
@@ -702,18 +707,32 @@ def pq_topk(
     joined column with no driver collect; that path additionally
     prunes candidates through IVF cells (the production composition —
     a corpus-sized brute ADC sweep would be quadratic regardless of
-    transport). Pass ``max_collect_queries=None`` to force the
-    collected path.
+    transport), so dispatch CHANGES RESULT SEMANTICS: the exhaustive
+    ADC sweep becomes cell-pruned, governed by ``n_centroids``/
+    ``nprobe`` (explicit params so the pruning level is the caller's
+    choice, not a hidden default) — a logged warning marks every
+    dispatch. Pass ``max_collect_queries=None`` to force the
+    collected (exhaustive) path.
     """
     if rerank is None:
         rerank = 4 * k
     if max_collect_queries is not None and _query_count_exceeds(
         queries, max_collect_queries
     ):
+        _LOG.warning(
+            "pq_topk: query set exceeds max_collect_queries=%d — "
+            "dispatching to ivfpq_topk_join (n_centroids=%d, nprobe=%d): "
+            "the exhaustive ADC sweep becomes IVF-pruned, which can "
+            "change top-k/recall; pass max_collect_queries=None to "
+            "force the exhaustive path",
+            max_collect_queries, n_centroids, nprobe,
+        )
         return ivfpq_topk_join(
             corpus,
             queries,
             k=k,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
             m=m,
             n_codes=n_codes,
             iters=iters,
@@ -814,13 +833,19 @@ def ivfpq_topk(
     (serving shape); a query set larger than ``max_collect_queries``
     (bounded limit-probe) AUTO-DISPATCHES to `ivfpq_topk_join` — the
     same model, candidates, and re-rank with the LUTs as a shuffled
-    column instead of a driver closure. ``None`` forces the collected
-    path."""
+    column instead of a driver closure (a logged warning marks the
+    dispatch). ``None`` forces the collected path."""
     if rerank is None:
         rerank = 4 * k
     if max_collect_queries is not None and _query_count_exceeds(
         queries, max_collect_queries
     ):
+        _LOG.warning(
+            "ivfpq_topk: query set exceeds max_collect_queries=%d — "
+            "dispatching to the collect-free ivfpq_topk_join (same "
+            "model and candidates; only the LUT transport changes)",
+            max_collect_queries,
+        )
         return ivfpq_topk_join(
             corpus,
             queries,
