@@ -68,7 +68,11 @@ def line_rules(lines: Column) -> dict[str, Column]:
         "frac_ellipsis_lines": _dbl(F.size(F.filter(lines, lambda x: x.endswith("...")))) / n,
         "frac_terminal_lines": _dbl(F.size(F.filter(lines, _is_terminal))) / n,
         "frac_dup_lines": F.lit(1.0) - _dbl(F.size(F.array_distinct(lines))) / n,
-        "frac_dup_line_chars": _dbl(dup_chars) / total_chars,
+        # all-empty lines → 0 total chars: the ratio is undefined, NULL
+        # (ANSI double division raises DIVIDE_BY_ZERO — r10 adversarial
+        # probe, whitespace-only document)
+        "frac_dup_line_chars": _dbl(dup_chars)
+        / F.nullif(_dbl(total_chars), F.lit(0.0)),
     }
 
 

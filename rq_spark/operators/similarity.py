@@ -26,6 +26,17 @@ _LOG = logging.getLogger(__name__)
 _DOUBLE_ARR = "array<double>"
 
 
+def _nonzero_vec(vec_col: str) -> Column:
+    """Intake predicate for every vector operator: NULL **and
+    zero-norm** embeddings are excluded. Cosine is undefined at norm 0
+    (Spark ANSI double division raises DIVIDE_BY_ZERO — found by the
+    r10 adversarial-corpus probe on an all-zero embedding), and a zero
+    vector seeding the coarse quantizer poisons every centroid with
+    NaN. The zero-shingle-drop analogue for the vector family."""
+    c = F.col(vec_col)
+    return c.isNotNull() & F.exists(c, lambda x: x != 0)
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product in double, sequential accumulation order.
 
@@ -83,10 +94,10 @@ def brute_topk(
     through one stage (no shuffle) and only (query, k) survivors hit
     the window shuffle.
     """
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.filter(_nonzero_vec(vec_col)).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -172,12 +183,12 @@ def ann_topk(
     broadcast, no nested loop; candidate dedup on ids before scoring."""
     planes = hyperplanes(bands * rows_per_band, dim)
     bucket = band_bucket_udf(planes, bands, rows_per_band)
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
     )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -242,7 +253,7 @@ def lsh_near_pairs(
     # to recomputing the corpus pipeline
     release_caches("lsh_near_pairs")
     banded = persist_tracked(
-        corpus.filter(F.col(vec_col).isNotNull()).select(
+        corpus.filter(_nonzero_vec(vec_col)).select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
             F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -303,7 +314,7 @@ def semantic_decontaminate(
     bucket = band_bucket_udf(planes, bands, rows_per_band)
 
     def banded(df: DataFrame, tag: str) -> DataFrame:
-        return df.filter(F.col(vec_col).isNotNull()).select(
+        return df.filter(_nonzero_vec(vec_col)).select(
             F.col(id_col).alias(f"{tag}_id"),
             F.col(vec_col).alias(f"{tag}_vec"),
             F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
@@ -361,7 +372,7 @@ def embedding_near_pairs(
         ],
         "cell int, bi int, bj int",
     )
-    v = corpus.filter(F.col(vec_col).isNotNull()).select(
+    v = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int"))
     # distinct column names per side: both derive from v ⨝ cells, and
@@ -440,7 +451,7 @@ def ivf_centroids(
     volume ∝ n_centroids·dim, never ∝ corpus. The centroid matrix is
     the ONLY thing the driver ever holds.
     """
-    v = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    v = corpus.filter(_nonzero_vec(vec_col)).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     seeds = (
         v.withColumn("h", F.xxhash64(F.col("vid")))
         .orderBy("h")
@@ -480,7 +491,11 @@ def ivf_assign_udf(cents: np.ndarray, nprobe: int = 1):
     nprobe == 1 returns the single best cell id (int); with nprobe > 1
     returns the nprobe nearest cell ids (array<int>) for query-side
     multi-probing."""
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # clamp: a cell whose members sum to zero leaves a zero centroid;
+    # raw division would poison the whole similarity row with NaN
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+    )
     rtype = "int" if nprobe == 1 else "array<int>"
 
     @F.pandas_udf(rtype)
@@ -525,12 +540,12 @@ def ivf_topk(
     cents = ivf_centroids(
         corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
     )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
@@ -576,7 +591,7 @@ def pq_codebooks(
 
     Returns codebooks with shape (m, n_codes, dsub).
     """
-    v = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    v = corpus.filter(_nonzero_vec(vec_col)).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     seeds = (
         v.withColumn("h", F.xxhash64(F.col("vid")))
         .orderBy("h")
@@ -744,11 +759,11 @@ def pq_topk(
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    codes = corpus.filter(F.col(vec_col).isNotNull()).select(
+    codes = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    qrows = queries.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")).collect()
+    qrows = queries.filter(_nonzero_vec(vec_col)).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")).collect()
     qids = np.array([r.qid for r in qrows])
     qv = np.stack([np.array(r.vec, dtype=np.float64) for r in qrows])
     qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
@@ -787,7 +802,7 @@ def pq_topk(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c_vec = corpus.filter(_nonzero_vec(vec_col)).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_vec = corpus.sparkSession.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(qids, qv)],
         "query_id long, q_vec array<double>",
@@ -866,12 +881,12 @@ def ivfpq_topk(
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    qrows = queries.filter(F.col(vec_col).isNotNull()).select(
+    qrows = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
     ).collect()
     qids = [int(r.qid) for r in qrows]
@@ -880,7 +895,7 @@ def ivfpq_topk(
     mm, ncodes, dsub = cb.shape
     lut = np.einsum("qsd,scd->qsc", qv.reshape(len(qv), mm, dsub), cb)
     lut_by_q = {q: lut[i] for i, q in enumerate(qids)}
-    q_probe = queries.filter(F.col(vec_col).isNotNull()).select(
+    q_probe = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
     )
@@ -916,7 +931,7 @@ def ivfpq_topk(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c_vec = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     q_vec = corpus.sparkSession.createDataFrame(
@@ -1019,12 +1034,12 @@ def ivfpq_topk_join(
     # indexing must use the same stride, or element_at walks past the
     # LUT on any corpus with < n_codes vectors
     n_codes = cb.shape[1]
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
     )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         pq_lut_udf(cb)(F.col(vec_col)).alias("lut"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias(
@@ -1047,10 +1062,10 @@ def ivfpq_topk_join(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c_vec = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    q_vec = queries.filter(F.col(vec_col).isNotNull()).select(
+    q_vec = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     if broadcast_queries:
@@ -1118,7 +1133,7 @@ def write_ann_index(
         id_col=id_col, vec_col=vec_col,
     )
     spark = corpus.sparkSession
-    v = corpus.filter(F.col(vec_col).isNotNull())
+    v = corpus.filter(_nonzero_vec(vec_col))
     coded = v.select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
@@ -1207,7 +1222,7 @@ def ivfpq_topk_join_from_index(
         rerank = 4 * k
     meta, cents, cb = _read_ann_model(spark, base_name)
     m, n_codes = int(meta.m), int(meta.n_codes)
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         pq_lut_udf(cb)(F.col(vec_col)).alias("lut"),
         F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col(vec_col))).alias(
@@ -1232,7 +1247,7 @@ def ivfpq_topk_join_from_index(
         .select("query_id", "neighbor_id")
     )
     c_vec = spark.table(f"{base_name}_vectors")
-    q_vec = queries.filter(F.col(vec_col).isNotNull()).select(
+    q_vec = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     if broadcast_queries:
@@ -1338,7 +1353,7 @@ def semdedup(
     cn = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
     )
-    assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
+    assigned = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("cell", ivf_assign_udf(cents)(F.col("vec")))
 

@@ -233,7 +233,10 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import mixture_sample
 
     d = table(spark, sf_dir, "documents")
-    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    # try_cast: an arbitrary-named source (not 'srcN') must fall into
+    # the .otherwise tier, not crash the scan with CAST_INVALID_INPUT
+    # (r10 adversarial probe); the oracle's TRY_CAST mirrors it
+    idx = F.substring(F.col("source"), 4, 10).try_cast("int")
     thr = (
         F.when(idx < 5, F.lit("g"))  # > any hex digit: keep all
         .when(idx < 10, F.lit("8000"))
@@ -247,13 +250,13 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_MIX_SQL = """
 SELECT doc_id, source,
-       CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
-            WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+       CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+            WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 0.5
             ELSE 0.25 END AS rate
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-      CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'g'
-           WHEN CAST(substr(source, 4) AS INT) < 10 THEN '8000'
+      CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 5 THEN 'g'
+           WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN '8000'
            ELSE '4000' END
 """
 
