@@ -317,3 +317,119 @@ def test_enrich_segment_counts_equals_batch_join(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_interval_join_state_evicts_and_late_rows_purge(spark, tmp_path):
+    """r10 (r9 verdict task #8): memory-pressure evidence for the
+    two-sided interval-join state — the streaming analogue of the
+    parquet footer-stats layout evidence. Drives the join through
+    micro-batches whose event times advance the watermark past the
+    buffered rows' join horizon, replays a LATE row, and pins from the
+    engine's own state-operator metrics that state is BOUNDED by the
+    horizon: rows are PURGED as the watermark advances (numRowsRemoved
+    > 0, and the state-row count comes DOWN off its peak instead of
+    growing monotonically), the late row changes no output, and the
+    late row's own buffered state is itself purged at the next
+    watermark advance. Without this, 'state is O(horizon)' is a
+    plan-shape claim, not an observed one.
+
+    Engine-behavior note, pinned deliberately: this Spark build does
+    NOT pre-filter late inputs at stateful operators —
+    numRowsDroppedByWatermark stays 0 even for a row below the
+    watermark (probed on the join, a windowed aggregation, and
+    dropDuplicatesWithinWatermark alike; the late row enters state and
+    is REMOVED by the eviction pass instead). Memory stays bounded
+    either way — by removal, not input filtering. If an upgrade starts
+    populating the metric, the relaxed assertion below still holds."""
+    import json
+    import os
+    import time
+
+    import duckdb
+
+    from rq_spark.streaming import interval_join
+
+    d = tmp_path / "evict_src"
+    d.mkdir()
+    con = duckdb.connect()
+    batches = [
+        # batch 1: views + one matching purchase around 01:00
+        """SELECT * FROM (VALUES
+           (1, TIMESTAMP '2024-01-01 01:00:00', 7, 'view', 1.0, '{}'),
+           (2, TIMESTAMP '2024-01-01 01:10:00', 7, 'view', 1.0, '{}'),
+           (3, TIMESTAMP '2024-01-01 01:30:00', 7, 'purchase', 9.0, '{}')
+        ) v(event_id, ts, user_id, event_type, value, props)""",
+        # batch 2: BOTH sides jump to 10:00 (the global watermark is
+        # the min over the two sides' watermark nodes, so each side
+        # must advance) -> watermark 08:00, far past batch 1's
+        # a_ts + 60 min join horizon
+        """SELECT * FROM (VALUES
+           (4, TIMESTAMP '2024-01-01 10:00:00', 7, 'purchase', 2.0, '{}'),
+           (5, TIMESTAMP '2024-01-01 10:00:00', 8, 'view', 1.0, '{}')
+        ) v(event_id, ts, user_id, event_type, value, props)""",
+        # batch 3: a LATE view at 02:00, six hours below the watermark
+        """SELECT * FROM (VALUES
+           (6, TIMESTAMP '2024-01-01 02:00:00', 7, 'view', 1.0, '{}')
+        ) v(event_id, ts, user_id, event_type, value, props)""",
+        # batch 4: both sides advance to 20:00 -> watermark 18:00; the
+        # late row's buffered state must purge with everything else
+        """SELECT * FROM (VALUES
+           (8, TIMESTAMP '2024-01-01 20:00:00', 7, 'purchase', 1.0, '{}'),
+           (9, TIMESTAMP '2024-01-01 20:00:00', 8, 'view', 1.0, '{}')
+        ) v(event_id, ts, user_id, event_type, value, props)""",
+    ]
+    now = time.time()
+    for i, sql in enumerate(batches):
+        f = d / f"b{i}.parquet"
+        con.execute(f"COPY ({sql}) TO '{f}' (FORMAT PARQUET)")
+        os.utime(f, (now - 300 + i, now - 300 + i))  # batch order = mtime
+    con.close()
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    q = (
+        interval_join(src(), src())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_evict_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    # output: both early views matched the 01:30 purchase; neither the
+    # late replayed view nor any cross-horizon pair produced a match
+    rows = spark.table("t_evict_join").collect()
+    assert {(r.a_event_id, r.b_event_id) for r in rows} == {(1, 3), (2, 3)}
+
+    state = [
+        p["stateOperators"][0]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert state, "no state-operator metrics reported"
+    # the metric field must exist (relaxed: this build evicts instead
+    # of pre-filtering, see docstring)
+    assert all("numRowsDroppedByWatermark" in s for s in state)
+    totals = [s["numRowsTotal"] for s in state]
+    removed = sum(s["numRowsRemoved"] for s in state)
+    # purge happened, more than once (batch-1 horizon AND the late row)
+    assert removed >= 5, state
+    # plateau: state came DOWN off its peak, not monotone growth
+    assert totals[-1] < max(totals), totals
+    # the final state holds only the last batch's in-horizon rows —
+    # the late row's buffered entry is gone
+    assert totals[-1] <= 2, totals
