@@ -1264,6 +1264,38 @@ def ivfpq_topk_join_from_index(
     return _topk_per_query(scored, k)
 
 
+def knn_graph_from_index(
+    spark,
+    base_name: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """`knn_graph` against a SAVED index (`write_ann_index`): the
+    corpus-vs-itself kNN graph — semantic clustering, graph dedup,
+    hard-negative mining — with ZERO retraining and zero re-encoding.
+    The query side is the index's own vectors table, so a nightly
+    graph rebuild against a standing corpus reads (vectors, codes,
+    model) from catalog tables and pays only the probe: one Arrow pass
+    attaching LUT + probed cells to the query side, the cell equi-join
+    into the bucketed codes table, the JVM ADC fold, and the re-rank.
+    Exact parity with the in-query `knn_graph` under the same trained
+    model is pinned in tests/test_similarity.py."""
+    q = spark.table(f"{base_name}_vectors").select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+    )
+    return ivfpq_topk_join_from_index(
+        spark,
+        q,
+        base_name,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        broadcast_queries=False,
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 10,

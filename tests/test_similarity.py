@@ -625,3 +625,36 @@ def test_ann_index_probe_matches_inline_and_reads_bucketed(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         for t in ("codes", "vectors", "centroids", "codebooks", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
+
+
+def test_knn_graph_from_index_matches_inline(spark):
+    """r10: the kNN graph built from the persisted ANN index must equal
+    the in-query knn_graph under the same trained model — the nightly
+    corpus-vs-self rebuild pays only the probe, never Lloyd rounds or
+    corpus re-encoding."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rq_spark.operators import similarity as S
+
+    corpus = table(spark, SF, "embeddings")
+    base = "t_knn_index"
+    try:
+        S.write_ann_index(corpus, base, n_centroids=8, m=8, n_codes=32,
+                          iters=2)
+        want = {
+            (r.query_id, r.neighbor_id, r.rk)
+            for r in S.knn_graph(
+                corpus, k=5, n_centroids=8, nprobe=4, m=8, n_codes=32,
+                iters=2, rerank=60,
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id, r.rk)
+            for r in S.knn_graph_from_index(
+                spark, base, k=5, nprobe=4, rerank=60
+            ).collect()
+        }
+        assert len(want) > 0 and got == want
+    finally:
+        for t in ("codes", "vectors", "centroids", "codebooks", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
