@@ -140,7 +140,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "505"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "515"))
     # hard deadline: past this, remaining HEADLINE keys are skipped
     # outright (recorded under "skipped"). The soft budget already
     # degrades runs and truncates sweeps, but under extreme ambient
@@ -373,6 +373,7 @@ def main() -> None:
     branches: dict[str, float] = {}
     branches_at_sf: dict[str, float] = {}
     truncated = False
+    at_sf_complete = False
     branch_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(branch_dir):
         branch_dir = sf_dir
@@ -393,6 +394,10 @@ def main() -> None:
         if branch_dir != sf_dir:
             branches_at_sf, t1 = _sweep(at_sf, sf_dir, branch_runs, warm=False)
             truncated |= t1
+            # the at-sf sweep is the verdict-priority artifact; record
+            # its completeness separately so a truncated LOW-value
+            # sf0.01 tail doesn't read as missing heavy-key attribution
+            at_sf_complete = not t1 and len(branches_at_sf) == len(at_sf)
             # the fixed-sf0.01 share sweep covers only what the at-sf
             # sweep did not — double coverage buys nothing — and only
             # keys with >=5 tagged branches: below that, a regression
@@ -427,6 +432,7 @@ def main() -> None:
                 "branch_sf": branch_sf,
                 "branch_runs": branch_runs,
                 "branch_sweep_truncated": truncated,
+                "at_sf_complete": at_sf_complete,
                 "reduced_runs": reduced_runs,
                 "timed_out": timed_out,
                 "skipped": skipped,
