@@ -45,7 +45,7 @@ a real regression (key grows, reference does not) from the documented
 records the reference medians so absolute times stay reconstructable.
 
 Budgets: a wall-clock budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``,
-default 505) cancels any in-flight run that straddles it (headline
+default 515) cancels any in-flight run that straddles it (headline
 runs included — those report under ``timed_out``) and truncates the
 sweeps with ``branch_sweep_truncated: true`` so the headline JSON
 always lands inside the driver's timeout; sweeps are ordered so the
@@ -328,7 +328,7 @@ def main() -> None:
     )
 
     def _sweep(
-        entries, data_dir, n_runs, warm: bool = True
+        entries, data_dir, n_runs, no_warm: frozenset = frozenset()
     ) -> tuple[dict[str, float], bool]:
         out: dict[str, float] = {}
         truncated = False
@@ -339,13 +339,13 @@ def main() -> None:
             # per-entry warmup at the tiny sf: a pruned solo plan is a
             # DIFFERENT operator tree than its full key, so its codegen
             # is cold — without this, a 1-run solo measurement carries
-            # ~0.5 s of janino compile instead of execution. The AT-SF
-            # sweep passes warm=False: the headline pass just ran every
-            # key's full plan at the same sf (same generated classes),
-            # and the graph/stream solos' warmups pay full iteration/
+            # ~0.5 s of janino compile instead of execution. Keys in
+            # ``no_warm`` skip it: the SOLO-BUILT graph/stream entries
+            # call the same operator functions the headline key just
+            # compiled, and their warmups pay full iteration/
             # micro-batch fixed costs (~3-8 s each) for a <0.5 s
             # compile — that waste is what truncated the r10 sweep
-            if warm and data_dir != warm_dir:
+            if name.split("/")[0] not in no_warm and data_dir != warm_dir:
                 try:
                     fn(spark, warm_dir).write.format("noop").mode(
                         "overwrite"
@@ -392,7 +392,11 @@ def main() -> None:
             (n, f) for n, f in ordered if n.split("/")[0] in AT_SF_KEYS
         ]
         if branch_dir != sf_dir:
-            branches_at_sf, t1 = _sweep(at_sf, sf_dir, branch_runs, warm=False)
+            from rq_spark.bench_branches import SOLO_BUILT
+
+            branches_at_sf, t1 = _sweep(
+                at_sf, sf_dir, branch_runs, no_warm=frozenset(SOLO_BUILT)
+            )
             truncated |= t1
             # the at-sf sweep is the verdict-priority artifact; record
             # its completeness separately so a truncated LOW-value

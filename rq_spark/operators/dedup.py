@@ -926,6 +926,17 @@ def _simhash64_batch_ref(texts) -> list[int]:
     return _simhash_votes_ref(hs_per_text)
 
 
+#: per-text token-count ceiling for the float32 vote paths: every
+#: intermediate (counts, partial dot sums) is an integer ≤ the text's
+#: token count, exact in float32 below 2^24 — kept one bit conservative
+_FLOAT32_SAFE_TOKENS = 1 << 23
+
+#: T·V ceiling for the dense per-vocab count matrix (float32, ~4·T·V
+#: bytes transient); past it the byte-histogram form (memory ∝ T·2048,
+#: vocabulary-independent) takes over
+_DENSE_COUNTS_MAX = 50_000_000
+
+
 def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     """Batched majority-vote kernel (r10, r9 verdict task #7): all
     texts' votes in C-implemented bit/byte ops and ONE float32 BLAS
@@ -966,7 +977,7 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     total = int(lens.sum())
     if total == 0:
         return out
-    if int(lens.max()) >= (1 << 23):
+    if int(lens.max()) >= _FLOAT32_SAFE_TOKENS:
         # float32 vote sums stop being integer-exact past 2^24/2;
         # an 8M-token text is not worth a third code path
         bounds = np.cumsum(lens)[:-1]
@@ -977,13 +988,16 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     nonempty = np.nonzero(lens)[0]
     T = len(nonempty)
     text_ids = np.repeat(np.arange(T, dtype=np.int64), lens[nonempty])
-    # (V, 64) bit table; with bitorder='little' over the uint8 view,
-    # unpack→vote→pack applies the same bit permutation on both ends,
-    # so the result is endianness-invariant
-    table = np.unpackbits(
-        hs[:, None].view(np.uint8), axis=1, bitorder="little"
-    ).astype(np.float32)
-    if T * V <= 50_000_000:
+    if T * V <= _DENSE_COUNTS_MAX:
+        # (V, 64) bit table; with bitorder='little' over the uint8
+        # view, unpack→vote→pack applies the same bit permutation on
+        # both ends, so the result is endianness-invariant. Built ONLY
+        # on this branch: the byte-histogram path exists for huge
+        # vocabularies, where a 320·V-byte table would itself defeat
+        # that path's vocabulary-independent memory bound
+        table = np.unpackbits(
+            hs[:, None].view(np.uint8), axis=1, bitorder="little"
+        ).astype(np.float32)
         C = (
             np.bincount(text_ids * V + codes, minlength=T * V)
             .astype(np.float32)
@@ -1055,9 +1069,11 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     Bit-twiddling over variable-length token lists is the rare case
     where a pandas UDF beats 64 fold expressions; the hash itself is
     Python's blake2b (stable, seedless) so results are deterministic
-    across workers and runs. Kernel: `_simhash64_batch` (uint16
-    lanes, batch-level reduceat), equality- and throughput-pinned
-    against `_simhash64_batch_ref`.
+    across workers and runs. Kernel: `_simhash64_batch` — one
+    batch-level vote pass through np.bincount + a float32 BLAS matmul
+    (this numpy build's reduceat/cumsum integer reductions are scalar,
+    see `_simhash_votes`) — equality- and throughput-pinned against
+    `_simhash64_batch_ref`/`_simhash_votes_ref`.
     """
     return pd.Series(_simhash64_batch(texts), dtype="int64")
 

@@ -568,13 +568,18 @@ def test_minhash_index_probe_matches_inquery_and_reads_bucketed(spark, tmp_path)
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_simhash_uint16_kernel_matches_scalar_reference():
-    """The uint16-lane batch kernel must reproduce the original
-    per-text uint64 kernel bit-for-bit — including empty/whitespace
-    texts, None, repeated tokens (multiset votes), astral-plane
-    unicode, and the uint16→int64 accumulator fallback edge."""
+def test_simhash_uint16_kernel_matches_scalar_reference(monkeypatch):
+    """The batched vote kernel must reproduce the original per-text
+    uint64 kernel bit-for-bit — including empty/whitespace texts,
+    None, repeated tokens (multiset votes), astral-plane unicode, a
+    70k-token text (well past any Arrow batch norm), and BOTH
+    alternate code paths: the byte-histogram branch (T·V over the
+    dense-matrix bound) and the giant-text reference fallback, each
+    forced by lowering its threshold — a real 2^23-token fallback
+    input would need a ~4 GB bit matrix just to check."""
     import random
 
+    from rq_spark.operators import dedup as DD
     from rq_spark.operators.dedup import (
         _simhash64_batch,
         _simhash64_batch_ref,
@@ -589,9 +594,15 @@ def test_simhash_uint16_kernel_matches_scalar_reference():
     got = list(_simhash64_batch(texts))
     want = _simhash64_batch_ref(texts)
     assert got == want
-    # accumulator-fallback edge: a text over 2^16 tokens still exact
     giant = [" ".join(rng.choice(words) for _ in range(70_000)), "x y"]
     assert list(_simhash64_batch(giant)) == _simhash64_batch_ref(giant)
+    # force the giant-text fallback branch (reference per-text path)
+    monkeypatch.setattr(DD, "_FLOAT32_SAFE_TOKENS", 64)
+    assert list(_simhash64_batch(texts)) == want
+    monkeypatch.undo()
+    # force the byte-histogram branch by shrinking the dense T*V bound
+    monkeypatch.setattr(DD, "_DENSE_COUNTS_MAX", 1)
+    assert list(_simhash64_batch(texts)) == want
 
 
 def test_simhash_vote_kernel_outruns_scalar_reference():
@@ -625,7 +636,12 @@ def test_simhash_vote_kernel_outruns_scalar_reference():
     _simhash_votes(codes[:100], lens[:1] * 0 + 100, hs)  # warm
     _simhash_votes_ref(per_text[:4])
     fast_t, ref_t = [], []
-    for _ in range(3):
+    # best-of-5, not 3: the fast side's BLAS matmul can stall under a
+    # transient thread-pool contention burst that the pure-numpy
+    # reference side doesn't feel (observed once under load avg ~7) —
+    # two extra interleaved pairs make an all-samples-hit run
+    # vanishingly unlikely while the ~10x margin absorbs the rest
+    for _ in range(5):
         t0 = time.perf_counter()
         fast = list(_simhash_votes(codes, lens, hs))
         t1 = time.perf_counter()

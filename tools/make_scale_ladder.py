@@ -48,12 +48,19 @@ def build(k: int, src: str, out: str) -> None:
     doc_off = con.sql(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'"
     ).fetchone()[0]
+    # replica 0 is VERBATIM sf0.1 (same source names, same n_chars);
+    # perturbed replicas keep source parseable by suffixing after the
+    # srcN stem and recompute n_chars from the perturbed text
     reps = "\nUNION ALL\n".join(
-        f"""SELECT doc_id + {r * doc_off} AS doc_id,
-               {"text" if r == 0 else
-                f"array_to_string(list_transform(string_split(text, ' '), "
-                f"w -> w || '_{r}'), ' ')"} AS text,
-               lang, source || '_{r}' AS source, n_chars
+        "SELECT doc_id AS doc_id, text, lang, source, n_chars "
+        f"FROM '{src}/documents.parquet'"
+        if r == 0
+        else f"""SELECT doc_id + {r * doc_off} AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+               w -> w || '_{r}'), ' ') AS text,
+               lang, source || '{r}0' AS source,
+               length(array_to_string(list_transform(string_split(text,
+               ' '), w -> w || '_{r}'), ' ')) AS n_chars
         FROM '{src}/documents.parquet'"""
         for r in range(k)
     )
