@@ -185,3 +185,44 @@ def test_edge_corpus_key(spark, edge_sf, key):
 @pytest.mark.parametrize("key", EMPTY_KEYS)
 def test_empty_tables_key(spark, empty_sf, key):
     _run_key(spark, key, empty_sf)
+
+
+@pytest.fixture(scope="module")
+def all_empty_sf(tmp_path_factory) -> str:
+    """EVERY table zero rows, schemas intact — the strongest form of
+    the r9 'empty-table behavior defined' policy, extended to the
+    TPC-H-driven keys too (r9's probes fixed profile_columns and the
+    quality ratios at n=0; this pins the policy for the whole
+    catalog)."""
+    d = tmp_path_factory.mktemp("adv_all_empty")
+    con = duckdb.connect()
+    for f in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings", "events"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{f}.parquet' WHERE 1=0) "
+            f"TO '{d}/{f}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+def test_every_catalog_key_handles_all_empty_tables(spark, all_empty_sf):
+    """Run the ENTIRE 50-key catalog over a corpus where every table
+    has zero rows: each key must return a well-formed (usually empty)
+    result or raise a named ValueError — never an ANSI arithmetic
+    error, a numpy shape error, or a bare ZeroDivisionError through
+    Py4J. One loop, failures collected, so a regression names every
+    broken key at once."""
+    from rq_spark.queries import all_queries
+
+    failures = {}
+    for key, fn in sorted(all_queries().items()):
+        try:
+            rows = fn(spark, all_empty_sf).collect()
+            assert isinstance(rows, list)
+        except ValueError as e:
+            if not str(e):
+                failures[key] = "ValueError without a message"
+        except Exception as e:  # noqa: BLE001 — the point of the gate
+            failures[key] = f"{type(e).__name__}: {e}"[:200]
+    assert not failures, failures
