@@ -83,13 +83,20 @@ def test_temperature_thresholds_bounds_and_flattening(groups, denom):
     for (g1, s1), (g2, s2) in zip(bysize, bysize[1:]):
         if s1 < s2:
             # the REAL-VALUED map budget/(sr*sqrt(t)) is strictly
-            # anti-monotone; each of the two integer floors can only
-            # lose < 65536/t + 1 units, so anti-monotonicity holds up
-            # to that provable slack (hypothesis found the violation
-            # at sizes 3 vs 4 — irrelevant at corpus scale, where the
-            # slack is ~0, but the bound is what the arithmetic
-            # actually guarantees)
-            slack = 65536 // s1 + 65536 // s2 + 2
+            # anti-monotone; the integer form loses units to THREE
+            # floors — the two divisions (< 65536/t + 1 each) AND
+            # isqrt(t) vs sqrt(t) in the numerator root (relative loss
+            # < 1/isqrt(t), i.e. < 65536/isqrt(t) units; the shared
+            # Σroots floor scales both sides equally and cancels).
+            # Hypothesis found the isqrt term's necessity at
+            # t ≈ 38k (196² vs just-below — ~170 lost units against a
+            # 4-unit slack); at corpus scale all three terms vanish,
+            # but the bound must be what the arithmetic guarantees.
+            slack = (
+                65536 // s1 + 65536 // s2
+                + 65536 // math.isqrt(s1) + 65536 // math.isqrt(s2)
+                + 4
+            )
             assert thr[g1] + slack >= thr[g2], (s1, s2)
     for _, t in counts:
         assert int(math.floor(math.sqrt(float(t)))) == math.isqrt(t)
