@@ -25,6 +25,7 @@ def write_bucketed(
     key: str | list[str],
     buckets: int = 8,
     sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize df as a bucketed (and bucket-sorted) catalog table.
     ``key`` may be a single column or a composite key list (e.g.
@@ -35,12 +36,31 @@ def write_bucketed(
     executor's sort budget (e.g. 4096 buckets for ~25 GB each); both
     join sides must use the SAME bucket count or Spark re-shuffles the
     mismatched side.
+
+    ``mode="append"`` (r11) is the daily-ingest path: new rows hash
+    into their key's existing bucket (Spark validates the declared
+    spec against the table's and refuses a mismatch), so the
+    zero-Exchange join layout survives the append. The only read-side
+    change is the per-file sort guarantee — a bucket now holds one
+    file per write, so the scan re-sorts task-locally (a Sort node,
+    never an Exchange) until the table is compacted.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table_name)
+
+
+def table_buckets(spark: SparkSession, table_name: str) -> int:
+    """Bucket count of an existing bucketed table, from the catalog
+    metadata (DESCRIBE FORMATTED) — appenders must declare EXACTLY
+    the existing count, and reading it from the table (never a caller
+    argument) makes layout drift impossible."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect():
+        if r.col_name.strip() == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"table {table_name} is not bucketed")
 
 
 def cojoin(

@@ -524,6 +524,66 @@ def write_minhash_index(
     _release_caches("minhash_index_write")
 
 
+def append_to_minhash_index(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_name: str,
+) -> None:
+    """Absorb an ingested batch INTO the standing LSH index (r11, r10
+    verdict task #2) — closes the "probe daily, rewrite weekly" gap:
+    before this, absorbing a day's documents meant re-shingling and
+    re-hashing the ENTIRE corpus (`write_minhash_index` is
+    overwrite-only), which at 100 TB is the whole ingest cost again.
+
+    The batch is shingled and banded under the banding parameters
+    PINNED in ``{base}_meta`` — never caller arguments, so an appended
+    batch can never be banded differently from the standing rows —
+    and appended into the bucketed ``{base}_bands`` /
+    ``{base}_shingles`` tables preserving their bucket layout
+    (`bucketing.write_bucketed(mode="append")`; the bucket count is
+    read from the table's own catalog metadata). MinHash permutations
+    are deterministic functions of num_hashes, so the appended rows
+    are byte-identical to what a full rewrite over corpus ∪ batch
+    would produce — probe parity is exact, not probabilistic
+    (pinned in tests/test_index_append.py, together with the
+    preserved zero-Exchange corpus read and an AST assertion that
+    this function touches no corpus-sized relation: its only
+    spark.table read is the one-row meta).
+
+    Append cost ∝ batch: shingle + hash the new documents, one
+    bucketed write per table. Nothing corpus-sized is read, shuffled,
+    or rewritten."""
+    from ..bucketing import table_buckets, write_bucketed
+
+    spark = batch.sparkSession
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    sets = shingle_sets(
+        _spread(batch), text_col, id_col, n=meta.shingle_n
+    ).filter(F.size("sh_arr") > 0)
+    sets = _persist_tracked(sets, scope="minhash_index_append")
+    bands_df = band_table(
+        minhash_signatures(sets, num_hashes=meta.num_hashes),
+        meta.bands,
+        meta.num_hashes // meta.bands,
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash")
+    write_bucketed(
+        bands_df,
+        f"{base_name}_bands",
+        ["band", "bhash"],
+        buckets=table_buckets(spark, f"{base_name}_bands"),
+        mode="append",
+    )
+    write_bucketed(
+        sets,
+        f"{base_name}_shingles",
+        "doc",
+        buckets=table_buckets(spark, f"{base_name}_shingles"),
+        mode="append",
+    )
+    _release_caches("minhash_index_append")
+
+
 def incremental_minhash_pairs_from_index(
     spark,
     batch: DataFrame,

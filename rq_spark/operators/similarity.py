@@ -1092,6 +1092,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     buckets: int = 8,
+    pretrained: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> None:
     """Materialize the corpus's IVFPQ index ON DISK — the
     `write_minhash_index` pattern applied to the vector family. At
@@ -1121,17 +1122,26 @@ def write_ann_index(
       The probe takes every model parameter FROM these tables (never
       from the caller), so query-side LUTs/assignments cannot drift
       from the layout the corpus was encoded under.
+
+    ``pretrained=(centroids, codebooks)`` skips the Lloyd training
+    passes and encodes under the given model — e.g.
+    ``_read_ann_model(spark, old_base)[1:]`` to re-lay-out or compact
+    a standing index without retraining (and the exact-rewrite
+    yardstick `append_to_ann_index`'s parity test is pinned against).
     """
     from ..bucketing import write_bucketed
 
-    cents = ivf_centroids(
-        corpus, n_centroids=n_centroids, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
-    cb = pq_codebooks(
-        corpus, m=m, n_codes=n_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if pretrained is not None:
+        cents, cb = pretrained
+    else:
+        cents = ivf_centroids(
+            corpus, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cb = pq_codebooks(
+            corpus, m=m, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     spark = corpus.sparkSession
     v = corpus.filter(_nonzero_vec(vec_col))
     coded = v.select(
@@ -1171,6 +1181,66 @@ def write_ann_index(
         "n_centroids int, m int, n_codes int, dim int, dsub int",
     ).write.mode("overwrite").format("parquet").saveAsTable(
         f"{base_name}_meta"
+    )
+
+
+def append_to_ann_index(
+    batch: DataFrame,
+    base_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb a batch of new vectors INTO the standing IVFPQ index
+    (r11, r10 verdict task #2) — before this, `write_ann_index` was
+    overwrite-only and absorbing a day's embeddings meant re-encoding
+    the ENTIRE corpus; at 100 TB that is the whole ingest-time encode
+    pass again, every day.
+
+    The batch is assigned and PQ-encoded under the model PINNED in
+    the index's own tables (`_read_ann_model`: meta + centroids +
+    codebooks — model-sized collects only) and appended into the
+    bucketed ``{base}_codes`` / ``{base}_vectors`` tables preserving
+    their bucket layout. The model tables are NEVER touched: append
+    never retrains, so every standing code stays comparable with
+    every appended one under the same ADC LUTs. Because the rewrite
+    path accepts the same pinned model (``write_ann_index(...,
+    pretrained=...)``), append-vs-rewrite probe parity is exact
+    (pinned in tests/test_index_append.py together with the preserved
+    zero-Exchange index read; an AST assertion pins that this
+    function never calls the Lloyd trainers and reads no corpus
+    table).
+
+    Append cost ∝ batch: one Arrow encode pass over the new vectors,
+    two bucketed writes. Retraining/compaction policy is the caller's
+    (drift between the pinned model and a shifted embedding
+    distribution degrades recall, not correctness — the exact-cosine
+    re-rank still orders true candidates exactly)."""
+    from ..bucketing import table_buckets, write_bucketed
+
+    spark = batch.sparkSession
+    _meta, cents, cb = _read_ann_model(spark, base_name)
+    v = batch.filter(_nonzero_vec(vec_col))
+    coded = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+    )
+    write_bucketed(
+        coded,
+        f"{base_name}_codes",
+        "cell",
+        buckets=table_buckets(spark, f"{base_name}_codes"),
+        mode="append",
+    )
+    write_bucketed(
+        v.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        f"{base_name}_vectors",
+        "neighbor_id",
+        buckets=table_buckets(spark, f"{base_name}_vectors"),
+        mode="append",
     )
 
 
