@@ -1138,6 +1138,37 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(_simhash64_batch(texts), dtype="int64")
 
 
+def _banded_sig(sig: DataFrame, bands: int) -> DataFrame:
+    """(doc, sig, band, bval): each 64-bit signature exploded into its
+    `bands` equal slices. ONE implementation shared by the in-query
+    pair join, the persisted index writer, and the index appender —
+    banding of standing and appended/probed rows can never drift."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+
+
+def _check_hamming_params(max_hamming: int, bands: int) -> None:
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"radius {max_hamming} exceeds the pigeonhole guarantee of "
+            f"{bands} bands (max {bands - 1}); raise `bands`"
+        )
+
+
 def hamming_near_pairs(
     sig: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
@@ -1150,27 +1181,8 @@ def hamming_near_pairs(
     never n² — narrower bands widen the guaranteed radius but collide
     more (2^-width random-pair rate per band), the standard
     multi-index-hashing tradeoff."""
-    if 64 % bands:
-        raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"radius {max_hamming} exceeds the pigeonhole guarantee of "
-            f"{bands} bands (max {bands - 1}); raise `bands`"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = sig.select(
-        "doc",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bval"),
-    )
+    _check_hamming_params(max_hamming, bands)
+    banded = _banded_sig(sig, bands)
     a = banded.select(
         F.col("doc").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bval"
     )
@@ -1198,6 +1210,141 @@ def simhash_near_pairs(
         F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sig")
     )
     return hamming_near_pairs(sig, max_hamming=max_hamming)
+
+
+def write_hamming_index(
+    sig: DataFrame, base_name: str, bands: int = 4, buckets: int = 8
+) -> None:
+    """Materialize a standing Hamming-band index ON DISK (r11, r10
+    verdict task #5) — the `write_minhash_index` pattern for the
+    third and last dedup family: 64-bit signatures (SimHash text,
+    dHash images — any (doc, sig) relation) banded ONCE at ingest.
+    Before this, `hamming_near_pairs` re-exploded every signature
+    into its bands on every call — cheap per row, but at 100 TB it is
+    still a full-corpus scan + shuffle per nightly dedup run.
+
+    Writes two catalog tables:
+
+    * ``{base}_hbands`` (doc, sig, band, bval) — bucketed AND
+      bucket-sorted on (band, bval). The signature rides in the row,
+      so the popcount verify needs NO second join. The corpus-vs-self
+      pair scan (`hamming_near_pairs_from_index`) self-joins this
+      table — BOTH sides read the same bucketing, so the candidate
+      join runs with ZERO Exchange (plan-asserted in
+      tests/test_index_append.py); a batch probe
+      (`hamming_probe_from_index`) broadcasts or shuffles INTO the
+      layout while the corpus side never moves.
+    * ``{base}_meta`` — one row pinning ``bands``. Probes and appends
+      take the banding FROM this table (never from the caller):
+      band values are only comparable under identical banding.
+    """
+    from ..bucketing import write_bucketed
+
+    _check_hamming_params(0, bands)
+    write_bucketed(
+        _banded_sig(sig, bands),
+        f"{base_name}_hbands",
+        ["band", "bval"],
+        buckets=buckets,
+    )
+    sig.sparkSession.createDataFrame(
+        [(bands,)], "bands int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
+
+
+def append_to_hamming_index(batch_sig: DataFrame, base_name: str) -> None:
+    """Absorb a batch of new signatures INTO the standing Hamming
+    index — banding read from ``{base}_meta`` (pinned, never a caller
+    argument), rows appended into the bucketed table preserving its
+    layout. Banding is a pure deterministic bit-slice, so the appended
+    rows are byte-identical to a full rewrite over corpus ∪ batch —
+    parity is exact. Append cost ∝ batch: one explode over the new
+    signatures, one bucketed write; the only catalog read is the
+    one-row meta."""
+    from ..bucketing import table_buckets, write_bucketed
+
+    spark = batch_sig.sparkSession
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    write_bucketed(
+        _banded_sig(batch_sig, meta.bands),
+        f"{base_name}_hbands",
+        ["band", "bval"],
+        buckets=table_buckets(spark, f"{base_name}_hbands"),
+        mode="append",
+    )
+
+
+def hamming_near_pairs_from_index(
+    spark, base_name: str, max_hamming: int = 3
+) -> DataFrame:
+    """`hamming_near_pairs` over a SAVED index: the corpus-vs-self
+    near-dup pair scan with the banding explode already paid at
+    ingest. The self-join consumes the table's (band, bval) bucketing
+    on BOTH sides, so the candidate join is a zero-Exchange
+    SortMergeJoin — the only shuffle left in the whole pair scan is
+    the final pair-level distinct, which is ∝ candidates, never
+    ∝ corpus. Exact pair parity with the in-query operator over the
+    same signatures is pinned in tests/test_index_append.py."""
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    _check_hamming_params(max_hamming, meta.bands)
+    t = spark.table(f"{base_name}_hbands")
+    a = t.select(
+        F.col("doc").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bval"
+    )
+    b = t.select(
+        F.col("doc").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def hamming_probe_from_index(
+    spark,
+    batch_sig: DataFrame,
+    base_name: str,
+    max_hamming: int = 3,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus Hamming probe against a SAVED index: which of
+    today's signatures near-duplicate something already standing?
+    (new_id, corpus_id, hamming). Only the batch is banded in-query;
+    the corpus side streams from the bucketed table. With
+    ``broadcast_batch`` (the daily-ingest default) the corpus never
+    leaves its scan; a too-big batch shuffles INTO the (band, bval)
+    bucketing while the index side still reads zero-Exchange."""
+    meta = spark.table(f"{base_name}_meta").collect()[0]
+    _check_hamming_params(max_hamming, meta.bands)
+    b = _banded_sig(batch_sig, meta.bands).select(
+        F.col("doc").alias("new_id"), F.col("sig").alias("n_sig"), "band", "bval"
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    c = spark.table(f"{base_name}_hbands").select(
+        F.col("doc").alias("corpus_id"),
+        F.col("sig").alias("c_sig"),
+        "band",
+        "bval",
+    )
+    return (
+        b.join(c, ["band", "bval"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "n_sig", "c_sig")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
 
 
 # --------------------------------------------------------------------------
