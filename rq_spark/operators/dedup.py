@@ -991,10 +991,19 @@ def _simhash64_batch_ref(texts) -> list[int]:
 #: token count, exact in float32 below 2^24 — kept one bit conservative
 _FLOAT32_SAFE_TOKENS = 1 << 23
 
-#: T·V ceiling for the dense per-vocab count matrix (float32, ~4·T·V
-#: bytes transient); past it the byte-histogram form (memory ∝ T·2048,
-#: vocabulary-independent) takes over
+#: T·V ceiling for the dense per-vocab count matrix (float32 C is
+#: 4·T·V bytes, ~200 MB at this cap); past it the byte-histogram form
+#: (memory ∝ T·2048, vocabulary-independent) takes over
 _DENSE_COUNTS_MAX = 50_000_000
+
+#: entry ceiling for ONE np.bincount slab on the dense path. bincount
+#: returns int64, so an unsliced T·V bincount would transiently hold
+#: 8·T·V bytes (~400 MB at the cap — twice the documented C budget,
+#: per concurrent Arrow batch; ADVICE r10). Slabbing over text-major
+#: contiguous ranges bounds the int64 intermediate to 64 MB per batch
+#: while keeping the counting fully vectorized (same total bincount
+#: work: Σ tokens + T·V minlength zeroing).
+_DENSE_BINCOUNT_SLAB = 8_000_000
 
 
 def _simhash_votes(codes, lens, hs) -> "np.ndarray":
@@ -1014,9 +1023,11 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     does in ~5 ms). So:
 
     1. distinct hashes → (V, 64) 0/1 table via np.unpackbits;
-    2. per-text vote sums = token-count matrix (T, V) from one
-       np.bincount @ bit table — exact in float32 because every
-       intermediate is an integer ≤ the text's token count < 2^24;
+    2. per-text vote sums = token-count matrix (T, V) from text-major
+       slab bincounts (int64 intermediate ≤ _DENSE_BINCOUNT_SLAB
+       entries, never 8·T·V) @ bit table — exact in float32 because
+       every intermediate is an integer ≤ the text's token count
+       < 2^24;
     3. majority signs → np.packbits → int64 view.
 
     When T·V outgrows a dense count matrix, the same matmul runs on
@@ -1058,11 +1069,26 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
         table = np.unpackbits(
             hs[:, None].view(np.uint8), axis=1, bitorder="little"
         ).astype(np.float32)
-        C = (
-            np.bincount(text_ids * V + codes, minlength=T * V)
-            .astype(np.float32)
-            .reshape(T, V)
+        # count matrix built slab-by-slab: codes are text-major, so
+        # each text range is contiguous and one bincount fills a
+        # contiguous row block of C — the int64 bincount intermediate
+        # stays ≤ _DENSE_BINCOUNT_SLAB entries instead of T·V
+        C = np.empty((T, V), dtype=np.float32)
+        slab_t = max(1, _DENSE_BINCOUNT_SLAB // V)
+        tok_bounds = np.concatenate(
+            ([0], np.cumsum(lens[nonempty], dtype=np.int64))
         )
+        for t0 in range(0, T, slab_t):
+            t1 = min(t0 + slab_t, T)
+            s, e = tok_bounds[t0], tok_bounds[t1]
+            C[t0:t1] = (
+                np.bincount(
+                    (text_ids[s:e] - t0) * V + codes[s:e],
+                    minlength=(t1 - t0) * V,
+                )
+                .astype(np.float32)
+                .reshape(t1 - t0, V)
+            )
         sums = C @ table
     else:
         # byte-histogram form: counts of (text, byte-pos, byte-value)

@@ -309,7 +309,24 @@ def semantic_decontaminate(
     exact cosine, so output equals the exact cross-side pair set minus
     the LSH miss probability ((1 − p^r)^B, see `lsh_near_pairs` — at
     threshold 0.9 with B=16, r=8 the qualifying pairs of the bimodal
-    3-gram geometry collide with P(miss) ≤ 1.5e-4)."""
+    3-gram geometry collide with P(miss) ≤ 1.5e-4).
+
+    Degenerate-input policy (ADVICE r10): every vector operator drops
+    NULL/zero-norm embeddings at intake (`_nonzero_vec` — cosine is
+    undefined at norm 0), but on the BENCHMARK side of a
+    decontamination that silent drop fails OPEN: the eval row's
+    contamination becomes undetectable with no signal to the caller.
+    So an unusable eval embedding raises a named ValueError instead
+    (the adversarial-gate policy); the train side still drops quietly
+    — an unmeasurable train vector excludes only itself. The guard
+    scans only the benchmark-sized eval relation (one tiny job)."""
+    if evals.filter(~_nonzero_vec(vec_col)).limit(1).count():
+        raise ValueError(
+            "semantic_decontaminate: eval/benchmark rows carry NULL or "
+            "zero-norm embeddings — cosine is undefined there, so their "
+            "contamination would silently become undetectable; clean or "
+            "re-embed the eval side"
+        )
     planes = hyperplanes(bands * rows_per_band, dim)
     bucket = band_bucket_udf(planes, bands, rows_per_band)
 

@@ -603,6 +603,13 @@ def test_simhash_uint16_kernel_matches_scalar_reference(monkeypatch):
     # force the byte-histogram branch by shrinking the dense T*V bound
     monkeypatch.setattr(DD, "_DENSE_COUNTS_MAX", 1)
     assert list(_simhash64_batch(texts)) == want
+    monkeypatch.undo()
+    # force the dense path to run one-text-per-slab bincounts (r11,
+    # ADVICE r10: the slabbed counting that bounds the int64 bincount
+    # intermediate) — row blocks assembled across many slabs must
+    # still equal the single-bincount result
+    monkeypatch.setattr(DD, "_DENSE_BINCOUNT_SLAB", 1)
+    assert list(_simhash64_batch(texts)) == want
 
 
 def test_simhash_vote_kernel_outruns_scalar_reference():

@@ -534,6 +534,35 @@ def test_null_vectors_drop_and_small_corpus_codebook(spark):
     assert top and all(r["neighbor_id"] != 3 for r in top)
 
 
+def test_semantic_decontaminate_unusable_eval_embedding_raises(spark):
+    """ADVICE r10: a NULL/zero-norm embedding on the BENCHMARK side of
+    semantic_decontaminate must fail LOUD — silently dropping it makes
+    that eval row's contamination undetectable with no signal. Train
+    rows still drop quietly (they only exclude themselves)."""
+    import pytest
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    train = vecs([(1, [1.0, 0.0, 0.0, 1.0]), (2, [0.5, 0.5, 1.0, 0.0])])
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.semantic_decontaminate(
+            train, vecs([(10, [0.0, 0.0, 0.0, 0.0])]), 0.9, dim=4
+        )
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.semantic_decontaminate(train, vecs([(10, None)]), 0.9, dim=4)
+    # zero-norm TRAIN rows drop quietly; identical vectors still pair
+    got = S.semantic_decontaminate(
+        vecs([(1, [1.0, 0.0, 0.0, 1.0]), (2, [0.0, 0.0, 0.0, 0.0])]),
+        vecs([(10, [1.0, 0.0, 0.0, 1.0])]),
+        0.9,
+        dim=4,
+    ).collect()
+    assert [(r.train_id, r.eval_id) for r in got] == [(1, 10)]
+
+
 def test_ann_index_probe_matches_inline_and_reads_bucketed(spark):
     """r10 (r9 verdict task #1): the persisted ANN index — train IVF
     centroids + PQ codebooks once, save (codes, vectors, model, meta)
