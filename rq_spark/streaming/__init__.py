@@ -175,6 +175,13 @@ def first_seen_per_user(stream: DataFrame) -> DataFrame:
     Scale: state is O(distinct keys) × a few bytes; with a watermark
     and state TTL (GroupStateTimeout) it is bounded for unbounded key
     domains. Output is final on first emit — no retractions.
+
+    Degenerate inputs (r11, hostile-stream gate): an event with a NULL
+    event time cannot be placed on the timeline, so it is dropped at
+    intake (the null-timestamp convention of every event-time engine —
+    it could otherwise claim "first" nondeterministically); a NULL
+    `value` on the winning event is emitted as NULL (it used to raise
+    a bare TypeError through Py4J, breaking the named-error policy).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -184,7 +191,12 @@ def first_seen_per_user(stream: DataFrame) -> DataFrame:
         for pdf in batches:
             pdf = pdf.sort_values(["ts", "event_id"])
             row = pdf.iloc[0]
-            cand = (row["ts"], int(row["event_id"]), row["event_type"], float(row["value"]))
+            cand = (
+                row["ts"],
+                int(row["event_id"]),
+                row["event_type"],
+                None if pd.isna(row["value"]) else float(row["value"]),
+            )
             if best is None or cand[:2] < best[:2]:
                 best = cand
         if state.exists:
@@ -200,7 +212,9 @@ def first_seen_per_user(stream: DataFrame) -> DataFrame:
             }
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    return stream.filter(F.col("ts").isNotNull()).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         emit_first,
         outputStructType="user_id long, first_ts timestamp, first_event_id long, "
         "first_event_type string, first_value double",
@@ -332,7 +346,15 @@ def _running_frame(pdf, n0: int, micro0: int):
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"])
-    micro = np.rint(pdf["value"].astype(float).to_numpy() * 1e6).astype(np.int64)
+    # NULL value contributes 0 to the running sum — exactly SQL SUM's
+    # skip-NULL semantics (the count still advances, like COUNT(*));
+    # without the nan_to_num a NULL became np.rint(NaN).astype(int64),
+    # which is UNDEFINED in numpy — silent garbage sums (r11,
+    # hostile-stream gate)
+    vals = np.nan_to_num(
+        pdf["value"].astype(float).to_numpy(), nan=0.0
+    )
+    micro = np.rint(vals * 1e6).astype(np.int64)
     run_n = n0 + pd.RangeIndex(1, len(pdf) + 1)
     run_sum = (micro0 + micro.cumsum()) / 1e6
     out = pd.DataFrame(
@@ -369,7 +391,13 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 
     Scale: state is one (count, sum) pair per distinct user — O(keys),
     not O(events); for an unbounded key domain use a state timeout to
-    bound it by the activity horizon."""
+    bound it by the activity horizon.
+
+    Degenerate inputs (r11, hostile-stream gate): NULL-event-time rows
+    are dropped at intake (they have no position in the (ts, event_id)
+    order this operator is defined over); NULL values contribute 0 to
+    the sum while the count advances — SQL SUM/COUNT(*) semantics, see
+    `_running_frame`."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def emit(key, batches, state: GroupState):
@@ -383,6 +411,7 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 
     return (
         stream.select("user_id", "event_id", "ts", F.col("value").cast("double"))
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             emit,
@@ -428,6 +457,7 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
 
     return (
         stream.select("user_id", "event_id", "ts", F.col("value").cast("double"))
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .transformWithStateInPandas(
             RunningStats(),
