@@ -40,7 +40,12 @@ per-key baseline breach and localizes regressions inside the heavy
 keys. The remaining (cheap) keys sweep at a FIXED sf0.01 sibling of
 sf_dir (recorded as ``branch_sf``): attribution there needs relative
 shares only, and double-covering the at-sf keys at sf0.01 would buy
-nothing for its wall-clock.
+nothing for its wall-clock. Budget hygiene (r11, r10 verdict task
+#7): at-sf keys are EXCLUDED from the sf0.01 sweep (no double
+coverage), the sf0.01 sweep covers only >=5-tag keys, and the
+artifact-size risk the r10 sweep expansion exposed is closed
+structurally by the two-line output protocol — the bulky detail
+stays on the full line, the driver parses the bounded final line.
 
 Noise-immune regression sentinels (r10, r9 verdict task #3): the
 verdict-priority heavy keys also record ``"ratio_vs_ref"`` — each

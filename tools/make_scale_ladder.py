@@ -1,5 +1,6 @@
 """Build a perf-only scaled corpus (default 3x sf0.1 -> "sf0.3") for
-the scale-ladder datapoint (r10, r9 verdict task #4).
+the scale-ladder datapoints (r10, r9 verdict task #4; r11 density
+mode, r10 verdict task #3).
 
 Scaling method — replicate-and-PERTURB, not replicate-verbatim:
 
@@ -12,7 +13,20 @@ Scaling method — replicate-and-PERTURB, not replicate-verbatim:
   shingle/token overlap drops to zero, so pair counts, cluster sizes,
   and LSH bucket loads scale linearly in k — what a genuinely larger
   crawl looks like. Vocabulary also scales (~k distinct tokens), which
-  is the realistic direction for BPE/LM/bloom costs.
+  is the realistic direction for BPE/LM/bloom costs. The ``source``
+  column is kept VERBATIM in every replica (ADVICE r10: the old
+  ``source || 'r0'`` rewrite pushed all replica docs into the lowest
+  mixture tier — rate 0.25 — biasing tier-sampled keys sublinear; a
+  bigger crawl has BIGGER sources, not k times more sources, and
+  unchanged names keep every replica in its original tier).
+* **density mode** (``dup_rate`` > 0, r11): replica r > 0 leaves the
+  text of docs with ``doc_id % round(1/dup_rate) == r`` UNPERTURBED —
+  each perturbed replica contributes ~dup_rate unplanted twins of
+  replica-0 docs, so the cross-replica near-dup rate (and with it the
+  candidate and verify-join volume of the dedup keys) grows with k at
+  a controlled rate instead of being pinned at zero. This is how real
+  crawls scale: organically DENSER, more true pairs per doc — the
+  blind spot the r10 ladder documented.
 * ``events``: k replicas with user_id and event_id offset per replica,
   timestamps unchanged — distinct keys and stream/join state scale by
   k while the event-time horizon stays fixed, matching a service with
@@ -24,7 +38,9 @@ This corpus is for TIMING ONLY — it lives outside the repo and the
 oracle gate never runs on it.
 
 Usage: python tools/make_scale_ladder.py [k] [src_sf_dir] [out_dir]
-Defaults: 3 /root/testdata/sf0.1 /tmp/rq_scale/sf0.3
+       [dup_rate]
+Defaults: 3 /root/testdata/sf0.1 /tmp/rq_scale/sf0.3 0.0
+Density rung used by SURVEY §6: dup_rate 0.01, out /tmp/rq_scale/sf0.3d
 """
 
 from __future__ import annotations
@@ -40,7 +56,7 @@ TABLES = (
 ).split()
 
 
-def build(k: int, src: str, out: str) -> None:
+def build(k: int, src: str, out: str, dup_rate: float = 0.0) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
@@ -48,24 +64,38 @@ def build(k: int, src: str, out: str) -> None:
     doc_off = con.sql(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'"
     ).fetchone()[0]
-    # replica 0 is VERBATIM sf0.1 (same source names, same n_chars);
-    # perturbed replicas keep source parseable by suffixing after the
-    # srcN stem and recompute n_chars from the perturbed text
-    reps = "\nUNION ALL\n".join(
-        "SELECT doc_id AS doc_id, text, lang, source, n_chars "
-        f"FROM '{src}/documents.parquet'"
-        if r == 0
-        else f"""SELECT doc_id + {r * doc_off} AS doc_id,
-               array_to_string(list_transform(string_split(text, ' '),
-               w -> w || '_{r}'), ' ') AS text,
-               lang, source || '{r}0' AS source,
-               length(array_to_string(list_transform(string_split(text,
-               ' '), w -> w || '_{r}'), ' ')) AS n_chars
-        FROM '{src}/documents.parquet'"""
-        for r in range(k)
-    )
+    # replica 0 is VERBATIM sf0.1; perturbed replicas recompute n_chars
+    # from the perturbed text and keep source/lang verbatim
+    twin_mod = round(1 / dup_rate) if dup_rate > 0 else 0
+    parts = []
+    for r in range(k):
+        if r == 0:
+            parts.append(
+                "SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{src}/documents.parquet'"
+            )
+            continue
+        perturbed = (
+            "array_to_string(list_transform(string_split(text, ' '), "
+            f"w -> w || '_{r}'), ' ')"
+        )
+        text_expr = (
+            f"CASE WHEN doc_id % {twin_mod} = {r} THEN text "
+            f"ELSE {perturbed} END"
+            if twin_mod
+            else perturbed
+        )
+        parts.append(
+            f"""SELECT doc_id + {r * doc_off} AS doc_id,
+                   {text_expr} AS text,
+                   lang, source,
+                   length({text_expr}) AS n_chars
+            FROM '{src}/documents.parquet'"""
+        )
     con.execute(
-        f"COPY ({reps}) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        "COPY ({}) TO '{}/documents.parquet' (FORMAT PARQUET)".format(
+            "\nUNION ALL\n".join(parts), out
+        )
     )
     ev = con.sql(
         f"SELECT max(user_id) + 1, max(event_id) + 1 "
@@ -89,5 +119,6 @@ if __name__ == "__main__":
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/rq_scale/sf0.3"
-    build(k, src, out)
-    print(f"wrote {out} (k={k} from {src})")
+    dup = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    build(k, src, out, dup)
+    print(f"wrote {out} (k={k} from {src}, dup_rate={dup})")
