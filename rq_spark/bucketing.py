@@ -52,6 +52,53 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def compact_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    key: str | list[str],
+    sort: bool = True,
+) -> None:
+    """Rewrite a bucketed table back to ~one file per bucket (r11) —
+    the maintenance step that completes the persisted-index lifecycle
+    (write → probe → append → COMPACT): every append adds one file
+    per touched bucket, and while the bucket-pruned zero-Exchange read
+    survives any number of appends, a many-file bucket pays a
+    task-local re-sort per scan and more open/seek overhead. Compaction
+    repartitions on the bucket keys with numPartitions == bucket count
+    — Spark's repartition hash (murmur3 pmod n) IS the bucket-id hash,
+    so each task holds exactly one bucket and writes exactly one
+    sorted file — then swaps the rewrite in via RENAME.
+
+    The rewrite is ZERO-shuffle: with the auto-bucketed-scan heuristic
+    pinned off, the scan reads one partition per bucket (all of bucket
+    i's files in task i — the bucketing already satisfies the write's
+    distribution, so adding a repartition here is not just redundant,
+    the planner REMOVES it while also un-bucketing the scan, which
+    silently yields task-misaligned multi-file output; measured, and
+    pinned in tests/test_index_append.py). Each task rewrites its
+    bucket as one sorted file.
+
+    Non-atomic across the drop/rename pair (fine for a maintenance
+    window; a lakehouse table format would make it transactional).
+    Runs ∝ table size with zero recomputation — rows are moved, never
+    re-derived, so it applies identically to every index family."""
+    keys = [key] if isinstance(key, str) else list(key)
+    buckets = table_buckets(spark, table_name)
+    tmp = f"{table_name}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _AUTO = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(_AUTO, "true")
+    spark.conf.set(_AUTO, "false")
+    try:
+        write_bucketed(
+            spark.table(table_name), tmp, keys, buckets=buckets, sort=sort
+        )
+    finally:
+        spark.conf.set(_AUTO, prev)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+
+
 def table_buckets(spark: SparkSession, table_name: str) -> int:
     """Bucket count of an existing bucketed table, from the catalog
     metadata (DESCRIBE FORMATTED) — appenders must declare EXACTLY

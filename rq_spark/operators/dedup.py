@@ -553,7 +553,13 @@ def append_to_minhash_index(
 
     Append cost ∝ batch: shingle + hash the new documents, one
     bucketed write per table. Nothing corpus-sized is read, shuffled,
-    or rewritten."""
+    or rewritten. Semantics are INSERT, not upsert: re-appending an
+    already-indexed doc_id duplicates its rows (dedupe the batch
+    upstream — `incremental_minhash_pairs_from_index` is the standing
+    check); deletions need a rewrite. After many appends, restore the
+    one-file-per-bucket sort guarantee with
+    `bucketing.compact_bucketed_table` (rows moved, never
+    re-shingled)."""
     from ..bucketing import table_buckets, write_bucketed
 
     spark = batch.sparkSession

@@ -1228,10 +1228,16 @@ def append_to_ann_index(
     table).
 
     Append cost ∝ batch: one Arrow encode pass over the new vectors,
-    two bucketed writes. Retraining/compaction policy is the caller's
-    (drift between the pinned model and a shifted embedding
-    distribution degrades recall, not correctness — the exact-cosine
-    re-rank still orders true candidates exactly)."""
+    two bucketed writes. Semantics are INSERT, not upsert:
+    re-appending an indexed vec_id duplicates its codes/vector rows;
+    deletions need a rewrite (`write_ann_index(pretrained=...)` —
+    retrain-free). Model-drift policy is the caller's: a shifted
+    embedding distribution under the pinned model degrades recall,
+    never correctness (the exact-cosine re-rank still orders true
+    candidates exactly). After many appends, restore the
+    one-file-per-bucket layout with
+    `bucketing.compact_bucketed_table` (rows moved, never
+    re-encoded)."""
     from ..bucketing import table_buckets, write_bucketed
 
     spark = batch.sparkSession

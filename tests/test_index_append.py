@@ -271,6 +271,64 @@ def test_hamming_index_selfpairs_probe_and_append(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_compaction_restores_single_file_buckets(spark):
+    """r11: `bucketing.compact_bucketed_table` — the maintenance step
+    closing the index lifecycle. Each append adds a file per touched
+    bucket; compaction rewrites to one file per bucket via a
+    ZERO-shuffle bucketed scan (one partition per bucket, task-local
+    rewrite) with probe parity and the zero-Exchange self-join
+    preserved."""
+    import glob
+
+    from rq_spark.bucketing import compact_bucketed_table, table_buckets
+
+    corpus_rows, batch_rows = _synthetic_sigs()
+    sig = spark.createDataFrame(corpus_rows, "doc long, sig long")
+    batch = spark.createDataFrame(batch_rows, "doc long, sig long")
+    base = "t_ham_compact"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        D.append_to_hamming_index(batch, base)
+        want = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in D.hamming_near_pairs_from_index(
+                spark, base, max_hamming=3
+            ).collect()
+        }
+
+        def files() -> int:
+            loc = next(
+                r.data_type
+                for r in spark.sql(
+                    f"DESCRIBE FORMATTED {base}_hbands"
+                ).collect()
+                if r.col_name.strip() == "Location"
+            ).replace("file:", "")
+            return len(glob.glob(f"{loc}/*.parquet")) or len(
+                glob.glob(f"{loc}/part-*")
+            )
+
+        before = files()
+        compact_bucketed_table(spark, f"{base}_hbands", ["band", "bval"])
+        after = files()
+        assert after < before and after <= table_buckets(
+            spark, f"{base}_hbands"
+        ), (before, after)
+        got_df = D.hamming_near_pairs_from_index(spark, base, max_hamming=3)
+        got = {(r.a_id, r.b_id, r.hamming) for r in got_df.collect()}
+        assert got == want and len(got) > 30
+        spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+        plan = (
+            got_df._jdf.queryExecution().executedPlan().toString()
+            .split("\n+- == Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan
+        assert not re.findall(r"Exchange hashpartitioning\(band", plan)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}_hbands__compacting")
+        _drop(spark, base, ("hbands", "meta"))
+
+
 def test_append_cost_is_batch_proportional_by_construction():
     """The appenders must never touch a corpus-sized relation: no
     trainer calls, no corpus-table reads. Pinned at the source level
