@@ -318,8 +318,15 @@ def semantic_decontaminate(
     contamination becomes undetectable with no signal to the caller.
     So an unusable eval embedding raises a named ValueError instead
     (the adversarial-gate policy); the train side still drops quietly
-    — an unmeasurable train vector excludes only itself. The guard
-    scans only the benchmark-sized eval relation (one tiny job)."""
+    — an unmeasurable train vector excludes only itself. The eval
+    relation is PERSISTED before the guard scans it, so the guard's
+    materialization is the same one the banded join reuses — the
+    check costs one benchmark-sized cache pass, not a recompute of
+    the eval vectors."""
+    from ..util import persist_tracked, release_caches
+
+    release_caches("sem_decontam")
+    evals = persist_tracked(evals, scope="sem_decontam")
     if evals.filter(~_nonzero_vec(vec_col)).limit(1).count():
         raise ValueError(
             "semantic_decontaminate: eval/benchmark rows carry NULL or "
