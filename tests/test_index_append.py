@@ -329,6 +329,67 @@ def test_compaction_restores_single_file_buckets(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_index_degenerate_inputs(spark):
+    """The adversarial-gate policy applied to the index lifecycle:
+    an EMPTY batch append is a harmless no-op (not an error — a quiet
+    ingest day is normal), NULL signatures drop out of banding (an
+    equi-join on NULL matches nothing), and empty probes return empty
+    results. Same checks for the ANN family with an empty vector
+    batch and an empty query set."""
+    corpus_rows, _ = _synthetic_sigs()
+    sig = spark.createDataFrame(corpus_rows, "doc long, sig long")
+    empty_sig = spark.createDataFrame([], "doc long, sig long")
+    base = "t_ham_degen"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        want = {
+            (r.a_id, r.b_id)
+            for r in D.hamming_near_pairs_from_index(spark, base).collect()
+        }
+        D.append_to_hamming_index(empty_sig, base)
+        got = {
+            (r.a_id, r.b_id)
+            for r in D.hamming_near_pairs_from_index(spark, base).collect()
+        }
+        assert got == want and len(want) > 0
+        nullish = spark.createDataFrame(
+            [(5000, None), (5001, corpus_rows[0][1])], "doc long, sig long"
+        )
+        probe = D.hamming_probe_from_index(spark, nullish, base, 3).collect()
+        # the NULL-sig row matches nothing; the cloned sig matches its
+        # original (hamming 0)
+        assert {r.new_id for r in probe} == {5001}
+        assert D.hamming_probe_from_index(spark, empty_sig, base).count() == 0
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+    vecs = table(spark, SF, "embeddings")
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    base = "t_ann_degen"
+    ann_tables = ("codes", "vectors", "centroids", "codebooks", "meta")
+    try:
+        S.write_ann_index(vecs, base, n_centroids=8, m=8, n_codes=32, iters=2)
+        q = vecs.filter(F.col("vec_id") < 3)
+        want = {
+            (r.query_id, r.neighbor_id, r.rk)
+            for r in S.ivfpq_topk_join_from_index(spark, q, base, k=5).collect()
+        }
+        S.append_to_ann_index(empty_vec, base)
+        got = {
+            (r.query_id, r.neighbor_id, r.rk)
+            for r in S.ivfpq_topk_join_from_index(spark, q, base, k=5).collect()
+        }
+        assert got == want and len(want) == 15
+        assert (
+            S.ivfpq_topk_join_from_index(spark, empty_vec, base, k=5).count()
+            == 0
+        )
+    finally:
+        _drop(spark, base, ann_tables)
+
+
 def test_append_cost_is_batch_proportional_by_construction():
     """The appenders must never touch a corpus-sized relation: no
     trainer calls, no corpus-table reads. Pinned at the source level
