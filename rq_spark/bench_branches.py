@@ -133,6 +133,13 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
             return D.connected_components(pairs, nodes)
         if which == "pagerank":
             return pagerank_fixed(pairs, nodes)
+        if which == "inc_components":
+            old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
+            new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
+            standing = D.connected_components(
+                old_e, nodes, scope="inc_cc_old"
+            )
+            return D.absorb_edges(standing, new_e)
         return triangle_counts(pairs, nodes)
 
     return q
@@ -193,7 +200,7 @@ def branch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[f"{key}/{tag}"] = _pruned(key, tag)
     for d in ("backward", "forward", "nearest"):
         out[f"join_asof_event/{d}"] = _asof_solo(d)
-    for g in ("components", "pagerank", "triangles"):
+    for g in ("components", "pagerank", "triangles", "inc_components"):
         out[f"dedup_connected_groups/{g}"] = _graph_solo(g)
     for s in ("first_seen", "interval_join", "running"):
         out[f"stream_stateful/{s}"] = _stream_solo(s)

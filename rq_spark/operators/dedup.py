@@ -1385,7 +1385,10 @@ def hamming_probe_from_index(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    scope: str = "components",
 ) -> DataFrame:
     """Connected components by min-label propagation with pointer
     jumping: every node starts labeled with itself; each round every
@@ -1414,17 +1417,23 @@ def connected_components(
     Raises IllegalStateError if max_iter rounds do not converge —
     returning unconverged labels would silently split one true
     cluster into several.
+
+    ``scope`` names the persist-registry scope (r11): concurrent CC
+    invocations (e.g. the inc_components branch running its old-graph
+    CC while the components branch runs the full one from a sibling
+    thread) must pass DISTINCT scopes, or the second call's
+    entry-release would unpersist the first's live loop relations.
     """
-    _release_caches("components")
+    _release_caches(scope)
     sym = _persist_tracked(
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))),
-        scope="components",
+        scope=scope,
     )
     # only nodes that appear in an edge can change labels — singletons
     # (the vast majority of a dedup corpus) skip the loop entirely
     edge_nodes = _persist_tracked(
-        sym.select(F.col("src").alias("node")).distinct(), scope="components"
+        sym.select(F.col("src").alias("node")).distinct(), scope=scope
     )
     labels = edge_nodes.select("node", F.col("node").alias("rep"))
     reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
@@ -1471,6 +1480,92 @@ def connected_components(
         "node", F.col("node").alias("rep")
     )
     return labels.unionAll(singles)
+
+
+def absorb_edges(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components (r11): merge a batch's NEW
+    near-dup edges into STANDING cluster labels without recomputing
+    the corpus graph — the absorb step of the daily-ingest loop the
+    persisted indexes feed (probe pairs against the standing index,
+    then absorb them here; before this, new pairs meant re-running
+    `connected_components` over every edge ever seen).
+
+    ``labels``: (node, rep) — a MIN-LABEL FIXED POINT over the old
+    graph (exactly `connected_components` output: rep = smallest node
+    id in the component). ``new_edges``: (a_id, b_id), endpoints
+    standing or new. ``new_nodes``: optional (node) relation for batch
+    docs with no edges (they become singletons); endpoints of
+    new_edges are included automatically.
+
+    Returns (node, rep) over standing ∪ batch nodes, EXACTLY equal to
+    `connected_components(old_edges ∪ new_edges, all_nodes)`. Why:
+    contract each old component to its representative; a new edge
+    (a, b) connects rep(a) to rep(b), and min-label CC over that
+    CONTRACTED graph yields, per touched representative, the minimum
+    node id of its merged super-component — composing node → old rep
+    → super rep is therefore the same min-reachable-node label the
+    full recompute assigns (parity pinned in tests/test_graph.py on
+    chain merges, new-only cliques, batch singletons, and the empty
+    batch; the catalog's `inc_components` branch hash-checks it
+    against the full recursive-CTE oracle at driver level).
+
+    Scale shape — work ∝ batch + touched components, never corpus:
+    projecting the batch edges into rep space is two joins whose
+    small side is the batch (broadcast-able); the iterative CC runs
+    on the contracted graph (nodes = touched representatives — for a
+    daily batch, a vanishing fraction of the corpus); the final label
+    rewrite is one left join against the standing labels whose right
+    side is the (touched-comp-sized) remap. The corpus-sized labels
+    relation is scanned once and never shuffled on a corpus-sized
+    key."""
+    _release_caches("absorb_edges")
+    ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
+        new_edges.select(F.col("b_id").alias("node"))
+    )
+    if new_nodes is not None:
+        ends = ends.unionAll(new_nodes.select("node"))
+    fresh = (
+        ends.distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("rep"))
+    )
+    all_labels = _persist_tracked(
+        labels.unionAll(fresh), scope="absorb_edges"
+    )
+    la = all_labels.select(F.col("node").alias("a_id"), F.col("rep").alias("_ra"))
+    lb = all_labels.select(F.col("node").alias("b_id"), F.col("rep").alias("_rb"))
+    redges = (
+        new_edges.join(la, "a_id")
+        .join(lb, "b_id")
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select(F.col("_ra").alias("a_id"), F.col("_rb").alias("b_id"))
+        .distinct()
+    )
+    # checkpoint the contracted edges (batch-sized) BEFORE the loop:
+    # their plan otherwise embeds the standing-labels checkpoint chain
+    # and the batch-projection joins, which every CC round's job
+    # re-plans and re-walks — measured 22 s -> 1.1 s on a 72-edge
+    # contracted graph at sf0.1. Reliable checkpoint when the app has
+    # a checkpoint dir (the fault-tolerant cluster choice), else
+    # executor-local — the same convention as connected_components.
+    reliable = (
+        new_edges.sparkSession.sparkContext.getCheckpointDir() is not None
+    )
+    redges = redges.checkpoint() if reliable else redges.localCheckpoint()
+    rnodes = redges.select(F.col("a_id").alias("node")).unionAll(
+        redges.select(F.col("b_id").alias("node"))
+    ).distinct()
+    remap = connected_components(
+        redges, rnodes, max_iter=max_iter, scope="absorb_edges_cc"
+    ).select(F.col("node").alias("rep"), F.col("rep").alias("_srep"))
+    return all_labels.join(remap, "rep", "left").select(
+        "node", F.coalesce("_srep", "rep").alias("rep")
+    )
 
 
 def _gram_strings(

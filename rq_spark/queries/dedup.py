@@ -110,6 +110,18 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the same joins, so every count is
     hash-exact.
 
+    'inc_components' (r11) — INCREMENTAL connected components
+    (operators/dedup.py:absorb_edges): the absorb step of the
+    daily-ingest loop. The edge set splits deterministically into a
+    "standing" graph ((a_id + b_id) % 3 != 0) and "today's" edges
+    (% 3 == 0); the branch computes the standing min-label fixed
+    point, then merges the new edges through the CONTRACTED
+    representative graph — work ∝ batch + touched components, never
+    corpus. Its labels must equal the full recompute EXACTLY, so the
+    oracle is the SAME recursive CTE as 'components': the driver hash
+    now falsifies the incremental path against the ground-truth full
+    graph every round.
+
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
     the quadratic shingle self-join), computed ONCE and persisted for
     all branches; with 24 bands × 4 rows the verified pair set equals
@@ -144,12 +156,22 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.count()
         return t
 
-    with ThreadPoolExecutor(3) as ex:
+    def _inc() -> DataFrame:
+        # the daily-ingest split: standing graph vs today's edges;
+        # scopes distinct from the components branch so the two CC
+        # loops can run concurrently without releasing each other
+        old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
+        new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
+        standing = D.connected_components(old_e, nodes, scope="inc_cc_old")
+        return D.absorb_edges(standing, new_e)
+
+    with ThreadPoolExecutor(4) as ex:
         f_comp = ex.submit(D.connected_components, pairs, nodes)
         f_pr = ex.submit(pagerank_fixed, pairs, nodes)
         f_tri = ex.submit(_tri)
-        comp_df, pr_df, tri_df = (
-            f_comp.result(), f_pr.result(), f_tri.result()
+        f_inc = ex.submit(_inc)
+        comp_df, pr_df, tri_df, inc_df = (
+            f_comp.result(), f_pr.result(), f_tri.result(), f_inc.result()
         )
     comp = comp_df.select(
         F.lit("components").alias("op"),
@@ -169,7 +191,13 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.cast("bigint").alias("rep_id"),
         F.col("tri").alias("pr"),
     )
-    return comp.unionByName(pr).unionByName(tri)
+    inc = inc_df.select(
+        F.lit("inc_components").alias("op"),
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        nulls.cast("bigint").alias("pr"),
+    )
+    return comp.unionByName(pr).unionByName(tri).unionByName(inc)
 
 
 # recursive-CTE oracle: min reachable doc_id = component representative
@@ -208,6 +236,8 @@ UNION ALL
 SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
 UNION ALL
 SELECT 'triangles', node, NULL, tri FROM tc_out
+UNION ALL
+SELECT 'inc_components', node, MIN(lbl), NULL FROM reach GROUP BY node
 """
 
 

@@ -181,3 +181,91 @@ def test_pagerank_hub_skew_flagged_and_salted_ranks_identical(spark):
 
     with pytest.raises(ValueError):
         pagerank_fixed(edges, nodes, contrib_salt=0)
+
+
+# ------------------------- incremental connected components (r11)
+
+
+def _cc(spark, edges, nodes, **kw):
+    from rq_spark.operators.dedup import connected_components
+
+    e = spark.createDataFrame(
+        edges or [(None, None)], "a_id long, b_id long"
+    )
+    if not edges:
+        e = e.filter("a_id IS NOT NULL")
+    n = spark.createDataFrame([(v,) for v in nodes], "node long")
+    return connected_components(e, n, **kw)
+
+
+def _labels(df):
+    return {(r.node, r.rep) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "old_edges,new_edges,new_nodes",
+    [
+        # chain merge: new edge joins two standing components
+        ([(1, 2), (3, 4)], [(2, 3)], []),
+        # three-way merge through one batch doc
+        ([(1, 2), (3, 4), (5, 6)], [(7, 2), (7, 4), (7, 6)], [7]),
+        # new-only clique, disjoint from everything standing
+        ([(1, 2)], [(10, 11), (11, 12)], [10, 11, 12]),
+        # batch singletons with no edges at all
+        ([(1, 2)], [], [20, 21]),
+        # intra-component new edge (no merge) + duplicate of an old edge
+        ([(1, 2), (2, 3)], [(1, 3), (1, 2)], []),
+        # long chain built one rung at a time across old/new split
+        ([(i, i + 1) for i in range(1, 12, 2)],
+         [(i, i + 1) for i in range(2, 12, 2)], []),
+    ],
+)
+def test_absorb_edges_equals_full_recompute(spark, old_edges, new_edges,
+                                            new_nodes):
+    """absorb_edges(CC(old), new) must equal CC(old ∪ new) EXACTLY —
+    the daily-ingest absorb step may never drift from the full
+    recompute it replaces."""
+    from rq_spark.operators.dedup import absorb_edges
+
+    old_nodes = sorted({v for e in old_edges for v in e})
+    all_nodes = sorted(set(old_nodes) | set(new_nodes)
+                       | {v for e in new_edges for v in e})
+    standing = _cc(spark, old_edges, old_nodes, scope="inc_test_old")
+    nn = spark.createDataFrame([(v,) for v in new_nodes] or [(None,)],
+                               "node long")
+    if not new_nodes:
+        nn = nn.filter("node IS NOT NULL")
+    ne = spark.createDataFrame(new_edges or [(None, None)],
+                               "a_id long, b_id long")
+    if not new_edges:
+        ne = ne.filter("a_id IS NOT NULL")
+    got = _labels(absorb_edges(standing, ne, nn))
+    want = _labels(_cc(spark, old_edges + new_edges, all_nodes,
+                       scope="inc_test_full"))
+    assert got == want
+
+
+def test_absorb_edges_is_contracted_not_corpus_sized(spark):
+    """The inner CC must run on the CONTRACTED graph: representatives,
+    not corpus nodes. With 2 standing components of 50 nodes each and
+    ONE bridging batch edge, the contracted graph has exactly 2 nodes
+    — pinned by running absorb with max_iter=2 (one merge round + one
+    confirm round suffice for a 2-node graph; the 100-node chain the
+    full recompute walks needs ~8 pointer-jump rounds and would raise
+    IllegalStateError)."""
+    from rq_spark.operators.dedup import absorb_edges
+
+    chain_a = [(i, i + 1) for i in range(1, 50)]
+    chain_b = [(i, i + 1) for i in range(101, 150)]
+    old = chain_a + chain_b
+    nodes = sorted({v for e in old for v in e})
+    standing = _cc(spark, old, nodes, scope="inc_test_old")
+    ne = spark.createDataFrame([(50, 101)], "a_id long, b_id long")
+    got = _labels(absorb_edges(standing, ne, max_iter=2))
+    assert got == {(v, 1) for v in nodes}
+    # and the full recompute at the same budget really can't converge
+    from rq_spark.errors import IllegalStateError
+
+    with pytest.raises(IllegalStateError):
+        _cc(spark, old + [(50, 101)], nodes, max_iter=2,
+            scope="inc_test_budget").collect()

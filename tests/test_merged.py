@@ -52,7 +52,8 @@ TAGGED = {
         "exact", "minhash_lsh", "ngram_jaccard", "span", "excise",
         "cdc", "cdc_dup",
     },
-    "dedup_connected_groups": {"components", "pagerank", "triangles"},
+    "dedup_connected_groups": {"components", "pagerank", "triangles",
+                               "inc_components"},
     "event_sessions_rate": {"session", "rate", "funnel", "retention"},
     "window_frames": {"running", "trailing_30d", "ewma"},
     "window_agg_time": {"tumble", "slide", "transition"},
