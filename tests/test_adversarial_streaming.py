@@ -307,6 +307,68 @@ def test_interval_join_never_invents_pairs(spark, hostile_dir):
                     assert (aeid, beid) in got, (i, aeid, beid)
 
 
+def test_dedup_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint recovery — the operational property a 100 TB ingest
+    pipeline actually depends on: a streaming query is STOPPED after
+    its first micro-batch and a NEW query object restarts from the
+    same checkpoint; the keyed dedup state must come back, so keys
+    seen before the restart are NOT re-emitted when the hostile
+    batches redeliver them after it. The parquet sink + checkpoint
+    pair also proves exactly-once file-source accounting across the
+    restart (no batch replayed, none skipped)."""
+    import duckdb as _duck
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    con = _duck.connect()
+
+    def drop_file(i: int) -> None:
+        p = str(src / f"ev{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {_rows_to_values_sql(_BATCHES[i])})"
+            " v(event_id, ts, user_id, event_type, value, props)) "
+            f"TO '{p}' (FORMAT PARQUET)"
+        )
+
+    from rq_spark.streaming import dedup_keys
+
+    def run_until_drained() -> None:
+        q = (
+            dedup_keys(
+                _hostile_stream(spark, str(src)), "user_id", "event_type"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drop_file(0)
+    run_until_drained()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == len({(r[2], r[3]) for r in _BATCH0})
+
+    # the query object is GONE; batches 1-2 redeliver batch-0 keys
+    drop_file(1)
+    drop_file(2)
+    run_until_drained()
+    got = [(r.user_id, r.event_type)
+           for r in spark.read.parquet(sink).collect()]
+    want = {(r[2], r[3]) for b in _BATCHES for r in b}
+    # every key exactly once ACROSS the restart boundary: recovered
+    # state suppressed the redelivered keys, and no batch was replayed
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
+    con.close()
+
+
 # --------------------------- catalog stream keys over the hostile file
 
 
