@@ -229,15 +229,24 @@ WITH RECURSIVE toks AS (
 ), pr_nodes AS (
   SELECT doc_id AS node FROM documents
 ){_pagerank_cte_sql("edges", "pr_nodes")}{_triangle_cte_sql("edges", "pr_nodes")}
-SELECT 'components' AS op, node AS doc_id, MIN(lbl) AS rep_id,
-       CAST(NULL AS BIGINT) AS pr
-FROM reach GROUP BY node
+SELECT op, doc_id, rep_id, pr FROM (
+  -- comp is MATERIALIZED: the recursive reach closure is the oracle's
+  -- dominant cost and both the 'components' and 'inc_components' rows
+  -- read it — without the hint DuckDB inlines the CTE per reference
+  -- and walks the closure twice
+  WITH comp AS MATERIALIZED (
+    SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node
+  )
+  SELECT 'components' AS op, node AS doc_id, rep AS rep_id,
+         CAST(NULL AS BIGINT) AS pr
+  FROM comp
+  UNION ALL
+  SELECT 'inc_components', node, rep, NULL FROM comp
+)
 UNION ALL
 SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
 UNION ALL
 SELECT 'triangles', node, NULL, tri FROM tc_out
-UNION ALL
-SELECT 'inc_components', node, MIN(lbl), NULL FROM reach GROUP BY node
 """
 
 
