@@ -134,12 +134,9 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
         if which == "pagerank":
             return pagerank_fixed(pairs, nodes)
         if which == "inc_components":
-            old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
-            new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
-            standing = D.connected_components(
-                old_e, nodes, scope="inc_cc_old"
-            )
-            return D.absorb_edges(standing, new_e)
+            from .queries.dedup import inc_components_branch
+
+            return inc_components_branch(pairs, nodes)
         return triangle_counts(pairs, nodes)
 
     return q

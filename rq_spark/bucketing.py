@@ -64,10 +64,10 @@ def compact_bucketed_table(
     per touched bucket, and while the bucket-pruned zero-Exchange read
     survives any number of appends, a many-file bucket pays a
     task-local re-sort per scan and more open/seek overhead. Compaction
-    repartitions on the bucket keys with numPartitions == bucket count
-    — Spark's repartition hash (murmur3 pmod n) IS the bucket-id hash,
-    so each task holds exactly one bucket and writes exactly one
-    sorted file — then swaps the rewrite in via RENAME.
+    reads the table through its OWN bucketing (one scan partition per
+    bucket — all of bucket i's files land in task i with no shuffle),
+    rewrites each bucket as one sorted file, then swaps the rewrite in
+    via RENAME.
 
     The rewrite is ZERO-shuffle: with the auto-bucketed-scan heuristic
     pinned off, the scan reads one partition per bucket (all of bucket

@@ -1008,7 +1008,11 @@ _DENSE_COUNTS_MAX = 50_000_000
 #: per concurrent Arrow batch; ADVICE r10). Slabbing over text-major
 #: contiguous ranges bounds the int64 intermediate to 64 MB per batch
 #: while keeping the counting fully vectorized (same total bincount
-#: work: Σ tokens + T·V minlength zeroing).
+#: work: Σ tokens + T·V minlength zeroing). A single text's slab is
+#: V entries wide, so the bound is only real when V fits a slab —
+#: batches with a wider vocabulary route to the byte-histogram path,
+#: whose memory is vocabulary-independent (r11 self-review: before
+#: this gate, T=1 with V near _DENSE_COUNTS_MAX still paid 8·V).
 _DENSE_BINCOUNT_SLAB = 8_000_000
 
 
@@ -1065,7 +1069,7 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     nonempty = np.nonzero(lens)[0]
     T = len(nonempty)
     text_ids = np.repeat(np.arange(T, dtype=np.int64), lens[nonempty])
-    if T * V <= _DENSE_COUNTS_MAX:
+    if T * V <= _DENSE_COUNTS_MAX and V <= _DENSE_BINCOUNT_SLAB:
         # (V, 64) bit table; with bitorder='little' over the uint8
         # view, unpack→vote→pack applies the same bit permutation on
         # both ends, so the result is endianness-invariant. Built ONLY
@@ -1352,7 +1356,14 @@ def hamming_probe_from_index(
     the corpus side streams from the bucketed table. With
     ``broadcast_batch`` (the daily-ingest default) the corpus never
     leaves its scan; a too-big batch shuffles INTO the (band, bval)
-    bucketing while the index side still reads zero-Exchange."""
+    bucketing while the index side still reads zero-Exchange.
+
+    Same-id matches are KEPT (new_id == corpus_id, hamming 0) — the
+    same semantics as `incremental_minhash_pairs_from_index`, and the
+    re-ingest signal `append_to_hamming_index` callers check before
+    appending (r11 self-review: the families' probes must agree, or a
+    duplicate-ingest check passes on one index and silently fails on
+    the other)."""
     meta = spark.table(f"{base_name}_meta").collect()[0]
     _check_hamming_params(max_hamming, meta.bands)
     b = _banded_sig(batch_sig, meta.bands).select(
@@ -1368,7 +1379,6 @@ def hamming_probe_from_index(
     )
     return (
         b.join(c, ["band", "bval"])
-        .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id", "n_sig", "c_sig")
         .distinct()
         .withColumn(
@@ -1487,6 +1497,7 @@ def absorb_edges(
     new_edges: DataFrame,
     new_nodes: DataFrame | None = None,
     max_iter: int = 20,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental connected components (r11): merge a batch's NEW
     near-dup edges into STANDING cluster labels without recomputing
@@ -1516,13 +1527,19 @@ def absorb_edges(
 
     Scale shape — work ∝ batch + touched components, never corpus:
     projecting the batch edges into rep space is two joins whose
-    small side is the batch (broadcast-able); the iterative CC runs
-    on the contracted graph (nodes = touched representatives — for a
-    daily batch, a vanishing fraction of the corpus); the final label
-    rewrite is one left join against the standing labels whose right
-    side is the (touched-comp-sized) remap. The corpus-sized labels
-    relation is scanned once and never shuffled on a corpus-sized
-    key."""
+    small side is the batch; the iterative CC runs on the contracted
+    graph (nodes = touched representatives — for a daily batch, a
+    vanishing fraction of the corpus); the final label rewrite is one
+    left join against the standing labels whose right side is the
+    (touched-comp-sized) remap. With ``broadcast_batch`` (the
+    daily-ingest default) those three batch-sized sides carry
+    explicit broadcast hints, so the corpus-sized labels relation is
+    scanned map-side and never shuffled on a corpus-sized key —
+    pinned, not left to the planner's statistics (r11 self-review:
+    the sibling index probes hint theirs, and a misestimate here
+    would sort-merge-shuffle the standing labels three times). Pass
+    False when a backfill batch outgrows the broadcast budget; the
+    joins degrade to shuffles ∝ labels, still candidate-bounded."""
     _release_caches("absorb_edges")
     ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
         new_edges.select(F.col("b_id").alias("node"))
@@ -1539,9 +1556,12 @@ def absorb_edges(
     )
     la = all_labels.select(F.col("node").alias("a_id"), F.col("rep").alias("_ra"))
     lb = all_labels.select(F.col("node").alias("b_id"), F.col("rep").alias("_rb"))
+    e1 = F.broadcast(new_edges) if broadcast_batch else new_edges
+    e2 = e1.join(la, "a_id")
+    if broadcast_batch:
+        e2 = F.broadcast(e2)
     redges = (
-        new_edges.join(la, "a_id")
-        .join(lb, "b_id")
+        e2.join(lb, "b_id")
         .filter(F.col("_ra") != F.col("_rb"))
         .select(F.col("_ra").alias("a_id"), F.col("_rb").alias("b_id"))
         .distinct()
@@ -1563,6 +1583,8 @@ def absorb_edges(
     remap = connected_components(
         redges, rnodes, max_iter=max_iter, scope="absorb_edges_cc"
     ).select(F.col("node").alias("rep"), F.col("rep").alias("_srep"))
+    if broadcast_batch:
+        remap = F.broadcast(remap)
     return all_labels.join(remap, "rep", "left").select(
         "node", F.coalesce("_srep", "rep").alias("rep")
     )

@@ -327,7 +327,14 @@ def semantic_decontaminate(
 
     release_caches("sem_decontam")
     evals = persist_tracked(evals, scope="sem_decontam")
-    if evals.filter(~_nonzero_vec(vec_col)).limit(1).count():
+    # IS NOT TRUE, not ~pred: an embedding with NULL ELEMENTS (e.g.
+    # [0.0, NULL, ...]) makes F.exists three-valued NULL, and a plain
+    # negation filter drops the row instead of matching it — the
+    # guard would fail open on exactly the malformed row it exists
+    # to catch (r11 self-review)
+    bad = ~F.coalesce(_nonzero_vec(vec_col), F.lit(False))
+    if evals.filter(bad).limit(1).count():
+        release_caches("sem_decontam")  # don't leak the cache on raise
         raise ValueError(
             "semantic_decontaminate: eval/benchmark rows carry NULL or "
             "zero-norm embeddings — cosine is undefined there, so their "

@@ -86,6 +86,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_components_branch(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The inc_components branch body — standing/new split + absorb —
+    in ONE place shared by the catalog key and bench_branches'
+    attribution solo (r11 self-review: a solo that drifted from the
+    key's convention would silently time a different query than the
+    branch it attributes). Split: edges with (a_id + b_id) % 3 == 0
+    are "today's"; the rest are the standing graph. Scopes are
+    distinct from the components branch so the two CC loops can run
+    concurrently without releasing each other's persisted relations."""
+    old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
+    new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
+    standing = D.connected_components(old_e, nodes, scope="inc_cc_old")
+    return D.absorb_edges(standing, new_e)
+
+
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the near-dup pair graph, tagged branches:
 
@@ -156,20 +171,11 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.count()
         return t
 
-    def _inc() -> DataFrame:
-        # the daily-ingest split: standing graph vs today's edges;
-        # scopes distinct from the components branch so the two CC
-        # loops can run concurrently without releasing each other
-        old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
-        new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
-        standing = D.connected_components(old_e, nodes, scope="inc_cc_old")
-        return D.absorb_edges(standing, new_e)
-
     with ThreadPoolExecutor(4) as ex:
         f_comp = ex.submit(D.connected_components, pairs, nodes)
         f_pr = ex.submit(pagerank_fixed, pairs, nodes)
         f_tri = ex.submit(_tri)
-        f_inc = ex.submit(_inc)
+        f_inc = ex.submit(inc_components_branch, pairs, nodes)
         comp_df, pr_df, tri_df, inc_df = (
             f_comp.result(), f_pr.result(), f_tri.result(), f_inc.result()
         )

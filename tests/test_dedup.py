@@ -604,11 +604,21 @@ def test_simhash_uint16_kernel_matches_scalar_reference(monkeypatch):
     monkeypatch.setattr(DD, "_DENSE_COUNTS_MAX", 1)
     assert list(_simhash64_batch(texts)) == want
     monkeypatch.undo()
-    # force the dense path to run one-text-per-slab bincounts (r11,
-    # ADVICE r10: the slabbed counting that bounds the int64 bincount
-    # intermediate) — row blocks assembled across many slabs must
-    # still equal the single-bincount result
-    monkeypatch.setattr(DD, "_DENSE_BINCOUNT_SLAB", 1)
+    # force the dense path to run one-or-two-texts-per-slab bincounts
+    # (r11, ADVICE r10: the slabbed counting that bounds the int64
+    # bincount intermediate) — 1024 still admits this corpus's ~500
+    # distinct tokens (so the dense path runs, not the byte-histogram
+    # reroute) while slab_t collapses to 1-2 texts per slab; row
+    # blocks assembled across ~100+ slabs must equal the
+    # single-bincount result
+    monkeypatch.setattr(DD, "_DENSE_BINCOUNT_SLAB", 1024)
+    assert list(_simhash64_batch(texts)) == want
+    monkeypatch.undo()
+    # vocabulary wider than one slab: the dense path's int64 bound
+    # would be void (a single text's slab is V entries), so the batch
+    # must reroute to the vocabulary-independent byte-histogram path
+    # and still match
+    monkeypatch.setattr(DD, "_DENSE_BINCOUNT_SLAB", 8)
     assert list(_simhash64_batch(texts)) == want
 
 

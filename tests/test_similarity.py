@@ -553,6 +553,13 @@ def test_semantic_decontaminate_unusable_eval_embedding_raises(spark):
         )
     with pytest.raises(ValueError, match="zero-norm"):
         S.semantic_decontaminate(train, vecs([(10, None)]), 0.9, dim=4)
+    # NULL ELEMENTS make F.exists three-valued NULL — a plain ~pred
+    # filter drops the row instead of matching it (fail-open); the
+    # guard must still fire (r11 self-review)
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.semantic_decontaminate(
+            train, vecs([(10, [0.0, None, 0.0, 0.0])]), 0.9, dim=4
+        )
     # zero-norm TRAIN rows drop quietly; identical vectors still pair
     got = S.semantic_decontaminate(
         vecs([(1, [1.0, 0.0, 0.0, 1.0]), (2, [0.0, 0.0, 0.0, 0.0])]),

@@ -67,6 +67,14 @@ def build(k: int, src: str, out: str, dup_rate: float = 0.0) -> None:
     # replica 0 is VERBATIM sf0.1; perturbed replicas recompute n_chars
     # from the perturbed text and keep source/lang verbatim
     twin_mod = round(1 / dup_rate) if dup_rate > 0 else 0
+    if twin_mod and twin_mod < k:
+        # doc_id % twin_mod == r is unsatisfiable for r >= twin_mod, so
+        # replicas would silently contribute NO twins and the realized
+        # density would undershoot the request — reject rather than lie
+        raise ValueError(
+            f"dup_rate {dup_rate} needs twin_mod >= k ({twin_mod} < {k}): "
+            "lower dup_rate or k"
+        )
     parts = []
     for r in range(k):
         if r == 0:
