@@ -196,12 +196,33 @@ def final_summary_line(artifact: dict) -> str:
         "errors": sorted(artifact["errors"]),
     }
     line = json.dumps(summary, separators=(",", ":"))
-    for victim in ("errors", "ratio_vs_ref"):
+    # drop order = reverse verdict value; "queries" LAST (ADVICE r11:
+    # the old two-victim loop could still return an over-long line on
+    # a future artifact shape, silently re-beheading the driver tail)
+    for victim in (
+        "errors", "ratio_vs_ref", "timed_out", "skipped", "partial",
+        "reduced_runs", "queries",
+    ):
         if len(line) <= FINAL_LINE_MAX:
             break
         summary.pop(victim, None)
         summary.setdefault("dropped", []).append(victim)
         line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > FINAL_LINE_MAX:
+        # last resort: the four fields the driver contract requires,
+        # all scalars — cannot exceed the ceiling
+        line = json.dumps(
+            {
+                "metric": artifact["metric"],
+                "value": artifact["value"],
+                "unit": artifact["unit"],
+                "sf": artifact["sf"],
+                "dropped": ["all_detail"],
+            },
+            separators=(",", ":"),
+        )
+    # fail at BENCH time, never at driver-parse time
+    assert len(line) <= FINAL_LINE_MAX, len(line)
     return line
 
 

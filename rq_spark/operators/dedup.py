@@ -1546,11 +1546,23 @@ def absorb_edges(
     )
     if new_nodes is not None:
         ends = ends.unionAll(new_nodes.select("node"))
-    fresh = (
-        ends.distinct()
-        .join(labels.select("node"), "node", "left_anti")
-        .select("node", F.col("node").alias("rep"))
-    )
+    ends = ends.distinct()
+    if broadcast_batch:
+        # ADVICE r11: `ends ANTI-JOIN labels` broadcasts only BuildRight
+        # for equi LeftAnti, so the corpus-sized labels on the right
+        # would sort-merge-shuffle on node. Flip it: scan labels
+        # map-side against the broadcast batch endpoints (left_semi,
+        # batch-sized output), then anti-join the endpoints against
+        # THAT — both joins broadcast the batch-sized side, the
+        # standing labels never shuffle.
+        existing = labels.select("node").join(
+            F.broadcast(ends), "node", "left_semi"
+        )
+        fresh = ends.join(F.broadcast(existing), "node", "left_anti")
+    else:
+        # backfill-sized batch: one shuffle ∝ labels is the honest cost
+        fresh = ends.join(labels.select("node"), "node", "left_anti")
+    fresh = fresh.select("node", F.col("node").alias("rep"))
     all_labels = _persist_tracked(
         labels.unionAll(fresh), scope="absorb_edges"
     )

@@ -27,14 +27,28 @@ _DOUBLE_ARR = "array<double>"
 
 
 def _nonzero_vec(vec_col: str) -> Column:
-    """Intake predicate for every vector operator: NULL **and
-    zero-norm** embeddings are excluded. Cosine is undefined at norm 0
-    (Spark ANSI double division raises DIVIDE_BY_ZERO — found by the
-    r10 adversarial-corpus probe on an all-zero embedding), and a zero
-    vector seeding the coarse quantizer poisons every centroid with
-    NaN. The zero-shingle-drop analogue for the vector family."""
+    """Intake predicate for every vector operator: NULL, zero-norm,
+    **and NULL-element** embeddings are excluded. Cosine is undefined
+    at norm 0 (Spark ANSI double division raises DIVIDE_BY_ZERO —
+    found by the r10 adversarial-corpus probe on an all-zero
+    embedding), and a zero vector seeding the coarse quantizer poisons
+    every centroid with NaN. A vector with a NULL ELEMENT (e.g.
+    [1.0, NULL, ...]) is just as unusable — dot/cosine propagate the
+    NULL through the aggregate fold, so every similarity involving it
+    silently becomes NULL and fails every threshold filter (ADVICE
+    r11: such a vector passed the old `exists(x != 0)` check via its
+    nonzero elements, slipping past `semantic_decontaminate`'s
+    fail-loud eval guard — the exact fail-open the guard exists to
+    close). The zero-shingle-drop analogue for the vector family.
+    The exists predicates are two-valued here (x.isNull() never
+    returns NULL; the ~exists(isNull) conjunct runs first in 3VL so
+    the x != 0 term is only trusted on NULL-free arrays)."""
     c = F.col(vec_col)
-    return c.isNotNull() & F.exists(c, lambda x: x != 0)
+    return (
+        c.isNotNull()
+        & ~F.exists(c, lambda x: x.isNull())
+        & F.exists(c, lambda x: x != 0)
+    )
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -327,11 +341,14 @@ def semantic_decontaminate(
 
     release_caches("sem_decontam")
     evals = persist_tracked(evals, scope="sem_decontam")
-    # IS NOT TRUE, not ~pred: an embedding with NULL ELEMENTS (e.g.
-    # [0.0, NULL, ...]) makes F.exists three-valued NULL, and a plain
-    # negation filter drops the row instead of matching it — the
-    # guard would fail open on exactly the malformed row it exists
-    # to catch (r11 self-review)
+    # IS NOT TRUE, not ~pred: belt-and-braces against any three-valued
+    # evaluation of the intake predicate (r11 self-review). Since
+    # ADVICE r11 `_nonzero_vec` itself is two-valued AND rejects
+    # NULL-ELEMENT vectors (e.g. [1.0, NULL, ...] — nonzero elements
+    # used to satisfy exists(x != 0) while the NULL element nulled
+    # every cosine downstream, the one malformed shape that slipped
+    # this guard), so `bad` flags every unusable eval embedding:
+    # NULL, zero-norm, or NULL-element.
     bad = ~F.coalesce(_nonzero_vec(vec_col), F.lit(False))
     if evals.filter(bad).limit(1).count():
         release_caches("sem_decontam")  # don't leak the cache on raise

@@ -135,6 +135,27 @@ def test_ratio_keys_cover_every_mid_tier_headline_key():
         assert k in b.RATIO_KEYS, k
 
 
+def test_final_line_hard_fallback_never_exceeds_cap():
+    """ADVICE r11: the degrade loop's old two-victim list was only
+    test-case-guaranteed — an artifact with enough long headline keys
+    could still overflow the driver tail. Now the loop degrades all
+    the way down to a minimal scalar line, and an assert fails at
+    BENCH time if even that exceeded the cap (it cannot)."""
+    b = _bench()
+    art = _worst_case_artifact(b)
+    # pathological future shape: hundreds of long-named headline keys
+    art["queries"] = {f"a_very_long_headline_key_name_{i:04d}": 1.5
+                      for i in range(200)}
+    line = b.final_summary_line(art)
+    assert len(line) <= b.FINAL_LINE_MAX
+    parsed = json.loads(line)
+    # the driver contract fields survive every degradation rung
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 999999.999
+    assert parsed["unit"] == "sec"
+    assert "dropped" in parsed
+
+
 def test_partial_tagging_distinguishes_degraded_medians():
     """ADVICE r10: a key with both a median and an error entry must be
     tagged 'partial' in the artifact so consumers can't mistake the

@@ -560,6 +560,15 @@ def test_semantic_decontaminate_unusable_eval_embedding_raises(spark):
         S.semantic_decontaminate(
             train, vecs([(10, [0.0, None, 0.0, 0.0])]), 0.9, dim=4
         )
+    # ADVICE r11: the MIXED case — a NONZERO element AND a NULL
+    # element. exists(x != 0) is TRUE here, so the old guard passed it;
+    # the NULL element then nulls every cosine and the threshold
+    # filter silently drops the eval row's pairs — fail-open. The
+    # hardened _nonzero_vec rejects any NULL element at intake.
+    with pytest.raises(ValueError, match="zero-norm"):
+        S.semantic_decontaminate(
+            train, vecs([(10, [1.0, None, 0.0, 0.0])]), 0.9, dim=4
+        )
     # zero-norm TRAIN rows drop quietly; identical vectors still pair
     got = S.semantic_decontaminate(
         vecs([(1, [1.0, 0.0, 0.0, 1.0]), (2, [0.0, 0.0, 0.0, 0.0])]),
