@@ -1225,16 +1225,20 @@ def hamming_near_pairs(
     b = banded.select(
         F.col("doc").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bval"
     )
+    # popcount-verify BEFORE the pair-level distinct (r11 verdict):
+    # hamming is a function of (a_id, b_id), so deduping after the
+    # verify is equivalent — and the distinct's shuffle then carries
+    # (id, id, tinyint) instead of (id, id, sig, sig), with
+    # non-qualifying collisions dropped map-side instead of shuffled
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
@@ -1318,7 +1322,8 @@ def hamming_near_pairs_from_index(
     ingest. The self-join consumes the table's (band, bval) bucketing
     on BOTH sides, so the candidate join is a zero-Exchange
     SortMergeJoin — the only shuffle left in the whole pair scan is
-    the final pair-level distinct, which is ∝ candidates, never
+    the final pair-level distinct, which is ∝ QUALIFYING pairs (the
+    popcount verify runs map-side before it, r11 verdict), never
     ∝ corpus. Exact pair parity with the in-query operator over the
     same signatures is pinned in tests/test_index_append.py."""
     meta = spark.table(f"{base_name}_meta").collect()[0]
@@ -1330,16 +1335,18 @@ def hamming_near_pairs_from_index(
     b = t.select(
         F.col("doc").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bval"
     )
+    # verify-then-distinct (r11 verdict): halves the candidate
+    # shuffle's width (no 64-bit sigs ride the distinct) and drops
+    # non-qualifying band collisions map-side — see hamming_near_pairs
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
@@ -1377,15 +1384,15 @@ def hamming_probe_from_index(
         "band",
         "bval",
     )
+    # verify-then-distinct (r11 verdict): see hamming_near_pairs
     return (
         b.join(c, ["band", "bval"])
-        .select("new_id", "corpus_id", "n_sig", "c_sig")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("n_sig").bitwiseXOR(F.col("c_sig")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("new_id", "corpus_id", "hamming")
+        .distinct()
     )
 
 
