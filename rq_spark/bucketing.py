@@ -78,11 +78,27 @@ def compact_bucketed_table(
     pinned in tests/test_index_append.py). Each task rewrites its
     bucket as one sorted file.
 
-    Non-atomic across the drop/rename pair (fine for a maintenance
-    window; a lakehouse table format would make it transactional).
-    Runs ∝ table size with zero recomputation — rows are moved, never
-    re-derived, so it applies identically to every index family."""
+    Still non-transactional, but since r12 the data EXISTS UNDER SOME
+    NAME at every step (r11 verdict task #3): the live table is
+    renamed aside to ``{table}__precompact``, the rewrite renamed in,
+    and only then is the backup dropped — the old DROP-then-RENAME
+    order had a crash window that lost the table outright. A crash
+    between the two renames leaves the data under the backup name
+    only; the next compaction (or any caller) recovers it
+    automatically (pinned by a failure-injection test in
+    tests/test_index_append.py). Runs ∝ table size with zero
+    recomputation — rows are moved, never re-derived, so it applies
+    identically to every index family."""
     keys = [key] if isinstance(key, str) else list(key)
+    backup = f"{table_name}__precompact"
+    # crash recovery: a previous compaction that died between its two
+    # renames left the data under the backup name only — restore it
+    # before doing anything else
+    if not spark.catalog.tableExists(table_name) and spark.catalog.tableExists(
+        backup
+    ):
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
     buckets = table_buckets(spark, table_name)
     tmp = f"{table_name}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -95,8 +111,9 @@ def compact_bucketed_table(
         )
     finally:
         spark.conf.set(_AUTO, prev)
-    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {backup}")
 
 
 def table_buckets(spark: SparkSession, table_name: str) -> int:

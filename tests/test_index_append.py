@@ -332,6 +332,50 @@ def test_compaction_restores_single_file_buckets(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_compaction_crash_between_renames_keeps_data(spark, monkeypatch):
+    """r12 (r11 verdict task #3): the compaction swap is rename-aside →
+    rename-in → drop-backup, so the table's data exists UNDER SOME NAME
+    at every step. Inject a failure between the two renames and assert
+    (a) the rows are intact under the backup name, (b) the next
+    compaction auto-recovers the live name and completes normally."""
+    import pytest
+
+    from rq_spark.bucketing import compact_bucketed_table
+
+    corpus_rows, _ = _synthetic_sigs()
+    sig = spark.createDataFrame(corpus_rows, "doc long, sig long")
+    base = "t_ham_crash"
+    tbl = f"{base}_hbands"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        want = spark.table(tbl).count()
+        real_sql = spark.sql
+
+        def failing_sql(q, *a, **kw):
+            if q.strip().startswith(f"ALTER TABLE {tbl}__compacting"):
+                raise RuntimeError("injected crash between the two renames")
+            return real_sql(q, *a, **kw)
+
+        monkeypatch.setattr(spark, "sql", failing_sql)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_bucketed_table(spark, tbl, ["band", "bval"])
+        monkeypatch.undo()
+        # worst-case window: the live name is gone — but every row
+        # still exists under the backup name (the old DROP-then-RENAME
+        # order lost the table outright here)
+        assert not spark.catalog.tableExists(tbl)
+        assert spark.table(f"{tbl}__precompact").count() == want
+        # the next compaction recovers the live name and completes
+        compact_bucketed_table(spark, tbl, ["band", "bval"])
+        assert spark.table(tbl).count() == want
+        assert not spark.catalog.tableExists(f"{tbl}__precompact")
+        assert not spark.catalog.tableExists(f"{tbl}__compacting")
+    finally:
+        for suffix in ("__precompact", "__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+        _drop(spark, base, ("hbands", "meta"))
+
+
 def test_index_degenerate_inputs(spark):
     """The adversarial-gate policy applied to the index lifecycle:
     an EMPTY batch append is a harmless no-op (not an error — a quiet
