@@ -1505,6 +1505,7 @@ def absorb_edges(
     new_nodes: DataFrame | None = None,
     max_iter: int = 20,
     broadcast_batch: bool = True,
+    scope: str = "absorb_edges",
 ) -> DataFrame:
     """Incremental connected components (r11): merge a batch's NEW
     near-dup edges into STANDING cluster labels without recomputing
@@ -1546,8 +1547,17 @@ def absorb_edges(
     the sibling index probes hint theirs, and a misestimate here
     would sort-merge-shuffle the standing labels three times). Pass
     False when a backfill batch outgrows the broadcast budget; the
-    joins degrade to shuffles ∝ labels, still candidate-bounded."""
-    _release_caches("absorb_edges")
+    joins degrade to shuffles ∝ labels, still candidate-bounded.
+
+    ``scope`` names the persist-registry scope (r12): CHAINED absorbs
+    — day 2 absorbing into day 1's output, the production daily loop —
+    must pass distinct scopes, or the second call's entry-release
+    would unpersist the first call's merged-label relation while the
+    second's plan still reads it (the same contract as
+    `connected_components`). Repeated calls under ONE scope (a true
+    daily loop, yesterday's output fully materialized) keep the
+    release-at-entry behavior so caches never accumulate."""
+    _release_caches(scope)
     ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
         new_edges.select(F.col("b_id").alias("node"))
     )
@@ -1570,9 +1580,7 @@ def absorb_edges(
         # backfill-sized batch: one shuffle ∝ labels is the honest cost
         fresh = ends.join(labels.select("node"), "node", "left_anti")
     fresh = fresh.select("node", F.col("node").alias("rep"))
-    all_labels = _persist_tracked(
-        labels.unionAll(fresh), scope="absorb_edges"
-    )
+    all_labels = _persist_tracked(labels.unionAll(fresh), scope=scope)
     la = all_labels.select(F.col("node").alias("a_id"), F.col("rep").alias("_ra"))
     lb = all_labels.select(F.col("node").alias("b_id"), F.col("rep").alias("_rb"))
     e1 = F.broadcast(new_edges) if broadcast_batch else new_edges
@@ -1600,7 +1608,7 @@ def absorb_edges(
         redges.select(F.col("b_id").alias("node"))
     ).distinct()
     remap = connected_components(
-        redges, rnodes, max_iter=max_iter, scope="absorb_edges_cc"
+        redges, rnodes, max_iter=max_iter, scope=f"{scope}_cc"
     ).select(F.col("node").alias("rep"), F.col("rep").alias("_srep"))
     if broadcast_batch:
         remap = F.broadcast(remap)

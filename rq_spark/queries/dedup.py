@@ -87,18 +87,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def inc_components_branch(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
-    """The inc_components branch body — standing/new split + absorb —
-    in ONE place shared by the catalog key and bench_branches'
-    attribution solo (r11 self-review: a solo that drifted from the
-    key's convention would silently time a different query than the
-    branch it attributes). Split: edges with (a_id + b_id) % 3 == 0
-    are "today's"; the rest are the standing graph. Scopes are
-    distinct from the components branch so the two CC loops can run
-    concurrently without releasing each other's persisted relations."""
-    old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 != 0)
-    new_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 0)
+    """The inc_components branch body — standing/day-1/day-2 split +
+    TWO chained absorbs — in ONE place shared by the catalog key and
+    bench_branches' attribution solo (r11 self-review: a solo that
+    drifted from the key's convention would silently time a different
+    query than the branch it attributes). Split on s = (a_id + b_id)
+    % 3: s == 2 is the standing graph, s == 0 is day 1's batch,
+    s == 1 is day 2's — day 2 absorbs INTO DAY 1's OUTPUT, so the
+    driver hash falsifies REPEATED absorption (the production shape:
+    yesterday's absorb output is today's standing labels) against the
+    full-graph recursive-CTE oracle every round, not just a single
+    batch (r12, r11 verdict task #7; single-absorb parity was only
+    correct by the docstring's induction argument before). Scopes are
+    distinct per absorb AND from the components branch: chained
+    absorbs under one scope would release each other's live caches,
+    and concurrent CC loops would release each other's."""
+    s = (F.col("a_id") + F.col("b_id")) % 3
+    old_e = pairs.filter(s == 2)
+    day1_e = pairs.filter(s == 0)
+    day2_e = pairs.filter(s == 1)
     standing = D.connected_components(old_e, nodes, scope="inc_cc_old")
-    return D.absorb_edges(standing, new_e)
+    day1 = D.absorb_edges(standing, day1_e, scope="inc_absorb_d1")
+    return D.absorb_edges(day1, day2_e, scope="inc_absorb_d2")
 
 
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,17 +135,18 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the same joins, so every count is
     hash-exact.
 
-    'inc_components' (r11) — INCREMENTAL connected components
-    (operators/dedup.py:absorb_edges): the absorb step of the
-    daily-ingest loop. The edge set splits deterministically into a
-    "standing" graph ((a_id + b_id) % 3 != 0) and "today's" edges
-    (% 3 == 0); the branch computes the standing min-label fixed
-    point, then merges the new edges through the CONTRACTED
-    representative graph — work ∝ batch + touched components, never
-    corpus. Its labels must equal the full recompute EXACTLY, so the
-    oracle is the SAME recursive CTE as 'components': the driver hash
-    now falsifies the incremental path against the ground-truth full
-    graph every round.
+    'inc_components' (r11, TWO-DAY since r12) — INCREMENTAL connected
+    components (operators/dedup.py:absorb_edges): the absorb step of
+    the daily-ingest loop. The edge set splits deterministically
+    three ways on (a_id + b_id) % 3 — a "standing" graph plus two
+    consecutive daily batches — and the branch chains TWO absorbs,
+    day 2 merging into day 1's output: the production shape where
+    yesterday's absorb output is today's standing labels. Each absorb
+    merges its batch through the CONTRACTED representative graph —
+    work ∝ batch + touched components, never corpus. The final labels
+    must equal the full recompute EXACTLY, so the oracle is the SAME
+    recursive CTE as 'components': the driver hash falsifies REPEATED
+    absorption against the ground-truth full graph every round.
 
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
     the quadratic shingle self-join), computed ONCE and persisted for

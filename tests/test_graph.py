@@ -245,6 +245,54 @@ def test_absorb_edges_equals_full_recompute(spark, old_edges, new_edges,
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "old_edges,day1,day2,extra_nodes",
+    [
+        # day 2 re-merges across day 1's merge: 3 components -> 1
+        ([(1, 2), (3, 4), (5, 6)], [(2, 3)], [(4, 5)], []),
+        # day 2 touches only day-1-fresh nodes (labels minted by the
+        # FIRST absorb must be absorbable by the second)
+        ([(1, 2)], [(10, 11)], [(11, 12)], [10, 11, 12]),
+        # day 2 merges a day-1 singleton into a standing component
+        ([(1, 2)], [], [(20, 1)], [20]),
+        # both days intra-component (absorbs must be no-ops twice)
+        ([(1, 2), (2, 3)], [(1, 3)], [(1, 2)], []),
+        # chain stretched across all three slices
+        ([(i, i + 1) for i in range(1, 12, 3)],
+         [(i, i + 1) for i in range(2, 12, 3)],
+         [(i, i + 1) for i in range(3, 12, 3)], []),
+    ],
+)
+def test_repeated_absorb_equals_full_recompute(spark, old_edges, day1,
+                                               day2, extra_nodes):
+    """r12 (r11 verdict): REPEATED absorption — day 2 absorbing into
+    day 1's OUTPUT, the production daily-loop shape — must equal the
+    full recompute over every edge ever seen. Before this test the
+    chained case was correct only by the docstring's induction
+    argument (absorb output is a min-label fixed point, hence valid
+    standing labels); here the induction step is executed."""
+    from rq_spark.operators.dedup import absorb_edges
+
+    def edf(edges):
+        e = spark.createDataFrame(edges or [(None, None)],
+                                  "a_id long, b_id long")
+        return e if edges else e.filter("a_id IS NOT NULL")
+
+    old_nodes = sorted({v for e in old_edges for v in e})
+    all_nodes = sorted(set(old_nodes) | set(extra_nodes)
+                       | {v for e in day1 + day2 for v in e})
+    nn = spark.createDataFrame([(v,) for v in extra_nodes] or [(None,)],
+                               "node long")
+    if not extra_nodes:
+        nn = nn.filter("node IS NOT NULL")
+    standing = _cc(spark, old_edges, old_nodes, scope="inc_test_old")
+    d1 = absorb_edges(standing, edf(day1), nn, scope="inc_test_d1")
+    d2 = absorb_edges(d1, edf(day2), scope="inc_test_d2")
+    want = _labels(_cc(spark, old_edges + day1 + day2, all_nodes,
+                       scope="inc_test_full"))
+    assert _labels(d2) == want
+
+
 def test_absorb_edges_is_contracted_not_corpus_sized(spark):
     """The inner CC must run on the CONTRACTED graph: representatives,
     not corpus nodes. With 2 standing components of 50 nodes each and
