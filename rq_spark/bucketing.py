@@ -16,7 +16,8 @@ all (stdin pipes, rq.rs:157-159), so this is extension-layer only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -57,6 +58,7 @@ def compact_bucketed_table(
     table_name: str,
     key: str | list[str],
     sort: bool = True,
+    purge: tuple[DataFrame, str] | None = None,
 ) -> None:
     """Rewrite a bucketed table back to ~one file per bucket (r11) —
     the maintenance step that completes the persisted-index lifecycle
@@ -88,7 +90,14 @@ def compact_bucketed_table(
     automatically (pinned by a failure-injection test in
     tests/test_index_append.py). Runs ∝ table size with zero
     recomputation — rows are moved, never re-derived, so it applies
-    identically to every index family."""
+    identically to every index family.
+
+    ``purge=(tombstones, id_col)`` (r12) physically drops dead rows
+    during the rewrite: the tombstone relation is deletion-sized and
+    broadcast, so the anti-join rides the task-local bucket scan as a
+    map-side filter — the rewrite stays zero-shuffle. Callers clear
+    the tombstone table afterwards (the family-level
+    ``compact_*_index`` wrappers do)."""
     keys = [key] if isinstance(key, str) else list(key)
     backup = f"{table_name}__precompact"
     # crash recovery: a previous compaction that died between its two
@@ -106,9 +115,10 @@ def compact_bucketed_table(
     prev = spark.conf.get(_AUTO, "true")
     spark.conf.set(_AUTO, "false")
     try:
-        write_bucketed(
-            spark.table(table_name), tmp, keys, buckets=buckets, sort=sort
-        )
+        df = spark.table(table_name)
+        if purge is not None:
+            df = _anti_tombstone(df, purge[0], purge[1])
+        write_bucketed(df, tmp, keys, buckets=buckets, sort=sort)
     finally:
         spark.conf.set(_AUTO, prev)
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {backup}")
@@ -125,6 +135,104 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
         if r.col_name.strip() == "Num Buckets":
             return int(r.data_type)
     raise ValueError(f"table {table_name} is not bucketed")
+
+
+# --------------------------------------------------------------------------
+# deletion / upsert for persisted indexes (r12, r11 verdict task #2)
+#
+# The bucketed index tables are INSERT-only parquet — a real standing
+# corpus also sees takedowns and re-crawls. Rather than rewrite the
+# corpus-sized layout per deletion, every index row carries a
+# GENERATION stamp (``gen``: 0 at full write, +1 per append or
+# tombstone batch, tracked in the one-row ``{base}_state`` table), and
+# deletions append (id, gen) rows to ``{base}_tombstones``. A row is
+# dead iff some tombstone for its id is at least as new as the row —
+# so deleting an id kills everything written so far, while REINGEST
+# (tombstone at gen g, re-append at gen g+1) resurrects the id with
+# only its new rows visible. Probes anti-join the (deletion-sized,
+# broadcast) tombstone table map-side — the corpus never shuffles —
+# and compaction purges dead rows physically (the rewrite is already
+# task-local per bucket) then clears the tombstones.
+# --------------------------------------------------------------------------
+
+
+def init_index_state(spark: SparkSession, base_name: str) -> None:
+    """Reset an index's generation counter to 0 and drop any standing
+    tombstones — called by every full index WRITE: a from-scratch
+    rewrite contains only live rows, so old deletions are meaningless
+    against it."""
+    spark.createDataFrame([(0,)], "gen long").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{base_name}_state")
+    spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+
+
+def current_gen(spark: SparkSession, base_name: str) -> int:
+    """The index's current generation (one-row read; 0 for an index
+    written before generation tracking existed)."""
+    if not spark.catalog.tableExists(f"{base_name}_state"):
+        return 0
+    return spark.table(f"{base_name}_state").collect()[0].gen
+
+
+def bump_gen(spark: SparkSession, base_name: str) -> int:
+    """Advance the index's generation and return the new value — one
+    one-row read + one one-row overwrite, called once per append or
+    tombstone batch (never per row)."""
+    g = current_gen(spark, base_name) + 1
+    spark.createDataFrame([(g,)], "gen long").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{base_name}_state")
+    return g
+
+
+def add_tombstones(
+    spark: SparkSession, base_name: str, ids: DataFrame, id_col: str = "id"
+) -> None:
+    """Mark ids as deleted from the index, stamped at the CURRENT
+    generation (bumped first, so the tombstone covers every row
+    written so far and nothing appended after it). Cost ∝ deletions:
+    one append of (id, gen) rows — no index table is read or
+    touched."""
+    g = bump_gen(spark, base_name)
+    ids.select(
+        F.col(id_col).alias("id"), F.lit(g).cast("long").alias("gen")
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{base_name}_tombstones"
+    )
+
+
+def clear_tombstones(spark: SparkSession, base_name: str) -> None:
+    """Drop the tombstone table — only valid right after a compaction
+    purge (the dead rows are physically gone) or a full rewrite."""
+    spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+
+
+def _dead_row_cond(rows: DataFrame, id_col: str) -> Column:
+    return (rows[id_col] == F.col("_tomb_id")) & (
+        F.col("_tomb_gen") >= rows["gen"]
+    )
+
+
+def _anti_tombstone(rows: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
+    t = tomb.select(
+        F.col("id").alias("_tomb_id"), F.col("gen").alias("_tomb_gen")
+    )
+    return rows.join(F.broadcast(t), _dead_row_cond(rows, id_col), "left_anti")
+
+
+def filter_tombstoned(
+    spark: SparkSession, base_name: str, rows: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop rows whose id carries a tombstone at least as new as the
+    row — the probe-side view of deletions. The tombstone side is
+    deletion-sized and BROADCAST (a BroadcastHashJoin LeftAnti with
+    the gen comparison riding the join condition), so the corpus-side
+    relation is filtered map-side without moving; with no tombstone
+    table the input returns untouched, zero overhead."""
+    if not spark.catalog.tableExists(f"{base_name}_tombstones"):
+        return rows
+    return _anti_tombstone(rows, spark.table(f"{base_name}_tombstones"), id_col)
 
 
 def cojoin(

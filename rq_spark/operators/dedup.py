@@ -501,22 +501,31 @@ def write_minhash_index(
       The probe takes its banding parameters FROM this table (never
       from the caller), so batch and index banding cannot drift apart
       — band hashes are only comparable under identical banding.
-    """
-    from ..bucketing import write_bucketed
+
+    Every row carries a generation stamp (``gen`` = 0 here, bumped per
+    append) and the write resets ``{base}_state`` / drops any standing
+    tombstones — see `bucketing.add_tombstones` for the deletion /
+    reingest lifecycle (r12)."""
+    from ..bucketing import init_index_state, write_bucketed
 
     sets = shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n).filter(
         F.size("sh_arr") > 0
     )
     sets = _persist_tracked(sets, scope="minhash_index_write")
+    gen0 = F.lit(0).cast("long")
     bands_df = band_table(
         minhash_signatures(sets, num_hashes=num_hashes),
         bands,
         num_hashes // bands,
-    ).select(F.col("doc").alias("corpus_id"), "band", "bhash")
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash", gen0.alias("gen"))
     write_bucketed(
         bands_df, f"{base_name}_bands", ["band", "bhash"], buckets=buckets
     )
-    write_bucketed(sets, f"{base_name}_shingles", "doc", buckets=buckets)
+    write_bucketed(
+        sets.withColumn("gen", gen0), f"{base_name}_shingles", "doc",
+        buckets=buckets,
+    )
+    init_index_state(corpus.sparkSession, base_name)
     corpus.sparkSession.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
@@ -529,6 +538,7 @@ def append_to_minhash_index(
     text_col: str,
     id_col: str,
     base_name: str,
+    reingest: bool = False,
 ) -> None:
     """Absorb an ingested batch INTO the standing LSH index (r11, r10
     verdict task #2) — closes the "probe daily, rewrite weekly" gap:
@@ -553,17 +563,24 @@ def append_to_minhash_index(
 
     Append cost ∝ batch: shingle + hash the new documents, one
     bucketed write per table. Nothing corpus-sized is read, shuffled,
-    or rewritten. Semantics are INSERT, not upsert: re-appending an
-    already-indexed doc_id duplicates its rows (dedupe the batch
-    upstream — `incremental_minhash_pairs_from_index` is the standing
-    check); deletions need a rewrite. After many appends, restore the
-    one-file-per-bucket sort guarantee with
-    `bucketing.compact_bucketed_table` (rows moved, never
-    re-shingled)."""
-    from ..bucketing import table_buckets, write_bucketed
+    or rewritten. Plain append is INSERT: re-appending an
+    already-indexed doc_id duplicates its rows. ``reingest=True``
+    (r12, r11 verdict task #2) is the UPSERT path for re-crawled
+    documents: the batch ids are tombstoned first (covering every row
+    written so far), then the batch is appended one generation later —
+    probes immediately see only the new signatures, and the dead rows
+    are physically purged at the next `compact_minhash_index`.
+    Deletions without replacement go through
+    `bucketing.add_tombstones` directly. After many appends, restore
+    the one-file-per-bucket sort guarantee with
+    `compact_minhash_index` (rows moved, never re-shingled)."""
+    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
 
     spark = batch.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
+    if reingest:
+        add_tombstones(spark, base_name, batch.select(id_col).distinct(), id_col)
+    gen = F.lit(bump_gen(spark, base_name)).cast("long")
     sets = shingle_sets(
         _spread(batch), text_col, id_col, n=meta.shingle_n
     ).filter(F.size("sh_arr") > 0)
@@ -572,7 +589,7 @@ def append_to_minhash_index(
         minhash_signatures(sets, num_hashes=meta.num_hashes),
         meta.bands,
         meta.num_hashes // meta.bands,
-    ).select(F.col("doc").alias("corpus_id"), "band", "bhash")
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash", gen.alias("gen"))
     write_bucketed(
         bands_df,
         f"{base_name}_bands",
@@ -581,7 +598,7 @@ def append_to_minhash_index(
         mode="append",
     )
     write_bucketed(
-        sets,
+        sets.withColumn("gen", gen),
         f"{base_name}_shingles",
         "doc",
         buckets=table_buckets(spark, f"{base_name}_shingles"),
@@ -628,13 +645,21 @@ def incremental_minhash_pairs_from_index(
     ).select(F.col("doc").alias("new_id"), "band", "bhash")
     if broadcast_batch:
         b_bands = F.broadcast(b_bands)
-    c_bands = spark.table(f"{base_name}_bands")
+    from ..bucketing import filter_tombstoned
+
+    # deleted/reingested ids drop out map-side (broadcast anti-join on
+    # the deletion-sized tombstone table — the corpus never shuffles)
+    c_bands = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_bands"), "corpus_id"
+    )
     cand = (
         b_bands.join(c_bands, ["band", "bhash"])
         .select("new_id", "corpus_id")
         .distinct()
     )
-    c_sets = spark.table(f"{base_name}_shingles")
+    c_sets = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_shingles"), "doc"
+    )
     ca = c_sets.select(F.col("doc").alias("corpus_id"), F.col("sh_arr").alias("_cc"))
     ba = b_sets.select(F.col("doc").alias("new_id"), F.col("sh_arr").alias("_bb"))
     c = F.size(F.array_intersect("_bb", "_cc")).cast("double")
@@ -645,6 +670,35 @@ def incremental_minhash_pairs_from_index(
         .select("new_id", "corpus_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def compact_minhash_index(spark, base_name: str) -> None:
+    """Compact both LSH index tables to one file per bucket AND
+    physically purge tombstoned rows (r12), then clear the tombstone
+    table — after this, probes pay zero anti-join overhead again.
+    Both rewrites are the zero-shuffle task-local bucket rewrite of
+    `bucketing.compact_bucketed_table`; the purge rides them as a
+    broadcast map-side filter."""
+    from ..bucketing import clear_tombstones, compact_bucketed_table
+
+    tomb = (
+        spark.table(f"{base_name}_tombstones")
+        if spark.catalog.tableExists(f"{base_name}_tombstones")
+        else None
+    )
+    compact_bucketed_table(
+        spark,
+        f"{base_name}_bands",
+        ["band", "bhash"],
+        purge=None if tomb is None else (tomb, "corpus_id"),
+    )
+    compact_bucketed_table(
+        spark,
+        f"{base_name}_shingles",
+        "doc",
+        purge=None if tomb is None else (tomb, "doc"),
+    )
+    clear_tombstones(spark, base_name)
 
 
 def repeated_spans(
@@ -1277,22 +1331,27 @@ def write_hamming_index(
     * ``{base}_meta`` — one row pinning ``bands``. Probes and appends
       take the banding FROM this table (never from the caller):
       band values are only comparable under identical banding.
-    """
-    from ..bucketing import write_bucketed
+
+    Rows carry a generation stamp and the write resets the index's
+    tombstone state — see `bucketing.add_tombstones` (r12)."""
+    from ..bucketing import init_index_state, write_bucketed
 
     _check_hamming_params(0, bands)
     write_bucketed(
-        _banded_sig(sig, bands),
+        _banded_sig(sig, bands).withColumn("gen", F.lit(0).cast("long")),
         f"{base_name}_hbands",
         ["band", "bval"],
         buckets=buckets,
     )
+    init_index_state(sig.sparkSession, base_name)
     sig.sparkSession.createDataFrame(
         [(bands,)], "bands int"
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
 
 
-def append_to_hamming_index(batch_sig: DataFrame, base_name: str) -> None:
+def append_to_hamming_index(
+    batch_sig: DataFrame, base_name: str, reingest: bool = False
+) -> None:
     """Absorb a batch of new signatures INTO the standing Hamming
     index — banding read from ``{base}_meta`` (pinned, never a caller
     argument), rows appended into the bucketed table preserving its
@@ -1300,13 +1359,19 @@ def append_to_hamming_index(batch_sig: DataFrame, base_name: str) -> None:
     rows are byte-identical to a full rewrite over corpus ∪ batch —
     parity is exact. Append cost ∝ batch: one explode over the new
     signatures, one bucketed write; the only catalog read is the
-    one-row meta."""
-    from ..bucketing import table_buckets, write_bucketed
+    one-row meta. ``reingest=True`` is the upsert path: the batch ids
+    are tombstoned first, so only the NEW signature of a re-crawled
+    doc is visible to probes (r12; see `append_to_minhash_index`)."""
+    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
 
     spark = batch_sig.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
+    if reingest:
+        add_tombstones(spark, base_name, batch_sig.select("doc").distinct(), "doc")
     write_bucketed(
-        _banded_sig(batch_sig, meta.bands),
+        _banded_sig(batch_sig, meta.bands).withColumn(
+            "gen", F.lit(bump_gen(spark, base_name)).cast("long")
+        ),
         f"{base_name}_hbands",
         ["band", "bval"],
         buckets=table_buckets(spark, f"{base_name}_hbands"),
@@ -1326,9 +1391,13 @@ def hamming_near_pairs_from_index(
     popcount verify runs map-side before it, r11 verdict), never
     ∝ corpus. Exact pair parity with the in-query operator over the
     same signatures is pinned in tests/test_index_append.py."""
+    from ..bucketing import filter_tombstoned
+
     meta = spark.table(f"{base_name}_meta").collect()[0]
     _check_hamming_params(max_hamming, meta.bands)
-    t = spark.table(f"{base_name}_hbands")
+    t = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_hbands"), "doc"
+    )
     a = t.select(
         F.col("doc").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bval"
     )
@@ -1378,7 +1447,11 @@ def hamming_probe_from_index(
     )
     if broadcast_batch:
         b = F.broadcast(b)
-    c = spark.table(f"{base_name}_hbands").select(
+    from ..bucketing import filter_tombstoned
+
+    c = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_hbands"), "doc"
+    ).select(
         F.col("doc").alias("corpus_id"),
         F.col("sig").alias("c_sig"),
         "band",
@@ -1394,6 +1467,26 @@ def hamming_probe_from_index(
         .select("new_id", "corpus_id", "hamming")
         .distinct()
     )
+
+
+def compact_hamming_index(spark, base_name: str) -> None:
+    """Compact the Hamming band table to one file per bucket AND
+    physically purge tombstoned rows, then clear the tombstone table
+    (r12) — see `compact_minhash_index`."""
+    from ..bucketing import clear_tombstones, compact_bucketed_table
+
+    tomb = (
+        spark.table(f"{base_name}_tombstones")
+        if spark.catalog.tableExists(f"{base_name}_tombstones")
+        else None
+    )
+    compact_bucketed_table(
+        spark,
+        f"{base_name}_hbands",
+        ["band", "bval"],
+        purge=None if tomb is None else (tomb, "doc"),
+    )
+    clear_tombstones(spark, base_name)
 
 
 # --------------------------------------------------------------------------

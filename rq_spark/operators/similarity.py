@@ -1176,8 +1176,10 @@ def write_ann_index(
     ``_read_ann_model(spark, old_base)[1:]`` to re-lay-out or compact
     a standing index without retraining (and the exact-rewrite
     yardstick `append_to_ann_index`'s parity test is pinned against).
-    """
-    from ..bucketing import write_bucketed
+
+    Rows carry a generation stamp and the write resets the index's
+    tombstone state — see `bucketing.add_tombstones` (r12)."""
+    from ..bucketing import init_index_state, write_bucketed
 
     if pretrained is not None:
         cents, cb = pretrained
@@ -1192,21 +1194,25 @@ def write_ann_index(
         )
     spark = corpus.sparkSession
     v = corpus.filter(_nonzero_vec(vec_col))
+    gen0 = F.lit(0).cast("long")
     coded = v.select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+        gen0.alias("gen"),
     )
     write_bucketed(coded, f"{base_name}_codes", "cell", buckets=buckets)
     write_bucketed(
         v.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            gen0.alias("gen"),
         ),
         f"{base_name}_vectors",
         "neighbor_id",
         buckets=buckets,
     )
+    init_index_state(spark, base_name)
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cell int, centroid array<double>",
@@ -1237,6 +1243,7 @@ def append_to_ann_index(
     base_name: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reingest: bool = False,
 ) -> None:
     """Absorb a batch of new vectors INTO the standing IVFPQ index
     (r11, r10 verdict task #2) — before this, `write_ann_index` was
@@ -1259,25 +1266,32 @@ def append_to_ann_index(
     table).
 
     Append cost ∝ batch: one Arrow encode pass over the new vectors,
-    two bucketed writes. Semantics are INSERT, not upsert:
-    re-appending an indexed vec_id duplicates its codes/vector rows;
-    deletions need a rewrite (`write_ann_index(pretrained=...)` —
-    retrain-free). Model-drift policy is the caller's: a shifted
-    embedding distribution under the pinned model degrades recall,
-    never correctness (the exact-cosine re-rank still orders true
-    candidates exactly). After many appends, restore the
-    one-file-per-bucket layout with
-    `bucketing.compact_bucketed_table` (rows moved, never
-    re-encoded)."""
-    from ..bucketing import table_buckets, write_bucketed
+    two bucketed writes. Plain append is INSERT: re-appending an
+    indexed vec_id duplicates its codes/vector rows. ``reingest=True``
+    (r12, r11 verdict task #2) is the upsert path for re-embedded
+    documents: the batch ids are tombstoned first, the batch appended
+    one generation later — probes immediately see only the new
+    vectors, the dead rows are purged at the next `compact_ann_index`.
+    Deletions without replacement go through
+    `bucketing.add_tombstones`. Model-drift policy is the caller's: a
+    shifted embedding distribution under the pinned model degrades
+    recall, never correctness (the exact-cosine re-rank still orders
+    true candidates exactly). After many appends, restore the
+    one-file-per-bucket layout with `compact_ann_index` (rows moved,
+    never re-encoded)."""
+    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
 
     spark = batch.sparkSession
     _meta, cents, cb = _read_ann_model(spark, base_name)
+    if reingest:
+        add_tombstones(spark, base_name, batch.select(id_col).distinct(), id_col)
+    gen = F.lit(bump_gen(spark, base_name)).cast("long")
     v = batch.filter(_nonzero_vec(vec_col))
     coded = v.select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
+        gen.alias("gen"),
     )
     write_bucketed(
         coded,
@@ -1290,12 +1304,33 @@ def append_to_ann_index(
         v.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            gen.alias("gen"),
         ),
         f"{base_name}_vectors",
         "neighbor_id",
         buckets=table_buckets(spark, f"{base_name}_vectors"),
         mode="append",
     )
+
+
+def compact_ann_index(spark, base_name: str) -> None:
+    """Compact both ANN index tables to one file per bucket AND
+    physically purge tombstoned rows, then clear the tombstone table
+    (r12) — see `operators/dedup.py:compact_minhash_index`. The model
+    tables are untouched (compaction moves rows, never re-encodes)."""
+    from ..bucketing import clear_tombstones, compact_bucketed_table
+
+    tomb = (
+        spark.table(f"{base_name}_tombstones")
+        if spark.catalog.tableExists(f"{base_name}_tombstones")
+        else None
+    )
+    purge = None if tomb is None else (tomb, "neighbor_id")
+    compact_bucketed_table(spark, f"{base_name}_codes", "cell", purge=purge)
+    compact_bucketed_table(
+        spark, f"{base_name}_vectors", "neighbor_id", purge=purge
+    )
+    clear_tombstones(spark, base_name)
 
 
 def _read_ann_model(spark, base_name: str):
@@ -1355,7 +1390,13 @@ def ivfpq_topk_join_from_index(
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    c = spark.table(f"{base_name}_codes")
+    from ..bucketing import filter_tombstoned
+
+    # deleted/reingested ids drop out map-side (broadcast anti-join on
+    # the deletion-sized tombstone table — the index never shuffles)
+    c = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_codes"), "neighbor_id"
+    )
     cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored_codes = cand.select(
         "query_id",
@@ -1370,7 +1411,9 @@ def ivfpq_topk_join_from_index(
         .filter(F.col("ark") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    c_vec = spark.table(f"{base_name}_vectors")
+    c_vec = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_vectors"), "neighbor_id"
+    ).select("neighbor_id", "c_vec")
     q_vec = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1405,7 +1448,14 @@ def knn_graph_from_index(
     into the bucketed codes table, the JVM ADC fold, and the re-rank.
     Exact parity with the in-query `knn_graph` under the same trained
     model is pinned in tests/test_similarity.py."""
-    q = spark.table(f"{base_name}_vectors").select(
+    from ..bucketing import filter_tombstoned
+
+    # a deleted doc must appear on NEITHER side of the graph: the
+    # neighbor side is filtered inside ivfpq_topk_join_from_index, the
+    # query side here
+    q = filter_tombstoned(
+        spark, base_name, spark.table(f"{base_name}_vectors"), "neighbor_id"
+    ).select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("c_vec").alias("embedding"),
     )

@@ -1,0 +1,321 @@
+"""Deletion / upsert for the persisted indexes (r12, r11 verdict
+task #2).
+
+The bucketed index tables were INSERT-only: a takedown or a re-crawled
+document meant a full corpus-sized rewrite. Now every index row
+carries a generation stamp, deletions append (id, gen) rows to a
+``{base}_tombstones`` table (cost ∝ deletions, nothing corpus-sized
+moves), probes anti-join the broadcast tombstone relation map-side,
+``reingest=True`` on append tombstones-then-appends so a re-crawled
+doc is immediately served with only its NEW signature, and the family
+``compact_*_index`` wrappers physically purge dead rows during the
+(zero-shuffle) compaction rewrite and clear the tombstone table.
+
+Pinned here, per the r11 verdict's DONE criteria and per family:
+probe after delete equals a probe over a from-scratch rebuild without
+the id; re-append of a changed doc yields exactly the new signature's
+pairs; compaction purges tombstoned rows and resets the tombstone
+table (with probe results unchanged by the purge).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rq_spark.operators import dedup as D
+from rq_spark.operators import similarity as S
+from rq_spark.bucketing import add_tombstones, current_gen, filter_tombstoned
+from rq_spark.queries.helpers import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _drop(spark, base, suffixes):
+    for t in tuple(suffixes) + ("state", "tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
+
+
+def _s64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _sig_corpus():
+    """100 random 64-bit signatures plus 20 planted 2-bit-flip
+    near-dups (ids 1000+i near-dup ids 0..19) — every expected pair is
+    computable by brute-force popcount."""
+    rnd = random.Random(11)
+    base = [rnd.getrandbits(64) for _ in range(100)]
+    rows = [(i, _s64(v)) for i, v in enumerate(base)]
+    for i in range(20):
+        v = base[i] ^ (1 << (i % 64)) ^ (1 << ((i * 7 + 3) % 64))
+        rows.append((1000 + i, _s64(v)))
+    return rows, base
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id, r.hamming) for r in df.collect()}
+
+
+def test_hamming_delete_reingest_and_purge(spark):
+    rows, base = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    b_live, b_ref = "t_tomb_ham", "t_tomb_ham_ref"
+    try:
+        D.write_hamming_index(sig, b_live, bands=4)
+        baseline = _pairs(D.hamming_near_pairs_from_index(spark, b_live))
+        assert any(1000 in (a, b) for a, b, _h in baseline)
+
+        # DELETE id 1000: the pair scan must equal a from-scratch
+        # rebuild without the id — and the deleted doc must vanish
+        # from probes in BOTH roles (corpus side here, both sides of
+        # the self-join)
+        add_tombstones(
+            spark, b_live, spark.createDataFrame([(1000,)], "doc long"), "doc"
+        )
+        D.write_hamming_index(
+            sig.filter(F.col("doc") != 1000), b_ref, bands=4
+        )
+        want = _pairs(D.hamming_near_pairs_from_index(spark, b_ref))
+        got = _pairs(D.hamming_near_pairs_from_index(spark, b_live))
+        assert got == want and not any(1000 in (a, b) for a, b, _h in got)
+        probe = D.hamming_probe_from_index(
+            spark,
+            spark.createDataFrame([(9000, rows[100][1])], "doc long, sig long"),
+            b_live,
+            max_hamming=3,
+        ).collect()
+        # rows[100] IS doc 1000's signature: its strong matches are
+        # doc 0 (2 flips) — doc 1000 itself must NOT appear
+        assert {r.corpus_id for r in probe} and all(
+            r.corpus_id != 1000 for r in probe
+        )
+
+        # REINGEST doc 0 with a completely new signature: probes see
+        # exactly the new signature's pairs (equals a rebuild where
+        # doc 0 carries the new value)
+        new0 = _s64(base[50] ^ (1 << 5))  # now a near-dup of doc 50
+        D.append_to_hamming_index(
+            spark.createDataFrame([(0, new0)], "doc long, sig long"),
+            b_live,
+            reingest=True,
+        )
+        rebuilt = sig.filter(~F.col("doc").isin(0, 1000)).unionByName(
+            spark.createDataFrame([(0, new0)], "doc long, sig long")
+        )
+        D.write_hamming_index(rebuilt, b_ref, bands=4)
+        want2 = _pairs(D.hamming_near_pairs_from_index(spark, b_ref))
+        got2 = _pairs(D.hamming_near_pairs_from_index(spark, b_live))
+        assert got2 == want2
+        assert (0, 50, 1) in got2  # the NEW pair
+        assert not any(
+            a == 0 and h == 2 for a, _b, h in got2
+        )  # the OLD near-dup pair (0, 1000+0 was deleted) is gone
+
+        # PURGE: compaction physically drops dead rows and clears the
+        # tombstone table; the pair scan is unchanged by it.
+        # 120 docs written; 1000 deleted; doc 0's old rows dead, its
+        # reingested rows live -> 119 live docs x 4 bands
+        D.compact_hamming_index(spark, b_live)
+        assert spark.table(f"{b_live}_hbands").count() == 119 * 4
+        assert not spark.catalog.tableExists(f"{b_live}_tombstones")
+        assert _pairs(D.hamming_near_pairs_from_index(spark, b_live)) == want2
+    finally:
+        _drop(spark, b_live, ("hbands", "meta"))
+        _drop(spark, b_ref, ("hbands", "meta"))
+
+
+def test_minhash_delete_reingest_and_purge(spark):
+    docs = table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    b_live, b_ref = "t_tomb_mh", "t_tomb_mh_ref"
+    mh = ("bands", "shingles", "meta")
+
+    def probe_pairs(base):
+        return {
+            (r.new_id, r.corpus_id): round(r.jaccard, 9)
+            for r in D.incremental_minhash_pairs_from_index(
+                spark, probe, "text", "doc_id", base
+            ).collect()
+        }
+
+    try:
+        D.write_minhash_index(corpus, "text", "doc_id", b_live)
+        baseline = probe_pairs(b_live)
+        assert baseline
+        victim = next(iter(baseline))[1]  # a corpus doc with matches
+
+        add_tombstones(
+            spark,
+            b_live,
+            spark.createDataFrame([(victim,)], "doc_id long"),
+            "doc_id",
+        )
+        D.write_minhash_index(
+            corpus.filter(F.col("doc_id") != victim), "text", "doc_id", b_ref
+        )
+        assert probe_pairs(b_live) == probe_pairs(b_ref)
+        assert all(cid != victim for (_n, cid) in probe_pairs(b_live))
+
+        # REINGEST the victim with NEW text (another doc's words):
+        # probes match it under the new shingles only
+        # longest probe text: guaranteed to shingle (>= 3 words)
+        donor_text = (
+            probe.orderBy(F.length("text").desc(), "doc_id")
+            .select("text")
+            .limit(1)
+            .collect()[0]
+            .text
+        )
+        changed = spark.createDataFrame(
+            [(victim, donor_text)], "doc_id long, text string"
+        )
+        D.append_to_minhash_index(changed, "text", "doc_id", b_live, reingest=True)
+        D.write_minhash_index(
+            corpus.filter(F.col("doc_id") != victim)
+            .select("doc_id", "text")
+            .unionByName(changed),
+            "text",
+            "doc_id",
+            b_ref,
+        )
+        want = probe_pairs(b_ref)
+        got = probe_pairs(b_live)
+        assert got == want
+        # the new text IS a probe doc's text, so the victim now matches
+        # it at jaccard 1.0 under its new identity
+        assert any(cid == victim for (_n, cid) in got)
+
+        # PURGE + clear; probe unchanged
+        D.compact_minhash_index(spark, b_live)
+        assert not spark.catalog.tableExists(f"{b_live}_tombstones")
+        assert probe_pairs(b_live) == want
+        # physically gone: no row for the victim at gen 0 remains
+        assert (
+            spark.table(f"{b_live}_shingles")
+            .filter((F.col("doc") == victim) & (F.col("gen") == 0))
+            .count()
+            == 0
+        )
+    finally:
+        _drop(spark, b_live, mh)
+        _drop(spark, b_ref, mh)
+
+
+def test_ann_delete_reingest_and_purge(spark):
+    vecs = table(spark, SF, "embeddings")
+    corpus = vecs.filter(F.col("vec_id") % 2 == 0)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    b_live, b_ref = "t_tomb_ann", "t_tomb_ann_ref"
+    ann = ("codes", "vectors", "centroids", "codebooks", "meta")
+
+    def topk(base):
+        return {
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in S.ivfpq_topk_join_from_index(
+                spark, queries, base, k=5, nprobe=4, rerank=20
+            ).collect()
+        }
+
+    try:
+        S.write_ann_index(corpus, b_live, n_centroids=8, m=8, n_codes=32, iters=2)
+        _meta, cents, cb = S._read_ann_model(spark, b_live)
+        baseline = topk(b_live)
+        victim = next(n for (_q, n, rk, _c) in baseline if rk == 1)
+
+        # DELETE: equals a rebuild WITHOUT the victim under the SAME
+        # pinned model (training on the reduced corpus would move the
+        # centroids — that would test the trainer, not the tombstone)
+        add_tombstones(
+            spark,
+            b_live,
+            spark.createDataFrame([(victim,)], "vec_id long"),
+            "vec_id",
+        )
+        S.write_ann_index(
+            corpus.filter(F.col("vec_id") != victim),
+            b_ref,
+            pretrained=(cents, cb),
+        )
+        got = topk(b_live)
+        assert got == topk(b_ref)
+        assert all(n != victim for (_q, n, _rk, _c) in got)
+
+        # REINGEST the victim with a different embedding (vec_id 1's —
+        # an odd id, so it is NOT otherwise in the corpus)
+        donor = vecs.filter(F.col("vec_id") == 1).select("embedding").collect()[
+            0
+        ].embedding
+        changed = spark.createDataFrame(
+            [(victim, list(donor))], "vec_id long, embedding array<double>"
+        )
+        S.append_to_ann_index(changed, b_live, reingest=True)
+        S.write_ann_index(
+            corpus.filter(F.col("vec_id") != victim)
+            .select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+            .unionByName(changed),
+            b_ref,
+            pretrained=(cents, cb),
+        )
+        want = topk(b_ref)
+        assert topk(b_live) == want
+
+        # PURGE + clear; serving unchanged; dead rows physically gone
+        before = spark.table(f"{b_live}_codes").count()
+        S.compact_ann_index(spark, b_live)
+        after = spark.table(f"{b_live}_codes").count()
+        assert after == before - 1  # exactly the victim's gen-0 code row
+        assert not spark.catalog.tableExists(f"{b_live}_tombstones")
+        assert topk(b_live) == want
+        # the kNN graph also excludes nothing it shouldn't: victim
+        # appears only under its NEW embedding
+        g = S.knn_graph_from_index(spark, b_live, k=3).collect()
+        assert any(r.query_id == victim or r.neighbor_id == victim for r in g)
+    finally:
+        _drop(spark, b_live, ann)
+        _drop(spark, b_ref, ann)
+
+
+def test_tombstone_generation_semantics(spark):
+    """The generation algebra directly: delete-then-reappend
+    resurrects (new rows outlive the tombstone), re-delete kills the
+    resurrected rows, deleting an unknown id is harmless, and
+    filter_tombstoned without a tombstone table is the identity."""
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:10], "doc long, sig long")
+    base = "t_tomb_gen"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        assert current_gen(spark, base) == 0
+        t = spark.table(f"{base}_hbands")
+        # no tombstone table yet: identity, same plan object semantics
+        assert filter_tombstoned(spark, base, t, "doc").count() == t.count()
+
+        ids = lambda v: spark.createDataFrame([(v,)], "doc long")  # noqa: E731
+        add_tombstones(spark, base, ids(3), "doc")  # gen 1
+        assert current_gen(spark, base) == 1
+        live = filter_tombstoned(spark, base, spark.table(f"{base}_hbands"), "doc")
+        assert live.filter("doc = 3").count() == 0
+
+        # re-append id 3 (gen 2 > tombstone gen 1): resurrected
+        D.append_to_hamming_index(
+            spark.createDataFrame([(3, rows[3][1])], "doc long, sig long"), base
+        )
+        live = filter_tombstoned(spark, base, spark.table(f"{base}_hbands"), "doc")
+        assert live.filter("doc = 3").count() == 4  # the NEW rows only
+
+        # second delete (gen 3) kills the resurrected rows too
+        add_tombstones(spark, base, ids(3), "doc")
+        live = filter_tombstoned(spark, base, spark.table(f"{base}_hbands"), "doc")
+        assert live.filter("doc = 3").count() == 0
+
+        # deleting an id the index never saw is harmless
+        add_tombstones(spark, base, ids(77777), "doc")
+        assert D.hamming_near_pairs_from_index(spark, base).count() >= 0
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
