@@ -137,9 +137,29 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
             from .queries.dedup import inc_components_branch
 
             return inc_components_branch(pairs, nodes)
+        if which == "inc_standing":
+            from .queries.dedup import inc_components_standing
+
+            return inc_components_standing(pairs, nodes)
         return triangle_counts(pairs, nodes)
 
     return q
+
+
+def phase_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Attribution-only PHASE solos (r12, r11 verdict task #5) — NOT
+    registry branches: they carry no catalog `op` tag, so they are
+    kept out of `branch_queries()` (whose tags must mirror the keys'
+    own output, tests/test_bench_branches.py) and out of the bench
+    sweep budget. `inc_standing` runs the inc_components branch's
+    standing fixed point with the SAME shared-edge build as the full
+    solo, so the two chained absorbs' true marginal cost is
+    t(dedup_connected_groups/inc_components) − t(inc_standing) — the
+    branch recomputes the standing fixed point every run (inherent to
+    a read-only driver), and the key's total alone cannot say whether
+    the absorb step or the standing recompute is what costs. Measured
+    per round into SURVEY §6."""
+    return {"dedup_connected_groups/inc_standing": _graph_solo("inc_standing")}
 
 
 def _stream_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:

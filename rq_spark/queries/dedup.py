@@ -103,12 +103,22 @@ def inc_components_branch(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     absorbs under one scope would release each other's live caches,
     and concurrent CC loops would release each other's."""
     s = (F.col("a_id") + F.col("b_id")) % 3
-    old_e = pairs.filter(s == 2)
     day1_e = pairs.filter(s == 0)
     day2_e = pairs.filter(s == 1)
-    standing = D.connected_components(old_e, nodes, scope="inc_cc_old")
+    standing = inc_components_standing(pairs, nodes)
     day1 = D.absorb_edges(standing, day1_e, scope="inc_absorb_d1")
     return D.absorb_edges(day1, day2_e, scope="inc_absorb_d2")
+
+
+def inc_components_standing(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The branch's STANDING phase alone — the old-graph min-label
+    fixed point the absorbs merge into. Split out (r12, r11 verdict
+    task #5) so bench attribution can time standing-CC separately from
+    the absorb steps: the solo branch recomputes the standing fixed
+    point every run (inherent to a read-only driver), so the absorbs'
+    real marginal cost is t(inc_components solo) − t(this)."""
+    old_e = pairs.filter((F.col("a_id") + F.col("b_id")) % 3 == 2)
+    return D.connected_components(old_e, nodes, scope="inc_cc_old")
 
 
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

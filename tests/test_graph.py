@@ -239,10 +239,15 @@ def test_absorb_edges_equals_full_recompute(spark, old_edges, new_edges,
                                "a_id long, b_id long")
     if not new_edges:
         ne = ne.filter("a_id IS NOT NULL")
-    got = _labels(absorb_edges(standing, ne, nn))
     want = _labels(_cc(spark, old_edges + new_edges, all_nodes,
                        scope="inc_test_full"))
-    assert got == want
+    # both remap paths must agree with the full recompute: the r12
+    # driver union-find fast path (default — contracted graphs are
+    # batch-bounded) and the distributed CC loop (small_graph_max=0)
+    assert _labels(absorb_edges(standing, ne, nn)) == want
+    assert _labels(
+        absorb_edges(standing, ne, nn, small_graph_max=0)
+    ) == want
 
 
 @pytest.mark.parametrize(
@@ -309,7 +314,10 @@ def test_absorb_edges_is_contracted_not_corpus_sized(spark):
     nodes = sorted({v for e in old for v in e})
     standing = _cc(spark, old, nodes, scope="inc_test_old")
     ne = spark.createDataFrame([(50, 101)], "a_id long, b_id long")
-    got = _labels(absorb_edges(standing, ne, max_iter=2))
+    # small_graph_max=0 forces the DISTRIBUTED remap path — this test
+    # pins that ITS graph is the contracted one, which the r12 driver
+    # union-find fast path would bypass entirely
+    got = _labels(absorb_edges(standing, ne, max_iter=2, small_graph_max=0))
     assert got == {(v, 1) for v in nodes}
     # and the full recompute at the same budget really can't converge
     from rq_spark.errors import IllegalStateError

@@ -46,7 +46,7 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf3 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rq_scale/sf0.3"
     keys = sys.argv[3:] if len(sys.argv) > 3 else list(KEYS)
-    from rq_spark.bench_branches import branch_queries
+    from rq_spark.bench_branches import branch_queries, phase_queries
     from rq_spark.queries import all_queries
     from rq_spark.session import get_spark
     from rq_spark.util import release_all_caches
@@ -54,6 +54,7 @@ def main() -> None:
     spark = get_spark("rq_spark_scale_ladder")
     qs = dict(all_queries())
     qs.update(branch_queries())
+    qs.update(phase_queries())  # attribution-only phase solos (r12)
 
     def timed(key: str, sf_dir: str) -> float:
         release_all_caches()
