@@ -156,15 +156,35 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
 # --------------------------------------------------------------------------
 
 
+def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a MANAGED table directory the catalog no longer knows
+    about. With an in-memory session catalog (the default here and in
+    any metastore-less deployment) a restart forgets every table while
+    the warehouse directories survive; the next `saveAsTable` then
+    fails with LOCATION_ALREADY_EXISTS. Only fires when the catalog
+    has NO entry for the name — a live table is never touched."""
+    if spark.catalog.tableExists(table_name):
+        return
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    loc = os.path.join(wh, table_name.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc)
+
+
 def init_index_state(spark: SparkSession, base_name: str) -> None:
     """Reset an index's generation counter to 0 and drop any standing
     tombstones — called by every full index WRITE: a from-scratch
     rewrite contains only live rows, so old deletions are meaningless
     against it."""
+    _clear_orphan_location(spark, f"{base_name}_state")
     spark.createDataFrame([(0,)], "gen long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{base_name}_state")
     spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+    _clear_orphan_location(spark, f"{base_name}_tombstones")
 
 
 def current_gen(spark: SparkSession, base_name: str) -> int:
@@ -180,6 +200,7 @@ def bump_gen(spark: SparkSession, base_name: str) -> int:
     one-row read + one one-row overwrite, called once per append or
     tombstone batch (never per row)."""
     g = current_gen(spark, base_name) + 1
+    _clear_orphan_location(spark, f"{base_name}_state")
     spark.createDataFrame([(g,)], "gen long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{base_name}_state")
@@ -195,6 +216,7 @@ def add_tombstones(
     one append of (id, gen) rows — no index table is read or
     touched."""
     g = bump_gen(spark, base_name)
+    _clear_orphan_location(spark, f"{base_name}_tombstones")
     ids.select(
         F.col(id_col).alias("id"), F.lit(g).cast("long").alias("gen")
     ).write.mode("append").format("parquet").saveAsTable(

@@ -564,7 +564,8 @@ def test_minhash_index_probe_matches_inquery_and_reads_bucketed(spark, tmp_path)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        for t in (f"{base}_bands", f"{base}_shingles", f"{base}_meta"):
+        for t in (f"{base}_bands", f"{base}_shingles", f"{base}_meta",
+                  f"{base}_state", f"{base}_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -40,7 +40,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def _drop(spark, base, suffixes):
-    for t in suffixes:
+    # state/tombstones ride every index (r12): always clean them too,
+    # or a leftover managed directory orphans the NEXT session's write
+    for t in tuple(suffixes) + ("state", "tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
 
 

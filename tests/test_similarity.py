@@ -668,7 +668,8 @@ def test_ann_index_probe_matches_inline_and_reads_bucketed(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        for t in ("codes", "vectors", "centroids", "codebooks", "meta"):
+        for t in ("codes", "vectors", "centroids", "codebooks", "meta",
+                  "state", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
 
 
@@ -701,5 +702,6 @@ def test_knn_graph_from_index_matches_inline(spark):
         }
         assert len(want) > 0 and got == want
     finally:
-        for t in ("codes", "vectors", "centroids", "codebooks", "meta"):
+        for t in ("codes", "vectors", "centroids", "codebooks", "meta",
+                  "state", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
