@@ -485,6 +485,13 @@ def main() -> None:
         if branch_dir != sf_dir:
             from rq_spark.bench_branches import SOLO_BUILT
 
+            # NOTE (r12): bench_branches.phase_queries() (the
+            # inc_components standing-vs-absorb attribution solo) is
+            # deliberately NOT swept here — measured +~10 s of at-sf
+            # budget, which on an ambient-slow run starved the entire
+            # sf0.01 share sweep (branch_sweep_truncated with
+            # branches={}). The phase split is a documented one-command
+            # measurement (SURVEY §6) refreshed when the branch changes.
             branches_at_sf, t1 = _sweep(
                 at_sf, sf_dir, branch_runs, no_warm=frozenset(SOLO_BUILT)
             )
