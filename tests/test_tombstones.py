@@ -281,6 +281,56 @@ def test_ann_delete_reingest_and_purge(spark):
         _drop(spark, b_ref, ann)
 
 
+def test_tombstone_degenerate_inputs(spark):
+    """The adversarial-gate policy applied to the mutation path: an
+    EMPTY tombstone batch is a harmless no-op (it bumps the generation
+    — ids appended later must still outlive earlier deletions), an
+    empty-batch reingest neither deletes nor appends anything, the
+    non-broadcast probe honors tombstones identically to the broadcast
+    one, and purging with zero live tombstones leaves the table
+    byte-identical in content."""
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:30], "doc long, sig long")
+    empty_ids = spark.createDataFrame([], "doc long")
+    empty_sig = spark.createDataFrame([], "doc long, sig long")
+    base = "t_tomb_degen"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        want = _pairs(D.hamming_near_pairs_from_index(spark, base))
+
+        add_tombstones(spark, base, empty_ids, "doc")  # gen 1, zero rows
+        assert current_gen(spark, base) == 1
+        assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == want
+
+        D.append_to_hamming_index(empty_sig, base, reingest=True)
+        assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == want
+
+        # real delete, then: broadcast and non-broadcast probes agree
+        add_tombstones(
+            spark, base, spark.createDataFrame([(0,)], "doc long"), "doc"
+        )
+        probe = spark.createDataFrame([(9000, rows[0][1])], "doc long, sig long")
+        bc = {
+            (r.new_id, r.corpus_id, r.hamming)
+            for r in D.hamming_probe_from_index(spark, probe, base).collect()
+        }
+        nobc = {
+            (r.new_id, r.corpus_id, r.hamming)
+            for r in D.hamming_probe_from_index(
+                spark, probe, base, broadcast_batch=False
+            ).collect()
+        }
+        assert bc == nobc and all(cid != 0 for (_n, cid, _h) in bc)
+
+        # purge, then purge AGAIN with no tombstones left: content fixed
+        D.compact_hamming_index(spark, base)
+        n = spark.table(f"{base}_hbands").count()
+        D.compact_hamming_index(spark, base)
+        assert spark.table(f"{base}_hbands").count() == n == 29 * 4
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
 def test_tombstone_generation_semantics(spark):
     """The generation algebra directly: delete-then-reappend
     resurrects (new rows outlive the tombstone), re-delete kills the
