@@ -272,6 +272,37 @@ def test_hamming_ingest_loop_two_days(spark):
         df = D.hamming_near_pairs_from_index(spark, b_live)
         _plan, n_ex = _zero_exchange_corpus_read(df, "band")
         assert n_ex == 0
+
+        # (d) mutation INSIDE the loop: a day-1 doc gets re-crawled
+        # after day 2 — reingest + compact, and the standing scan must
+        # equal a rebuild with that doc's signature replaced (the
+        # tombstone riding on a twice-appended twice-compacted layout)
+        re_id, new_sig = b1_rows[0][0], _s64(corpus_rows[70][1] ^ (1 << 2))
+        D.append_to_hamming_index(
+            spark.createDataFrame([(re_id, new_sig)], "doc long, sig long"),
+            b_live,
+            reingest=True,
+        )
+        D.compact_hamming_index(spark, b_live)
+        rebuilt = (
+            corpus.unionByName(batch1).unionByName(batch2)
+            .filter(F.col("doc") != re_id)
+            .unionByName(
+                spark.createDataFrame(
+                    [(re_id, new_sig)], "doc long, sig long"
+                )
+            )
+        )
+        D.write_hamming_index(rebuilt, b_ref, bands=4)
+        live2 = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in D.hamming_near_pairs_from_index(spark, b_live).collect()
+        }
+        ref2 = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in D.hamming_near_pairs_from_index(spark, b_ref).collect()
+        }
+        assert live2 == ref2 and (70, re_id, 1) in live2
     finally:
         _drop(spark, b_live, ("hbands", "meta"))
         _drop(spark, b_ref, ("hbands", "meta"))
