@@ -1592,6 +1592,97 @@ def connected_components(
     return labels.unionAll(singles)
 
 
+def _minlabel_union_find(edge_pairs) -> dict:
+    """Driver-side min-label union-find over (a, b) pairs: returns a
+    map from every touched node to the MINIMUM node reachable from it
+    — exactly the min-label CC fixed point over those edges. Union by
+    value keeps the root the minimum, so find() IS the label. NULL
+    endpoints are skipped (the distributed equi-joins drop them too)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_pairs:
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(parent)
+    touched.update(find(x) for x in list(parent))
+    return {x: find(x) for x in touched}
+
+
+def _absorb_small_batch(
+    labels: DataFrame,
+    edge_rows: list,
+    node_rows: list,
+    scope: str,
+) -> DataFrame:
+    """absorb_edges' FULL-driver tier (r12): the batch's edges and
+    no-edge nodes fit on the driver (gated by ``small_batch_max`` —
+    the daily-ingest case), so the whole absorb needs ONE bounded
+    distributed job — look up the standing reps of the batch's
+    endpoints (labels scanned map-side against the broadcast
+    endpoint set, output ≤ |endpoints| rows) — plus the final lazy
+    label rewrite. Everything in between (fresh-node discovery, the
+    rep-space contraction, min-label union-find) is driver arithmetic
+    over batch-sized lists. vs the distributed shape this removes the
+    merged-label persist and four broadcast builds per absorb: the
+    standing labels are read exactly ONCE, in the returned plan."""
+    sess = labels.sparkSession
+    node_type = labels.schema["node"].dataType
+    ends = {r.a_id for r in edge_rows} | {r.b_id for r in edge_rows}
+    ends.update(r.node for r in node_rows)
+    if not ends:
+        return labels.select("node", "rep")
+    ends = sorted(ends, key=lambda x: (x is None, x))
+    ends_df = sess.createDataFrame(
+        [(x,) for x in ends], T.StructType([T.StructField("node", node_type)])
+    )
+    # the ONE distributed job: standing (node, rep) for batch endpoints
+    found = labels.join(F.broadcast(ends_df), "node", "left_semi").collect()
+    rep = {r.node: r.rep for r in found}
+    fresh = [x for x in ends if x not in rep]
+    for x in fresh:
+        rep[x] = x
+    remap = _minlabel_union_find(
+        (rep[r.a_id], rep[r.b_id])
+        for r in edge_rows
+        if r.a_id is not None and r.b_id is not None
+    )
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("rep", node_type)]
+    )
+    out = labels.select("node", "rep")
+    if remap:
+        remap_df = sess.createDataFrame(
+            sorted(remap.items()),
+            T.StructType(
+                [
+                    T.StructField("rep", node_type),
+                    T.StructField("_srep", node_type),
+                ]
+            ),
+        )
+        out = labels.join(F.broadcast(remap_df), "rep", "left").select(
+            "node", F.coalesce("_srep", "rep").alias("rep")
+        )
+    if fresh:
+        out = out.unionAll(
+            sess.createDataFrame(
+                [(x, remap.get(rep[x], rep[x])) for x in fresh], schema
+            )
+        )
+    return out
+
+
 def absorb_edges(
     labels: DataFrame,
     new_edges: DataFrame,
@@ -1600,6 +1691,7 @@ def absorb_edges(
     broadcast_batch: bool = True,
     scope: str = "absorb_edges",
     small_graph_max: int = 10_000,
+    small_batch_max: int = 10_000,
 ) -> DataFrame:
     """Incremental connected components (r11): merge a batch's NEW
     near-dup edges into STANDING cluster labels without recomputing
@@ -1652,15 +1744,35 @@ def absorb_edges(
     daily loop, yesterday's output fully materialized) keep the
     release-at-entry behavior so caches never accumulate.
 
-    ``small_graph_max`` (r12): contracted graphs at or below this many
-    edges run min-label union-find ON THE DRIVER instead of the
-    distributed CC loop — the contracted relation is batch-bounded by
-    construction, so this collect is bounded and the common daily case
-    skips 3-4 rounds of per-job fixed cost (profiled at 3-4 s per
-    absorb over a ~75-edge contracted graph at sf0.1). Identical
-    output (path parity pinned in tests/test_graph.py); set 0 to force
-    the distributed loop."""
+    Three execution tiers (r12), identical output (path parity pinned
+    in tests/test_graph.py), outermost first:
+
+    * ``small_batch_max``: if the batch's edges AND no-edge nodes fit
+      on the driver (take-probed, bounded), the WHOLE absorb is one
+      bounded endpoint-lookup job + driver union-find + one lazy label
+      rewrite — no persist, no broadcast chain, the standing labels
+      read exactly once (`_absorb_small_batch`). The daily-ingest
+      case. Set 0 to disable.
+    * ``small_graph_max``: bigger batches whose CONTRACTED graph
+      (≤ one edge per distinct-rep batch pair) is still driver-small
+      — e.g. a backfill with heavy internal duplication — resolve the
+      contracted min-label remap with driver union-find instead of
+      paying 3-4 distributed CC rounds of per-job fixed cost
+      (profiled at 3-4 s per absorb over a ~75-edge contracted graph
+      at sf0.1). Set 0 to force the loop.
+    * Otherwise: the distributed CC loop over the checkpointed
+      contracted edges — work ∝ touched components, never corpus."""
     _release_caches(scope)
+    if small_batch_max > 0:
+        eprobe = new_edges.take(small_batch_max + 1)
+        if len(eprobe) <= small_batch_max:
+            nprobe = (
+                new_nodes.take(small_batch_max + 1)
+                if new_nodes is not None
+                else []
+            )
+            if len(nprobe) <= small_batch_max:
+                return _absorb_small_batch(labels, eprobe, nprobe, scope)
     ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
         new_edges.select(F.col("b_id").alias("node"))
     )

@@ -241,12 +241,17 @@ def test_absorb_edges_equals_full_recompute(spark, old_edges, new_edges,
         ne = ne.filter("a_id IS NOT NULL")
     want = _labels(_cc(spark, old_edges + new_edges, all_nodes,
                        scope="inc_test_full"))
-    # both remap paths must agree with the full recompute: the r12
-    # driver union-find fast path (default — contracted graphs are
-    # batch-bounded) and the distributed CC loop (small_graph_max=0)
+    # all THREE execution tiers must agree with the full recompute:
+    # the full-driver small-batch tier (default here), the contracted
+    # driver union-find tier (small_batch_max=0), and the distributed
+    # CC loop (both thresholds 0)
     assert _labels(absorb_edges(standing, ne, nn)) == want
     assert _labels(
-        absorb_edges(standing, ne, nn, small_graph_max=0)
+        absorb_edges(standing, ne, nn, small_batch_max=0)
+    ) == want
+    assert _labels(
+        absorb_edges(standing, ne, nn, small_graph_max=0,
+                     small_batch_max=0)
     ) == want
 
 
@@ -296,6 +301,13 @@ def test_repeated_absorb_equals_full_recompute(spark, old_edges, day1,
     want = _labels(_cc(spark, old_edges + day1 + day2, all_nodes,
                        scope="inc_test_full"))
     assert _labels(d2) == want
+    # CROSS-TIER chaining: day 1 through the contracted distributed-ish
+    # tier, day 2 through the full-driver tier — a tier must accept
+    # the other tier's output as valid standing labels
+    d1b = absorb_edges(standing, edf(day1), nn, scope="inc_test_d1b",
+                       small_batch_max=0)
+    d2b = absorb_edges(d1b, edf(day2), scope="inc_test_d2b")
+    assert _labels(d2b) == want
 
 
 def test_absorb_edges_is_contracted_not_corpus_sized(spark):
@@ -314,10 +326,11 @@ def test_absorb_edges_is_contracted_not_corpus_sized(spark):
     nodes = sorted({v for e in old for v in e})
     standing = _cc(spark, old, nodes, scope="inc_test_old")
     ne = spark.createDataFrame([(50, 101)], "a_id long, b_id long")
-    # small_graph_max=0 forces the DISTRIBUTED remap path — this test
+    # both thresholds 0 force the DISTRIBUTED remap path — this test
     # pins that ITS graph is the contracted one, which the r12 driver
-    # union-find fast path would bypass entirely
-    got = _labels(absorb_edges(standing, ne, max_iter=2, small_graph_max=0))
+    # tiers would bypass entirely
+    got = _labels(absorb_edges(standing, ne, max_iter=2, small_graph_max=0,
+                               small_batch_max=0))
     assert got == {(v, 1) for v in nodes}
     # and the full recompute at the same budget really can't converge
     from rq_spark.errors import IllegalStateError
