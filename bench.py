@@ -363,15 +363,30 @@ def main() -> None:
         if time.time() - bench_start > hard:
             skipped.append(name)
             continue
-        # degradation insurance: deep into the HARD deadline (extreme
-        # ambient load), fall back to ONE run per remaining key — a
-        # noisier artifact beats a timed-out empty one. Affected keys
-        # are recorded so their numbers are never read as 3-run
-        # medians. Keyed to `hard`, not the sweep budget: a normal
-        # 3-run headline pass takes ~60% of the sweep budget by
-        # itself, and tripping the reducer there cost the HEAVIEST
-        # keys their medians on perfectly healthy runs (r9s2).
-        n_runs = runs if time.time() - bench_start < 0.7 * hard else 1
+        # degradation insurance, two tiers (r12 added the middle one):
+        # deep into the HARD deadline (extreme ambient load) fall back
+        # to ONE run per remaining key — a noisier artifact beats a
+        # timed-out empty one. Before that, past 55% of the sweep
+        # budget, drop remaining keys to TWO runs: on a quiet run the
+        # whole headline finishes near ~50% so nothing trips, but on
+        # an ambient-slow run the tail keys' third samples were
+        # exactly what starved the at-sf attribution sweep
+        # (r12 run 7: at_sf_complete false with zero errors — the
+        # budget went to third samples of already-measured keys). A
+        # 2-run median on a tail key is worth less than the graph/
+        # stream at-sf solos it buys back. Affected keys are recorded
+        # in reduced_runs so their numbers are never read as 3-run
+        # medians. The 1-run tier stays keyed to `hard`, not the sweep
+        # budget: a normal 3-run headline pass takes ~60% of the sweep
+        # budget by itself, and tripping THAT reducer there cost the
+        # heaviest keys their medians on healthy runs (r9s2).
+        elapsed = time.time() - bench_start
+        if elapsed > 0.7 * hard:
+            n_runs = 1
+        elif elapsed > 0.55 * min(budget, hard):
+            n_runs = min(runs, 2)
+        else:
+            n_runs = runs
         if n_runs < runs:
             reduced_runs.append(name)
         samples: list[float] = []
