@@ -86,9 +86,11 @@ def compact_bucketed_table(
     and only then is the backup dropped — the old DROP-then-RENAME
     order had a crash window that lost the table outright. A crash
     between the two renames leaves the data under the backup name
-    only; the next compaction (or any caller) recovers it
-    automatically (pinned by a failure-injection test in
-    tests/test_index_append.py). Runs ∝ table size with zero
+    only — probes fail LOUDLY (TABLE_OR_VIEW_NOT_FOUND, never stale
+    answers) until the next compaction run, which recovers the live
+    name automatically before proceeding (pinned by a
+    failure-injection test in tests/test_index_append.py). Runs ∝
+    table size with zero
     recomputation — rows are moved, never re-derived, so it applies
     identically to every index family.
 
@@ -176,9 +178,12 @@ def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
 
 def init_index_state(spark: SparkSession, base_name: str) -> None:
     """Reset an index's generation counter to 0 and drop any standing
-    tombstones — called by every full index WRITE: a from-scratch
-    rewrite contains only live rows, so old deletions are meaningless
-    against it."""
+    tombstones — called by every full index WRITE, BEFORE the data
+    tables are written (r12 review): a from-scratch rewrite contains
+    only live rows, so old deletions are meaningless against it — and
+    clearing them first means a crash mid-write can only leave a loud
+    failure (missing/partial table), never stale tombstones silently
+    hiding the fresh gen-0 rows."""
     _clear_orphan_location(spark, f"{base_name}_state")
     spark.createDataFrame([(0,)], "gen long").write.mode(
         "overwrite"
@@ -208,14 +213,25 @@ def bump_gen(spark: SparkSession, base_name: str) -> int:
 
 
 def add_tombstones(
-    spark: SparkSession, base_name: str, ids: DataFrame, id_col: str = "id"
+    spark: SparkSession,
+    base_name: str,
+    ids: DataFrame,
+    id_col: str = "id",
+    at_gen: int | None = None,
 ) -> None:
     """Mark ids as deleted from the index, stamped at the CURRENT
     generation (bumped first, so the tombstone covers every row
     written so far and nothing appended after it). Cost ∝ deletions:
-    one append of (id, gen) rows — no index table is read or
-    touched."""
-    g = bump_gen(spark, base_name)
+    one append of (id, gen) rows — no index table is read or touched.
+
+    ``at_gen`` stamps an EXPLICIT generation without bumping — the
+    reingest appenders use it to tombstone AFTER writing the new rows
+    (stamp = new rows' gen − 1, killing everything older): tombstoning
+    first would open a crash window where the ids are dead with no
+    replacement written, a silent delete; append-then-tombstone can at
+    worst leave visible duplicates, the documented plain-INSERT state,
+    repaired by retrying (r12 review)."""
+    g = bump_gen(spark, base_name) if at_gen is None else int(at_gen)
     _clear_orphan_location(spark, f"{base_name}_tombstones")
     ids.select(
         F.col(id_col).alias("id"), F.lit(g).cast("long").alias("gen")
@@ -237,6 +253,11 @@ def _dead_row_cond(rows: DataFrame, id_col: str) -> Column:
 
 
 def _anti_tombstone(rows: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
+    # rows written before generation tracking existed carry no gen
+    # column — treat them as gen 0 (every tombstone kills them)
+    # instead of failing analysis (r12 review)
+    if "gen" not in rows.columns:
+        rows = rows.withColumn("gen", F.lit(0).cast("long"))
     t = tomb.select(
         F.col("id").alias("_tomb_id"), F.col("gen").alias("_tomb_gen")
     )
@@ -255,6 +276,32 @@ def filter_tombstoned(
     if not spark.catalog.tableExists(f"{base_name}_tombstones"):
         return rows
     return _anti_tombstone(rows, spark.table(f"{base_name}_tombstones"), id_col)
+
+
+def compact_index_tables(
+    spark: SparkSession,
+    base_name: str,
+    tables: list[tuple[str, str | list[str], str]],
+) -> None:
+    """Shared body of the family-level ``compact_*_index`` wrappers
+    (r12 review: three copies of the tombstone-lookup + purge + clear
+    boilerplate had started to drift-risk). ``tables`` lists
+    (suffix, bucket_key, id_col) per data table; the standing
+    tombstones (if any) are purged from each during its zero-shuffle
+    compaction rewrite, then cleared once."""
+    tomb = (
+        spark.table(f"{base_name}_tombstones")
+        if spark.catalog.tableExists(f"{base_name}_tombstones")
+        else None
+    )
+    for suffix, key, id_col in tables:
+        compact_bucketed_table(
+            spark,
+            f"{base_name}_{suffix}",
+            key,
+            purge=None if tomb is None else (tomb, id_col),
+        )
+    clear_tombstones(spark, base_name)
 
 
 def cojoin(

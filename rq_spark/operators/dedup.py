@@ -508,6 +508,10 @@ def write_minhash_index(
     reingest lifecycle (r12)."""
     from ..bucketing import init_index_state, write_bucketed
 
+    # clear generation state + stale tombstones FIRST (r12 review): a
+    # crash mid-write then fails loudly, instead of old tombstones
+    # silently hiding the fresh gen-0 rows
+    init_index_state(corpus.sparkSession, base_name)
     sets = shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n).filter(
         F.size("sh_arr") > 0
     )
@@ -525,7 +529,6 @@ def write_minhash_index(
         sets.withColumn("gen", gen0), f"{base_name}_shingles", "doc",
         buckets=buckets,
     )
-    init_index_state(corpus.sparkSession, base_name)
     corpus.sparkSession.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
@@ -578,9 +581,8 @@ def append_to_minhash_index(
 
     spark = batch.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
-    if reingest:
-        add_tombstones(spark, base_name, batch.select(id_col).distinct(), id_col)
-    gen = F.lit(bump_gen(spark, base_name)).cast("long")
+    g = bump_gen(spark, base_name)
+    gen = F.lit(g).cast("long")
     sets = shingle_sets(
         _spread(batch), text_col, id_col, n=meta.shingle_n
     ).filter(F.size("sh_arr") > 0)
@@ -604,6 +606,16 @@ def append_to_minhash_index(
         buckets=table_buckets(spark, f"{base_name}_shingles"),
         mode="append",
     )
+    if reingest:
+        # tombstone AFTER the new rows land, stamped one generation
+        # below them (kills every older row, keeps this append): a
+        # crash before this line leaves visible duplicates — the
+        # documented plain-INSERT state, repaired by retrying — where
+        # tombstone-first left the ids silently DELETED (r12 review)
+        add_tombstones(
+            spark, base_name, batch.select(id_col).distinct(), id_col,
+            at_gen=g - 1,
+        )
     _release_caches("minhash_index_append")
 
 
@@ -679,26 +691,13 @@ def compact_minhash_index(spark, base_name: str) -> None:
     Both rewrites are the zero-shuffle task-local bucket rewrite of
     `bucketing.compact_bucketed_table`; the purge rides them as a
     broadcast map-side filter."""
-    from ..bucketing import clear_tombstones, compact_bucketed_table
+    from ..bucketing import compact_index_tables
 
-    tomb = (
-        spark.table(f"{base_name}_tombstones")
-        if spark.catalog.tableExists(f"{base_name}_tombstones")
-        else None
-    )
-    compact_bucketed_table(
+    compact_index_tables(
         spark,
-        f"{base_name}_bands",
-        ["band", "bhash"],
-        purge=None if tomb is None else (tomb, "corpus_id"),
+        base_name,
+        [("bands", ["band", "bhash"], "corpus_id"), ("shingles", "doc", "doc")],
     )
-    compact_bucketed_table(
-        spark,
-        f"{base_name}_shingles",
-        "doc",
-        purge=None if tomb is None else (tomb, "doc"),
-    )
-    clear_tombstones(spark, base_name)
 
 
 def repeated_spans(
@@ -1337,13 +1336,14 @@ def write_hamming_index(
     from ..bucketing import init_index_state, write_bucketed
 
     _check_hamming_params(0, bands)
+    # state/tombstone reset FIRST: crash mid-write fails loudly (r12)
+    init_index_state(sig.sparkSession, base_name)
     write_bucketed(
         _banded_sig(sig, bands).withColumn("gen", F.lit(0).cast("long")),
         f"{base_name}_hbands",
         ["band", "bval"],
         buckets=buckets,
     )
-    init_index_state(sig.sparkSession, base_name)
     sig.sparkSession.createDataFrame(
         [(bands,)], "bands int"
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
@@ -1366,17 +1366,22 @@ def append_to_hamming_index(
 
     spark = batch_sig.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
-    if reingest:
-        add_tombstones(spark, base_name, batch_sig.select("doc").distinct(), "doc")
+    g = bump_gen(spark, base_name)
     write_bucketed(
         _banded_sig(batch_sig, meta.bands).withColumn(
-            "gen", F.lit(bump_gen(spark, base_name)).cast("long")
+            "gen", F.lit(g).cast("long")
         ),
         f"{base_name}_hbands",
         ["band", "bval"],
         buckets=table_buckets(spark, f"{base_name}_hbands"),
         mode="append",
     )
+    if reingest:
+        # append-then-tombstone at g-1: see append_to_minhash_index
+        add_tombstones(
+            spark, base_name, batch_sig.select("doc").distinct(), "doc",
+            at_gen=g - 1,
+        )
 
 
 def hamming_near_pairs_from_index(
@@ -1473,20 +1478,11 @@ def compact_hamming_index(spark, base_name: str) -> None:
     """Compact the Hamming band table to one file per bucket AND
     physically purge tombstoned rows, then clear the tombstone table
     (r12) — see `compact_minhash_index`."""
-    from ..bucketing import clear_tombstones, compact_bucketed_table
+    from ..bucketing import compact_index_tables
 
-    tomb = (
-        spark.table(f"{base_name}_tombstones")
-        if spark.catalog.tableExists(f"{base_name}_tombstones")
-        else None
+    compact_index_tables(
+        spark, base_name, [("hbands", ["band", "bval"], "doc")]
     )
-    compact_bucketed_table(
-        spark,
-        f"{base_name}_hbands",
-        ["band", "bval"],
-        purge=None if tomb is None else (tomb, "doc"),
-    )
-    clear_tombstones(spark, base_name)
 
 
 # --------------------------------------------------------------------------
@@ -1623,7 +1619,6 @@ def _absorb_small_batch(
     labels: DataFrame,
     edge_rows: list,
     node_rows: list,
-    scope: str,
 ) -> DataFrame:
     """absorb_edges' FULL-driver tier (r12): the batch's edges and
     no-edge nodes fit on the driver (gated by ``small_batch_max`` —
@@ -1772,7 +1767,7 @@ def absorb_edges(
                 else []
             )
             if len(nprobe) <= small_batch_max:
-                return _absorb_small_batch(labels, eprobe, nprobe, scope)
+                return _absorb_small_batch(labels, eprobe, nprobe)
     ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
         new_edges.select(F.col("b_id").alias("node"))
     )
@@ -1826,26 +1821,10 @@ def absorb_edges(
     # it precedes.
     probe = redges.take(small_graph_max + 1) if small_graph_max > 0 else []
     if small_graph_max > 0 and len(probe) <= small_graph_max:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in probe:
-            ra, rb = find(row.a_id), find(row.b_id)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        touched = set(parent)
-        touched.update(find(x) for x in list(parent))
-        remap_rows = [(x, find(x)) for x in sorted(touched)]
+        remap_map = _minlabel_union_find((r.a_id, r.b_id) for r in probe)
         rep_type = redges.schema["a_id"].dataType
         remap = new_edges.sparkSession.createDataFrame(
-            remap_rows,
+            sorted(remap_map.items()),
             T.StructType(
                 [
                     T.StructField("rep", rep_type),

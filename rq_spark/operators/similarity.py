@@ -1193,6 +1193,8 @@ def write_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
     spark = corpus.sparkSession
+    # state/tombstone reset FIRST: crash mid-write fails loudly (r12)
+    init_index_state(spark, base_name)
     v = corpus.filter(_nonzero_vec(vec_col))
     gen0 = F.lit(0).cast("long")
     coded = v.select(
@@ -1212,7 +1214,6 @@ def write_ann_index(
         "neighbor_id",
         buckets=buckets,
     )
-    init_index_state(spark, base_name)
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cell int, centroid array<double>",
@@ -1283,9 +1284,8 @@ def append_to_ann_index(
 
     spark = batch.sparkSession
     _meta, cents, cb = _read_ann_model(spark, base_name)
-    if reingest:
-        add_tombstones(spark, base_name, batch.select(id_col).distinct(), id_col)
-    gen = F.lit(bump_gen(spark, base_name)).cast("long")
+    g = bump_gen(spark, base_name)
+    gen = F.lit(g).cast("long")
     v = batch.filter(_nonzero_vec(vec_col))
     coded = v.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1311,6 +1311,13 @@ def append_to_ann_index(
         buckets=table_buckets(spark, f"{base_name}_vectors"),
         mode="append",
     )
+    if reingest:
+        # append-then-tombstone at g-1: see
+        # operators/dedup.py:append_to_minhash_index (r12 review)
+        add_tombstones(
+            spark, base_name, batch.select(id_col).distinct(), id_col,
+            at_gen=g - 1,
+        )
 
 
 def compact_ann_index(spark, base_name: str) -> None:
@@ -1318,19 +1325,13 @@ def compact_ann_index(spark, base_name: str) -> None:
     physically purge tombstoned rows, then clear the tombstone table
     (r12) — see `operators/dedup.py:compact_minhash_index`. The model
     tables are untouched (compaction moves rows, never re-encodes)."""
-    from ..bucketing import clear_tombstones, compact_bucketed_table
+    from ..bucketing import compact_index_tables
 
-    tomb = (
-        spark.table(f"{base_name}_tombstones")
-        if spark.catalog.tableExists(f"{base_name}_tombstones")
-        else None
+    compact_index_tables(
+        spark,
+        base_name,
+        [("codes", "cell", "neighbor_id"), ("vectors", "neighbor_id", "neighbor_id")],
     )
-    purge = None if tomb is None else (tomb, "neighbor_id")
-    compact_bucketed_table(spark, f"{base_name}_codes", "cell", purge=purge)
-    compact_bucketed_table(
-        spark, f"{base_name}_vectors", "neighbor_id", purge=purge
-    )
-    clear_tombstones(spark, base_name)
 
 
 def _read_ann_model(spark, base_name: str):
