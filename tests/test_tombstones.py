@@ -331,6 +331,92 @@ def test_tombstone_degenerate_inputs(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_reingest_crash_leaves_duplicates_never_deletes(spark, monkeypatch):
+    """r12 review: reingest appends FIRST and tombstones after (stamped
+    one generation below the new rows). Inject a crash at the tombstone
+    step and assert the failure mode is visible DUPLICATES (old + new
+    rows both probe — the documented plain-INSERT state, repaired by
+    retrying), never a silent delete of the ids; then retry and assert
+    the clean upsert state."""
+    import pytest
+
+    import rq_spark.bucketing as B
+
+    rows, base_sigs = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    base = "t_tomb_crash"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        new0 = _s64(base_sigs[20] ^ (1 << 7))  # near-dup of doc 20 now
+        changed = spark.createDataFrame([(0, new0)], "doc long, sig long")
+
+        real_add = B.add_tombstones
+
+        def dying_add(*a, **kw):
+            raise RuntimeError("injected crash before the tombstone write")
+
+        monkeypatch.setattr(B, "add_tombstones", dying_add)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            D.append_to_hamming_index(changed, base, reingest=True)
+        monkeypatch.setattr(B, "add_tombstones", real_add)
+
+        # crash state: BOTH signatures of doc 0 are probe-visible —
+        # duplicates, not a deletion (the old tombstone-first order
+        # left doc 0 dead here with nothing written)
+        got = _pairs(D.hamming_near_pairs_from_index(spark, base))
+        assert (0, 20, 1) in got          # the new signature's pair
+        assert any(b == 1000 and a == 0 for a, b, _h in got)  # the old one
+
+        # retry completes the upsert: only the new signature remains
+        D.append_to_hamming_index(changed, base, reingest=True)
+        got = _pairs(D.hamming_near_pairs_from_index(spark, base))
+        assert (0, 20, 1) in got
+        assert not any(b == 1000 and a == 0 for a, b, _h in got)
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
+def test_full_write_clears_tombstones_before_data(spark, monkeypatch):
+    """r12 review: a full index write resets tombstone state BEFORE
+    writing data, so a crash mid-write fails loudly instead of leaving
+    stale tombstones that silently hide the fresh gen-0 rows. Inject a
+    crash in the data write and assert the stale tombstones are
+    already gone."""
+    import pytest
+
+    import rq_spark.operators.dedup as DD
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:10], "doc long, sig long")
+    base = "t_tomb_worder"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        add_tombstones(
+            spark, base, spark.createDataFrame([(3,)], "doc long"), "doc"
+        )
+        assert spark.catalog.tableExists(f"{base}_tombstones")
+
+        from rq_spark import bucketing as B
+
+        real_wb = B.write_bucketed
+
+        def dying_wb(*a, **kw):
+            raise RuntimeError("injected crash during the data write")
+
+        monkeypatch.setattr(DD, "write_bucketed", dying_wb, raising=False)
+        monkeypatch.setattr(B, "write_bucketed", dying_wb)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            D.write_hamming_index(sig, base, bands=4)
+        monkeypatch.setattr(B, "write_bucketed", real_wb)
+
+        # the stale tombstone can no longer hide anything: it was
+        # cleared before the (failed) data write
+        assert not spark.catalog.tableExists(f"{base}_tombstones")
+        assert current_gen(spark, base) == 0
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
 def test_tombstone_generation_semantics(spark):
     """The generation algebra directly: delete-then-reappend
     resurrects (new rows outlive the tombstone), re-delete kills the
