@@ -155,6 +155,15 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
 # broadcast) tombstone table map-side — the corpus never shuffles —
 # and compaction purges dead rows physically (the rewrite is already
 # task-local per bucket) then clears the tombstones.
+#
+# Concurrency contract: ONE writer at a time per index (the daily
+# ingest job) — bump_gen's read-modify-write of the one-row state
+# table is not atomic across concurrent writers, the same single-
+# writer assumption the bucketed appends and compaction swap already
+# carry. Readers are unaffected: probes only ever see committed
+# parquet. A multi-writer deployment needs a lakehouse table format's
+# optimistic transactions underneath; the generation algebra itself
+# transfers unchanged.
 # --------------------------------------------------------------------------
 
 

@@ -331,6 +331,42 @@ def test_tombstone_degenerate_inputs(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_tombstone_anti_join_is_broadcast_and_keeps_bucketed_scan(spark):
+    """Pin the scale claim, not just state it (repo convention): with
+    tombstones PRESENT and auto-broadcast disabled, the pair scan's
+    plan must show the deletion-sized tombstone side as a
+    BroadcastHashJoin LeftAnti (the explicit hint, not the planner's
+    statistics) while the corpus side still reads its (band, bval)
+    bucketing with zero Exchange — deletions may never cost the corpus
+    a shuffle."""
+    import re
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    base = "t_tomb_plan"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        add_tombstones(
+            spark, base, spark.createDataFrame([(5,)], "doc long"), "doc"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+        df = D.hamming_near_pairs_from_index(spark, base)
+        df.collect()  # AQE finalizes the plan only after an action
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("\n+- == Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+        assert not re.findall(r"Exchange hashpartitioning\(band", plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        _drop(spark, base, ("hbands", "meta"))
+
+
 def test_reingest_crash_leaves_duplicates_never_deletes(spark, monkeypatch):
     """r12 review: reingest appends FIRST and tombstones after (stamped
     one generation below the new rows). Inject a crash at the tombstone
