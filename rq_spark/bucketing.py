@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .errors import IllegalStateError
+
 
 def write_bucketed(
     df: DataFrame,
@@ -160,45 +162,83 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
 # ingest job) — bump_gen's read-modify-write of the one-row state
 # table is not atomic across concurrent writers, the same single-
 # writer assumption the bucketed appends and compaction swap already
-# carry. Readers are unaffected: probes only ever see committed
-# parquet. A multi-writer deployment needs a lakehouse table format's
-# optimistic transactions underneath; the generation algebra itself
-# transfers unchanged.
+# carry. Since r13 the contract is ENFORCED cheaply, not just
+# documented: every bump stamps a random nonce next to the gen, and
+# writers re-read the state row AFTER their data lands
+# (`verify_sole_writer`) — a rival bump in between changes the nonce
+# and the late writer fails with a named error instead of silently
+# losing the gen update. A lost-update DETECTOR, not a transaction
+# protocol: readers are unaffected (probes only ever see committed
+# parquet), and a multi-writer deployment still needs a lakehouse
+# table format's optimistic transactions underneath; the generation
+# algebra itself transfers unchanged.
 # --------------------------------------------------------------------------
 
 
-def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
+class ConcurrentWriterError(IllegalStateError):
+    """Two writers mutated one index's generation state concurrently —
+    the single-writer contract was violated and the index may hold
+    rows/tombstones stamped under a clobbered generation. Recover by
+    re-running the losing writer's batch (appends are idempotent up to
+    visible duplicates; a full rewrite resets everything)."""
+
+
+def _managed_location(spark: SparkSession, table_name: str) -> str:
+    """Warehouse directory a MANAGED table of this name would occupy.
+    Only the LEADING 'file:' scheme is stripped (ADVICE r12: a
+    substring replace would corrupt a path containing 'file:')."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    return os.path.join(wh, table_name.lower()) if wh else ""
+
+
+def _remove_orphan_location(spark: SparkSession, table_name: str) -> None:
     """Remove a MANAGED table directory the catalog no longer knows
     about. With an in-memory session catalog (the default here and in
     any metastore-less deployment) a restart forgets every table while
     the warehouse directories survive; the next `saveAsTable` then
     fails with LOCATION_ALREADY_EXISTS. Only fires when the catalog
-    has NO entry for the name — a live table is never touched."""
+    has NO entry for the name — a live table is never touched.
+
+    DESTRUCTIVE by design, so only the full-rewrite path calls it
+    (`begin_index_rewrite`, where discarding survivors is the caller's
+    declared intent — and where the survivors are already invisible to
+    every probe, which resolves tables through the catalog). Mutation
+    paths use `_require_no_orphan_location` instead (ADVICE r12: a
+    restarted session's bump_gen/add_tombstones must never silently
+    destroy standing deletion records)."""
     if spark.catalog.tableExists(table_name):
         return
     import os
     import shutil
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
-    loc = os.path.join(wh, table_name.lower())
-    if wh and os.path.isdir(loc):
+    loc = _managed_location(spark, table_name)
+    if loc and os.path.isdir(loc):
         shutil.rmtree(loc)
 
 
-def init_index_state(spark: SparkSession, base_name: str) -> None:
-    """Reset an index's generation counter to 0 and drop any standing
-    tombstones — called by every full index WRITE, BEFORE the data
-    tables are written (r12 review): a from-scratch rewrite contains
-    only live rows, so old deletions are meaningless against it — and
-    clearing them first means a crash mid-write can only leave a loud
-    failure (missing/partial table), never stale tombstones silently
-    hiding the fresh gen-0 rows."""
-    _clear_orphan_location(spark, f"{base_name}_state")
-    spark.createDataFrame([(0,)], "gen long").write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable(f"{base_name}_state")
-    spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
-    _clear_orphan_location(spark, f"{base_name}_tombstones")
+def _require_no_orphan_location(spark: SparkSession, table_name: str) -> None:
+    """Fail LOUDLY when a catalog-less warehouse directory shadows the
+    table a mutation is about to write (ADVICE r12): in a restarted
+    metastore-less session the directory holds the previous session's
+    standing state/tombstone parquet — deletion records — and
+    overwriting or rmtree-ing it would silently destroy them."""
+    if spark.catalog.tableExists(table_name):
+        return
+    import os
+
+    loc = _managed_location(spark, table_name)
+    if loc and os.path.isdir(loc):
+        raise IllegalStateError(
+            f"warehouse directory {loc!r} survives from a previous session "
+            f"but the catalog has no entry for {table_name} — refusing to "
+            "overwrite standing index state. Re-register the index's tables "
+            "in this session, or re-run the full index write (which resets "
+            "deletion state by declared intent)."
+        )
 
 
 def current_gen(spark: SparkSession, base_name: str) -> int:
@@ -209,16 +249,43 @@ def current_gen(spark: SparkSession, base_name: str) -> int:
     return spark.table(f"{base_name}_state").collect()[0].gen
 
 
-def bump_gen(spark: SparkSession, base_name: str) -> int:
-    """Advance the index's generation and return the new value — one
-    one-row read + one one-row overwrite, called once per append or
-    tombstone batch (never per row)."""
+def bump_gen(spark: SparkSession, base_name: str) -> tuple[int, int]:
+    """Advance the index's generation and return ``(gen, nonce)`` —
+    one one-row read + one one-row overwrite, called once per append,
+    tombstone batch, or full rewrite (never per row). The nonce is this
+    writer's random claim on the generation: pass both to
+    `verify_sole_writer` after the data lands to turn a concurrent
+    writer's lost update into a loud `ConcurrentWriterError`."""
+    import secrets
+
     g = current_gen(spark, base_name) + 1
-    _clear_orphan_location(spark, f"{base_name}_state")
-    spark.createDataFrame([(g,)], "gen long").write.mode(
+    nonce = secrets.randbits(62)
+    _require_no_orphan_location(spark, f"{base_name}_state")
+    spark.createDataFrame([(g, nonce)], "gen long, nonce long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{base_name}_state")
-    return g
+    return g, nonce
+
+
+def verify_sole_writer(
+    spark: SparkSession, base_name: str, gen: int, nonce: int
+) -> None:
+    """Re-read the state row this writer's `bump_gen` wrote and raise
+    `ConcurrentWriterError` if another writer overwrote it since — the
+    cheap single-writer-contract enforcement (r13, r12 verdict task
+    #5): one one-row read, called once per mutation AFTER its data
+    write, so a lost gen update is detected while the losing batch is
+    still known and re-runnable."""
+    row = spark.table(f"{base_name}_state").collect()[0]
+    seen_nonce = getattr(row, "nonce", None)
+    if row.gen != gen or seen_nonce != nonce:
+        raise ConcurrentWriterError(
+            f"index {base_name}: generation state changed underneath this "
+            f"writer (wrote gen={gen}, found gen={row.gen}) — a concurrent "
+            "mutation violated the single-writer contract. Re-run this "
+            "writer's batch; use a lakehouse table format for true "
+            "multi-writer indexes."
+        )
 
 
 def add_tombstones(
@@ -240,19 +307,138 @@ def add_tombstones(
     replacement written, a silent delete; append-then-tombstone can at
     worst leave visible duplicates, the documented plain-INSERT state,
     repaired by retrying (r12 review)."""
-    g = bump_gen(spark, base_name) if at_gen is None else int(at_gen)
-    _clear_orphan_location(spark, f"{base_name}_tombstones")
+    if at_gen is None:
+        g, nonce = bump_gen(spark, base_name)
+    else:
+        g, nonce = int(at_gen), None
+    _require_no_orphan_location(spark, f"{base_name}_tombstones")
     ids.select(
         F.col(id_col).alias("id"), F.lit(g).cast("long").alias("gen")
     ).write.mode("append").format("parquet").saveAsTable(
         f"{base_name}_tombstones"
     )
+    if nonce is not None:
+        verify_sole_writer(spark, base_name, g, nonce)
 
 
 def clear_tombstones(spark: SparkSession, base_name: str) -> None:
     """Drop the tombstone table — only valid right after a compaction
     purge (the dead rows are physically gone) or a full rewrite."""
     spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+
+
+# --------------------------------------------------------------------------
+# crash-safe full index rewrite (r13, ADVICE r12 — the medium finding)
+#
+# A full `write_*_index` used to reset the generation counter and DROP
+# standing tombstones before the expensive recompute and the in-place
+# table overwrites. Two silent crash windows followed: die after the
+# reset but before the first overwrite and the OLD tables stay fully
+# readable with their tombstones gone (probes resurrect deleted rows);
+# die between two table overwrites and probes silently join NEW rows of
+# one table against OLD rows of another. The rewrite is now staged:
+#
+#   1. `begin_index_rewrite` — recover any half-finished earlier swap,
+#      then BUMP the generation. The rewrite's rows are stamped at the
+#      new generation, so every standing tombstone (stamped strictly
+#      below it) is inert against them — which is what lets the
+#      tombstone drop move AFTER the swap.
+#   2. The caller writes every table under ``{table}__rewrite`` names.
+#      A crash here leaves the old index — tables, tombstones, probes —
+#      completely untouched.
+#   3. `finish_index_rewrite` — rename the live tables aside (META
+#      FIRST) then the rewrites in (META LAST): every probe resolves
+#      the meta table first, so from the first rename to the last the
+#      index fails LOUDLY (TABLE_OR_VIEW_NOT_FOUND), never answers from
+#      a mixed old/new table set. Only then are the (now inert)
+#      tombstones and the backups dropped.
+#
+# Recovery (next `begin_index_rewrite`): live meta missing + meta
+# backup present ⇒ the swap died mid-flight — roll BACK to the old
+# index, whose tombstones were never touched. Meta is restored LAST so
+# a crash inside recovery itself re-enters recovery. Any other leftover
+# temp/backup is dropped. Same single-writer assumption as the rest of
+# the lifecycle; `finish_index_rewrite` verifies the writer nonce
+# BEFORE clobbering the live tables.
+# --------------------------------------------------------------------------
+
+_RW = "__rewrite"
+_BAK = "__prewrite"
+
+
+def _rename_table(spark: SparkSession, old: str, new: str) -> None:
+    """Catalog rename (moves the managed directory with the table) —
+    split out so failure-injection tests can crash a specific rename."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def _recover_index_rewrite(spark: SparkSession, tables: list[str]) -> None:
+    """Repair the crash states a died rewrite can leave. ``tables[0]``
+    must be the family's meta table (the swap's loudness anchor)."""
+    meta = tables[0]
+    if not spark.catalog.tableExists(meta) and spark.catalog.tableExists(
+        meta + _BAK
+    ):
+        # the swap died mid-flight: roll BACK to the old index — its
+        # tombstones were never touched (dropped only after a completed
+        # swap) and are still meaningful against the old rows. Meta is
+        # restored LAST: while it is missing, a crash inside THIS loop
+        # re-enters recovery on the next call.
+        for t in list(tables[1:]) + [meta]:
+            b = t + _BAK
+            if spark.catalog.tableExists(b):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")  # a renamed-in NEW
+                _rename_table(spark, b, t)
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t + _RW}")
+        spark.sql(f"DROP TABLE IF EXISTS {t + _BAK}")
+        # a restart forgets temp tables while their dirs survive; temps
+        # are disposable by construction, so deleting the orphans is safe
+        _remove_orphan_location(spark, t + _RW)
+
+
+def begin_index_rewrite(
+    spark: SparkSession, base_name: str, tables: list[str]
+) -> tuple[int, int]:
+    """Start a full index rewrite over ``tables`` (meta first — see
+    the staging comment above). Recovers any earlier half-finished
+    swap, clears rewrite leftovers, and bumps the generation: returns
+    ``(gen, nonce)`` — stamp every rewritten row with ``gen`` and pass
+    both to `finish_index_rewrite`."""
+    _recover_index_rewrite(spark, tables)
+    # a restarted session's orphan state/tombstone dirs are already
+    # invisible to every probe (catalog-resolved); a full rewrite
+    # resets deletion state by declared intent, so removing them here
+    # changes no observable result
+    _remove_orphan_location(spark, f"{base_name}_state")
+    _remove_orphan_location(spark, f"{base_name}_tombstones")
+    return bump_gen(spark, base_name)
+
+
+def finish_index_rewrite(
+    spark: SparkSession,
+    base_name: str,
+    tables: list[str],
+    gen: int,
+    nonce: int,
+) -> None:
+    """Swap the ``{table}__rewrite`` set in as the live index. Verifies
+    the writer nonce FIRST (a rival writer detected here aborts before
+    any live table is touched), then renames live aside META-FIRST and
+    rewrites in META-LAST so every intermediate state fails loudly, and
+    finally drops the now-inert tombstones and the backups."""
+    verify_sole_writer(spark, base_name, gen, nonce)
+    for t in tables:
+        if spark.catalog.tableExists(t):
+            _rename_table(spark, t, t + _BAK)
+    for t in reversed(tables):
+        _rename_table(spark, t + _RW, t)
+    # standing tombstones are inert against the new generation's rows
+    # (every tombstone is stamped strictly below it) — dropping them is
+    # hygiene, not correctness, so a crash right here stays consistent
+    spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t + _BAK}")
 
 
 def _dead_row_cond(rows: DataFrame, id_col: str) -> Column:

@@ -502,37 +502,49 @@ def write_minhash_index(
       from the caller), so batch and index banding cannot drift apart
       — band hashes are only comparable under identical banding.
 
-    Every row carries a generation stamp (``gen`` = 0 here, bumped per
-    append) and the write resets ``{base}_state`` / drops any standing
-    tombstones — see `bucketing.add_tombstones` for the deletion /
-    reingest lifecycle (r12)."""
-    from ..bucketing import init_index_state, write_bucketed
+    Crash-safe staging (r13, ADVICE r12): rows are stamped at a BUMPED
+    generation (standing tombstones — all stamped below it — are inert
+    against them), every table is computed under a ``__rewrite`` temp
+    name, and `bucketing.finish_index_rewrite` swaps the set in
+    meta-first/meta-last so a crash at ANY point leaves either the old
+    index fully intact (tombstones included) or a loud
+    TABLE_OR_VIEW_NOT_FOUND — never a silent mix. See
+    `bucketing.add_tombstones` for the deletion / reingest
+    lifecycle."""
+    from ..bucketing import (
+        begin_index_rewrite,
+        finish_index_rewrite,
+        write_bucketed,
+    )
 
-    # clear generation state + stale tombstones FIRST (r12 review): a
-    # crash mid-write then fails loudly, instead of old tombstones
-    # silently hiding the fresh gen-0 rows
-    init_index_state(corpus.sparkSession, base_name)
+    spark = corpus.sparkSession
+    tables = [f"{base_name}_meta", f"{base_name}_bands", f"{base_name}_shingles"]
+    g, nonce = begin_index_rewrite(spark, base_name, tables)
     sets = shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n).filter(
         F.size("sh_arr") > 0
     )
     sets = _persist_tracked(sets, scope="minhash_index_write")
-    gen0 = F.lit(0).cast("long")
+    geng = F.lit(g).cast("long")
     bands_df = band_table(
         minhash_signatures(sets, num_hashes=num_hashes),
         bands,
         num_hashes // bands,
-    ).select(F.col("doc").alias("corpus_id"), "band", "bhash", gen0.alias("gen"))
+    ).select(F.col("doc").alias("corpus_id"), "band", "bhash", geng.alias("gen"))
     write_bucketed(
-        bands_df, f"{base_name}_bands", ["band", "bhash"], buckets=buckets
-    )
-    write_bucketed(
-        sets.withColumn("gen", gen0), f"{base_name}_shingles", "doc",
+        bands_df, f"{base_name}_bands__rewrite", ["band", "bhash"],
         buckets=buckets,
     )
-    corpus.sparkSession.createDataFrame(
+    write_bucketed(
+        sets.withColumn("gen", geng), f"{base_name}_shingles__rewrite", "doc",
+        buckets=buckets,
+    )
+    spark.createDataFrame(
         [(num_hashes, bands, shingle_n)],
         "num_hashes int, bands int, shingle_n int",
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_meta__rewrite"
+    )
+    finish_index_rewrite(spark, base_name, tables, g, nonce)
     _release_caches("minhash_index_write")
 
 
@@ -574,19 +586,48 @@ def append_to_minhash_index(
     probes immediately see only the new signatures, and the dead rows
     are physically purged at the next `compact_minhash_index`.
     Deletions without replacement go through
-    `bucketing.add_tombstones` directly. After many appends, restore
-    the one-file-per-bucket sort guarantee with
+    `bucketing.add_tombstones` directly — and a reingest batch must be
+    fully indexable: a re-crawled doc whose new text yields ZERO
+    shingles raises BEFORE anything is written (ADVICE r12: tombstoning
+    it with no replacement rows would be exactly the silent delete the
+    append-then-tombstone ordering exists to prevent; explicitly delete
+    such docs via `add_tombstones` if that is the intent). After many
+    appends, restore the one-file-per-bucket sort guarantee with
     `compact_minhash_index` (rows moved, never re-shingled)."""
-    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
+    from ..bucketing import (
+        add_tombstones,
+        bump_gen,
+        table_buckets,
+        verify_sole_writer,
+        write_bucketed,
+    )
 
     spark = batch.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
-    g = bump_gen(spark, base_name)
-    gen = F.lit(g).cast("long")
     sets = shingle_sets(
         _spread(batch), text_col, id_col, n=meta.shingle_n
     ).filter(F.size("sh_arr") > 0)
     sets = _persist_tracked(sets, scope="minhash_index_append")
+    if reingest:
+        # intake guard BEFORE any write (cost ∝ batch, bounded probe):
+        # every batch id must have produced shingle rows, or the
+        # tombstone below would silently delete it with no replacement
+        unusable = (
+            batch.select(F.col(id_col).alias("doc"))
+            .distinct()
+            .join(sets.select("doc"), "doc", "left_anti")
+            .take(4)
+        )
+        if unusable:
+            _release_caches("minhash_index_append")
+            raise ValueError(
+                "reingest batch contains docs whose text yields no "
+                f"shingles (e.g. {[r.doc for r in unusable]}): refusing a "
+                "silent delete — pre-filter them, or delete explicitly "
+                "via bucketing.add_tombstones"
+            )
+    g, nonce = bump_gen(spark, base_name)
+    gen = F.lit(g).cast("long")
     bands_df = band_table(
         minhash_signatures(sets, num_hashes=meta.num_hashes),
         meta.bands,
@@ -616,6 +657,9 @@ def append_to_minhash_index(
             spark, base_name, batch.select(id_col).distinct(), id_col,
             at_gen=g - 1,
         )
+    # single-writer contract check LAST (r13): a rival writer's bump
+    # during this append is detected while the batch is still known
+    verify_sole_writer(spark, base_name, g, nonce)
     _release_caches("minhash_index_append")
 
 
@@ -1331,22 +1375,33 @@ def write_hamming_index(
       take the banding FROM this table (never from the caller):
       band values are only comparable under identical banding.
 
-    Rows carry a generation stamp and the write resets the index's
-    tombstone state — see `bucketing.add_tombstones` (r12)."""
-    from ..bucketing import init_index_state, write_bucketed
+    Rows carry a generation stamp; the write is staged crash-safe
+    under ``__rewrite`` temp names and swapped in meta-first/meta-last
+    (r13, ADVICE r12 — see `write_minhash_index`): a crash leaves the
+    old index intact (tombstones included) or fails loudly, never a
+    silent mix. See `bucketing.add_tombstones` (r12)."""
+    from ..bucketing import (
+        begin_index_rewrite,
+        finish_index_rewrite,
+        write_bucketed,
+    )
 
     _check_hamming_params(0, bands)
-    # state/tombstone reset FIRST: crash mid-write fails loudly (r12)
-    init_index_state(sig.sparkSession, base_name)
+    spark = sig.sparkSession
+    tables = [f"{base_name}_meta", f"{base_name}_hbands"]
+    g, nonce = begin_index_rewrite(spark, base_name, tables)
     write_bucketed(
-        _banded_sig(sig, bands).withColumn("gen", F.lit(0).cast("long")),
-        f"{base_name}_hbands",
+        _banded_sig(sig, bands).withColumn("gen", F.lit(g).cast("long")),
+        f"{base_name}_hbands__rewrite",
         ["band", "bval"],
         buckets=buckets,
     )
-    sig.sparkSession.createDataFrame(
+    spark.createDataFrame(
         [(bands,)], "bands int"
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{base_name}_meta")
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_meta__rewrite"
+    )
+    finish_index_rewrite(spark, base_name, tables, g, nonce)
 
 
 def append_to_hamming_index(
@@ -1360,13 +1415,30 @@ def append_to_hamming_index(
     parity is exact. Append cost ∝ batch: one explode over the new
     signatures, one bucketed write; the only catalog read is the
     one-row meta. ``reingest=True`` is the upsert path: the batch ids
-    are tombstoned first, so only the NEW signature of a re-crawled
-    doc is visible to probes (r12; see `append_to_minhash_index`)."""
-    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
+    are tombstoned AFTER the new rows land, so only the NEW signature
+    of a re-crawled doc is visible to probes (r12; see
+    `append_to_minhash_index`) — and a NULL signature in a reingest
+    batch raises before anything is written (its banded rows could
+    never match a probe: the tombstone would be a silent delete,
+    ADVICE r12)."""
+    from ..bucketing import (
+        add_tombstones,
+        bump_gen,
+        table_buckets,
+        verify_sole_writer,
+        write_bucketed,
+    )
 
     spark = batch_sig.sparkSession
     meta = spark.table(f"{base_name}_meta").collect()[0]
-    g = bump_gen(spark, base_name)
+    if reingest and batch_sig.filter(F.col("sig").isNull()).take(1):
+        raise ValueError(
+            "reingest batch contains NULL signatures (their banded rows "
+            "can never match a probe): refusing a silent delete — "
+            "pre-filter them, or delete explicitly via "
+            "bucketing.add_tombstones"
+        )
+    g, nonce = bump_gen(spark, base_name)
     write_bucketed(
         _banded_sig(batch_sig, meta.bands).withColumn(
             "gen", F.lit(g).cast("long")
@@ -1382,6 +1454,7 @@ def append_to_hamming_index(
             spark, base_name, batch_sig.select("doc").distinct(), "doc",
             at_gen=g - 1,
         )
+    verify_sole_writer(spark, base_name, g, nonce)
 
 
 def hamming_near_pairs_from_index(

@@ -1177,9 +1177,17 @@ def write_ann_index(
     a standing index without retraining (and the exact-rewrite
     yardstick `append_to_ann_index`'s parity test is pinned against).
 
-    Rows carry a generation stamp and the write resets the index's
-    tombstone state — see `bucketing.add_tombstones` (r12)."""
-    from ..bucketing import init_index_state, write_bucketed
+    Rows carry a generation stamp; the write is staged crash-safe
+    under ``__rewrite`` temp names and swapped in meta-first/meta-last
+    (r13, ADVICE r12 — see `operators/dedup.py:write_minhash_index`):
+    a crash leaves the old index — data, MODEL tables, tombstones —
+    intact, or fails loudly; probes can never mix new codes with old
+    codebooks."""
+    from ..bucketing import (
+        begin_index_rewrite,
+        finish_index_rewrite,
+        write_bucketed,
+    )
 
     if pretrained is not None:
         cents, cb = pretrained
@@ -1193,24 +1201,30 @@ def write_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
     spark = corpus.sparkSession
-    # state/tombstone reset FIRST: crash mid-write fails loudly (r12)
-    init_index_state(spark, base_name)
+    tables = [
+        f"{base_name}_meta",
+        f"{base_name}_codes",
+        f"{base_name}_vectors",
+        f"{base_name}_centroids",
+        f"{base_name}_codebooks",
+    ]
+    g, nonce = begin_index_rewrite(spark, base_name, tables)
     v = corpus.filter(_nonzero_vec(vec_col))
-    gen0 = F.lit(0).cast("long")
+    geng = F.lit(g).cast("long")
     coded = v.select(
         F.col(id_col).alias("neighbor_id"),
         ivf_assign_udf(cents)(F.col(vec_col)).alias("cell"),
         pq_encode_udf(cb)(F.col(vec_col)).alias("codes"),
-        gen0.alias("gen"),
+        geng.alias("gen"),
     )
-    write_bucketed(coded, f"{base_name}_codes", "cell", buckets=buckets)
+    write_bucketed(coded, f"{base_name}_codes__rewrite", "cell", buckets=buckets)
     write_bucketed(
         v.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            gen0.alias("gen"),
+            geng.alias("gen"),
         ),
-        f"{base_name}_vectors",
+        f"{base_name}_vectors__rewrite",
         "neighbor_id",
         buckets=buckets,
     )
@@ -1218,7 +1232,7 @@ def write_ann_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{base_name}_centroids"
+        f"{base_name}_centroids__rewrite"
     )
     mm, trained_codes, dsub = cb.shape
     spark.createDataFrame(
@@ -1229,14 +1243,15 @@ def write_ann_index(
         ],
         "sub int, code int, centroid array<double>",
     ).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{base_name}_codebooks"
+        f"{base_name}_codebooks__rewrite"
     )
     spark.createDataFrame(
         [(len(cents), mm, trained_codes, mm * dsub, dsub)],
         "n_centroids int, m int, n_codes int, dim int, dsub int",
     ).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{base_name}_meta"
+        f"{base_name}_meta__rewrite"
     )
+    finish_index_rewrite(spark, base_name, tables, g, nonce)
 
 
 def append_to_ann_index(
@@ -1279,12 +1294,30 @@ def append_to_ann_index(
     recall, never correctness (the exact-cosine re-rank still orders
     true candidates exactly). After many appends, restore the
     one-file-per-bucket layout with `compact_ann_index` (rows moved,
-    never re-encoded)."""
-    from ..bucketing import add_tombstones, bump_gen, table_buckets, write_bucketed
+    never re-encoded). A reingest batch must be fully indexable: a
+    zero-norm / NULL-element embedding raises BEFORE anything is
+    written (ADVICE r12: the intake filter would drop its rows while
+    the tombstone killed the standing ones — a silent delete)."""
+    from ..bucketing import (
+        add_tombstones,
+        bump_gen,
+        table_buckets,
+        verify_sole_writer,
+        write_bucketed,
+    )
 
     spark = batch.sparkSession
     _meta, cents, cb = _read_ann_model(spark, base_name)
-    g = bump_gen(spark, base_name)
+    if reingest:
+        unusable = batch.filter(~_nonzero_vec(vec_col)).select(id_col).take(4)
+        if unusable:
+            raise ValueError(
+                "reingest batch contains zero-norm/NULL embeddings (e.g. "
+                f"{[r[0] for r in unusable]}): refusing a silent delete — "
+                "pre-filter them, or delete explicitly via "
+                "bucketing.add_tombstones"
+            )
+    g, nonce = bump_gen(spark, base_name)
     gen = F.lit(g).cast("long")
     v = batch.filter(_nonzero_vec(vec_col))
     coded = v.select(
@@ -1318,6 +1351,7 @@ def append_to_ann_index(
             spark, base_name, batch.select(id_col).distinct(), id_col,
             at_gen=g - 1,
         )
+    verify_sole_writer(spark, base_name, g, nonce)
 
 
 def compact_ann_index(spark, base_name: str) -> None:

@@ -190,13 +190,14 @@ def test_minhash_delete_reingest_and_purge(spark):
         assert any(cid == victim for (_n, cid) in got)
 
         # PURGE + clear; probe unchanged
+        g_new = current_gen(spark, b_live)  # the reingest append's gen
         D.compact_minhash_index(spark, b_live)
         assert not spark.catalog.tableExists(f"{b_live}_tombstones")
         assert probe_pairs(b_live) == want
-        # physically gone: no row for the victim at gen 0 remains
+        # physically gone: only the victim's REINGESTED rows remain
         assert (
             spark.table(f"{b_live}_shingles")
-            .filter((F.col("doc") == victim) & (F.col("gen") == 0))
+            .filter((F.col("doc") == victim) & (F.col("gen") < g_new))
             .count()
             == 0
         )
@@ -298,8 +299,9 @@ def test_tombstone_degenerate_inputs(spark):
         D.write_hamming_index(sig, base, bands=4)
         want = _pairs(D.hamming_near_pairs_from_index(spark, base))
 
-        add_tombstones(spark, base, empty_ids, "doc")  # gen 1, zero rows
-        assert current_gen(spark, base) == 1
+        g0 = current_gen(spark, base)  # the full write's (bumped) gen
+        add_tombstones(spark, base, empty_ids, "doc")  # +1, zero rows
+        assert current_gen(spark, base) == g0 + 1
         assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == want
 
         D.append_to_hamming_index(empty_sig, base, reingest=True)
@@ -412,45 +414,127 @@ def test_reingest_crash_leaves_duplicates_never_deletes(spark, monkeypatch):
         _drop(spark, base, ("hbands", "meta"))
 
 
-def test_full_write_clears_tombstones_before_data(spark, monkeypatch):
-    """r12 review: a full index write resets tombstone state BEFORE
-    writing data, so a crash mid-write fails loudly instead of leaving
-    stale tombstones that silently hide the fresh gen-0 rows. Inject a
-    crash in the data write and assert the stale tombstones are
-    already gone."""
+def _drop_rewrite_leftovers(spark, base, suffixes):
+    for t in suffixes:
+        for extra in ("__rewrite", "__prewrite"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}_{t}{extra}")
+
+
+def test_full_write_crash_keeps_old_index_and_tombstones(spark, monkeypatch):
+    """r13 (ADVICE r12, the medium finding): a full rewrite stages its
+    tables under ``__rewrite`` names and swaps only at the END — so a
+    crash during the (expensive) data write leaves the OLD index fully
+    readable WITH its standing tombstones. The old order cleared the
+    tombstones up front: the same crash silently resurrected deleted
+    rows. A later rewrite then completes normally over the leftovers."""
     import pytest
 
-    import rq_spark.operators.dedup as DD
+    from rq_spark import bucketing as B
 
     rows, _ = _sig_corpus()
-    sig = spark.createDataFrame(rows[:10], "doc long, sig long")
+    sig = spark.createDataFrame(rows, "doc long, sig long")
     base = "t_tomb_worder"
     try:
         D.write_hamming_index(sig, base, bands=4)
         add_tombstones(
             spark, base, spark.createDataFrame([(3,)], "doc long"), "doc"
         )
-        assert spark.catalog.tableExists(f"{base}_tombstones")
-
-        from rq_spark import bucketing as B
+        want = _pairs(D.hamming_near_pairs_from_index(spark, base))
+        assert want and all(3 not in (a, b) for a, b, _h in want)
 
         real_wb = B.write_bucketed
 
         def dying_wb(*a, **kw):
             raise RuntimeError("injected crash during the data write")
 
-        monkeypatch.setattr(DD, "write_bucketed", dying_wb, raising=False)
         monkeypatch.setattr(B, "write_bucketed", dying_wb)
         with pytest.raises(RuntimeError, match="injected crash"):
             D.write_hamming_index(sig, base, bands=4)
         monkeypatch.setattr(B, "write_bucketed", real_wb)
 
-        # the stale tombstone can no longer hide anything: it was
-        # cleared before the (failed) data write
+        # the old index — rows, tombstones, probe results — is intact
+        assert spark.catalog.tableExists(f"{base}_tombstones")
+        assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == want
+
+        # a completed rewrite resets deletion state by declared intent:
+        # the old tombstone no longer applies to the rewritten rows
+        D.write_hamming_index(sig, base, bands=4)
         assert not spark.catalog.tableExists(f"{base}_tombstones")
-        assert current_gen(spark, base) == 0
+        got = _pairs(D.hamming_near_pairs_from_index(spark, base))
+        ref = "t_tomb_worder_ref"
+        D.write_hamming_index(sig, ref, bands=4)
+        assert got == _pairs(D.hamming_near_pairs_from_index(spark, ref))
+        _drop(spark, ref, ("hbands", "meta"))
     finally:
+        _drop(spark, "t_tomb_worder_ref", ("hbands", "meta"))
+        _drop_rewrite_leftovers(spark, base, ("hbands", "meta"))
         _drop(spark, base, ("hbands", "meta"))
+
+
+def test_full_write_swap_crash_is_loud_then_rolls_back(spark, monkeypatch):
+    """Crash INSIDE the rewrite swap: the meta table goes aside FIRST
+    and comes back LAST, so every mid-swap state fails loudly
+    (TABLE_OR_VIEW_NOT_FOUND) — probes can never silently join one
+    family table's NEW rows against another's OLD rows (the r12
+    wrong-jaccard window). Recovery (next begin) rolls BACK to the old
+    index with its tombstones still standing and still honored."""
+    import pytest
+
+    from rq_spark import bucketing as B
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    sig2 = spark.createDataFrame(
+        [(d + 5000, s) for d, s in rows], "doc long, sig long"
+    )
+    base = "t_tomb_swapcrash"
+    tables = [f"{base}_meta", f"{base}_hbands"]
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        add_tombstones(
+            spark, base, spark.createDataFrame([(3,)], "doc long"), "doc"
+        )
+        want = _pairs(D.hamming_near_pairs_from_index(spark, base))
+        assert want and all(3 not in (a, b) for a, b, _h in want)
+
+        real_rename = B._rename_table
+
+        def dying_rename(s, old, new):
+            # die on the LAST phase-2 rename: the data table is already
+            # the new one, only the meta swap-in remains — the exact
+            # window a silent mixed read would need
+            if old == f"{base}_meta__rewrite":
+                raise RuntimeError("injected crash inside the swap")
+            return real_rename(s, old, new)
+
+        monkeypatch.setattr(B, "_rename_table", dying_rename)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            D.write_hamming_index(sig2, base, bands=4)
+        monkeypatch.setattr(B, "_rename_table", real_rename)
+
+        # mid-swap state is LOUD: the meta read fails, no probe answers
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+            D.hamming_near_pairs_from_index(spark, base)
+
+        # recovery rolls back to the OLD index; its tombstones were
+        # never touched and still delete doc 3
+        B._recover_index_rewrite(spark, tables)
+        assert spark.catalog.tableExists(f"{base}_tombstones")
+        assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == want
+
+        # and a subsequent full rewrite (which re-runs recovery
+        # internally) completes and serves the NEW corpus
+        D.write_hamming_index(sig2, base, bands=4)
+        ref = "t_tomb_swapref"
+        D.write_hamming_index(sig2, ref, bands=4)
+        assert _pairs(
+            D.hamming_near_pairs_from_index(spark, base)
+        ) == _pairs(D.hamming_near_pairs_from_index(spark, ref))
+        _drop(spark, ref, ("hbands", "meta"))
+    finally:
+        _drop_rewrite_leftovers(spark, base, ("hbands", "meta"))
+        _drop(spark, base, ("hbands", "meta"))
+        _drop(spark, "t_tomb_swapref", ("hbands", "meta"))
 
 
 def test_tombstone_generation_semantics(spark):
@@ -463,14 +547,17 @@ def test_tombstone_generation_semantics(spark):
     base = "t_tomb_gen"
     try:
         D.write_hamming_index(sig, base, bands=4)
-        assert current_gen(spark, base) == 0
+        # the rewrite stamps its rows at a BUMPED generation (r13:
+        # standing tombstones must be inert against them mid-swap)
+        g0 = current_gen(spark, base)
+        assert g0 == 1
         t = spark.table(f"{base}_hbands")
         # no tombstone table yet: identity, same plan object semantics
         assert filter_tombstoned(spark, base, t, "doc").count() == t.count()
 
         ids = lambda v: spark.createDataFrame([(v,)], "doc long")  # noqa: E731
-        add_tombstones(spark, base, ids(3), "doc")  # gen 1
-        assert current_gen(spark, base) == 1
+        add_tombstones(spark, base, ids(3), "doc")  # gen g0 + 1
+        assert current_gen(spark, base) == g0 + 1
         live = filter_tombstoned(spark, base, spark.table(f"{base}_hbands"), "doc")
         assert live.filter("doc = 3").count() == 0
 
@@ -491,3 +578,159 @@ def test_tombstone_generation_semantics(spark):
         assert D.hamming_near_pairs_from_index(spark, base).count() >= 0
     finally:
         _drop(spark, base, ("hbands", "meta"))
+
+
+def test_concurrent_writer_detection(spark, monkeypatch):
+    """r13 (r12 verdict task #5): the single-writer contract is now
+    ENFORCED, not just documented — every bump stamps a random nonce,
+    writers re-read it after their data lands, and a rival bump in
+    between raises ConcurrentWriterError (a lost-update detector, not a
+    transaction protocol) instead of silently clobbering the counter."""
+    import pytest
+
+    import rq_spark.bucketing as B
+    from rq_spark.bucketing import (
+        ConcurrentWriterError,
+        bump_gen,
+        verify_sole_writer,
+    )
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:20], "doc long, sig long")
+    base = "t_tomb_writers"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+
+        # the primitive: writer A bumps, writer B bumps, A's verify
+        # fails (its state row was overwritten), B's passes
+        ga, na = bump_gen(spark, base)
+        gb, nb = bump_gen(spark, base)
+        with pytest.raises(ConcurrentWriterError):
+            verify_sole_writer(spark, base, ga, na)
+        verify_sole_writer(spark, base, gb, nb)
+
+        # end-to-end: a rival bump injected between an append's data
+        # write and its verify is detected by the appender itself —
+        # while its batch is still known and re-runnable
+        real_wb = B.write_bucketed
+
+        def rival_wb(*a, **kw):
+            real_wb(*a, **kw)
+            monkeypatch.setattr(B, "write_bucketed", real_wb)
+            bump_gen(spark, base)  # the rival writer strikes
+
+        monkeypatch.setattr(B, "write_bucketed", rival_wb)
+        with pytest.raises(ConcurrentWriterError):
+            D.append_to_hamming_index(
+                spark.createDataFrame([(999, 7)], "doc long, sig long"), base
+            )
+        # the single-writer path is unchanged: a clean retry succeeds
+        D.append_to_hamming_index(
+            spark.createDataFrame([(999, 7)], "doc long, sig long"), base
+        )
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
+def test_restart_orphan_dirs_fail_loudly_on_mutation(spark):
+    """ADVICE r12: in a restarted metastore-less session the warehouse
+    directory of the tombstone/state table survives while the catalog
+    forgets it. A MUTATION (add_tombstones / bump_gen) must refuse to
+    destroy those standing deletion records — loud IllegalStateError,
+    never an rmtree — while a FULL REWRITE may reset them (declared
+    intent, and they are already invisible to catalog-resolved probes)."""
+    import shutil
+
+    import pytest
+
+    from rq_spark.bucketing import _managed_location
+    from rq_spark.errors import IllegalStateError
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:20], "doc long, sig long")
+    base = "t_tomb_orphan"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        add_tombstones(
+            spark, base, spark.createDataFrame([(3,)], "doc long"), "doc"
+        )
+        # simulate the restart: catalog forgets the table, dir survives
+        loc = _managed_location(spark, f"{base}_tombstones")
+        shutil.copytree(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {base}_tombstones")
+        shutil.move(loc + ".keep", loc)
+
+        with pytest.raises(IllegalStateError, match="refusing to overwrite"):
+            add_tombstones(
+                spark, base, spark.createDataFrame([(4,)], "doc long"), "doc"
+            )
+
+        # the full rewrite path resets deletion state by declared intent
+        D.write_hamming_index(sig, base, bands=4)
+        assert D.hamming_near_pairs_from_index(spark, base).count() >= 0
+    finally:
+        import os
+
+        loc = _managed_location(spark, f"{base}_tombstones")
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        _drop(spark, base, ("hbands", "meta"))
+
+
+def test_reingest_unusable_docs_raise_before_any_write(spark):
+    """ADVICE r12: reingest=True used to tombstone ALL batch ids while
+    appending rows only for docs passing intake — a re-crawled doc with
+    zero shingles / a zero-norm embedding was silently deleted. Now the
+    intake guard raises BEFORE anything is written, and the standing
+    index is untouched."""
+    import pytest
+
+    # minhash: a doc whose new text yields zero 3-gram shingles
+    docs = table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    base = "t_tomb_unusable"
+    try:
+        D.write_minhash_index(corpus, "text", "doc_id", base)
+        victim = corpus.select("doc_id").limit(1).collect()[0].doc_id
+        before = spark.table(f"{base}_shingles").count()
+        bad = spark.createDataFrame(
+            [(victim, "too short")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="refusing a silent delete"):
+            D.append_to_minhash_index(bad, "text", "doc_id", base, reingest=True)
+        assert spark.table(f"{base}_shingles").count() == before
+        assert not spark.catalog.tableExists(f"{base}_tombstones")
+    finally:
+        _drop(spark, base, ("bands", "shingles", "meta"))
+
+    # hamming: a NULL signature
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:20], "doc long, sig long")
+    hbase = "t_tomb_unusable_h"
+    try:
+        D.write_hamming_index(sig, hbase, bands=4)
+        nullsig = spark.createDataFrame(
+            [(3, None)], "doc long, sig long"
+        )
+        with pytest.raises(ValueError, match="refusing a silent delete"):
+            D.append_to_hamming_index(nullsig, hbase, reingest=True)
+        assert not spark.catalog.tableExists(f"{hbase}_tombstones")
+    finally:
+        _drop(spark, hbase, ("hbands", "meta"))
+
+    # ann: a zero-norm embedding
+    vecs = table(spark, SF, "embeddings")
+    corpus_v = vecs.filter(F.col("vec_id") % 2 == 0).limit(40)
+    abase = "t_tomb_unusable_a"
+    try:
+        S.write_ann_index(corpus_v, abase, n_centroids=4, m=4, n_codes=8, iters=1)
+        vid = corpus_v.select("vec_id").limit(1).collect()[0].vec_id
+        dim = len(corpus_v.select("embedding").limit(1).collect()[0].embedding)
+        zero = spark.createDataFrame(
+            [(vid, [0.0] * dim)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="refusing a silent delete"):
+            S.append_to_ann_index(zero, abase, reingest=True)
+        assert not spark.catalog.tableExists(f"{abase}_tombstones")
+    finally:
+        _drop(spark, abase, ("codes", "vectors", "centroids", "codebooks", "meta"))
