@@ -141,6 +141,10 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
             from .queries.dedup import inc_components_standing
 
             return inc_components_standing(pairs, nodes)
+        if which == "evict_components":
+            from .queries.dedup import evict_components_branch
+
+            return evict_components_branch(pairs, nodes)
         return triangle_counts(pairs, nodes)
 
     return q
@@ -217,7 +221,10 @@ def branch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[f"{key}/{tag}"] = _pruned(key, tag)
     for d in ("backward", "forward", "nearest"):
         out[f"join_asof_event/{d}"] = _asof_solo(d)
-    for g in ("components", "pagerank", "triangles", "inc_components"):
+    for g in (
+        "components", "pagerank", "triangles", "inc_components",
+        "evict_components",
+    ):
         out[f"dedup_connected_groups/{g}"] = _graph_solo(g)
     for s in ("first_seen", "interval_join", "running"):
         out[f"stream_stateful/{s}"] = _stream_solo(s)

@@ -1702,8 +1702,13 @@ def _absorb_small_batch(
     label rewrite. Everything in between (fresh-node discovery, the
     rep-space contraction, min-label union-find) is driver arithmetic
     over batch-sized lists. vs the distributed shape this removes the
-    merged-label persist and four broadcast builds per absorb: the
-    standing labels are read exactly ONCE, in the returned plan."""
+    merged-label persist and four broadcast builds per absorb. The
+    standing labels are still read TWICE — once by the endpoint-lookup
+    collect here, once by the returned plan (ADVICE r12: an earlier
+    claim of exactly-once was wrong) — so callers chaining daily
+    absorbs through this tier should MATERIALIZE yesterday's output
+    (localCheckpoint/persist) first, or each day's absorb re-evaluates
+    the entire prior-day plan twice with nothing saved between."""
     sess = labels.sparkSession
     node_type = labels.schema["node"].dataType
     ends = {r.a_id for r in edge_rows} | {r.b_id for r in edge_rows}
@@ -1930,6 +1935,113 @@ def absorb_edges(
     return all_labels.join(remap, "rep", "left").select(
         "node", F.coalesce("_srep", "rep").alias("rep")
     )
+
+
+def evict_nodes(
+    labels: DataFrame,
+    edges: DataFrame,
+    deleted: DataFrame,
+    max_iter: int = 20,
+    broadcast_deletions: bool = True,
+    scope: str = "evict_nodes",
+    small_max: int = 10_000,
+) -> DataFrame:
+    """Takedown closure at the CLUSTER-LABEL layer (r13, r12 verdict
+    top_next): remove deleted documents from standing connected-
+    component labels without recomputing the corpus graph. The index
+    families already delete cleanly (tombstones), but `absorb_edges`'
+    label relation was insert/merge-only: a tombstoned doc stayed in
+    the standing (node, rep) rows forever — and could BE the min-label
+    representative other docs point at.
+
+    Deletion from connected components is NOT a filter: removing a cut
+    vertex SPLITS a component, and removing the representative renames
+    one. So the honest incremental shape is component-scoped
+    recompute — drop the deleted nodes' rows, find the TOUCHED
+    components (those containing a deleted node), and re-run min-label
+    CC over only those components' SURVIVING edges; every untouched
+    component keeps its rows verbatim (no edge crosses components, so
+    nothing else can change).
+
+    ``labels``: (node, rep) — a min-label fixed point over ``edges``
+    (exactly `connected_components` output; every edge endpoint must
+    appear in it). ``edges``: (a_id, b_id), the STANDING edge relation
+    the labels were computed over (e.g. re-derivable from the persisted
+    index probes, or kept alongside the labels). ``deleted``: (node)
+    takedown ids; ids absent from the labels are ignored.
+
+    Returns (node, rep) EXACTLY equal to
+    `connected_components(edges minus any edge touching a deleted
+    node, nodes minus deleted)` — parity pinned in tests/test_graph.py
+    on a cut-vertex split, a deleted-representative rename, a
+    whole-component takedown, and both execution tiers.
+
+    Scale shape — work ∝ touched components, never corpus: the deleted
+    ids and the touched-component relations are deletion-bounded and
+    ride every join as the BROADCAST side, so the corpus-sized labels
+    relation is scanned map-side (three semi/anti passes, zero
+    Exchange — plan-asserted) and the edges relation once. The
+    re-clustering itself runs on the touched components' surviving
+    subgraph only: driver union-find when it fits (``small_max``,
+    take-probed — the same bounded-collect tiering as `absorb_edges`),
+    else the checkpointed distributed CC loop. Pass
+    ``broadcast_deletions=False`` when a mass takedown outgrows the
+    broadcast budget; the joins degrade to shuffles ∝ labels/edges,
+    still touched-component-bounded on the small side."""
+    _release_caches(scope)
+    sess = labels.sparkSession
+    node_type = labels.schema["node"].dataType
+    del_ids = deleted.select("node").distinct()
+    if broadcast_deletions:
+        del_ids = F.broadcast(del_ids)
+    # components containing a deleted node — deletion-bounded, read by
+    # three downstream joins, so persist the tiny relation once
+    touched = _persist_tracked(
+        labels.join(del_ids, "node", "left_semi").select("rep").distinct(),
+        scope=scope,
+    )
+    btouched = F.broadcast(touched) if broadcast_deletions else touched
+    # surviving nodes of the touched components (∝ touched components)
+    surv_nodes = _persist_tracked(
+        labels.join(btouched, "rep", "left_semi")
+        .select("node")
+        .join(del_ids, "node", "left_anti"),
+        scope=scope,
+    )
+    bsurv = F.broadcast(surv_nodes) if broadcast_deletions else surv_nodes
+    # surviving edges inside touched components: an edge's endpoints
+    # always share a component, so membership of EITHER endpoint in
+    # the surviving-touched set decides both "touched" and "survives"
+    # (a deleted endpoint fails the semi-join) — two map-side passes
+    # over the edges scan
+    surv_edges = edges.join(
+        bsurv.withColumnRenamed("node", "a_id"), "a_id", "left_semi"
+    ).join(bsurv.withColumnRenamed("node", "b_id"), "b_id", "left_semi")
+    # untouched components keep their rows verbatim (map-side anti)
+    kept = labels.join(btouched, "rep", "left_anti").select("node", "rep")
+    # re-cluster the touched survivors: driver union-find when bounded
+    # (the takedown-sized case), else the distributed CC loop
+    eprobe = surv_edges.take(small_max + 1) if small_max > 0 else None
+    if eprobe is not None and len(eprobe) <= small_max:
+        nprobe = surv_nodes.take(small_max + 1)
+        if len(nprobe) <= small_max:
+            remap = _minlabel_union_find(
+                (r.a_id, r.b_id) for r in eprobe
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("rep", node_type),
+                ]
+            )
+            fresh = sess.createDataFrame(
+                [(r.node, remap.get(r.node, r.node)) for r in nprobe], schema
+            )
+            return kept.unionAll(fresh)
+    fresh = connected_components(
+        surv_edges, surv_nodes, max_iter=max_iter, scope=f"{scope}_cc"
+    )
+    return kept.unionAll(fresh)
 
 
 def _gram_strings(

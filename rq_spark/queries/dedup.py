@@ -107,7 +107,42 @@ def inc_components_branch(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     day2_e = pairs.filter(s == 1)
     standing = inc_components_standing(pairs, nodes)
     day1 = D.absorb_edges(standing, day1_e, scope="inc_absorb_d1")
+    # materialize yesterday's output before chaining (r13, ADVICE r12):
+    # the day-2 absorb reads its standing labels TWICE (endpoint lookup
+    # + final rewrite) — without a persist here, each read re-evaluates
+    # the ENTIRE day-1 plan (absorb + standing fixed point) with
+    # nothing saved between. Registered under the d1 scope so the next
+    # run's day-1 absorb releases it at entry.
+    day1 = _persist_tracked(day1, scope="inc_absorb_d1")
     return D.absorb_edges(day1, day2_e, scope="inc_absorb_d2")
+
+
+#: deterministic takedown set for the evict_components branch:
+#: doc_id % 31 == 3 (~3% of the corpus) — SQL-expressible, so the
+#: oracle can rebuild the exact surviving graph
+_EVICT_MOD, _EVICT_RES = 31, 3
+
+
+def evict_components_branch(
+    pairs: DataFrame, nodes: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
+    """The evict_components branch body (r13, r12 verdict top_next) —
+    a deterministic takedown batch (doc_id % 31 == 3) evicted from the
+    standing component labels via `operators/dedup.py:evict_nodes`:
+    component-scoped recompute over the touched components' surviving
+    edges, never the corpus (deletion can SPLIT a component and can
+    delete the min-label representative, so a filter over the standing
+    labels would be wrong on both counts). ``labels`` is the standing
+    min-label fixed point: the catalog key passes its components
+    branch's checkpointed output (shared work); the bench solo leaves
+    it None and pays its own standing build (included-cost convention,
+    same as the inc solos)."""
+    if labels is None:
+        labels = D.connected_components(
+            pairs, nodes, scope="evict_cc_old"
+        ).localCheckpoint()
+    deleted = nodes.filter((F.col("node") % _EVICT_MOD) == _EVICT_RES)
+    return D.evict_nodes(labels, pairs, deleted, scope="evict_branch")
 
 
 def inc_components_standing(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -158,6 +193,17 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE as 'components': the driver hash falsifies REPEATED
     absorption against the ground-truth full graph every round.
 
+    'evict_components' (r13) — TAKEDOWNS at the label layer
+    (operators/dedup.py:evict_nodes): a deterministic ~3% deletion set
+    (doc_id % 31 == 3) is evicted from the components branch's standing
+    labels by component-scoped recompute — drop the deleted nodes,
+    re-run min-label CC over ONLY the touched components' surviving
+    edges (deletion can split a component and can delete the
+    representative, so a filter is wrong on both counts; work ∝
+    touched components, never corpus). The oracle re-walks the
+    recursive closure over the SURVIVING graph, so every post-takedown
+    label is hash-exact.
+
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
     the quadratic shingle self-join), computed ONCE and persisted for
     all branches; with 24 bands × 4 rows the verified pair set equals
@@ -192,13 +238,23 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.count()
         return t
 
-    with ThreadPoolExecutor(4) as ex:
-        f_comp = ex.submit(D.connected_components, pairs, nodes)
+    with ThreadPoolExecutor(5) as ex:
+        # the components labels are CHECKPOINTED once and shared: the
+        # 'components' rows read them, and the evict branch scans them
+        # as its standing input (three map-side passes + probes — on a
+        # lazy plan each pass would re-run the whole CC fixed point)
+        f_comp = ex.submit(
+            lambda: D.connected_components(pairs, nodes).localCheckpoint()
+        )
         f_pr = ex.submit(pagerank_fixed, pairs, nodes)
         f_tri = ex.submit(_tri)
         f_inc = ex.submit(inc_components_branch, pairs, nodes)
-        comp_df, pr_df, tri_df, inc_df = (
-            f_comp.result(), f_pr.result(), f_tri.result(), f_inc.result()
+        f_ev = ex.submit(
+            lambda: evict_components_branch(pairs, nodes, f_comp.result())
+        )
+        comp_df, pr_df, tri_df, inc_df, ev_df = (
+            f_comp.result(), f_pr.result(), f_tri.result(),
+            f_inc.result(), f_ev.result(),
         )
     comp = comp_df.select(
         F.lit("components").alias("op"),
@@ -224,7 +280,18 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("rep_id"),
         nulls.cast("bigint").alias("pr"),
     )
-    return comp.unionByName(pr).unionByName(tri).unionByName(inc)
+    ev = ev_df.select(
+        F.lit("evict_components").alias("op"),
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        nulls.cast("bigint").alias("pr"),
+    )
+    return (
+        comp.unionByName(pr)
+        .unionByName(tri)
+        .unionByName(inc)
+        .unionByName(ev)
+    )
 
 
 # recursive-CTE oracle: min reachable doc_id = component representative
@@ -253,6 +320,23 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+), surv_edges AS (
+  -- evict_components (r13): the SURVIVING graph after the takedown
+  -- set (doc_id % {_EVICT_MOD} == {_EVICT_RES}) is removed — a second
+  -- closure walk, because deletion can SPLIT components (no way to
+  -- derive post-takedown labels from the full closure)
+  SELECT a_id AS s, b_id AS d FROM pairs
+  WHERE a_id % {_EVICT_MOD} != {_EVICT_RES}
+    AND b_id % {_EVICT_MOD} != {_EVICT_RES}
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+  WHERE a_id % {_EVICT_MOD} != {_EVICT_RES}
+    AND b_id % {_EVICT_MOD} != {_EVICT_RES}
+), evreach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  WHERE doc_id % {_EVICT_MOD} != {_EVICT_RES}
+  UNION
+  SELECT e.d, r.lbl FROM evreach r JOIN surv_edges e ON e.s = r.node
 ), pr_nodes AS (
   SELECT doc_id AS node FROM documents
 ){_pagerank_cte_sql("edges", "pr_nodes")}{_triangle_cte_sql("edges", "pr_nodes")}
@@ -270,6 +354,9 @@ SELECT op, doc_id, rep_id, pr FROM (
   UNION ALL
   SELECT 'inc_components', node, rep, NULL FROM comp
 )
+UNION ALL
+SELECT 'evict_components', node, MIN(lbl), CAST(NULL AS BIGINT)
+FROM evreach GROUP BY node
 UNION ALL
 SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
 UNION ALL
