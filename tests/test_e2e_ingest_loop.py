@@ -387,3 +387,155 @@ def test_ann_ingest_loop_two_days(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         _drop(spark, b_live, ann)
         _drop(spark, b_ref, ann)
+
+
+def test_hamming_loop_midloop_takedown_and_reingest(spark):
+    """r13 (r12 verdict task #2): DELETION composed INTO the loop, not
+    just pinned per family in isolation. Day 1 ingests a batch that
+    forms cross-day near-dup edges; day 2 is a TAKEDOWN of one of those
+    day-1 docs — tombstoned from the index, EVICTED from the standing
+    labels (evict_nodes: its component must split/rename, not filter),
+    physically purged by compaction — plus a REINGEST of a second day-1
+    doc under a new signature. Day 3 then probes/absorbs/appends
+    normally. Final assertions: the index self-scan equals a
+    from-scratch rebuild without the taken-down doc (and with the
+    re-crawled doc's NEW signature), and the final labels equal a full
+    CC recompute over exactly the surviving edge ledger."""
+    corpus_rows, b1_rows, b2_rows = _sig_splits()
+    mk = lambda rows: spark.createDataFrame(rows, "doc long, sig long")  # noqa: E731
+    corpus, batch1, batch2 = mk(corpus_rows), mk(b1_rows), mk(b2_rows)
+    b_live, b_ref = "t_loop_takedown", "t_loop_takedown_ref"
+    victim, re_id = 2000, 2001  # day-1 docs with cross-day edges
+    new_sig = _s64(corpus_rows[70][1] ^ (1 << 2))  # re-crawl: near dup 70
+
+    def scan(base):
+        return {
+            (r.a_id, r.b_id, r.hamming)
+            for r in D.hamming_near_pairs_from_index(spark, base).collect()
+        }
+
+    try:
+        from rq_spark.bucketing import add_tombstones
+
+        # day 0 + day 1: the standard loop
+        D.write_hamming_index(corpus, b_live, bands=4)
+        pairs0 = D.hamming_near_pairs_from_index(spark, b_live).localCheckpoint()
+        labels0 = D.connected_components(
+            _edges(pairs0, "a_id", "b_id"),
+            corpus.select(F.col("doc").alias("node")),
+            scope="e2e_tcc0",
+        ).localCheckpoint()
+        probe1 = D.hamming_probe_from_index(
+            spark, batch1, b_live, max_hamming=3
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        e1 = (
+            _edges(probe1, "new_id", "corpus_id")
+            .unionByName(_edges(D.hamming_near_pairs(batch1, max_hamming=3), "a_id", "b_id"))
+            .localCheckpoint()
+        )
+        labels1 = D.absorb_edges(
+            labels0, e1,
+            new_nodes=batch1.select(F.col("doc").alias("node")),
+            scope="e2e_t1",
+        ).localCheckpoint()
+        D.append_to_hamming_index(batch1, b_live)
+        D.compact_hamming_index(spark, b_live)
+        # the victim really is wired into a cross-day component
+        ledger = pairs0.select("a_id", "b_id").unionByName(e1).localCheckpoint()
+        assert any(
+            victim in (r.a_id, r.b_id) for r in ledger.collect()
+        )
+
+        # day 2: TAKEDOWN of `victim` + REINGEST of `re_id`
+        add_tombstones(
+            spark, b_live,
+            spark.createDataFrame([(victim,)], "doc long"), "doc",
+        )
+        labels_ev = D.evict_nodes(
+            labels1, ledger,
+            spark.createDataFrame([(victim,)], "node long"),
+            scope="e2e_tev1",
+        ).localCheckpoint()
+        surv1 = ledger.filter(
+            (F.col("a_id") != victim) & (F.col("b_id") != victim)
+        ).localCheckpoint()
+        D.append_to_hamming_index(
+            spark.createDataFrame([(re_id, new_sig)], "doc long, sig long"),
+            b_live, reingest=True,
+        )
+        # the re-crawled doc re-enters day 3 as a fresh node: evict its
+        # OLD identity from the labels (its old edges are stale)
+        labels_ev2 = D.evict_nodes(
+            labels_ev, surv1,
+            spark.createDataFrame([(re_id,)], "node long"),
+            scope="e2e_tev2",
+        ).localCheckpoint()
+        surv2 = surv1.filter(
+            (F.col("a_id") != re_id) & (F.col("b_id") != re_id)
+        ).localCheckpoint()
+        D.compact_hamming_index(spark, b_live)  # physical purge
+
+        # day 3: normal loop over batch2 ∪ the re-crawled doc
+        batch3 = batch2.unionByName(
+            spark.createDataFrame([(re_id, new_sig)], "doc long, sig long")
+        )
+        probe3 = D.hamming_probe_from_index(
+            spark, batch3, b_live, max_hamming=3
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        e3 = (
+            _edges(probe3, "new_id", "corpus_id")
+            .unionByName(_edges(D.hamming_near_pairs(batch3, max_hamming=3), "a_id", "b_id"))
+            .localCheckpoint()
+        )
+        # the taken-down doc is invisible to day-3 probes ...
+        assert not any(victim in (r.a_id, r.b_id) for r in e3.collect())
+        # ... and the re-crawled doc matches under its NEW identity
+        assert any(
+            {a, b} == {re_id, 70}
+            for a, b in [(r.a_id, r.b_id) for r in e3.collect()]
+        )
+        labels3 = D.absorb_edges(
+            labels_ev2, e3,
+            new_nodes=batch3.select(F.col("doc").alias("node")),
+            scope="e2e_t3",
+        ).localCheckpoint()
+        D.append_to_hamming_index(batch2, b_live)
+        D.compact_hamming_index(spark, b_live)
+
+        # (a) index parity: scan == from-scratch rebuild without the
+        # victim, with the re-crawled doc under its new signature
+        rebuilt = (
+            corpus.unionByName(batch1).unionByName(batch2)
+            .filter(~F.col("doc").isin(victim, re_id))
+            .unionByName(
+                spark.createDataFrame(
+                    [(re_id, new_sig)], "doc long, sig long"
+                )
+            )
+        )
+        D.write_hamming_index(rebuilt, b_ref, bands=4)
+        assert scan(b_live) == scan(b_ref)
+
+        # (b) label parity: final labels == full CC over exactly the
+        # surviving edge ledger and surviving nodes
+        all_edges = surv2.unionByName(e3)
+        all_nodes = (
+            corpus.select(F.col("doc").alias("node"))
+            .unionByName(batch1.select(F.col("doc").alias("node")))
+            .filter(F.col("node") != victim)
+            .filter(F.col("node") != re_id)
+            .unionByName(batch3.select(F.col("doc").alias("node")))
+        )
+        want = D.connected_components(
+            all_edges, all_nodes, scope="e2e_tccf"
+        )
+        assert _labels(labels3) == _labels(want)
+        # the victim is gone from the labels; the re-crawled doc is
+        # present under its new component (with corpus doc 70)
+        final = _labels(labels3)
+        assert all(n != victim and r != victim for n, r in final)
+        rep70 = {r for n, r in final if n == 70}
+        assert {r for n, r in final if n == re_id} == rep70
+    finally:
+        _drop(spark, b_live, ("hbands", "meta"))
+        _drop(spark, b_ref, ("hbands", "meta"))
