@@ -134,6 +134,18 @@ AT_SF_KEYS = (
     "stream_stateful",
 )
 
+#: solos DEMOTED from the at-sf sweep to the fixed-sf0.01 share sweep
+#: (r13, r12 verdict task #7): each must recompute the standing CC
+#: fixed point every run (~6-8 s at sf0.1, inherent to a read-only
+#: driver) to attribute a <2 s marginal step — at-sf budget the loaded
+#: runs kept starving the sf0.01 sweep of. The parent key's headline
+#: median + ratio sentinel still gate regressions at the headline sf;
+#: the solos keep relative-share coverage at sf0.01.
+AT_SF_DEMOTED = (
+    "dedup_connected_groups/inc_components",
+    "dedup_connected_groups/evict_components",
+)
+
 #: verdict-priority keys that record an interleaved sample/reference
 #: ratio (rq_spark/bench_ref.py) next to their wall-clock median — the
 #: noise-immune regression signal for the keys where ±30% ambient
@@ -185,6 +197,18 @@ def final_summary_line(artifact: dict) -> str:
         "unit": artifact["unit"],
         "queries": artifact["queries"],
         "ratio_vs_ref": artifact["ratio_vs_ref"],
+        # machine-health scalars (r13, r12 verdict tasks #3/#4): the
+        # two pinned sentinel medians — cpu (median per-key ref_sec vs
+        # the ~0.45 s design point) and shuffle (~0.7 s design point).
+        # r12's driver anomaly (ratio 56.9 vs a 26-29 band) needed a
+        # judge-run idle-box reproduction to adjudicate as ambient
+        # load; with these two numbers ON the final line the same
+        # anomaly is self-diagnosing: cpu_ref high → CPU-bound load
+        # (ratios still trustworthy); shuf_ref high with ref_med flat
+        # → memory/IO pressure (distrust shuffle-heavy keys' ratios);
+        # both flat → a real regression.
+        "ref_med": artifact.get("ref_med"),
+        "shuf_ref": artifact.get("shuffle_ref_sec"),
         "at_sf_complete": artifact["at_sf_complete"],
         "sf": artifact["sf"],
         "runs": artifact["runs"],
@@ -198,10 +222,12 @@ def final_summary_line(artifact: dict) -> str:
     line = json.dumps(summary, separators=(",", ":"))
     # drop order = reverse verdict value; "queries" LAST (ADVICE r11:
     # the old two-victim loop could still return an over-long line on
-    # a future artifact shape, silently re-beheading the driver tail)
+    # a future artifact shape, silently re-beheading the driver tail).
+    # The two health scalars cost ~35 chars and exist precisely for
+    # distressed runs, so they drop only after every list field.
     for victim in (
         "errors", "ratio_vs_ref", "timed_out", "skipped", "partial",
-        "reduced_runs", "queries",
+        "reduced_runs", "ref_med", "shuf_ref", "queries",
     ):
         if len(line) <= FINAL_LINE_MAX:
             break
@@ -336,7 +362,11 @@ def main() -> None:
             print(f"WARN bench: {tag} failed: {errors[tag]}", file=sys.stderr)
             return None
 
-    from rq_spark.bench_ref import pairwise_ratio, reference_job
+    from rq_spark.bench_ref import (
+        pairwise_ratio,
+        reference_job,
+        shuffle_reference_job,
+    )
 
     def _ref_once() -> float | None:
         """One timed run of the pinned reference job (bench_ref.py)."""
@@ -349,6 +379,20 @@ def main() -> None:
     # key's ratio reads against an inflated denominator
     for _ in range(2):
         _ref_once()
+
+    # the SHUFFLE sentinel (r13, r12 verdict task #4): one warm, two
+    # timed, median — once per RUN, not per pair (it characterizes the
+    # run's contention mode next to the per-pair CPU sentinel; see
+    # bench_ref.shuffle_reference_job). ~2 s of budget total.
+    _run_safe("shuffle_ref", lambda s, _d: shuffle_reference_job(s), sf_dir)
+    _shuf = [
+        _run_safe(
+            "shuffle_ref", lambda s, _d: shuffle_reference_job(s), sf_dir
+        )
+        for _ in range(2)
+    ]
+    _shuf = [t for t in _shuf if t is not None]
+    shuffle_ref_sec = round(statistics.median(_shuf), 3) if _shuf else None
 
     timings: dict[str, float] = {}
     ratio_vs_ref: dict[str, float] = {}
@@ -366,24 +410,31 @@ def main() -> None:
         # degradation insurance, two tiers (r12 added the middle one):
         # deep into the HARD deadline (extreme ambient load) fall back
         # to ONE run per remaining key — a noisier artifact beats a
-        # timed-out empty one. Before that, past 55% of the sweep
-        # budget, drop remaining keys to TWO runs: on a quiet run the
-        # whole headline finishes near ~50% so nothing trips, but on
-        # an ambient-slow run the tail keys' third samples were
-        # exactly what starved the at-sf attribution sweep
-        # (r12 run 7: at_sf_complete false with zero errors — the
-        # budget went to third samples of already-measured keys). A
-        # 2-run median on a tail key is worth less than the graph/
-        # stream at-sf solos it buys back. Affected keys are recorded
-        # in reduced_runs so their numbers are never read as 3-run
-        # medians. The 1-run tier stays keyed to `hard`, not the sweep
-        # budget: a normal 3-run headline pass takes ~60% of the sweep
-        # budget by itself, and tripping THAT reducer there cost the
-        # heaviest keys their medians on healthy runs (r9s2).
+        # timed-out empty one. Before that, past 68% of the sweep
+        # budget, drop remaining keys to TWO runs: on an ambient-slow
+        # run the tail keys' third samples were exactly what starved
+        # the at-sf attribution sweep (r12 run 7: at_sf_complete false
+        # with zero errors — the budget went to third samples of
+        # already-measured keys). A 2-run median on a tail key is
+        # worth less than the graph/stream at-sf solos it buys back.
+        # Affected keys are recorded in reduced_runs so their numbers
+        # are never read as 3-run medians. THRESHOLD BASIS (r13,
+        # ADVICE r12 — the old 55% tier quoted a "~50% healthy share"
+        # that conflicted with the 1-run tier's "~60%" rationale, and
+        # the measured truth sided with the latter): a healthy r13 run
+        # finishes the whole headline pass at headline_done_frac
+        # 0.616 (recorded in every artifact for re-tuning), i.e. the
+        # LAST key starts near 0.60 — so 55% tripped the reducer on
+        # perfectly healthy runs (observed: explode_ops reduced, the
+        # same failure mode r9s2 fixed for the 1-run tier). 0.68 sits
+        # demonstrably above the healthy share with margin, while a
+        # genuinely loaded run (everything 1.5-2×) still crosses it
+        # mid-pass where the savings matter. The 1-run tier stays
+        # keyed to `hard`.
         elapsed = time.time() - bench_start
         if elapsed > 0.7 * hard:
             n_runs = 1
-        elif elapsed > 0.55 * min(budget, hard):
+        elif elapsed > 0.68 * min(budget, hard):
             n_runs = min(runs, 2)
         else:
             n_runs = runs
@@ -416,6 +467,15 @@ def main() -> None:
         # stay inside its own timed runs, so this is fair)
         release_all_caches()
         spark.catalog.clearCache()
+
+    # where the headline pass actually ended, as a fraction of the
+    # sweep budget — the measured basis for the 2-run reducer threshold
+    # below (ADVICE r12: its comment and the 1-run tier's rationale
+    # quoted conflicting 50%/60% figures; now every artifact records
+    # the real number)
+    headline_done_frac = round(
+        (time.time() - bench_start) / min(budget, hard), 3
+    )
 
     # --- per-branch attribution sweeps (solo plans, see module doc) ---
     from rq_spark.bench_branches import branch_queries
@@ -495,7 +555,9 @@ def main() -> None:
         # at-sf solos: the heavy keys + the r1-comparable trio (r10 —
         # every key >= ~10 s gets per-branch numbers at the headline sf)
         at_sf = [
-            (n, f) for n, f in ordered if n.split("/")[0] in AT_SF_KEYS
+            (n, f)
+            for n, f in ordered
+            if n.split("/")[0] in AT_SF_KEYS and n not in AT_SF_DEMOTED
         ]
         if branch_dir != sf_dir:
             from rq_spark.bench_branches import SOLO_BUILT
@@ -527,12 +589,23 @@ def main() -> None:
             rest = [
                 (n, f)
                 for n, f in ordered
-                if n.split("/")[0] not in AT_SF_KEYS
-                and n_tags[n.split("/")[0]] >= 5
+                if (
+                    n.split("/")[0] not in AT_SF_KEYS
+                    and n_tags[n.split("/")[0]] >= 5
+                )
+                or n in AT_SF_DEMOTED
             ]
         else:
             rest = ordered
-        branches, t2 = _sweep(rest, branch_dir, branch_runs)
+        # SOLO_BUILT keys skip the tiny-sf warmup here too: the demoted
+        # graph solos (AT_SF_DEMOTED) would otherwise pay full CC
+        # iteration fixed costs (~3-8 s) at sf0.001 for a <0.5 s
+        # compile — the exact waste that truncated the r10 sweep
+        from rq_spark.bench_branches import SOLO_BUILT as _SB
+
+        branches, t2 = _sweep(
+            rest, branch_dir, branch_runs, no_warm=frozenset(_SB)
+        )
         truncated |= t2
 
     # a headline key that succeeded on some runs and raised on a later
@@ -548,6 +621,11 @@ def main() -> None:
         "queries": timings,
         "ratio_vs_ref": ratio_vs_ref,
         "ref_sec": ref_sec,
+        "ref_med": (
+            round(statistics.median(ref_sec.values()), 3) if ref_sec else None
+        ),
+        "shuffle_ref_sec": shuffle_ref_sec,
+        "headline_done_frac": headline_done_frac,
         "branches": branches,
         "branches_at_sf": branches_at_sf,
         "branch_sf": branch_sf,

@@ -52,6 +52,42 @@ def reference_job(spark: SparkSession) -> DataFrame:
     )
 
 
+#: fixed size/parallelism for the SHUFFLE sentinel (r13, r12 verdict
+#: task #4) — like REF_ROWS, these measure the machine, never the
+#: data. Sized so one run is ~0.5 s on the 32-thread harness.
+SHUF_ROWS = 12_000_000
+SHUF_PARTS = 32
+
+
+def shuffle_reference_job(spark: SparkSession) -> DataFrame:
+    """A pinned SHUFFLE-BOUND yardstick next to the CPU-bound one: a
+    fixed-size repartition + hash aggregation whose cost is dominated
+    by the exchange (row serialization → transfer → hash-agg), not
+    arithmetic. Why two sentinels: the xxhash fold above co-scales with
+    ambient CPU contention only — r12's driver run showed a memory/IO
+    saturation mode that inflated the shuffle-heavy keys 2× while the
+    CPU denominator barely moved, so the ratio READ HIGH under pure
+    machine load (the judge needed an idle-box reproduction to
+    adjudicate it). The (cpu_ref, shuffle_ref) PAIR on the final line
+    makes that mode self-diagnosing: cpu up → CPU-bound ambient load;
+    shuffle up with cpu flat → memory/IO pressure (distrust the heavy
+    keys' ratios); both flat with a key up → a real regression. Timed
+    ONCE per bench run (not per pair — it characterizes the run's
+    environment, not each sample's). Any size change invalidates
+    comparisons with earlier artifacts; note it in SURVEY §6."""
+    return (
+        spark.range(0, SHUF_ROWS, 1, SHUF_PARTS)
+        .select(
+            (F.col("id") % 1_000_003).alias("k"),
+            F.xxhash64("id").alias("v"),
+        )
+        .repartition(SHUF_PARTS, F.col("k"))
+        .groupBy("k")
+        .agg(F.expr("bit_xor(v)").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(s)").alias("x"))
+    )
+
+
 def pairwise_ratio(samples: list[float], refs: list[float]) -> float | None:
     """Median of the per-pair sample/reference ratios. Pairs where the
     reference was cancelled/failed (None or 0) are dropped; returns

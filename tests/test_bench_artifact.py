@@ -45,6 +45,9 @@ def _worst_case_artifact(b) -> dict:
         "queries": queries,
         "ratio_vs_ref": ratios,
         "ref_sec": {k: 0.512 for k in b.RATIO_KEYS},
+        "ref_med": 0.512,
+        "shuffle_ref_sec": 0.731,
+        "headline_done_frac": 0.993,
         "branches": {f"k{i}/t": 1.0 for i in range(40)},
         "branches_at_sf": {f"h{i}/t": 10.0 for i in range(30)},
         "branch_sf": 0.01,
@@ -98,6 +101,21 @@ def test_final_line_healthy_run_keeps_all_fields():
     assert set(parsed["ratio_vs_ref"]) == set(b.RATIO_KEYS)
     assert parsed["errors"] == [] and parsed["partial"] == []
     assert parsed["metric"] == "headline_queries_total"
+    # machine-health scalars (r13, r12 verdict tasks #3/#4): the two
+    # pinned sentinel medians ride the FINAL line, so a loaded driver
+    # run is self-diagnosing without a judge reproduction
+    assert parsed["ref_med"] == 0.512
+    assert parsed["shuf_ref"] == 0.731
+
+
+def test_health_scalars_survive_worst_case_line():
+    """The health scalars exist precisely FOR distressed runs — they
+    must survive the worst-case artifact (they drop only after every
+    list field, just before queries)."""
+    b = _bench()
+    parsed = json.loads(b.final_summary_line(_worst_case_artifact(b)))
+    assert parsed.get("ref_med") == 0.512
+    assert parsed.get("shuf_ref") == 0.731
 
 
 def test_last_json_line_of_2000_char_tail_parses():
