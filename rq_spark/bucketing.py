@@ -406,12 +406,17 @@ def begin_index_rewrite(
     ``(gen, nonce)`` — stamp every rewritten row with ``gen`` and pass
     both to `finish_index_rewrite`."""
     _recover_index_rewrite(spark, tables)
-    # a restarted session's orphan state/tombstone dirs are already
-    # invisible to every probe (catalog-resolved); a full rewrite
-    # resets deletion state by declared intent, so removing them here
-    # changes no observable result
+    # a restarted session's orphan dirs — state, tombstones, the data
+    # tables themselves, swap backups — are already invisible to every
+    # probe (catalog-resolved), and a full rewrite resets the index by
+    # declared intent, so removing them here changes no observable
+    # result; leaving them would instead fail the swap's renames
+    # (destination directory occupied) or the state overwrite
     _remove_orphan_location(spark, f"{base_name}_state")
     _remove_orphan_location(spark, f"{base_name}_tombstones")
+    for t in tables:
+        _remove_orphan_location(spark, t)
+        _remove_orphan_location(spark, t + _BAK)
     return bump_gen(spark, base_name)
 
 

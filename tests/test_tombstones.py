@@ -668,13 +668,34 @@ def test_restart_orphan_dirs_fail_loudly_on_mutation(spark):
         # the full rewrite path resets deletion state by declared intent
         D.write_hamming_index(sig, base, bands=4)
         assert D.hamming_near_pairs_from_index(spark, base).count() >= 0
+
+        # full-restart shape: the DATA tables' dirs also survive
+        # catalog-less — the rewrite must reset those too (their
+        # orphans would otherwise occupy the swap renames' target
+        # dirs), and serve correctly afterwards
+        for t in ("hbands", "meta", "state"):
+            loc_t = _managed_location(spark, f"{base}_{t}")
+            shutil.copytree(loc_t, loc_t + ".keep")
+            spark.sql(f"DROP TABLE {base}_{t}")
+            shutil.move(loc_t + ".keep", loc_t)
+        D.write_hamming_index(sig, base, bands=4)
+        ref = "t_tomb_orphan_ref"
+        D.write_hamming_index(sig, ref, bands=4)
+        assert _pairs(
+            D.hamming_near_pairs_from_index(spark, base)
+        ) == _pairs(D.hamming_near_pairs_from_index(spark, ref))
+        _drop(spark, ref, ("hbands", "meta"))
     finally:
         import os
 
-        loc = _managed_location(spark, f"{base}_tombstones")
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        for t in ("tombstones", "state", "hbands", "meta"):
+            loc = _managed_location(spark, f"{base}_{t}")
+            if not spark.catalog.tableExists(f"{base}_{t}") and os.path.isdir(
+                loc
+            ):
+                shutil.rmtree(loc)
         _drop(spark, base, ("hbands", "meta"))
+        _drop(spark, "t_tomb_orphan_ref", ("hbands", "meta"))
 
 
 def test_reingest_unusable_docs_raise_before_any_write(spark):
