@@ -559,8 +559,9 @@ def main() -> None:
             for n, f in ordered
             if n.split("/")[0] in AT_SF_KEYS and n not in AT_SF_DEMOTED
         ]
+        from rq_spark.bench_branches import SOLO_BUILT
+
         if branch_dir != sf_dir:
-            from rq_spark.bench_branches import SOLO_BUILT
 
             # NOTE (r12): bench_branches.phase_queries() (the
             # inc_components standing-vs-absorb attribution solo) is
@@ -601,10 +602,8 @@ def main() -> None:
         # graph solos (AT_SF_DEMOTED) would otherwise pay full CC
         # iteration fixed costs (~3-8 s) at sf0.001 for a <0.5 s
         # compile — the exact waste that truncated the r10 sweep
-        from rq_spark.bench_branches import SOLO_BUILT as _SB
-
         branches, t2 = _sweep(
-            rest, branch_dir, branch_runs, no_warm=frozenset(_SB)
+            rest, branch_dir, branch_runs, no_warm=frozenset(SOLO_BUILT)
         )
         truncated |= t2
 

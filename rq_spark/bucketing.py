@@ -168,10 +168,19 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
 # (`verify_sole_writer`) — a rival bump in between changes the nonce
 # and the late writer fails with a named error instead of silently
 # losing the gen update. A lost-update DETECTOR, not a transaction
-# protocol: readers are unaffected (probes only ever see committed
-# parquet), and a multi-writer deployment still needs a lakehouse
-# table format's optimistic transactions underneath; the generation
-# algebra itself transfers unchanged.
+# protocol: a multi-writer deployment still needs a lakehouse table
+# format's optimistic transactions underneath; the generation algebra
+# itself transfers unchanged. Reader contract: probes only ever see
+# committed parquet, and APPEND/TOMBSTONE mutations are fully
+# serve-transparent (new files land in existing buckets; the anti-join
+# reads committed tombstone rows). A FULL REWRITE is transparent only
+# for probes CONSTRUCTED after its swap: an in-flight plan built
+# before the swap pinned the old tables' locations and meta values,
+# and executing it across the swap reads new files under old
+# parameters or fails on missing files (r13 review). Zero-downtime
+# rewrites at scale should write under a NEW base name and flip the
+# serving alias — the same blue/green discipline any non-transactional
+# table format needs.
 # --------------------------------------------------------------------------
 
 
@@ -255,10 +264,31 @@ def bump_gen(spark: SparkSession, base_name: str) -> tuple[int, int]:
     tombstone batch, or full rewrite (never per row). The nonce is this
     writer's random claim on the generation: pass both to
     `verify_sole_writer` after the data lands to turn a concurrent
-    writer's lost update into a loud `ConcurrentWriterError`."""
+    writer's lost update into a loud `ConcurrentWriterError`.
+
+    The one-row overwrite is drop-then-create, so a crash INSIDE it
+    can lose the state table outright (r13 review): the missing→0
+    fallback would then restart the counter BELOW standing tombstone
+    gens, and every future append's rows would be silently hidden by
+    old tombstones — the silent-delete class again. So when the state
+    table is missing, the counter is floored at the MAX STANDING
+    TOMBSTONE GEN (a deletion-sized scan, paid only in that anomaly):
+    duplicate gen values across appends are harmless (gen ordering
+    only matters against tombstones), regression below a tombstone is
+    not. A half-written orphan state dir fails loudly below instead."""
     import secrets
 
-    g = current_gen(spark, base_name) + 1
+    g0 = current_gen(spark, base_name)
+    if g0 == 0 and not spark.catalog.tableExists(
+        f"{base_name}_state"
+    ) and spark.catalog.tableExists(f"{base_name}_tombstones"):
+        row = (
+            spark.table(f"{base_name}_tombstones")
+            .agg(F.max("gen").alias("g"))
+            .collect()[0]
+        )
+        g0 = int(row.g or 0)
+    g = g0 + 1
     nonce = secrets.randbits(62)
     _require_no_orphan_location(spark, f"{base_name}_state")
     spark.createDataFrame([(g, nonce)], "gen long, nonce long").write.mode(

@@ -1823,9 +1823,11 @@ def absorb_edges(
     * ``small_batch_max``: if the batch's edges AND no-edge nodes fit
       on the driver (take-probed, bounded), the WHOLE absorb is one
       bounded endpoint-lookup job + driver union-find + one lazy label
-      rewrite — no persist, no broadcast chain, the standing labels
-      read exactly once (`_absorb_small_batch`). The daily-ingest
-      case. Set 0 to disable.
+      rewrite — no persist, no broadcast chain; the standing labels
+      are read TWICE (endpoint lookup + the returned plan), so chained
+      daily callers should materialize yesterday's output first — see
+      `_absorb_small_batch` (r13, ADVICE r12). The daily-ingest case.
+      Set 0 to disable.
     * ``small_graph_max``: bigger batches whose CONTRACTED graph
       (≤ one edge per distinct-rep batch pair) is still driver-small
       — e.g. a backfill with heavy internal duplication — resolve the

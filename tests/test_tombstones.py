@@ -755,3 +755,43 @@ def test_reingest_unusable_docs_raise_before_any_write(spark):
         assert not spark.catalog.tableExists(f"{abase}_tombstones")
     finally:
         _drop(spark, abase, ("codes", "vectors", "centroids", "codebooks", "meta"))
+
+
+def test_state_loss_never_regresses_gen_below_tombstones(spark):
+    """r13 review: bump_gen's one-row state overwrite is
+    drop-then-create — a crash inside it can lose the state table
+    while standing tombstones survive, and the missing→0 fallback
+    would restart the counter BELOW the tombstones' gens: every future
+    append's rows silently hidden (the silent-delete class again).
+    bump_gen now floors the counter at the max standing tombstone gen,
+    so a re-appended doc outlives old tombstones even after state
+    loss. Duplicate gen values across appends are harmless; regression
+    below a tombstone is not."""
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:10], "doc long, sig long")
+    base = "t_tomb_stateloss"
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        ids = lambda v: spark.createDataFrame([(v,)], "doc long")  # noqa: E731
+        add_tombstones(spark, base, ids(3), "doc")
+        add_tombstones(spark, base, ids(4), "doc")
+        g_before = current_gen(spark, base)
+
+        # simulate the crashed overwrite: state table (and dir) gone,
+        # tombstones standing
+        spark.sql(f"DROP TABLE {base}_state")
+        assert current_gen(spark, base) == 0  # the raw fallback
+
+        # re-append doc 3: its rows must OUTLIVE the standing tombstone
+        D.append_to_hamming_index(
+            spark.createDataFrame([(3, rows[3][1])], "doc long, sig long"),
+            base,
+        )
+        assert current_gen(spark, base) == g_before + 1
+        live = filter_tombstoned(
+            spark, base, spark.table(f"{base}_hbands"), "doc"
+        )
+        assert live.filter("doc = 3").count() == 4
+        assert live.filter("doc = 4").count() == 0  # still deleted
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
