@@ -454,3 +454,77 @@ def test_evict_nodes_labels_never_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_evict_nodes_random_graphs_parity(spark):
+    """Random-graph sweep for the takedown closure: 10 seeded graphs
+    (random edges, random deletion sets up to half the nodes), each
+    checked against an INDEPENDENT BFS connected-components reference
+    over the surviving subgraph — not the union-find the driver tier
+    itself uses, so the oracle shares no code with the implementation.
+    Seeds alternate between the driver tier and the distributed tier
+    (every third seed) so both execution paths face the same zoo of
+    splits, renamed representatives, emptied components, and
+    no-op deletions."""
+    import random as rnd_mod
+    from collections import defaultdict, deque
+
+    from rq_spark.operators.dedup import evict_nodes
+
+    def bfs_cc(edges, nodes):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        out, seen = {}, set()
+        for start in sorted(nodes):
+            if start in seen:
+                continue
+            comp, q = [], deque([start])
+            seen.add(start)
+            while q:
+                v = q.popleft()
+                comp.append(v)
+                for w in adj[v]:
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            rep = min(comp)
+            for v in comp:
+                out[v] = rep
+        return {(v, r) for v, r in out.items()}
+
+    for seed in range(10):
+        rnd = rnd_mod.Random(seed)
+        n = rnd.randint(5, 40)
+        nodes = list(range(1, n + 1))
+        edges = []
+        for _ in range(rnd.randint(0, 2 * n)):
+            a, b = rnd.choice(nodes), rnd.choice(nodes)
+            if a != b:
+                edges.append((a, b))
+        deleted = sorted(rnd.sample(nodes, rnd.randint(0, n // 2)))
+        dset = set(deleted)
+        labels = sorted(bfs_cc(edges, nodes))  # standing fixed point
+        surv_e = [e for e in edges if e[0] not in dset and e[1] not in dset]
+        surv_n = [v for v in nodes if v not in dset]
+        want = bfs_cc(surv_e, surv_n)
+
+        ldf = spark.createDataFrame(labels, "node long, rep long")
+        edf = spark.createDataFrame(
+            edges or [(None, None)], "a_id long, b_id long"
+        )
+        if not edges:
+            edf = edf.filter("a_id IS NOT NULL")
+        ddf = spark.createDataFrame(
+            [(v,) for v in deleted] or [(None,)], "node long"
+        )
+        if not deleted:
+            ddf = ddf.filter("node IS NOT NULL")
+        small_max = 0 if seed % 3 == 2 else 10_000
+        got = evict_nodes(
+            ldf, edf, ddf, small_max=small_max, scope=f"evict_prop_{seed}"
+        )
+        assert {(r.node, r.rep) for r in got.collect()} == want, (
+            seed, edges, deleted,
+        )
