@@ -337,6 +337,7 @@ def add_tombstones(
     replacement written, a silent delete; append-then-tombstone can at
     worst leave visible duplicates, the documented plain-INSERT state,
     repaired by retrying (r12 review)."""
+    base_name = resolve_index_base(spark, base_name)
     if at_gen is None:
         g, nonce = bump_gen(spark, base_name)
     else:
@@ -355,6 +356,53 @@ def clear_tombstones(spark: SparkSession, base_name: str) -> None:
     """Drop the tombstone table — only valid right after a compaction
     purge (the dead rows are physically gone) or a full rewrite."""
     spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
+
+
+# --------------------------------------------------------------------------
+# blue/green serving pointers (r13, review follow-up)
+#
+# An in-place full rewrite is loud-but-DOWN during its swap, and an
+# in-flight plan built before the swap pinned the old tables' locations
+# — so a serving fleet that must answer probes THROUGH a rewrite needs
+# the blue/green shape instead: write the new index under a NEW
+# physical base name, then flip a serving ALIAS to it. The alias is one
+# tiny `{alias}_ptr` table holding the physical base name; every index
+# entry point resolves it first (`resolve_index_base` — one catalog
+# lookup + a one-row read, the same cost class as the meta read every
+# probe already pays). The flip overwrites that single object: probes
+# that resolved before the flip keep reading the OLD base's tables —
+# which stay untouched until the operator retires them — and probes
+# after it read the new base; the only crash window is the ptr table's
+# own drop+create, during which resolution fails loudly. Mutations
+# through the alias (append/tombstone/compact) resolve the same way
+# and act on the currently-serving physical base.
+# --------------------------------------------------------------------------
+
+
+def set_index_pointer(spark: SparkSession, alias: str, base_name: str) -> None:
+    """Point serving alias ``alias`` at physical index ``base_name``
+    (one-hop only — pointing at another alias raises). Overwrites the
+    one-row ``{alias}_ptr`` table; the flip is the blue/green cutover,
+    so the target should be a fully-written index."""
+    if spark.catalog.tableExists(f"{base_name}_ptr"):
+        raise IllegalStateError(
+            f"{base_name} is itself a serving alias — alias chains are "
+            "not supported (point at the physical base instead)"
+        )
+    _remove_orphan_location(spark, f"{alias}_ptr")
+    spark.createDataFrame([(base_name,)], "base string").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{alias}_ptr")
+
+
+def resolve_index_base(spark: SparkSession, name: str) -> str:
+    """Resolve a serving alias to its physical base (identity for a
+    physical name). Every index entry point calls this first, so
+    probes, appends, tombstones, and compaction all follow the
+    currently-serving base through one flip point."""
+    if not spark.catalog.tableExists(f"{name}_ptr"):
+        return name
+    return spark.table(f"{name}_ptr").collect()[0].base
 
 
 # --------------------------------------------------------------------------

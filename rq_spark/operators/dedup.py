@@ -514,10 +514,12 @@ def write_minhash_index(
     from ..bucketing import (
         begin_index_rewrite,
         finish_index_rewrite,
+        resolve_index_base,
         write_bucketed,
     )
 
     spark = corpus.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     tables = [f"{base_name}_meta", f"{base_name}_bands", f"{base_name}_shingles"]
     g, nonce = begin_index_rewrite(spark, base_name, tables)
     sets = shingle_sets(_spread(corpus), text_col, id_col, n=shingle_n).filter(
@@ -597,12 +599,14 @@ def append_to_minhash_index(
     from ..bucketing import (
         add_tombstones,
         bump_gen,
+        resolve_index_base,
         table_buckets,
         verify_sole_writer,
         write_bucketed,
     )
 
     spark = batch.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     sets = shingle_sets(
         _spread(batch), text_col, id_col, n=meta.shingle_n
@@ -685,6 +689,9 @@ def incremental_minhash_pairs_from_index(
     pass False: the batch shuffles INTO the table's (band, bhash)
     bucketing while the corpus side still reads zero-Exchange — the
     layout the index was written for."""
+    from ..bucketing import resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     num_hashes, bands, shingle_n = meta.num_hashes, meta.bands, meta.shingle_n
     _release_caches("incremental_idx")
@@ -735,11 +742,11 @@ def compact_minhash_index(spark, base_name: str) -> None:
     Both rewrites are the zero-shuffle task-local bucket rewrite of
     `bucketing.compact_bucketed_table`; the purge rides them as a
     broadcast map-side filter."""
-    from ..bucketing import compact_index_tables
+    from ..bucketing import compact_index_tables, resolve_index_base
 
     compact_index_tables(
         spark,
-        base_name,
+        resolve_index_base(spark, base_name),
         [("bands", ["band", "bhash"], "corpus_id"), ("shingles", "doc", "doc")],
     )
 
@@ -1383,11 +1390,13 @@ def write_hamming_index(
     from ..bucketing import (
         begin_index_rewrite,
         finish_index_rewrite,
+        resolve_index_base,
         write_bucketed,
     )
 
     _check_hamming_params(0, bands)
     spark = sig.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     tables = [f"{base_name}_meta", f"{base_name}_hbands"]
     g, nonce = begin_index_rewrite(spark, base_name, tables)
     write_bucketed(
@@ -1424,12 +1433,14 @@ def append_to_hamming_index(
     from ..bucketing import (
         add_tombstones,
         bump_gen,
+        resolve_index_base,
         table_buckets,
         verify_sole_writer,
         write_bucketed,
     )
 
     spark = batch_sig.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     if reingest and batch_sig.filter(F.col("sig").isNull()).take(1):
         raise ValueError(
@@ -1469,8 +1480,9 @@ def hamming_near_pairs_from_index(
     popcount verify runs map-side before it, r11 verdict), never
     ∝ corpus. Exact pair parity with the in-query operator over the
     same signatures is pinned in tests/test_index_append.py."""
-    from ..bucketing import filter_tombstoned
+    from ..bucketing import filter_tombstoned, resolve_index_base
 
+    base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     _check_hamming_params(max_hamming, meta.bands)
     t = filter_tombstoned(
@@ -1518,6 +1530,9 @@ def hamming_probe_from_index(
     appending (r11 self-review: the families' probes must agree, or a
     duplicate-ingest check passes on one index and silently fails on
     the other)."""
+    from ..bucketing import resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     _check_hamming_params(max_hamming, meta.bands)
     b = _banded_sig(batch_sig, meta.bands).select(
@@ -1551,10 +1566,12 @@ def compact_hamming_index(spark, base_name: str) -> None:
     """Compact the Hamming band table to one file per bucket AND
     physically purge tombstoned rows, then clear the tombstone table
     (r12) — see `compact_minhash_index`."""
-    from ..bucketing import compact_index_tables
+    from ..bucketing import compact_index_tables, resolve_index_base
 
     compact_index_tables(
-        spark, base_name, [("hbands", ["band", "bval"], "doc")]
+        spark,
+        resolve_index_base(spark, base_name),
+        [("hbands", ["band", "bval"], "doc")],
     )
 
 

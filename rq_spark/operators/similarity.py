@@ -1186,6 +1186,7 @@ def write_ann_index(
     from ..bucketing import (
         begin_index_rewrite,
         finish_index_rewrite,
+        resolve_index_base,
         write_bucketed,
     )
 
@@ -1201,6 +1202,7 @@ def write_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
     spark = corpus.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     tables = [
         f"{base_name}_meta",
         f"{base_name}_codes",
@@ -1301,12 +1303,14 @@ def append_to_ann_index(
     from ..bucketing import (
         add_tombstones,
         bump_gen,
+        resolve_index_base,
         table_buckets,
         verify_sole_writer,
         write_bucketed,
     )
 
     spark = batch.sparkSession
+    base_name = resolve_index_base(spark, base_name)
     _meta, cents, cb = _read_ann_model(spark, base_name)
     if reingest:
         unusable = batch.filter(~_nonzero_vec(vec_col)).select(id_col).take(4)
@@ -1359,11 +1363,11 @@ def compact_ann_index(spark, base_name: str) -> None:
     physically purge tombstoned rows, then clear the tombstone table
     (r12) — see `operators/dedup.py:compact_minhash_index`. The model
     tables are untouched (compaction moves rows, never re-encodes)."""
-    from ..bucketing import compact_index_tables
+    from ..bucketing import compact_index_tables, resolve_index_base
 
     compact_index_tables(
         spark,
-        base_name,
+        resolve_index_base(spark, base_name),
         [("codes", "cell", "neighbor_id"), ("vectors", "neighbor_id", "neighbor_id")],
     )
 
@@ -1414,6 +1418,9 @@ def ivfpq_topk_join_from_index(
     (parity-asserted in tests/test_similarity.py)."""
     if rerank is None:
         rerank = 4 * k
+    from ..bucketing import resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
     meta, cents, cb = _read_ann_model(spark, base_name)
     m, n_codes = int(meta.m), int(meta.n_codes)
     q = queries.filter(_nonzero_vec(vec_col)).select(
@@ -1483,8 +1490,9 @@ def knn_graph_from_index(
     into the bucketed codes table, the JVM ADC fold, and the re-rank.
     Exact parity with the in-query `knn_graph` under the same trained
     model is pinned in tests/test_similarity.py."""
-    from ..bucketing import filter_tombstoned
+    from ..bucketing import filter_tombstoned, resolve_index_base
 
+    base_name = resolve_index_base(spark, base_name)
     # a deleted doc must appear on NEITHER side of the graph: the
     # neighbor side is filtered inside ivfpq_topk_join_from_index, the
     # query side here

@@ -795,3 +795,79 @@ def test_state_loss_never_regresses_gen_below_tombstones(spark):
         assert live.filter("doc = 4").count() == 0  # still deleted
     finally:
         _drop(spark, base, ("hbands", "meta"))
+
+
+def test_blue_green_serving_pointer(spark):
+    """Blue/green serving (r13): an in-place full rewrite is
+    loud-but-DOWN during its swap and is not transparent to in-flight
+    plans — the zero-downtime path is write the new index under a NEW
+    physical base and flip a one-row serving pointer
+    (`bucketing.set_index_pointer`). Pinned: probes, appends, and
+    tombstones through the alias follow the flip; the old base stays
+    untouched for in-flight readers until retired; alias chains
+    refuse; a mid-flip reader fails loudly, never answers mixed."""
+    import pytest
+
+    from rq_spark.bucketing import resolve_index_base, set_index_pointer
+    from rq_spark.errors import IllegalStateError
+
+    rows, base_sigs = _sig_corpus()
+    sig1 = spark.createDataFrame(rows, "doc long, sig long")
+    sig2 = spark.createDataFrame(
+        [(d + 5000, s) for d, s in rows], "doc long, sig long"
+    )
+    b1, b2, alias = "t_bg_blue", "t_bg_green", "t_bg_serve"
+    try:
+        D.write_hamming_index(sig1, b1, bands=4)
+        D.write_hamming_index(sig2, b2, bands=4)
+        set_index_pointer(spark, alias, b1)
+        assert resolve_index_base(spark, alias) == b1
+        assert _pairs(
+            D.hamming_near_pairs_from_index(spark, alias)
+        ) == _pairs(D.hamming_near_pairs_from_index(spark, b1))
+
+        # the FLIP: new probes through the alias see the green base;
+        # the blue base is untouched (in-flight readers stay consistent)
+        blue_before = _pairs(D.hamming_near_pairs_from_index(spark, b1))
+        set_index_pointer(spark, alias, b2)
+        assert _pairs(
+            D.hamming_near_pairs_from_index(spark, alias)
+        ) == _pairs(D.hamming_near_pairs_from_index(spark, b2))
+        assert _pairs(D.hamming_near_pairs_from_index(spark, b1)) == blue_before
+
+        # mutations through the alias land on the SERVING base
+        add_tombstones(
+            spark, alias, spark.createDataFrame([(5003,)], "doc long"), "doc"
+        )
+        got = _pairs(D.hamming_near_pairs_from_index(spark, alias))
+        assert all(5003 not in (a, b) for a, b, _h in got)
+        assert spark.catalog.tableExists(f"{b2}_tombstones")
+        assert not spark.catalog.tableExists(f"{b1}_tombstones")
+        new0 = _s64(base_sigs[60] ^ (1 << 9))
+        D.append_to_hamming_index(
+            spark.createDataFrame([(9991, new0)], "doc long, sig long"), alias
+        )
+        probe = D.hamming_probe_from_index(
+            spark,
+            spark.createDataFrame([(9992, new0)], "doc long, sig long"),
+            alias,
+        ).collect()
+        assert any(r.corpus_id == 9991 for r in probe)
+        D.compact_hamming_index(spark, alias)  # purge lands on b2
+        assert not spark.catalog.tableExists(f"{b2}_tombstones")
+
+        # alias chains refuse (one hop only)
+        with pytest.raises(IllegalStateError, match="alias chains"):
+            set_index_pointer(spark, "t_bg_serve2", alias)
+
+        # mid-flip window is LOUD: with the ptr dropped, the alias is
+        # treated as a physical base and its meta read fails — never a
+        # silent answer from a half-flipped state
+        spark.sql(f"DROP TABLE {alias}_ptr")
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+            D.hamming_near_pairs_from_index(spark, alias)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        spark.sql("DROP TABLE IF EXISTS t_bg_serve2_ptr")
+        _drop(spark, b1, ("hbands", "meta"))
+        _drop(spark, b2, ("hbands", "meta"))
