@@ -472,3 +472,54 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point: the running-stats operator executed end-to-end by
     the micro-batch engine (append mode)."""
     return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), "append")
+
+
+def probe_index_stream(
+    stream_sig: DataFrame,
+    base_name: str,
+    sink,
+    max_hamming: int = 3,
+):
+    """Continuous near-dup screening of an ingest STREAM against the
+    standing persisted Hamming index (r13) — the streaming face of the
+    daily-ingest loop's probe arrow: instead of batching a day of
+    documents and probing nightly, every micro-batch of freshly-hashed
+    signatures is probed as it arrives.
+
+    Implemented as ``foreachBatch`` over the EXACT batch operator
+    (`operators.dedup.hamming_probe_from_index`), the recommended
+    Structured Streaming shape for stream-vs-static work that needs
+    full batch semantics: per micro-batch the probe runs the same
+    broadcast-into-bucketed-scan plan as the batch path (batch parity
+    is by construction, not re-implementation), and the index tables —
+    INCLUDING the tombstone anti-join and the serving-alias pointer —
+    are re-resolved each batch, so a takedown or a blue/green flip
+    lands on the NEXT micro-batch without restarting the query. A
+    plain stream-static join could not express this: the multi-band
+    candidate dedup (`.distinct()`) is a stateful op the streaming
+    planner would either reject or grow unbounded state for, while
+    here it stays scoped to one micro-batch.
+
+    ``sink(result_df, epoch_id)`` receives each micro-batch's probe
+    result (new_id, corpus_id, hamming) — write it to parquet/a queue
+    in production, collect it in tests. Returns the started
+    StreamingQuery (caller awaits/stops it)."""
+    from ..operators.dedup import hamming_probe_from_index
+
+    spark = stream_sig.sparkSession
+
+    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sink(
+            hamming_probe_from_index(
+                spark, batch_df, base_name, max_hamming=max_hamming
+            ),
+            epoch_id,
+        )
+
+    return (
+        stream_sig.writeStream.foreachBatch(_one_batch)
+        .queryName(f"probe_index_{next(_sink_counter)}")
+        .start()
+    )

@@ -871,3 +871,75 @@ def test_blue_green_serving_pointer(spark):
         spark.sql("DROP TABLE IF EXISTS t_bg_serve2_ptr")
         _drop(spark, b1, ("hbands", "meta"))
         _drop(spark, b2, ("hbands", "meta"))
+
+
+def test_stream_probe_against_standing_index(spark, tmp_path):
+    """Streaming face of the ingest loop (r13,
+    `streaming.probe_index_stream`): micro-batches of fresh signatures
+    probe the STANDING index via foreachBatch over the exact batch
+    operator. Pinned: (a) per-batch results equal the batch probe of
+    the same rows; (b) a tombstone added BETWEEN micro-batches is
+    honored by the next one without restarting the query — the
+    takedown reaches the live stream."""
+    from rq_spark.streaming import probe_index_stream
+
+    rows, base_sigs = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    base = "t_tomb_stream"
+    src = str(tmp_path / "sigstream")
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+
+        # batch 1: a probe doc near doc 0 (2 flips from rows[100]'s id
+        # 1000 signature = doc 0's near-dup); batch 2: the same probe
+        # AFTER doc 0 is taken down
+        probe_sig = rows[100][1]
+        spark.createDataFrame(
+            [(7001, probe_sig)], "doc long, sig long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc long, sig long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        got: dict[int, set] = {}
+
+        def sink(df, epoch):
+            got[epoch] = {
+                (r.new_id, r.corpus_id, r.hamming) for r in df.collect()
+            }
+
+        q = probe_index_stream(stream, base, sink, max_hamming=3)
+        try:
+            q.processAllAvailable()
+            batch1 = set().union(*got.values()) if got else set()
+            want1 = {
+                (r.new_id, r.corpus_id, r.hamming)
+                for r in D.hamming_probe_from_index(
+                    spark,
+                    spark.createDataFrame(
+                        [(7001, probe_sig)], "doc long, sig long"
+                    ),
+                    base,
+                    max_hamming=3,
+                ).collect()
+            }
+            assert batch1 == want1 and any(c == 0 for (_n, c, _h) in batch1)
+
+            # takedown BETWEEN micro-batches: doc 0 deleted, then the
+            # same signature arrives again as doc 7002
+            add_tombstones(
+                spark, base, spark.createDataFrame([(0,)], "doc long"), "doc"
+            )
+            got.clear()
+            spark.createDataFrame(
+                [(7002, probe_sig)], "doc long, sig long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+            q.processAllAvailable()
+            batch2 = set().union(*got.values()) if got else set()
+            assert batch2  # still matches doc 1000 (the planted twin)
+            assert all(c != 0 for (_n, c, _h) in batch2)
+        finally:
+            q.stop()
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
