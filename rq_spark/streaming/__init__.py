@@ -523,3 +523,42 @@ def probe_index_stream(
         .queryName(f"probe_index_{next(_sink_counter)}")
         .start()
     )
+
+
+def probe_minhash_index_stream(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_name: str,
+    sink,
+    threshold: float = 0.5,
+):
+    """`probe_index_stream`'s document-corpus sibling: every
+    micro-batch of freshly-crawled DOCUMENTS is shingled, hashed, and
+    probed against the standing MinHash-LSH index
+    (`operators.dedup.incremental_minhash_pairs_from_index`) as it
+    arrives — the continuous-crawl shape of the daily-ingest loop.
+    Same foreachBatch contract: banding parameters stay pinned in the
+    index's meta table, tombstones and the serving-alias pointer are
+    re-resolved per micro-batch, and `sink(result_df, epoch_id)`
+    receives (new_id, corpus_id, jaccard) rows."""
+    from ..operators.dedup import incremental_minhash_pairs_from_index
+
+    spark = stream_docs.sparkSession
+
+    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sink(
+            incremental_minhash_pairs_from_index(
+                spark, batch_df, text_col, id_col, base_name,
+                threshold=threshold,
+            ),
+            epoch_id,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_one_batch)
+        .queryName(f"probe_minhash_{next(_sink_counter)}")
+        .start()
+    )

@@ -943,3 +943,54 @@ def test_stream_probe_against_standing_index(spark, tmp_path):
             q.stop()
     finally:
         _drop(spark, base, ("hbands", "meta"))
+
+
+def test_stream_probe_minhash_documents(spark, tmp_path):
+    """The document-corpus streaming probe
+    (`streaming.probe_minhash_index_stream`): a micro-batch of crawled
+    documents is shingled under the index's PINNED banding and probed
+    against the standing MinHash index; results equal the batch probe
+    of the same rows, and the serving-alias pointer is honored."""
+    from rq_spark.bucketing import set_index_pointer
+    from rq_spark.streaming import probe_minhash_index_stream
+
+    docs = table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    base, alias = "t_tomb_mhstream", "t_tomb_mhstream_alias"
+    src = str(tmp_path / "docstream")
+    try:
+        D.write_minhash_index(corpus, "text", "doc_id", base)
+        set_index_pointer(spark, alias, base)
+        batch.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        got: list = []
+
+        def sink(df, epoch):
+            got.extend(
+                (r.new_id, r.corpus_id, round(r.jaccard, 9))
+                for r in df.collect()
+            )
+
+        # probe THROUGH the alias: the pointer resolves per micro-batch
+        q = probe_minhash_index_stream(
+            stream, "text", "doc_id", alias, sink
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = {
+            (r.new_id, r.corpus_id, round(r.jaccard, 9))
+            for r in D.incremental_minhash_pairs_from_index(
+                spark, batch, "text", "doc_id", base
+            ).collect()
+        }
+        assert set(got) == want != set()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, base, ("bands", "shingles", "meta"))
