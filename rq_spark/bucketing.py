@@ -252,7 +252,9 @@ def _require_no_orphan_location(spark: SparkSession, table_name: str) -> None:
 
 def current_gen(spark: SparkSession, base_name: str) -> int:
     """The index's current generation (one-row read; 0 for an index
-    written before generation tracking existed)."""
+    written before generation tracking existed). Accepts a serving
+    alias (resolved — idempotent for physical names)."""
+    base_name = resolve_index_base(spark, base_name)
     if not spark.catalog.tableExists(f"{base_name}_state"):
         return 0
     return spark.table(f"{base_name}_state").collect()[0].gen
@@ -278,6 +280,7 @@ def bump_gen(spark: SparkSession, base_name: str) -> tuple[int, int]:
     not. A half-written orphan state dir fails loudly below instead."""
     import secrets
 
+    base_name = resolve_index_base(spark, base_name)
     g0 = current_gen(spark, base_name)
     if g0 == 0 and not spark.catalog.tableExists(
         f"{base_name}_state"
