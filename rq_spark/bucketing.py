@@ -147,8 +147,10 @@ def table_buckets(spark: SparkSession, table_name: str) -> int:
 # The bucketed index tables are INSERT-only parquet — a real standing
 # corpus also sees takedowns and re-crawls. Rather than rewrite the
 # corpus-sized layout per deletion, every index row carries a
-# GENERATION stamp (``gen``: 0 at full write, +1 per append or
-# tombstone batch, tracked in the one-row ``{base}_state`` table), and
+# GENERATION stamp (``gen``: +1 per full rewrite, append, or tombstone
+# batch, tracked in the one-row ``{base}_state`` table — a rewrite's
+# rows sit ABOVE every standing tombstone, see the staged-rewrite
+# section below), and
 # deletions append (id, gen) rows to ``{base}_tombstones``. A row is
 # dead iff some tombstone for its id is at least as new as the row —
 # so deleting an id kills everything written so far, while REINGEST
