@@ -342,6 +342,7 @@ def add_tombstones(
     replacement written, a silent delete; append-then-tombstone can at
     worst leave visible duplicates, the documented plain-INSERT state,
     repaired by retrying (r12 review)."""
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     if at_gen is None:
         g, nonce = bump_gen(spark, base_name)
@@ -355,11 +356,16 @@ def add_tombstones(
     )
     if nonce is not None:
         verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
 
 
 def clear_tombstones(spark: SparkSession, base_name: str) -> None:
     """Drop the tombstone table — only valid right after a compaction
-    purge (the dead rows are physically gone) or a full rewrite."""
+    purge (the dead rows are physically gone) or a full rewrite.
+    Accepts a serving alias (resolved — r13 review: an unresolved
+    alias here would silently drop a nonexistent table while the
+    serving base's tombstones stood)."""
+    base_name = resolve_index_base(spark, base_name)
     spark.sql(f"DROP TABLE IF EXISTS {base_name}_tombstones")
 
 
@@ -387,13 +393,35 @@ def clear_tombstones(spark: SparkSession, base_name: str) -> None:
 def set_index_pointer(spark: SparkSession, alias: str, base_name: str) -> None:
     """Point serving alias ``alias`` at physical index ``base_name``
     (one-hop only — pointing at another alias raises). Overwrites the
-    one-row ``{alias}_ptr`` table; the flip is the blue/green cutover,
-    so the target should be a fully-written index."""
+    one-row ``{alias}_ptr`` table; the flip is the blue/green cutover.
+
+    Guards (r13 review): the TARGET must exist as an index (its meta
+    table is the check — a typo'd flip would otherwise turn the one
+    zero-downtime operation into an instant serving outage), and the
+    ALIAS name must not collide with a physical index (if
+    ``{alias}_meta``/``{alias}_state`` exist, a lost/forgotten ptr
+    table would make the alias silently resolve to itself and serve
+    the STALE physical tables instead of failing loudly — the
+    invariant 'mid-flip readers fail loudly' requires the alias to own
+    no tables of its own)."""
     if spark.catalog.tableExists(f"{base_name}_ptr"):
         raise IllegalStateError(
             f"{base_name} is itself a serving alias — alias chains are "
             "not supported (point at the physical base instead)"
         )
+    if not spark.catalog.tableExists(f"{base_name}_meta"):
+        raise IllegalStateError(
+            f"serving-pointer target {base_name} has no meta table — "
+            "refusing to flip serving to a nonexistent/incomplete index"
+        )
+    for suffix in ("meta", "state"):
+        if spark.catalog.tableExists(f"{alias}_{suffix}"):
+            raise IllegalStateError(
+                f"{alias} already names a physical index "
+                f"({alias}_{suffix} exists) — a serving alias must own no "
+                "tables, or a lost pointer would silently serve the stale "
+                "physical tables. Pick a fresh alias name."
+            )
     _remove_orphan_location(spark, f"{alias}_ptr")
     spark.createDataFrame([(base_name,)], "base string").write.mode(
         "overwrite"
@@ -404,10 +432,35 @@ def resolve_index_base(spark: SparkSession, name: str) -> str:
     """Resolve a serving alias to its physical base (identity for a
     physical name). Every index entry point calls this first, so
     probes, appends, tombstones, and compaction all follow the
-    currently-serving base through one flip point."""
+    currently-serving base through one flip point.
+
+    A restarted session's ORPHANED ptr dir fails loudly here (r13
+    review): silently treating the alias as a physical name would
+    route a takedown to tables nothing serves — the lost-deletion
+    class again."""
     if not spark.catalog.tableExists(f"{name}_ptr"):
+        _require_no_orphan_location(spark, f"{name}_ptr")
         return name
     return spark.table(f"{name}_ptr").collect()[0].base
+
+
+def verify_still_serving(
+    spark: SparkSession, name: str, resolved: str
+) -> None:
+    """Detect a blue/green flip that raced a mutation (r13 review):
+    the mutation resolved ``name`` → ``resolved`` at entry and wrote
+    there; if the pointer moved meanwhile, the writes landed on the
+    RETIRED base and the serving base never saw them — a lost takedown
+    or append the per-base writer nonce cannot see (the flip touches
+    no gen/nonce). Mutating entry points call this LAST; on mismatch
+    the caller re-runs the batch against the current serving base."""
+    now = resolve_index_base(spark, name)
+    if now != resolved:
+        raise ConcurrentWriterError(
+            f"serving pointer {name} was flipped from {resolved} to {now} "
+            "while this mutation ran — the writes landed on the retired "
+            "base; re-run the batch against the current serving base."
+        )
 
 
 # --------------------------------------------------------------------------
@@ -555,7 +608,10 @@ def filter_tombstoned(
     deletion-sized and BROADCAST (a BroadcastHashJoin LeftAnti with
     the gen comparison riding the join condition), so the corpus-side
     relation is filtered map-side without moving; with no tombstone
-    table the input returns untouched, zero overhead."""
+    table the input returns untouched, zero overhead. Accepts a
+    serving alias (resolved — r13 review: an unresolved alias would
+    silently skip the anti-join and resurrect deleted rows)."""
+    base_name = resolve_index_base(spark, base_name)
     if not spark.catalog.tableExists(f"{base_name}_tombstones"):
         return rows
     return _anti_tombstone(rows, spark.table(f"{base_name}_tombstones"), id_col)

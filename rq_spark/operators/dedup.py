@@ -515,10 +515,12 @@ def write_minhash_index(
         begin_index_rewrite,
         finish_index_rewrite,
         resolve_index_base,
+        verify_still_serving,
         write_bucketed,
     )
 
     spark = corpus.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     tables = [f"{base_name}_meta", f"{base_name}_bands", f"{base_name}_shingles"]
     g, nonce = begin_index_rewrite(spark, base_name, tables)
@@ -547,6 +549,7 @@ def write_minhash_index(
         f"{base_name}_meta__rewrite"
     )
     finish_index_rewrite(spark, base_name, tables, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
     _release_caches("minhash_index_write")
 
 
@@ -602,10 +605,12 @@ def append_to_minhash_index(
         resolve_index_base,
         table_buckets,
         verify_sole_writer,
+        verify_still_serving,
         write_bucketed,
     )
 
     spark = batch.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     sets = shingle_sets(
@@ -662,8 +667,11 @@ def append_to_minhash_index(
             at_gen=g - 1,
         )
     # single-writer contract check LAST (r13): a rival writer's bump
-    # during this append is detected while the batch is still known
+    # during this append is detected while the batch is still known —
+    # and a blue/green flip that raced the append is detected the same
+    # way (the writes landed on the retired base)
     verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
     _release_caches("minhash_index_append")
 
 
@@ -1391,11 +1399,13 @@ def write_hamming_index(
         begin_index_rewrite,
         finish_index_rewrite,
         resolve_index_base,
+        verify_still_serving,
         write_bucketed,
     )
 
     _check_hamming_params(0, bands)
     spark = sig.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     tables = [f"{base_name}_meta", f"{base_name}_hbands"]
     g, nonce = begin_index_rewrite(spark, base_name, tables)
@@ -1411,6 +1421,7 @@ def write_hamming_index(
         f"{base_name}_meta__rewrite"
     )
     finish_index_rewrite(spark, base_name, tables, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
 
 
 def append_to_hamming_index(
@@ -1436,10 +1447,12 @@ def append_to_hamming_index(
         resolve_index_base,
         table_buckets,
         verify_sole_writer,
+        verify_still_serving,
         write_bucketed,
     )
 
     spark = batch_sig.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     meta = spark.table(f"{base_name}_meta").collect()[0]
     if reingest and batch_sig.filter(F.col("sig").isNull()).take(1):
@@ -1466,6 +1479,7 @@ def append_to_hamming_index(
             at_gen=g - 1,
         )
     verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
 
 
 def hamming_near_pairs_from_index(

@@ -1187,6 +1187,7 @@ def write_ann_index(
         begin_index_rewrite,
         finish_index_rewrite,
         resolve_index_base,
+        verify_still_serving,
         write_bucketed,
     )
 
@@ -1202,6 +1203,7 @@ def write_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
     spark = corpus.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     tables = [
         f"{base_name}_meta",
@@ -1254,6 +1256,7 @@ def write_ann_index(
         f"{base_name}_meta__rewrite"
     )
     finish_index_rewrite(spark, base_name, tables, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
 
 
 def append_to_ann_index(
@@ -1306,10 +1309,12 @@ def append_to_ann_index(
         resolve_index_base,
         table_buckets,
         verify_sole_writer,
+        verify_still_serving,
         write_bucketed,
     )
 
     spark = batch.sparkSession
+    orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
     _meta, cents, cb = _read_ann_model(spark, base_name)
     if reingest:
@@ -1356,6 +1361,7 @@ def append_to_ann_index(
             at_gen=g - 1,
         )
     verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
 
 
 def compact_ann_index(spark, base_name: str) -> None:

@@ -474,6 +474,26 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), "append")
 
 
+def _probe_stream(stream: DataFrame, probe_fn, name_prefix: str, sink):
+    """Shared foreachBatch scaffold of the streaming index probes:
+    skip empty micro-batches (one bounded take), build the batch
+    probe's plan via ``probe_fn(batch_df)``, hand the result to
+    ``sink(result_df, epoch_id)``, and start the query under a unique
+    name. One place to change the shape (error handling, empty-batch
+    policy) for every probe family."""
+
+    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sink(probe_fn(batch_df), epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .queryName(f"{name_prefix}_{next(_sink_counter)}")
+        .start()
+    )
+
+
 def probe_index_stream(
     stream_sig: DataFrame,
     base_name: str,
@@ -507,21 +527,13 @@ def probe_index_stream(
     from ..operators.dedup import hamming_probe_from_index
 
     spark = stream_sig.sparkSession
-
-    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sink(
-            hamming_probe_from_index(
-                spark, batch_df, base_name, max_hamming=max_hamming
-            ),
-            epoch_id,
-        )
-
-    return (
-        stream_sig.writeStream.foreachBatch(_one_batch)
-        .queryName(f"probe_index_{next(_sink_counter)}")
-        .start()
+    return _probe_stream(
+        stream_sig,
+        lambda batch: hamming_probe_from_index(
+            spark, batch, base_name, max_hamming=max_hamming
+        ),
+        "probe_index",
+        sink,
     )
 
 
@@ -545,20 +557,11 @@ def probe_minhash_index_stream(
     from ..operators.dedup import incremental_minhash_pairs_from_index
 
     spark = stream_docs.sparkSession
-
-    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sink(
-            incremental_minhash_pairs_from_index(
-                spark, batch_df, text_col, id_col, base_name,
-                threshold=threshold,
-            ),
-            epoch_id,
-        )
-
-    return (
-        stream_docs.writeStream.foreachBatch(_one_batch)
-        .queryName(f"probe_minhash_{next(_sink_counter)}")
-        .start()
+    return _probe_stream(
+        stream_docs,
+        lambda batch: incremental_minhash_pairs_from_index(
+            spark, batch, text_col, id_col, base_name, threshold=threshold
+        ),
+        "probe_minhash",
+        sink,
     )

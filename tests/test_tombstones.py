@@ -994,3 +994,91 @@ def test_stream_probe_minhash_documents(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
         _drop(spark, base, ("bands", "shingles", "meta"))
+
+
+def test_serving_pointer_guards(spark, monkeypatch):
+    """r13 review of the blue/green layer — four silent failure shapes
+    turned loud: (a) a flip target must EXIST (a typo'd flip would be
+    an instant serving outage); (b) an alias may not collide with a
+    physical index (a lost ptr would silently serve its stale tables);
+    (c) a flip racing a mutation raises ConcurrentWriterError — the
+    writes landed on the retired base, and the per-base nonce alone
+    cannot see it; (d) a restarted session's orphaned ptr dir fails
+    loudly in resolve instead of routing takedowns to tables nothing
+    serves; (e) filter_tombstoned / clear_tombstones resolve aliases,
+    so an alias-named call can never skip the deletion anti-join."""
+    import shutil
+
+    import pytest
+
+    import rq_spark.bucketing as B
+    from rq_spark.bucketing import (
+        ConcurrentWriterError,
+        _managed_location,
+        resolve_index_base,
+        set_index_pointer,
+    )
+    from rq_spark.errors import IllegalStateError
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:30], "doc long, sig long")
+    b1, b2, alias = "t_ptr_b1", "t_ptr_b2", "t_ptr_serve"
+    try:
+        D.write_hamming_index(sig, b1, bands=4)
+        D.write_hamming_index(sig, b2, bands=4)
+
+        # (a) nonexistent target refuses
+        with pytest.raises(IllegalStateError, match="no meta table"):
+            set_index_pointer(spark, alias, "t_ptr_missing")
+        # (b) alias colliding with a physical index refuses
+        with pytest.raises(IllegalStateError, match="already names"):
+            set_index_pointer(spark, b1, b2)
+
+        set_index_pointer(spark, alias, b1)
+
+        # (c) a flip racing a mutation is detected by the mutation
+        real_bump = B.bump_gen
+
+        def flip_bump(s, base):
+            out = real_bump(s, base)
+            monkeypatch.setattr(B, "bump_gen", real_bump)
+            set_index_pointer(spark, alias, b2)  # the rival flip
+            return out
+
+        monkeypatch.setattr(B, "bump_gen", flip_bump)
+        with pytest.raises(ConcurrentWriterError, match="flipped"):
+            add_tombstones(
+                spark, alias, spark.createDataFrame([(1,)], "doc long"), "doc"
+            )
+        # the stranded tombstone sits on b1 (retired); the error told
+        # the caller to re-run — doing so lands on the serving base
+        add_tombstones(
+            spark, alias, spark.createDataFrame([(1,)], "doc long"), "doc"
+        )
+        assert spark.catalog.tableExists(f"{b2}_tombstones")
+
+        # (e) alias-named tombstone helpers resolve to the serving base
+        live = B.filter_tombstoned(
+            spark, alias, spark.table(f"{b2}_hbands"), "doc"
+        )
+        assert live.filter("doc = 1").count() == 0
+        B.clear_tombstones(spark, alias)
+        assert not spark.catalog.tableExists(f"{b2}_tombstones")
+
+        # (d) orphaned ptr dir: catalog forgets it, dir survives —
+        # resolve fails loudly instead of routing writes to the alias
+        loc = _managed_location(spark, f"{alias}_ptr")
+        shutil.copytree(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {alias}_ptr")
+        shutil.move(loc + ".keep", loc)
+        with pytest.raises(IllegalStateError, match="refusing to overwrite"):
+            resolve_index_base(spark, alias)
+    finally:
+        import os
+
+        loc = _managed_location(spark, f"{alias}_ptr")
+        if not spark.catalog.tableExists(f"{alias}_ptr") and os.path.isdir(loc):
+            shutil.rmtree(loc)
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, b1, ("hbands", "meta"))
+        _drop(spark, b2, ("hbands", "meta"))
