@@ -565,3 +565,36 @@ def probe_minhash_index_stream(
         "probe_minhash",
         sink,
     )
+
+
+def probe_ann_index_stream(
+    stream_vecs: DataFrame,
+    base_name: str,
+    sink,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The vector family's streaming probe: every micro-batch of fresh
+    embeddings runs the IVFPQ top-k join against the standing ANN
+    index (`operators.similarity.ivfpq_topk_join_from_index`) — the
+    continuous shape of embedding-time near-dup screening / retrieval.
+    Same foreachBatch contract as the other two families: the model
+    stays pinned in the index's own tables, tombstones and the
+    serving-alias pointer are re-resolved per micro-batch, and
+    ``sink(result_df, epoch_id)`` receives (query_id, neighbor_id, rk,
+    cos_sim) rows."""
+    from ..operators.similarity import ivfpq_topk_join_from_index
+
+    spark = stream_vecs.sparkSession
+    return _probe_stream(
+        stream_vecs,
+        lambda batch: ivfpq_topk_join_from_index(
+            spark, batch, base_name, k=k, nprobe=nprobe, rerank=rerank,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "probe_ann",
+        sink,
+    )

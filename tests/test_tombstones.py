@@ -1082,3 +1082,50 @@ def test_serving_pointer_guards(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
         _drop(spark, b1, ("hbands", "meta"))
         _drop(spark, b2, ("hbands", "meta"))
+
+
+def test_stream_probe_ann_vectors(spark, tmp_path):
+    """The vector family's streaming probe
+    (`streaming.probe_ann_index_stream`): a micro-batch of fresh
+    embeddings runs the IVFPQ top-k join against the standing index
+    under its pinned model; results equal the batch probe of the same
+    rows."""
+    from rq_spark.streaming import probe_ann_index_stream
+
+    vecs = table(spark, SF, "embeddings")
+    corpus = vecs.filter(F.col("vec_id") % 2 == 0)
+    queries = vecs.filter(F.col("vec_id") < 9).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = "t_tomb_annstream"
+    src = str(tmp_path / "vecstream")
+    try:
+        S.write_ann_index(corpus, base, n_centroids=8, m=8, n_codes=32, iters=2)
+        queries.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        got: list = []
+
+        def sink(df, epoch):
+            got.extend(
+                (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+                for r in df.collect()
+            )
+
+        q = probe_ann_index_stream(stream, base, sink, k=5, nprobe=4, rerank=20)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = {
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in S.ivfpq_topk_join_from_index(
+                spark, queries, base, k=5, nprobe=4, rerank=20
+            ).collect()
+        }
+        assert set(got) == want != set()
+    finally:
+        _drop(spark, base, ("codes", "vectors", "centroids", "codebooks", "meta"))
