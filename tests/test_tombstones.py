@@ -1129,3 +1129,92 @@ def test_stream_probe_ann_vectors(spark, tmp_path):
         assert set(got) == want != set()
     finally:
         _drop(spark, base, ("codes", "vectors", "centroids", "codebooks", "meta"))
+
+
+def test_lifecycle_model_fuzz(spark):
+    """Model-based lifecycle fuzzer (r13): a random 12-step sequence of
+    {append, reingest, delete, compact, full rewrite} runs against the
+    Hamming index while a plain Python dict (doc → live signature)
+    tracks ground truth; after EVERY step the full pair scan must equal
+    brute-force popcount pairs over the model (bands=4 gives exact
+    recall at radius 3, so the comparison is exact, not probabilistic).
+    Directed tests pin each transition once — this pins the
+    INTERACTIONS: reingest-after-delete, delete-after-compact,
+    rewrite-over-tombstones, append-after-rewrite, in whatever order
+    the seed draws."""
+    rnd = random.Random(101)
+    pool = [rnd.getrandbits(64) for _ in range(10)]
+
+    def new_sig() -> int:
+        v = rnd.choice(pool)
+        for _ in range(rnd.randint(0, 4)):
+            v ^= 1 << rnd.randrange(64)
+        return _s64(v)
+
+    def brute(model: dict) -> set:
+        out = set()
+        ids = sorted(model)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(
+                    (model[a] ^ model[b]) & ((1 << 64) - 1)
+                ).count("1")
+                if h <= 3:
+                    out.add((a, b, h))
+        return out
+
+    def mkdf(d: dict):
+        return spark.createDataFrame(
+            sorted(d.items()), "doc long, sig long"
+        )
+
+    base = "t_tomb_fuzz"
+    next_id = 100
+    try:
+        model = {i: new_sig() for i in range(20)}
+        D.write_hamming_index(mkdf(model), base, bands=4)
+        log = ["write(20)"]
+        for _ in range(12):
+            op = rnd.choice(
+                ["append", "reingest", "delete", "compact", "rewrite"]
+            )
+            if op == "append":  # fresh ids only (plain append = INSERT)
+                batch = {}
+                for _ in range(rnd.randint(1, 3)):
+                    batch[next_id] = new_sig()
+                    next_id += 1
+                D.append_to_hamming_index(mkdf(batch), base)
+                model.update(batch)
+                log.append(f"append{sorted(batch)}")
+            elif op == "reingest" and model:
+                ids = rnd.sample(sorted(model), min(2, len(model)))
+                batch = {i: new_sig() for i in ids}
+                batch[next_id] = new_sig()  # a fresh id rides along
+                next_id += 1
+                D.append_to_hamming_index(mkdf(batch), base, reingest=True)
+                model.update(batch)
+                log.append(f"reingest{sorted(batch)}")
+            elif op == "delete" and model:
+                ids = rnd.sample(sorted(model), min(2, len(model)))
+                ids.append(999_999)  # an unknown id is harmless
+                add_tombstones(
+                    spark, base,
+                    spark.createDataFrame([(i,) for i in ids], "doc long"),
+                    "doc",
+                )
+                for i in ids:
+                    model.pop(i, None)
+                log.append(f"delete{ids}")
+            elif op == "compact":
+                D.compact_hamming_index(spark, base)
+                log.append("compact")
+            else:  # full rewrite over the live set plus two fresh docs
+                for _ in range(2):
+                    model[next_id] = new_sig()
+                    next_id += 1
+                D.write_hamming_index(mkdf(model), base, bands=4)
+                log.append("rewrite")
+            got = _pairs(D.hamming_near_pairs_from_index(spark, base))
+            assert got == brute(model), "\n".join(log)
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
