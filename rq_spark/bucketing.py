@@ -660,3 +660,31 @@ def cojoin(
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, key, how)
+
+
+def retire_index(
+    spark: SparkSession, base_name: str, suffixes: list[str]
+) -> None:
+    """Drop a physical index base — the final step of a blue/green
+    rotation (write new base → flip pointer → drain in-flight readers
+    → RETIRE the old base). Refuses (loud `IllegalStateError`) while
+    any serving pointer in the session catalog still targets the base:
+    retiring a still-serving index would turn every probe through its
+    alias into TABLE_OR_VIEW_NOT_FOUND — an outage the one-row ptr
+    scan here is cheap insurance against. ``suffixes`` lists the
+    family's data/model tables (e.g. ``["meta", "hbands"]``); the
+    state and tombstone tables are dropped with them."""
+    for t in spark.catalog.listTables():
+        if not t.name.endswith("_ptr"):
+            continue
+        try:
+            target = spark.table(t.name).collect()[0].base
+        except Exception:  # noqa: BLE001 — a non-pointer *_ptr table
+            continue
+        if target == base_name:
+            raise IllegalStateError(
+                f"serving pointer {t.name} still targets {base_name} — "
+                "flip it to the new base before retiring this one"
+            )
+    for s in list(suffixes) + ["state", "tombstones"]:
+        spark.sql(f"DROP TABLE IF EXISTS {base_name}_{s}")

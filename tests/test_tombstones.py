@@ -1218,3 +1218,34 @@ def test_lifecycle_model_fuzz(spark):
             assert got == brute(model), "\n".join(log)
     finally:
         _drop(spark, base, ("hbands", "meta"))
+
+
+def test_retire_index_guarded_by_serving_pointers(spark):
+    """`bucketing.retire_index` closes the blue/green rotation: it
+    refuses to drop a base any serving pointer still targets (instant
+    outage otherwise), and cleanly drops every family table once the
+    pointer has moved on."""
+    import pytest
+
+    from rq_spark.bucketing import retire_index, set_index_pointer
+    from rq_spark.errors import IllegalStateError
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows[:20], "doc long, sig long")
+    b1, b2, alias = "t_ret_b1", "t_ret_b2", "t_ret_serve"
+    try:
+        D.write_hamming_index(sig, b1, bands=4)
+        D.write_hamming_index(sig, b2, bands=4)
+        set_index_pointer(spark, alias, b1)
+        with pytest.raises(IllegalStateError, match="still targets"):
+            retire_index(spark, b1, ["meta", "hbands"])
+        set_index_pointer(spark, alias, b2)
+        retire_index(spark, b1, ["meta", "hbands"])
+        for s in ("meta", "hbands", "state", "tombstones"):
+            assert not spark.catalog.tableExists(f"{b1}_{s}")
+        # the serving base is untouched and still answers
+        assert D.hamming_near_pairs_from_index(spark, alias).count() >= 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, b1, ("hbands", "meta"))
+        _drop(spark, b2, ("hbands", "meta"))
