@@ -1141,7 +1141,13 @@ def test_lifecycle_model_fuzz(spark):
     Directed tests pin each transition once — this pins the
     INTERACTIONS: reingest-after-delete, delete-after-compact,
     rewrite-over-tombstones, append-after-rewrite, in whatever order
-    the seed draws."""
+    the seed draws. The whole sequence runs THROUGH A SERVING ALIAS,
+    and 'rotate' (blue/green: write the live set to a fresh base, flip
+    the pointer, retire the old base) is one of the fuzzed ops — so
+    alias resolution, rotation, and every mutation interleave
+    randomly too."""
+    from rq_spark.bucketing import retire_index, set_index_pointer
+
     rnd = random.Random(101)
     pool = [rnd.getrandbits(64) for _ in range(10)]
 
@@ -1168,22 +1174,25 @@ def test_lifecycle_model_fuzz(spark):
             sorted(d.items()), "doc long, sig long"
         )
 
-    base = "t_tomb_fuzz"
+    serve = "t_tomb_fuzz_serve"
+    n_bases = 1
     next_id = 100
     try:
         model = {i: new_sig() for i in range(20)}
-        D.write_hamming_index(mkdf(model), base, bands=4)
-        log = ["write(20)"]
+        D.write_hamming_index(mkdf(model), "t_tomb_fuzz_b0", bands=4)
+        set_index_pointer(spark, serve, "t_tomb_fuzz_b0")
+        log = ["write(20) → b0"]
         for _ in range(12):
             op = rnd.choice(
-                ["append", "reingest", "delete", "compact", "rewrite"]
+                ["append", "reingest", "delete", "compact", "rewrite",
+                 "rotate"]
             )
             if op == "append":  # fresh ids only (plain append = INSERT)
                 batch = {}
                 for _ in range(rnd.randint(1, 3)):
                     batch[next_id] = new_sig()
                     next_id += 1
-                D.append_to_hamming_index(mkdf(batch), base)
+                D.append_to_hamming_index(mkdf(batch), serve)
                 model.update(batch)
                 log.append(f"append{sorted(batch)}")
             elif op == "reingest" and model:
@@ -1191,14 +1200,14 @@ def test_lifecycle_model_fuzz(spark):
                 batch = {i: new_sig() for i in ids}
                 batch[next_id] = new_sig()  # a fresh id rides along
                 next_id += 1
-                D.append_to_hamming_index(mkdf(batch), base, reingest=True)
+                D.append_to_hamming_index(mkdf(batch), serve, reingest=True)
                 model.update(batch)
                 log.append(f"reingest{sorted(batch)}")
             elif op == "delete" and model:
                 ids = rnd.sample(sorted(model), min(2, len(model)))
                 ids.append(999_999)  # an unknown id is harmless
                 add_tombstones(
-                    spark, base,
+                    spark, serve,
                     spark.createDataFrame([(i,) for i in ids], "doc long"),
                     "doc",
                 )
@@ -1206,18 +1215,28 @@ def test_lifecycle_model_fuzz(spark):
                     model.pop(i, None)
                 log.append(f"delete{ids}")
             elif op == "compact":
-                D.compact_hamming_index(spark, base)
+                D.compact_hamming_index(spark, serve)
                 log.append("compact")
+            elif op == "rotate":  # blue/green: new base, flip, retire
+                old = f"t_tomb_fuzz_b{n_bases - 1}"
+                new = f"t_tomb_fuzz_b{n_bases}"
+                n_bases += 1
+                D.write_hamming_index(mkdf(model), new, bands=4)
+                set_index_pointer(spark, serve, new)
+                retire_index(spark, old, ["meta", "hbands"])
+                log.append(f"rotate → {new}")
             else:  # full rewrite over the live set plus two fresh docs
                 for _ in range(2):
                     model[next_id] = new_sig()
                     next_id += 1
-                D.write_hamming_index(mkdf(model), base, bands=4)
+                D.write_hamming_index(mkdf(model), serve, bands=4)
                 log.append("rewrite")
-            got = _pairs(D.hamming_near_pairs_from_index(spark, base))
+            got = _pairs(D.hamming_near_pairs_from_index(spark, serve))
             assert got == brute(model), "\n".join(log)
     finally:
-        _drop(spark, base, ("hbands", "meta"))
+        spark.sql(f"DROP TABLE IF EXISTS {serve}_ptr")
+        for k in range(n_bases):
+            _drop(spark, f"t_tomb_fuzz_b{k}", ("hbands", "meta"))
 
 
 def test_retire_index_guarded_by_serving_pointers(spark):
