@@ -1999,9 +1999,16 @@ def evict_nodes(
     ``labels``: (node, rep) — a min-label fixed point over ``edges``
     (exactly `connected_components` output; every edge endpoint must
     appear in it). ``edges``: (a_id, b_id), the STANDING edge relation
-    the labels were computed over (e.g. re-derivable from the persisted
-    index probes, or kept alongside the labels). ``deleted``: (node)
-    takedown ids; ids absent from the labels are ignored.
+    the labels were computed over. Edge provenance at scale: the
+    daily-ingest loop should KEEP the edge ledger next to the labels
+    (append each day's probe pairs — edges are ∝ true near-dups, a
+    vanishing fraction of the corpus), because the alternative —
+    regenerating them from the index's self-scan after tombstoning —
+    is a full corpus-sized pair scan per takedown, defeating the
+    ∝-touched-components contract this operator exists for (the
+    ledger-kept path only ever SCANS the ledger map-side, it never
+    recomputes pairs). ``deleted``: (node) takedown ids; ids absent
+    from the labels are ignored.
 
     Returns (node, rep) EXACTLY equal to
     `connected_components(edges minus any edge touching a deleted
