@@ -673,15 +673,48 @@ def retire_index(
     alias into TABLE_OR_VIEW_NOT_FOUND — an outage the one-row ptr
     scan here is cheap insurance against. ``suffixes`` lists the
     family's data/model tables (e.g. ``["meta", "hbands"]``); the
-    state and tombstone tables are dropped with them."""
+    state and tombstone tables are dropped with them.
+
+    Fail-loud discipline (r13 review): the guard fails CLOSED — an
+    unreadable or empty pointer table (e.g. a flip mid drop+create)
+    raises rather than being skipped; the target comparison casefolds
+    (Spark identifiers are case-insensitive); and retiring a name that
+    is an alias, or that has no meta table (typo, or a restarted
+    session whose catalog forgot everything), raises instead of
+    silently no-op-dropping while warehouse data survives."""
+    if spark.catalog.tableExists(f"{base_name}_ptr"):
+        raise IllegalStateError(
+            f"{base_name} is a serving alias — retire the PHYSICAL base "
+            "it points at (and drop the ptr table) instead"
+        )
+    if not spark.catalog.tableExists(f"{base_name}_meta"):
+        raise IllegalStateError(
+            f"{base_name} has no meta table in this session's catalog — "
+            "refusing a silent no-op retire (typo'd name, or a restarted "
+            "metastore-less session: re-register or clean the warehouse "
+            "directories explicitly)"
+        )
     for t in spark.catalog.listTables():
         if not t.name.endswith("_ptr"):
             continue
         try:
-            target = spark.table(t.name).collect()[0].base
-        except Exception:  # noqa: BLE001 — a non-pointer *_ptr table
-            continue
-        if target == base_name:
+            rows = spark.table(t.name).limit(1).collect()
+        except Exception as e:  # noqa: BLE001 — fail CLOSED, never skip
+            raise IllegalStateError(
+                f"cannot read serving pointer {t.name} while retiring "
+                f"{base_name} ({type(e).__name__}) — refusing to drop a "
+                "base that may still be served"
+            ) from e
+        if not rows:
+            raise IllegalStateError(
+                f"serving pointer {t.name} is empty (a flip may be "
+                f"mid-flight) — refusing to retire {base_name} until it "
+                "resolves"
+            )
+        target = getattr(rows[0], "base", None)
+        if target is None:
+            continue  # a *_ptr table without a base column is not ours
+        if str(target).casefold() == base_name.casefold():
             raise IllegalStateError(
                 f"serving pointer {t.name} still targets {base_name} — "
                 "flip it to the new base before retiring this one"

@@ -1258,6 +1258,15 @@ def test_retire_index_guarded_by_serving_pointers(spark):
         set_index_pointer(spark, alias, b1)
         with pytest.raises(IllegalStateError, match="still targets"):
             retire_index(spark, b1, ["meta", "hbands"])
+        # r13 review: fail-loud shapes — retiring an alias, a typo'd
+        # base, or comparing targets case-sensitively must never be a
+        # silent no-op/bypass
+        with pytest.raises(IllegalStateError, match="is a serving alias"):
+            retire_index(spark, alias, ["meta", "hbands"])
+        with pytest.raises(IllegalStateError, match="no meta table"):
+            retire_index(spark, "t_ret_typo", ["meta", "hbands"])
+        with pytest.raises(IllegalStateError, match="still targets"):
+            retire_index(spark, b1.upper(), ["meta", "hbands"])
         set_index_pointer(spark, alias, b2)
         retire_index(spark, b1, ["meta", "hbands"])
         for s in ("meta", "hbands", "state", "tombstones"):
