@@ -2084,6 +2084,70 @@ def evict_nodes(
     return kept.unionAll(fresh)
 
 
+def write_labels(
+    labels: DataFrame, base_name: str, buckets: int = 8
+) -> None:
+    """Persist standing cluster labels ON DISK — the last
+    caller-managed piece of the daily-ingest loop (r13): the indexes
+    are persisted catalog tables, but the (node, rep) label relation
+    the absorb/evict steps maintain lived only as a caller-held
+    DataFrame, so every restart forced a full `connected_components`
+    recompute. Labels are tiny next to the corpus (two ints per
+    document), so the daily refresh is an honest FULL rewrite of
+    yesterday's output through the SAME crash-safe staging as the
+    index families (`bucketing.begin/finish_index_rewrite`: temp
+    names, meta-first/meta-last swap, loud mid-swap, roll-back
+    recovery, writer nonce) — and the same blue/green serving
+    pointers resolve here too, so a labels table can rotate without
+    downtime.
+
+    Writes ``{base}_labels`` bucketed on ``node`` (downstream joins on
+    node — e.g. the final rewrite inside `absorb_edges` — meet the
+    layout zero-Exchange when bucketed the same) and ``{base}_meta``
+    (one row stamping the write generation). Daily loop shape:
+    ``new = absorb_edges(read_labels(spark, base), todays_edges, ...)``
+    then ``write_labels(new, base)``; takedowns evict first
+    (`evict_nodes`) and write the result back."""
+    from ..bucketing import (
+        begin_index_rewrite,
+        finish_index_rewrite,
+        resolve_index_base,
+        verify_still_serving,
+        write_bucketed,
+    )
+
+    spark = labels.sparkSession
+    orig_name = base_name
+    base_name = resolve_index_base(spark, base_name)
+    tables = [f"{base_name}_meta", f"{base_name}_labels"]
+    g, nonce = begin_index_rewrite(spark, base_name, tables)
+    write_bucketed(
+        labels.select("node", "rep"),
+        f"{base_name}_labels__rewrite",
+        "node",
+        buckets=buckets,
+    )
+    spark.createDataFrame(
+        [(g,)], "written_gen long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_meta__rewrite"
+    )
+    finish_index_rewrite(spark, base_name, tables, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
+
+
+def read_labels(spark, base_name: str) -> DataFrame:
+    """The standing persisted labels back as (node, rep) — resolves
+    serving pointers and touches the meta table first so a half-swapped
+    table set fails loudly (same read discipline as the index
+    probes)."""
+    from ..bucketing import resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
+    spark.table(f"{base_name}_meta").collect()
+    return spark.table(f"{base_name}_labels").select("node", "rep")
+
+
 def _gram_strings(
     df: DataFrame,
     text_col: str,

@@ -528,3 +528,89 @@ def test_evict_nodes_random_graphs_parity(spark):
         assert {(r.node, r.rep) for r in got.collect()} == want, (
             seed, edges, deleted,
         )
+
+
+def test_persisted_labels_daily_loop(spark, monkeypatch):
+    """Persisted cluster labels (r13, `dedup.write_labels` /
+    `read_labels`) close the loop's last caller-managed piece. Pinned:
+    (a) the read→absorb→write daily chain over persisted labels equals
+    the full recompute; (b) a crash during the label rewrite leaves
+    YESTERDAY's labels fully readable (the staged-swap discipline,
+    inherited); (c) takedowns compose (evict over read_labels, written
+    back); (d) the blue/green serving pointer resolves for labels
+    tables too."""
+    import pytest
+
+    from rq_spark import bucketing as B
+    from rq_spark.bucketing import set_index_pointer
+    from rq_spark.operators.dedup import (
+        absorb_edges,
+        evict_nodes,
+        read_labels,
+        write_labels,
+    )
+
+    base, alias = "t_lbl_loop", "t_lbl_serve"
+    old_edges = [(1, 2), (3, 4), (5, 6)]
+    day1, day2 = [(2, 3), (10, 11)], [(4, 5)]
+    nodes0 = sorted({v for e in old_edges for v in e})
+
+    def edf(edges):
+        return spark.createDataFrame(edges, "a_id long, b_id long")
+
+    try:
+        labels0 = _cc(spark, old_edges, nodes0, scope="lbl_cc0")
+        write_labels(labels0, base)
+        set_index_pointer(spark, alias, base)
+
+        # day 1 (through the ALIAS): read → absorb → write back
+        d1 = absorb_edges(
+            read_labels(spark, alias), edf(day1),
+            new_nodes=spark.createDataFrame([(10,), (11,)], "node long"),
+            scope="lbl_d1",
+        )
+        write_labels(d1, alias)
+        # day 2
+        d2 = absorb_edges(read_labels(spark, alias), edf(day2), scope="lbl_d2")
+        write_labels(d2, alias)
+        want = _labels(_cc(
+            spark, old_edges + day1 + day2, sorted(set(nodes0) | {10, 11}),
+            scope="lbl_full",
+        ))
+        assert _labels(read_labels(spark, alias)) == want
+
+        # (b) crash during the label rewrite: yesterday's labels intact
+        real_wb = B.write_bucketed
+
+        def dying_wb(*a, **kw):
+            raise RuntimeError("injected crash during the label write")
+
+        monkeypatch.setattr(B, "write_bucketed", dying_wb)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            write_labels(d2.limit(1), alias)
+        monkeypatch.setattr(B, "write_bucketed", real_wb)
+        assert _labels(read_labels(spark, alias)) == want
+
+        # (c) takedown composes: evict node 4 (a cut vertex of the
+        # merged 3-4-5-6 component) and write back
+        survived = evict_nodes(
+            read_labels(spark, alias),
+            edf(old_edges + day1 + day2),
+            spark.createDataFrame([(4,)], "node long"),
+            scope="lbl_evict",
+        )
+        write_labels(survived, alias)
+        want_ev = _labels(_cc(
+            spark,
+            [e for e in old_edges + day1 + day2 if 4 not in e],
+            [v for v in sorted(set(nodes0) | {10, 11}) if v != 4],
+            scope="lbl_full_ev",
+        ))
+        assert _labels(read_labels(spark, alias)) == want_ev
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        for t in ("labels", "meta", "state", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
+        for extra in ("__rewrite", "__prewrite"):
+            for t in ("labels", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {base}_{t}{extra}")
