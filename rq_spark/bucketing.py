@@ -60,7 +60,7 @@ def compact_bucketed_table(
     table_name: str,
     key: str | list[str],
     sort: bool = True,
-    purge: tuple[DataFrame, str] | None = None,
+    purge: tuple[DataFrame, str | list[str]] | None = None,
 ) -> None:
     """Rewrite a bucketed table back to ~one file per bucket (r11) —
     the maintenance step that completes the persisted-index lifecycle
@@ -121,7 +121,12 @@ def compact_bucketed_table(
     try:
         df = spark.table(table_name)
         if purge is not None:
-            df = _anti_tombstone(df, purge[0], purge[1])
+            tomb, idc = purge
+            # a LIST of id columns purges rows dead through ANY of them
+            # (r14: the edge ledger's rows die when EITHER endpoint is
+            # tombstoned) — sequential anti-joins = the union of kills
+            for c in [idc] if isinstance(idc, str) else idc:
+                df = _anti_tombstone(df, tomb, c)
         write_bucketed(df, tmp, keys, buckets=buckets, sort=sort)
     finally:
         spark.conf.set(_AUTO, prev)
@@ -262,6 +267,33 @@ def current_gen(spark: SparkSession, base_name: str) -> int:
     return spark.table(f"{base_name}_state").collect()[0].gen
 
 
+def _max_standing_gen(spark: SparkSession, base_name: str) -> int:
+    """Highest generation stamped on ANY standing row of the index —
+    tombstones AND data rows, found by a catalog prefix scan over the
+    family's tables (every table carrying a ``gen`` column counts;
+    swap temps/backups are excluded — a dead rewrite's rows are
+    disposable and recovered elsewhere). Only read in the state-loss
+    anomaly, so the per-table max aggregates are paid exactly when a
+    crashed state overwrite must be recovered from, never on the hot
+    path. A sibling index sharing the name prefix can only raise the
+    floor, which is harmless: duplicate/ skipped gen values are fine,
+    regression below a standing row or tombstone is not."""
+    prefix = base_name.lower() + "_"
+    g = 0
+    for t in spark.catalog.listTables():
+        name = t.name
+        if not name.startswith(prefix) or name.endswith(
+            (_RW, _BAK, "__precompact", "__compacting")
+        ):
+            continue
+        tbl = spark.table(name)
+        if "gen" not in tbl.columns:
+            continue
+        row = tbl.agg(F.max("gen").alias("g")).collect()[0]
+        g = max(g, int(row.g or 0))
+    return g
+
+
 def bump_gen(spark: SparkSession, base_name: str) -> tuple[int, int]:
     """Advance the index's generation and return ``(gen, nonce)`` —
     one one-row read + one one-row overwrite, called once per append,
@@ -272,27 +304,23 @@ def bump_gen(spark: SparkSession, base_name: str) -> tuple[int, int]:
 
     The one-row overwrite is drop-then-create, so a crash INSIDE it
     can lose the state table outright (r13 review): the missing→0
-    fallback would then restart the counter BELOW standing tombstone
-    gens, and every future append's rows would be silently hidden by
-    old tombstones — the silent-delete class again. So when the state
-    table is missing, the counter is floored at the MAX STANDING
-    TOMBSTONE GEN (a deletion-sized scan, paid only in that anomaly):
-    duplicate gen values across appends are harmless (gen ordering
-    only matters against tombstones), regression below a tombstone is
-    not. A half-written orphan state dir fails loudly below instead."""
+    fallback would then restart the counter BELOW standing gens, and
+    the generation algebra breaks in BOTH directions — old tombstones
+    silently hide every future append's rows, or (ADVICE r13) a fresh
+    tombstone stamped below standing DATA rows never kills them, a
+    silent lost takedown. So when the state table is missing, the
+    counter is floored at the MAX STANDING GEN across the family's
+    tombstone AND data tables (`_max_standing_gen` — a catalog prefix
+    scan paid only in that anomaly): duplicate gen values across
+    appends are harmless (gen ordering only matters between rows and
+    tombstones), regression below either is not. A half-written orphan
+    state dir fails loudly below instead."""
     import secrets
 
     base_name = resolve_index_base(spark, base_name)
     g0 = current_gen(spark, base_name)
-    if g0 == 0 and not spark.catalog.tableExists(
-        f"{base_name}_state"
-    ) and spark.catalog.tableExists(f"{base_name}_tombstones"):
-        row = (
-            spark.table(f"{base_name}_tombstones")
-            .agg(F.max("gen").alias("g"))
-            .collect()[0]
-        )
-        g0 = int(row.g or 0)
+    if g0 == 0 and not spark.catalog.tableExists(f"{base_name}_state"):
+        g0 = _max_standing_gen(spark, base_name)
     g = g0 + 1
     nonce = secrets.randbits(62)
     _require_no_orphan_location(spark, f"{base_name}_state")
@@ -341,9 +369,26 @@ def add_tombstones(
     first would open a crash window where the ids are dead with no
     replacement written, a silent delete; append-then-tombstone can at
     worst leave visible duplicates, the documented plain-INSERT state,
-    repaired by retrying (r12 review)."""
+    repaired by retrying (r12 review).
+
+    Fail-loud guard (ADVICE r13): the target must EXIST as an index —
+    ``{base}_meta`` after alias resolution. Without it, a typo'd base
+    name (or an alias whose ptr table vanished mid-flip, which resolves
+    to the alias itself) would silently create fresh state/tombstone
+    tables, land the takedown on tables nothing serves, and leave the
+    real index serving the deleted doc — while the stray
+    ``{alias}_state`` would also poison the name for any future
+    `set_index_pointer`. `retire_index` carries the same guard."""
     orig_name = base_name
     base_name = resolve_index_base(spark, base_name)
+    if not spark.catalog.tableExists(f"{base_name}_meta"):
+        raise IllegalStateError(
+            f"{base_name} has no meta table in this session's catalog — "
+            "refusing to create deletion state for an index nothing "
+            "serves (typo'd base name, an alias whose ptr table vanished "
+            "mid-flip, or a restarted metastore-less session: re-check "
+            "the name or re-register the index's tables first)."
+        )
     if at_gen is None:
         g, nonce = bump_gen(spark, base_name)
     else:
@@ -533,6 +578,26 @@ def _recover_index_rewrite(spark: SparkSession, tables: list[str]) -> None:
         _remove_orphan_location(spark, t + _RW)
 
 
+def recover_index(spark: SparkSession, tables: list[str]) -> None:
+    """Public crash-recovery entry point for a died full rewrite
+    (ADVICE r13): roll BACK to the old table set when the swap died
+    mid-flight (live meta missing, ``meta__prewrite`` standing) and
+    drop any rewrite leftovers. ``tables[0]`` must be the family's
+    meta table, like `begin_index_rewrite`'s.
+
+    Before this existed, the rollback lived only inside
+    `begin_index_rewrite` — which the daily loop reaches through
+    `write_labels`, AFTER the caller already needed `read_labels`
+    output: a mid-swap crash left the loop unable to read OR rewrite
+    without private internals. Readers now recover through this
+    (`read_labels` calls it when meta is missing but the backup
+    stands); operators can also run it explicitly before a loop.
+    Single-writer contract applies: never run it concurrently with a
+    live rewrite of the same family — the leftover-temp cleanup would
+    destroy the in-flight writer's staged tables."""
+    _recover_index_rewrite(spark, tables)
+
+
 def begin_index_rewrite(
     spark: SparkSession, base_name: str, tables: list[str]
 ) -> tuple[int, int]:
@@ -620,7 +685,7 @@ def filter_tombstoned(
 def compact_index_tables(
     spark: SparkSession,
     base_name: str,
-    tables: list[tuple[str, str | list[str], str]],
+    tables: list[tuple[str, str | list[str], str | list[str]]],
 ) -> None:
     """Shared body of the family-level ``compact_*_index`` wrappers
     (r12 review: three copies of the tombstone-lookup + purge + clear

@@ -2139,12 +2139,24 @@ def write_labels(
 def read_labels(spark, base_name: str) -> DataFrame:
     """The standing persisted labels back as (node, rep) — resolves
     serving pointers and touches the meta table first so a half-swapped
-    table set fails loudly (same read discipline as the index
-    probes)."""
-    from ..bucketing import resolve_index_base
+    table set fails loudly (same read discipline as the index probes).
+
+    Mid-swap crash recovery (ADVICE r13): when the meta table is
+    missing but its ``__prewrite`` backup stands — a `write_labels`
+    swap died mid-flight — the read rolls BACK to yesterday's labels
+    via `bucketing.recover_index` instead of failing with no public
+    repair path (the rollback used to live only inside
+    `begin_index_rewrite`, which the daily loop reaches through
+    `write_labels` — AFTER it already needed this read's output)."""
+    from ..bucketing import recover_index, resolve_index_base
 
     base_name = resolve_index_base(spark, base_name)
-    spark.table(f"{base_name}_meta").collect()
+    meta = f"{base_name}_meta"
+    if not spark.catalog.tableExists(meta) and spark.catalog.tableExists(
+        f"{meta}__prewrite"
+    ):
+        recover_index(spark, [meta, f"{base_name}_labels"])
+    spark.table(meta).collect()
     return spark.table(f"{base_name}_labels").select("node", "rep")
 
 

@@ -476,15 +476,19 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _probe_stream(stream: DataFrame, probe_fn, name_prefix: str, sink):
     """Shared foreachBatch scaffold of the streaming index probes:
-    skip empty micro-batches (one bounded take), build the batch
-    probe's plan via ``probe_fn(batch_df)``, hand the result to
-    ``sink(result_df, epoch_id)``, and start the query under a unique
-    name. One place to change the shape (error handling, empty-batch
-    policy) for every probe family."""
+    build the batch probe's plan via ``probe_fn(batch_df)``, hand the
+    result to ``sink(result_df, epoch_id)``, and start the query under
+    a unique name. One place to change the shape (error handling,
+    empty-batch policy) for every probe family.
+
+    No empty-batch guard (ADVICE r13): the old ``take(1)`` skip cost
+    one extra Spark job per micro-batch ON THE HOT PATH (non-empty
+    batches paid it too), while all three probe operators already
+    yield empty output for empty input (pinned by the empty-table
+    probes of r9 and `test_stream_probe_empty_batches`) — so the sink
+    simply receives an empty result for an empty batch."""
 
     def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         sink(probe_fn(batch_df), epoch_id)
 
     return (

@@ -614,3 +614,70 @@ def test_persisted_labels_daily_loop(spark, monkeypatch):
         for extra in ("__rewrite", "__prewrite"):
             for t in ("labels", "meta"):
                 spark.sql(f"DROP TABLE IF EXISTS {base}_{t}{extra}")
+
+
+def test_read_labels_recovers_mid_swap_crash(spark, monkeypatch):
+    """ADVICE r13 (low): the daily loop had no PUBLIC recovery entry
+    point after a mid-swap crash of `write_labels` — the rollback
+    lived only inside `begin_index_rewrite`, which the loop reaches
+    through `write_labels`, AFTER the caller already needed
+    `read_labels` output (a chicken-and-egg). `read_labels` now runs
+    `bucketing.recover_index` when meta is missing but its
+    ``__prewrite`` backup stands, so a restarted loop simply reads
+    yesterday's labels and proceeds. Both swap crash windows are
+    injected: before any rewrite renamed in, and after the labels
+    table renamed in but before meta (the renamed-in NEW must be
+    rolled back too)."""
+    import pytest
+
+    from rq_spark import bucketing as B
+    from rq_spark.operators.dedup import read_labels, write_labels
+
+    base = "t_lbl_recover"
+    edges0 = [(1, 2), (3, 4)]
+    nodes0 = [1, 2, 3, 4]
+    day1 = _cc(spark, edges0 + [(2, 3)], nodes0, scope="lblr_d1")
+
+    # finish_index_rewrite over tables=[meta, labels] renames:
+    #   1 meta→meta__prewrite  2 labels→labels__prewrite
+    #   3 labels__rewrite→labels  4 meta__rewrite→meta
+    # crash at 2: nothing new renamed in; crash at 4: labels is NEW
+    for crash_at in (2, 4):
+        try:
+            labels0 = _cc(spark, edges0, nodes0, scope=f"lblr_cc0_{crash_at}")
+            write_labels(labels0, base)
+            want0 = _labels(read_labels(spark, base))
+
+            real_rename = B._rename_table
+            calls = {"n": 0}
+
+            def dying_rename(sp, old, new):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    raise RuntimeError("injected crash mid-swap")
+                real_rename(sp, old, new)
+
+            monkeypatch.setattr(B, "_rename_table", dying_rename)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                write_labels(day1, base)
+            monkeypatch.setattr(B, "_rename_table", real_rename)
+
+            # the loud mid-swap state: meta gone, backup standing
+            assert not spark.catalog.tableExists(f"{base}_meta")
+            assert spark.catalog.tableExists(f"{base}_meta__prewrite")
+
+            # a restarted loop's FIRST call recovers to yesterday
+            assert _labels(read_labels(spark, base)) == want0
+            assert spark.catalog.tableExists(f"{base}_meta")
+            assert not spark.catalog.tableExists(f"{base}_meta__prewrite")
+            assert not spark.catalog.tableExists(f"{base}_labels__rewrite")
+
+            # and the loop proceeds: the retried write lands day 1
+            write_labels(day1, base)
+            assert _labels(read_labels(spark, base)) == _labels(day1)
+        finally:
+            for t in ("labels", "meta", "state", "tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {base}_{t}")
+            for extra in ("__rewrite", "__prewrite"):
+                for t in ("labels", "meta"):
+                    spark.sql(f"DROP TABLE IF EXISTS {base}_{t}{extra}")

@@ -797,6 +797,92 @@ def test_state_loss_never_regresses_gen_below_tombstones(spark):
         _drop(spark, base, ("hbands", "meta"))
 
 
+def test_state_loss_never_regresses_gen_below_data_rows(spark):
+    """ADVICE r13 (medium): the state-loss floor used to consider only
+    standing TOMBSTONE gens. Lose the state table while NO tombstones
+    stand (or they stand below the data rows' gens) and the counter
+    restarted at 1 while index rows stood at higher gens — the next
+    `add_tombstones` stamped gen 1, `_dead_row_cond` (tomb_gen >=
+    row_gen) never killed those rows, and the takedown was silently
+    LOST. `bump_gen` now floors at the max standing gen across the
+    family's tombstone AND data tables (`_max_standing_gen`)."""
+    rows, _ = _sig_corpus()
+    base = "t_tomb_stateloss_rows"
+    try:
+        D.write_hamming_index(
+            spark.createDataFrame(rows[:8], "doc long, sig long"), base, bands=4
+        )
+        # two appends push data-row gens to 2 and 3; zero tombstones stand
+        for doc, i in ((200, 20), (201, 21)):
+            D.append_to_hamming_index(
+                spark.createDataFrame([(doc, rows[i][1])], "doc long, sig long"),
+                base,
+            )
+        g_before = current_gen(spark, base)
+        assert not spark.catalog.tableExists(f"{base}_tombstones")
+
+        # the crashed drop-then-create overwrite: state gone, rows standing
+        spark.sql(f"DROP TABLE {base}_state")
+        assert current_gen(spark, base) == 0  # the raw fallback
+
+        # a takedown AFTER state loss must still kill the gen-2 rows
+        add_tombstones(
+            spark, base, spark.createDataFrame([(200,)], "doc long"), "doc"
+        )
+        assert current_gen(spark, base) == g_before + 1
+        live = filter_tombstoned(
+            spark, base, spark.table(f"{base}_hbands"), "doc"
+        )
+        assert live.filter("doc = 200").count() == 0  # not silently lost
+        assert live.filter("doc = 201").count() == 4  # untouched survivor
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
+def test_add_tombstones_refuses_unknown_index(spark):
+    """ADVICE r13 (medium): `add_tombstones` never checked the target
+    exists — a typo'd base name (or an alias whose ptr table vanished
+    mid-flip, which resolves to the alias itself) silently created
+    fresh {base}_state/{base}_tombstones tables, landed the takedown
+    on tables nothing serves, left the real index serving the deleted
+    doc, AND poisoned the alias name for any future
+    `set_index_pointer` (which refuses names that own tables). Now it
+    fails loudly when ``{base}_meta`` is missing after resolution,
+    mirroring `retire_index`'s guard — and writes NOTHING."""
+    import pytest
+
+    from rq_spark.errors import IllegalStateError
+
+    base = "t_tomb_typo_nowhere"
+    ids = spark.createDataFrame([(1,)], "doc long")
+    with pytest.raises(IllegalStateError, match="no meta table"):
+        add_tombstones(spark, base, ids, "doc")
+    # nothing was created: the name stays clean for set_index_pointer
+    for t in ("state", "tombstones", "meta"):
+        assert not spark.catalog.tableExists(f"{base}_{t}")
+
+    # the alias-with-vanished-ptr shape hits the same guard: the alias
+    # resolves to itself and owns no meta
+    rows, _ = _sig_corpus()
+    real, alias = "t_tomb_typo_real", "t_tomb_typo_serve"
+    try:
+        from rq_spark.bucketing import set_index_pointer
+
+        D.write_hamming_index(
+            spark.createDataFrame(rows[:8], "doc long, sig long"), real, bands=4
+        )
+        set_index_pointer(spark, alias, real)
+        spark.sql(f"DROP TABLE {alias}_ptr")  # the mid-flip window
+        with pytest.raises(IllegalStateError, match="no meta table"):
+            add_tombstones(spark, alias, ids, "doc")
+        assert not spark.catalog.tableExists(f"{alias}_state")
+        # the REAL index kept serving everything — no lost takedown
+        assert spark.table(f"{real}_hbands").count() == 32
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, real, ("hbands", "meta"))
+
+
 def test_blue_green_serving_pointer(spark):
     """Blue/green serving (r13): an in-place full rewrite is
     loud-but-DOWN during its swap and is not transparent to in-flight
@@ -939,6 +1025,56 @@ def test_stream_probe_against_standing_index(spark, tmp_path):
             batch2 = set().union(*got.values()) if got else set()
             assert batch2  # still matches doc 1000 (the planted twin)
             assert all(c != 0 for (_n, c, _h) in batch2)
+        finally:
+            q.stop()
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+
+
+def test_stream_probe_empty_batches(spark, tmp_path):
+    """ADVICE r13 (low): `_probe_stream` used to run ``take(1)`` on
+    EVERY micro-batch purely to skip empties — one extra Spark job per
+    batch on the hot path, paid by non-empty batches too. The guard is
+    gone: all three probe operators already yield empty output for
+    empty input, so the sink simply receives an empty result. Pinned:
+    an empty micro-batch flows through without error (sink invoked,
+    zero rows), and the query keeps serving the NEXT, non-empty
+    batch."""
+    from rq_spark.streaming import probe_index_stream
+
+    rows, _ = _sig_corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    base = "t_tomb_stream_empty"
+    src = str(tmp_path / "emptystream")
+    try:
+        D.write_hamming_index(sig, base, bands=4)
+        empty = spark.createDataFrame([], "doc long, sig long")
+        empty.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc long, sig long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        got: dict[int, set] = {}
+
+        def sink(df, epoch):
+            got[epoch] = {
+                (r.new_id, r.corpus_id, r.hamming) for r in df.collect()
+            }
+
+        q = probe_index_stream(stream, base, sink, max_hamming=3)
+        try:
+            q.processAllAvailable()
+            assert got and all(v == set() for v in got.values())
+            assert q.exception() is None
+
+            # the query survived: the next (real) batch still probes
+            got.clear()
+            spark.createDataFrame(
+                [(7001, rows[100][1])], "doc long, sig long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+            q.processAllAvailable()
+            assert any(v for v in got.values())
         finally:
             q.stop()
     finally:
