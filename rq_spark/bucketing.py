@@ -435,6 +435,67 @@ def clear_tombstones(spark: SparkSession, base_name: str) -> None:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# catalog re-registration after a metastore-less restart (r14, r13
+# verdict task #3)
+#
+# Production deployments of the index lifecycle run a PERSISTENT
+# catalog (Hive metastore / a lakehouse catalog), where a restart
+# changes nothing: the table entries — including bucket specs — come
+# back with the session. The local default (Spark's in-memory catalog)
+# instead FORGETS every table at restart while the warehouse
+# directories survive, and every entry point in this module fails
+# loudly on that state rather than guessing (`retire_index`,
+# `add_tombstones`, the orphan-location guards). These two helpers are
+# the documented recovery: re-register each surviving directory as an
+# EXTERNAL table — plain tables from their files alone, bucketed
+# tables with the SAME key/bucket-count the family wrote (Spark
+# encodes the bucket id in each data file's NAME, so a re-registered
+# table keeps its zero-Exchange layout; the bucket COUNT itself is
+# catalog-only metadata and must come from the operator's deployment
+# config — it is deliberately NOT inferred from file names, since an
+# empty bucket would undercount and silently mis-route every
+# subsequent bucketed join). A wrong declared spec is caught by
+# Spark's own spec validation on the next bucketed append.
+# --------------------------------------------------------------------------
+
+
+def register_parquet_table(
+    spark: SparkSession, table_name: str, location: str
+) -> None:
+    """Re-register a plain parquet table from its surviving directory
+    (schema inferred from the files) — the restart-recovery path for
+    meta/state/tombstone/ptr/journal tables."""
+    spark.sql(
+        f"CREATE TABLE {table_name} USING parquet LOCATION '{location}'"
+    )
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    location: str,
+    key: str | list[str],
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Re-register a bucketed table from its surviving directory with
+    an explicit bucket spec (see the section comment: the spec is
+    catalog-only metadata a restart loses; the bucket ids live in the
+    file names and survive). ``key``/``buckets``/``sort`` must match
+    what `write_bucketed` declared — the module's families all write
+    ``sort=True`` on the bucket key."""
+    keys = [key] if isinstance(key, str) else list(key)
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+    sorted_by = f"SORTED BY ({', '.join(keys)}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
+        f"INTO {buckets} BUCKETS LOCATION '{location}'"
+    )
+
+
 def set_index_pointer(spark: SparkSession, alias: str, base_name: str) -> None:
     """Point serving alias ``alias`` at physical index ``base_name``
     (one-hop only — pointing at another alias raises). Overwrites the

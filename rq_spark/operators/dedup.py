@@ -2160,6 +2160,173 @@ def read_labels(spark, base_name: str) -> DataFrame:
     return spark.table(f"{base_name}_labels").select("node", "rep")
 
 
+# --------------------------------------------------------------------------
+# persisted edge ledger (r14, r13 verdict top_next)
+#
+# `evict_nodes`' own contract says the daily loop must KEEP the edge
+# ledger next to the labels — edges are ∝ true near-dups, a vanishing
+# fraction of the corpus — because the alternative (regenerating the
+# standing pair relation from the index's self-scan per takedown) is a
+# full corpus-sized scan, defeating the ∝-touched-components contract.
+# r13 persisted the labels half (`write_labels`/`read_labels`); the
+# edges half was still a caller-held DataFrame, so a RESTARTED session
+# could read its labels yet could not run a single takedown without a
+# corpus-sized pair regeneration. The ledger closes that gap:
+#
+#   * ``{base}_edges`` (a_id, b_id, gen), bucketed on ``a_id`` —
+#     endpoint joins (the evict path's surviving-node semi-joins, any
+#     per-node edge lookup) meet the layout map-side; the gen stamp is
+#     the same deletion algebra as the index families.
+#   * ``{base}_meta`` — one row stamping the write generation; read
+#     first by every reader so a half-swapped set fails loudly.
+#   * deletions are TOMBSTONES on NODE ids (`prune_edge_ledger` —
+#     cost ∝ deletions): an edge is dead iff EITHER endpoint carries a
+#     tombstone at least as new as the edge row, filtered map-side by
+#     `read_edge_ledger` and purged physically by
+#     `compact_edge_ledger`. A later re-ingest of an evicted doc
+#     appends its new edges at a HIGHER gen, which outlive the old
+#     tombstone — the same resurrection semantics as the indexes.
+#
+# Daily loop shape (restart-safe end-to-end):
+#     edges = read_edge_ledger(spark, lbase)        # only for evicts
+#     new = absorb_edges(read_labels(spark, base), day_pairs, ...)
+#     write_labels(new, base); append_edge_ledger(day_pairs, lbase)
+# takedowns: prune_edge_ledger THEN evict_nodes over the (pruned)
+# ledger read — `lifecycle.takedown` composes the full pinned order.
+# --------------------------------------------------------------------------
+
+
+def write_edge_ledger(
+    edges: DataFrame, base_name: str, buckets: int = 8
+) -> None:
+    """Persist the standing near-dup edge relation ON DISK (r14) —
+    the full-write face of the ledger (day 0, or a from-scratch
+    rebuild). ``edges`` must carry ``a_id``/``b_id`` columns; rows are
+    stamped at the write generation and written through the same
+    crash-safe staging as the index families and the labels
+    (`bucketing.begin/finish_index_rewrite`: temp names,
+    meta-first/meta-last swap, loud mid-swap, rollback recovery,
+    writer nonce) — and the blue/green serving pointers resolve here
+    too."""
+    from ..bucketing import (
+        begin_index_rewrite,
+        finish_index_rewrite,
+        resolve_index_base,
+        verify_still_serving,
+        write_bucketed,
+    )
+
+    spark = edges.sparkSession
+    orig_name = base_name
+    base_name = resolve_index_base(spark, base_name)
+    tables = [f"{base_name}_meta", f"{base_name}_edges"]
+    g, nonce = begin_index_rewrite(spark, base_name, tables)
+    write_bucketed(
+        edges.select(
+            "a_id", "b_id", F.lit(g).cast("long").alias("gen")
+        ),
+        f"{base_name}_edges__rewrite",
+        "a_id",
+        buckets=buckets,
+    )
+    spark.createDataFrame(
+        [(g,)], "written_gen long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_meta__rewrite"
+    )
+    finish_index_rewrite(spark, base_name, tables, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
+
+
+def append_edge_ledger(new_edges: DataFrame, base_name: str) -> None:
+    """Append one day's probe pairs to the standing ledger — cost ∝
+    the day's pairs: one gen bump, one bucketed append into the
+    existing layout; the standing table is never read (AST-asserted in
+    tests/test_index_append.py's discipline). Same single-writer nonce
+    check and serving-pointer re-verification as the index
+    appenders."""
+    from ..bucketing import (
+        bump_gen,
+        resolve_index_base,
+        table_buckets,
+        verify_sole_writer,
+        verify_still_serving,
+        write_bucketed,
+    )
+
+    spark = new_edges.sparkSession
+    orig_name = base_name
+    base_name = resolve_index_base(spark, base_name)
+    if not spark.catalog.tableExists(f"{base_name}_meta"):
+        from ..errors import IllegalStateError
+
+        raise IllegalStateError(
+            f"{base_name} has no meta table — write_edge_ledger first "
+            "(an append into a nonexistent ledger would create an "
+            "unstamped, recovery-less table set)."
+        )
+    g, nonce = bump_gen(spark, base_name)
+    write_bucketed(
+        new_edges.select(
+            "a_id", "b_id", F.lit(g).cast("long").alias("gen")
+        ),
+        f"{base_name}_edges",
+        "a_id",
+        buckets=table_buckets(spark, f"{base_name}_edges"),
+        mode="append",
+    )
+    verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
+
+
+def read_edge_ledger(spark, base_name: str) -> DataFrame:
+    """The standing SURVIVING edges back as (a_id, b_id): resolves
+    serving pointers, touches the meta table first (loud half-swap),
+    recovers a mid-swap crash the same way `read_labels` does, and
+    anti-joins the (deletion-sized, broadcast) node tombstones against
+    BOTH endpoints map-side — an edge of an evicted doc is never
+    served, per the prune contract."""
+    from ..bucketing import filter_tombstoned, recover_index, resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
+    meta = f"{base_name}_meta"
+    if not spark.catalog.tableExists(meta) and spark.catalog.tableExists(
+        f"{meta}__prewrite"
+    ):
+        recover_index(spark, [meta, f"{base_name}_edges"])
+    spark.table(meta).collect()
+    rows = spark.table(f"{base_name}_edges")
+    rows = filter_tombstoned(spark, base_name, rows, "a_id")
+    rows = filter_tombstoned(spark, base_name, rows, "b_id")
+    return rows.select("a_id", "b_id")
+
+
+def prune_edge_ledger(
+    spark, base_name: str, deleted: DataFrame, node_col: str = "node"
+) -> None:
+    """Mark every edge touching a deleted doc dead — ONE tombstone
+    append of (node, gen) rows, cost ∝ deletions; nothing edge-sized
+    moves (the ledger analogue of `bucketing.add_tombstones`, which
+    this is: the tombstones carry NODE ids, and the read/compact
+    paths apply them to both endpoint columns)."""
+    from ..bucketing import add_tombstones
+
+    add_tombstones(spark, base_name, deleted, node_col)
+
+
+def compact_edge_ledger(spark, base_name: str) -> None:
+    """Physically purge dead edges (either endpoint tombstoned) and
+    rewrite each bucket as one sorted file — the ledger's maintenance
+    face, the same zero-shuffle `compact_bucketed_table` rewrite as
+    the index families, then the tombstones are cleared."""
+    from ..bucketing import compact_index_tables, resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
+    compact_index_tables(
+        spark, base_name, [("edges", "a_id", ["a_id", "b_id"])]
+    )
+
+
 def _gram_strings(
     df: DataFrame,
     text_col: str,

@@ -539,3 +539,181 @@ def test_hamming_loop_midloop_takedown_and_reingest(spark):
     finally:
         _drop(spark, b_live, ("hbands", "meta"))
         _drop(spark, b_ref, ("hbands", "meta"))
+
+
+def _simulate_catalog_restart(spark, tmp_path, bucketed, plain):
+    """A metastore-less restart, honestly simulated (r14, r13 verdict
+    task #3): the in-memory catalog forgets every table while the data
+    directories survive. Each table's files are copied out of the
+    warehouse, the catalog entries dropped (which deletes the managed
+    originals — exactly why the copies stand in for 'surviving dirs'),
+    and a NEW session re-registers them the documented way
+    (`bucketing.register_parquet_table` /
+    `register_bucketed_table` with the family's declared bucket
+    spec). Returns the new session."""
+    import shutil
+
+    from rq_spark.bucketing import (
+        register_bucketed_table,
+        register_parquet_table,
+    )
+    from rq_spark.session import apply_runtime_confs
+
+    locs = {}
+    for t in list(plain) + list(bucketed):
+        if not spark.catalog.tableExists(t):
+            continue
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {t}")
+            .filter("col_name = 'Location'")
+            .collect()[0]
+            .data_type
+        )
+        src = loc.replace("file:", "")
+        dst = str(tmp_path / f"survived_{t}")
+        shutil.copytree(src, dst)
+        spark.sql(f"DROP TABLE {t}")
+        locs[t] = dst
+    ns = spark.newSession()
+    apply_runtime_confs(ns)
+    for t in plain:
+        if t in locs:
+            register_parquet_table(ns, t, locs[t])
+    for t, (key, buckets) in bucketed.items():
+        if t in locs:
+            register_bucketed_table(ns, t, locs[t], key, buckets)
+    return ns
+
+
+def test_full_loop_restart_gate(spark, tmp_path):
+    """The composed restart gate (r14, r13 verdict task #3): the daily
+    loop — now carrying ALL its durable state (index + labels + edge
+    ledger) and running takedowns through `lifecycle.takedown` — is
+    killed after day 1 and restarted as a NEW session against the
+    surviving warehouse directories, catalog re-registered the
+    documented way. Day 2 (a composed takedown + a normal ingest) runs
+    PURELY from persisted state, and the final index scan, labels, and
+    ledger are all EQUAL to an identical loop that never restarted —
+    plus the labels equal an independent CC recompute over the
+    surviving edge set."""
+    from rq_spark import lifecycle as L
+
+    corpus_rows, b1_rows, b2_rows = _sig_splits()
+    victim = 2000  # a day-1 doc wired into cross-day components
+
+    def run_loop(sess, ibase, lbase, ebase, restart, tmp):
+        mk = lambda rows: sess.createDataFrame(rows, "doc long, sig long")  # noqa: E731
+        corpus, batch1, batch2 = mk(corpus_rows), mk(b1_rows), mk(b2_rows)
+
+        # day 0: all three durable pieces
+        D.write_hamming_index(corpus, ibase, bands=4)
+        pairs0 = D.hamming_near_pairs_from_index(spark, ibase).select(
+            "a_id", "b_id"
+        )
+        D.write_labels(
+            D.connected_components(
+                pairs0,
+                corpus.select(F.col("doc").alias("node")),
+                scope=f"rg_cc0_{ibase}",
+            ),
+            lbase,
+        )
+        D.write_edge_ledger(pairs0, ebase)
+
+        def ingest_day(s, batch, tag):
+            probe = D.hamming_probe_from_index(
+                s, batch, ibase, max_hamming=3
+            ).filter(F.col("new_id") != F.col("corpus_id"))
+            e = (
+                _edges(probe, "new_id", "corpus_id")
+                .unionByName(
+                    _edges(D.hamming_near_pairs(batch, max_hamming=3), "a_id", "b_id")
+                )
+                .localCheckpoint()
+            )
+            labels = D.absorb_edges(
+                D.read_labels(s, lbase),
+                e,
+                new_nodes=batch.select(F.col("doc").alias("node")),
+                scope=f"rg_{tag}_{ibase}",
+            )
+            D.write_labels(labels, lbase)
+            D.append_edge_ledger(e, ebase)
+            D.append_to_hamming_index(batch, ibase)
+            D.compact_hamming_index(s, ibase)
+
+        ingest_day(sess, batch1, "d1")
+
+        if restart:
+            sess = _simulate_catalog_restart(
+                sess,
+                tmp,
+                bucketed={
+                    f"{ibase}_hbands": (["band", "bval"], 8),
+                    f"{lbase}_labels": ("node", 8),
+                    f"{ebase}_edges": ("a_id", 8),
+                },
+                plain=[
+                    f"{ibase}_meta", f"{ibase}_state", f"{ibase}_tombstones",
+                    f"{lbase}_meta", f"{lbase}_state",
+                    f"{ebase}_meta", f"{ebase}_state", f"{ebase}_tombstones",
+                ],
+            )
+
+        # day 2, purely from persisted state: composed takedown, then
+        # a normal ingest of batch2
+        L.takedown(
+            sess,
+            sess.createDataFrame([(victim,)], "node long"),
+            {ibase: "doc"},
+            labels_base=lbase,
+            ledger_base=ebase,
+            evict_kwargs={"scope": f"rg_ev_{ibase}"},
+        )
+        ingest_day(sess, sess.createDataFrame(b2_rows, "doc long, sig long"), "d2")
+
+        scan = {
+            (r.a_id, r.b_id, r.hamming)
+            for r in D.hamming_near_pairs_from_index(sess, ibase).collect()
+        }
+        return (
+            scan,
+            {(r.node, r.rep) for r in D.read_labels(sess, lbase).collect()},
+            {(r.a_id, r.b_id) for r in D.read_edge_ledger(sess, ebase).collect()},
+        )
+
+    def drop_all(ibase, lbase, ebase):
+        _drop(spark, ibase, ("hbands", "meta"))
+        for t in ("labels", "meta", "state", "tombstones", "tdlog"):
+            spark.sql(f"DROP TABLE IF EXISTS {lbase}_{t}")
+        _drop(spark, ebase, ("edges", "meta"))
+        for b, t in ((lbase, "labels"), (lbase, "meta"), (ebase, "edges"), (ebase, "meta")):
+            for extra in ("__rewrite", "__prewrite"):
+                spark.sql(f"DROP TABLE IF EXISTS {b}_{t}{extra}")
+
+    try:
+        got_r = run_loop(
+            spark, "t_rg_idx", "t_rg_lbl", "t_rg_led", True, tmp_path
+        )
+        got_n = run_loop(
+            spark, "t_rgn_idx", "t_rgn_lbl", "t_rgn_led", False, tmp_path
+        )
+        assert got_r == got_n  # restart changed NOTHING
+        scan, labels, ledger = got_r
+        assert all(victim not in (a, b) for a, b, _h in scan)
+        # independent oracle: labels == CC over the surviving ledger
+        surv = spark.createDataFrame(
+            sorted(ledger), "a_id long, b_id long"
+        )
+        nodes = (
+            spark.createDataFrame(
+                [(d,) for d, _s in corpus_rows + b1_rows + b2_rows],
+                "node long",
+            ).filter(F.col("node") != victim)
+        )
+        want = D.connected_components(surv, nodes, scope="rg_ccf")
+        assert labels == {(r.node, r.rep) for r in want.collect()}
+        assert all(n != victim and r != victim for n, r in labels)
+    finally:
+        drop_all("t_rg_idx", "t_rg_lbl", "t_rg_led")
+        drop_all("t_rgn_idx", "t_rgn_lbl", "t_rgn_led")

@@ -1,0 +1,240 @@
+"""Composed takedown orchestration (r14, r13 verdict task #2).
+
+A complete takedown used to be 4-5 manual calls in a pinned order; a
+crash BETWEEN families left a cross-family inconsistency (index says
+deleted, labels still cluster the doc) that nothing detected or
+repaired. `lifecycle.takedown` composes the order under a write-ahead
+intent journal. Pinned here, per the verdict's DONE criteria:
+
+* the composed takedown leaves every family consistent: the index
+  stops serving the ids, the ledger stops serving their edges, the
+  labels equal a full CC recompute over the surviving graph, and the
+  journal is clean;
+* EVERY inter-family crash window is failure-injected: the crash
+  leaves a DETECTABLE pending intent (and `assert_taken_down` shows
+  which families are stale), and `resume_takedowns` replays to the
+  exact clean-run end state — idempotent re-delete proven for the
+  COMPOSITION, not just per family;
+* a replay of an already-completed takedown is a no-op.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from rq_spark import lifecycle as L
+from rq_spark.operators import dedup as D
+
+JOURNAL = None  # journal_base defaults to labels_base
+
+
+def _s64(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _corpus():
+    """Signatures with planted near-dups so the hamming index, the
+    ledger, and the labels all have real structure: docs 1000+i are
+    2-bit flips of docs i (i < 12)."""
+    rnd = random.Random(7)
+    base = [rnd.getrandbits(64) for _ in range(40)]
+    rows = [(i, _s64(v)) for i, v in enumerate(base)]
+    for i in range(12):
+        rows.append(
+            (1000 + i, _s64(base[i] ^ (1 << i) ^ (1 << (i + 17))))
+        )
+    return rows
+
+
+def _drop_all(spark, ibase, lbase, ebase):
+    for b, suf in (
+        (ibase, ("hbands", "meta", "state", "tombstones")),
+        (lbase, ("labels", "meta", "state", "tombstones", "tdlog")),
+        (ebase, ("edges", "meta", "state", "tombstones")),
+    ):
+        for t in suf:
+            spark.sql(f"DROP TABLE IF EXISTS {b}_{t}")
+    for b, t in ((lbase, "labels"), (lbase, "meta"), (ebase, "edges"), (ebase, "meta")):
+        for extra in ("__rewrite", "__prewrite"):
+            spark.sql(f"DROP TABLE IF EXISTS {b}_{t}{extra}")
+
+
+def _labels(df):
+    return {(r.node, r.rep) for r in df.collect()}
+
+
+def _eset(df):
+    return {(r.a_id, r.b_id) for r in df.collect()}
+
+
+def _stand_up(spark, ibase, lbase, ebase, tag):
+    """Day 0 of the loop: index + pair ledger + labels, all persisted."""
+    rows = _corpus()
+    sig = spark.createDataFrame(rows, "doc long, sig long")
+    D.write_hamming_index(sig, ibase, bands=4)
+    pairs = D.hamming_near_pairs_from_index(spark, ibase).select(
+        "a_id", "b_id"
+    ).localCheckpoint()
+    nodes = sig.select(F.col("doc").alias("node"))
+    labels = D.connected_components(pairs, nodes, scope=f"lc_cc0_{tag}")
+    D.write_labels(labels, lbase)
+    D.write_edge_ledger(pairs, ebase)
+    return rows, _eset(pairs)
+
+
+def _expected_after(spark, rows, pairs, victims, tag):
+    """The clean-run end state, recomputed independently: labels = CC
+    over the surviving graph; ledger = surviving edges; index = no
+    victim in any probe."""
+    surv_edges = [(a, b) for a, b in pairs if not ({a, b} & set(victims))]
+    surv_nodes = [(d,) for d, _ in rows if d not in victims]
+    want = _labels(
+        D.connected_components(
+            spark.createDataFrame(surv_edges or [(None, None)], "a_id long, b_id long").filter(
+                F.col("a_id").isNotNull()
+            ),
+            spark.createDataFrame(surv_nodes, "node long"),
+            scope=f"lc_ccf_{tag}",
+        )
+    )
+    return want, set(surv_edges)
+
+
+def _final_state(spark, ibase, lbase, ebase):
+    scan = {
+        (r.a_id, r.b_id)
+        for r in D.hamming_near_pairs_from_index(spark, ibase).collect()
+    }
+    return scan, _labels(D.read_labels(spark, lbase)), _eset(
+        D.read_edge_ledger(spark, ebase)
+    )
+
+
+def test_takedown_composes_and_journal_closes(spark):
+    ibase, lbase, ebase = "t_lc_idx", "t_lc_lbl", "t_lc_led"
+    victims = [2, 1003]  # a corpus doc and a near-dup twin
+    try:
+        rows, pairs = _stand_up(spark, ibase, lbase, ebase, "c1")
+        ids = spark.createDataFrame([(v,) for v in victims], "node long")
+        td = L.takedown(
+            spark, ids, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase,
+            evict_kwargs={"scope": "lc_ev_c1"},
+        )
+        assert L.pending_takedowns(spark, lbase) == []
+        want_labels, want_edges = _expected_after(
+            spark, rows, pairs, victims, "c1"
+        )
+        scan, got_labels, got_edges = _final_state(spark, ibase, lbase, ebase)
+        assert got_labels == want_labels
+        assert got_edges == want_edges
+        assert all(not ({a, b} & set(victims)) for a, b in scan)
+        status = L.assert_taken_down(
+            spark, ids, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase
+        )
+        assert set(status.values()) == {0}, status
+
+        # replaying the SAME completed takedown is a no-op
+        L.resume_takedowns(
+            spark, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase,
+            evict_kwargs={"scope": "lc_ev_c1r"},
+        )
+        assert _final_state(spark, ibase, lbase, ebase) == (
+            scan, got_labels, got_edges,
+        )
+        assert isinstance(td, str) and td
+    finally:
+        _drop_all(spark, ibase, lbase, ebase)
+
+
+@pytest.mark.parametrize(
+    "crash_step",
+    ["index_tombstone", "ledger_prune", "labels_evict", "labels_write", "done_marker"],
+)
+def test_takedown_crash_windows_detect_and_resume(spark, monkeypatch, crash_step):
+    """Every seam of the composition dies once; each crash leaves a
+    PENDING journal intent (detectable), `assert_taken_down` exposes
+    the stale families, and one `resume_takedowns` converges to the
+    exact clean-run end state."""
+    from rq_spark import bucketing as B
+
+    ibase, lbase, ebase = "t_lcc_idx", "t_lcc_lbl", "t_lcc_led"
+    victims = [2, 1003]
+    tag = f"x_{crash_step}"
+    try:
+        rows, pairs = _stand_up(spark, ibase, lbase, ebase, tag)
+        ids = spark.createDataFrame([(v,) for v in victims], "node long")
+
+        originals = {
+            "index_tombstone": (B, "add_tombstones"),
+            "ledger_prune": (D, "prune_edge_ledger"),
+            "labels_evict": (D, "evict_nodes"),
+            "labels_write": (D, "write_labels"),
+            "done_marker": (L, "_journal_done"),
+        }
+        mod, name = originals[crash_step]
+        real = getattr(mod, name)
+
+        def dying(*a, **kw):
+            raise RuntimeError(f"injected crash at {crash_step}")
+
+        monkeypatch.setattr(mod, name, dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            L.takedown(
+                spark, ids, {ibase: "doc"},
+                labels_base=lbase, ledger_base=ebase,
+                evict_kwargs={"scope": f"lc_ev_{tag}"},
+            )
+        monkeypatch.setattr(mod, name, real)
+
+        # DETECTABLE: the intent is journaled but not closed
+        pend = L.pending_takedowns(spark, lbase)
+        assert len(pend) == 1
+        # the journaled id set is exactly the takedown's
+        got_ids = {
+            r.node for r in L.takedown_ids(spark, lbase, pend[0]).collect()
+        }
+        assert got_ids == set(victims)
+        # the checker exposes stale families for the early crashes
+        status = L.assert_taken_down(
+            spark, ids, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase
+        )
+        if crash_step == "index_tombstone":
+            assert status[ibase] > 0  # index still serves the victims
+        if crash_step in ("index_tombstone", "ledger_prune"):
+            assert status[ebase] > 0  # ledger still serves their edges
+        if crash_step != "done_marker":
+            assert status[lbase] > 0  # labels still cluster them
+
+        # RESUME converges to the clean-run end state
+        replayed = L.resume_takedowns(
+            spark, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase,
+            evict_kwargs={"scope": f"lc_evr_{tag}"},
+        )
+        assert replayed == pend
+        assert L.pending_takedowns(spark, lbase) == []
+        want_labels, want_edges = _expected_after(
+            spark, rows, pairs, victims, tag
+        )
+        scan, got_labels, got_edges = _final_state(spark, ibase, lbase, ebase)
+        assert got_labels == want_labels
+        assert got_edges == want_edges
+        assert all(not ({a, b} & set(victims)) for a, b in scan)
+        status = L.assert_taken_down(
+            spark, ids, {ibase: "doc"}, labels_base=lbase, ledger_base=ebase
+        )
+        assert set(status.values()) == {0}, status
+    finally:
+        _drop_all(spark, ibase, lbase, ebase)
+
+
+def test_takedown_requires_paired_labels_and_ledger(spark):
+    from rq_spark.errors import IllegalStateError
+
+    ids = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(IllegalStateError, match="labels_base and ledger_base"):
+        L.takedown(spark, ids, {}, labels_base="t_lc_only_lbl")
+    with pytest.raises(IllegalStateError, match="nothing to act on"):
+        L.takedown(spark, ids, {})
