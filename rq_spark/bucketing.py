@@ -257,6 +257,18 @@ def _require_no_orphan_location(spark: SparkSession, table_name: str) -> None:
         )
 
 
+def _read_one_row_table(spark: SparkSession, table_name: str):
+    """Read a drop-then-create one-row table FRESH: these tables (gen
+    state, applied-epoch markers) are overwritten by whole-table
+    replacement, possibly from a foreachBatch micro-batch's CLONED
+    session (r14) — the reading session's relation cache can then
+    still list the replaced file and fail FILE_NOT_EXIST (or worse,
+    answer stale). One refreshTable per read, a driver-side catalog
+    op on a one-row table, paid only on mutation-path reads."""
+    spark.catalog.refreshTable(table_name)
+    return spark.table(table_name).collect()
+
+
 def current_gen(spark: SparkSession, base_name: str) -> int:
     """The index's current generation (one-row read; 0 for an index
     written before generation tracking existed). Accepts a serving
@@ -264,7 +276,7 @@ def current_gen(spark: SparkSession, base_name: str) -> int:
     base_name = resolve_index_base(spark, base_name)
     if not spark.catalog.tableExists(f"{base_name}_state"):
         return 0
-    return spark.table(f"{base_name}_state").collect()[0].gen
+    return _read_one_row_table(spark, f"{base_name}_state")[0].gen
 
 
 def _max_standing_gen(spark: SparkSession, base_name: str) -> int:
@@ -339,7 +351,7 @@ def verify_sole_writer(
     #5): one one-row read, called once per mutation AFTER its data
     write, so a lost gen update is detected while the losing batch is
     still known and re-runnable."""
-    row = spark.table(f"{base_name}_state").collect()[0]
+    row = _read_one_row_table(spark, f"{base_name}_state")[0]
     seen_nonce = getattr(row, "nonce", None)
     if row.gen != gen or seen_nonce != nonce:
         raise ConcurrentWriterError(

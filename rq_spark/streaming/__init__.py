@@ -602,3 +602,171 @@ def probe_ann_index_stream(
         "probe_ann",
         sink,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming ingest (append) face of the persisted indexes (r14, r13
+# verdict task #4)
+#
+# r13 gave all three index families streaming PROBES; the append/absorb
+# arrow stayed batch-only for a real reason: Structured Streaming's
+# foreachBatch is AT-LEAST-ONCE — a crash between the index append and
+# the engine's offset commit redelivers the micro-batch, and a naive
+# wrapper would double-append index rows, turning a task retry into
+# silent duplicate candidates. The ingest scaffold below makes the
+# per-batch apply IDEMPOTENT instead, with two independent layers:
+#
+#   1. REINGEST semantics per batch: the family appenders' upsert path
+#      (append the batch's rows at generation g, then tombstone the
+#      batch ids at g−1) already makes "apply this batch again" safe —
+#      a replay's rows land at a HIGHER generation and its tombstones
+#      kill whatever a previous partial attempt wrote, so exactly one
+#      copy is ever visible. This covers the un-detectable case
+#      (crash after some rows landed, before any marker moved).
+#   2. An applied-epoch MARKER (one-row ``{base}_applied`` table:
+#      query name + last applied epoch, overwritten after each
+#      successful apply): a redelivery of an already-committed epoch
+#      no-ops at the marker read, skipping the (harmless but non-free)
+#      re-apply. The marker's own drop-then-create crash window only
+#      ever loses the marker — the stale direction, repaired by the
+#      idempotent re-apply.
+#
+# Spark's engine commits epochs IN ORDER and only ever redelivers the
+# exact same (epoch_id, data) — so a replay of an OLD epoch after a
+# newer one committed cannot happen, and "marker epoch >= this epoch"
+# is a sufficient skip condition. Inherited contracts: the reingest
+# intake guard fails LOUDLY on a batch doc that would produce no index
+# rows (filter unusable docs upstream — silence would be a silent
+# delete on a genuine re-crawl); tombstones grow ∝ rows ingested
+# between compactions (run the family's ``compact_*_index`` on
+# schedule, which purges and clears them); single-writer contract per
+# index (the per-mutation writer nonce detects a rival, including a
+# concurrent batch job).
+# --------------------------------------------------------------------------
+
+
+def _read_applied_epoch(spark, base_name: str, query_name: str) -> int:
+    from ..bucketing import _read_one_row_table
+
+    t = f"{base_name}_applied"
+    if not spark.catalog.tableExists(t):
+        return -1
+    rows = _read_one_row_table(spark, t)
+    if not rows or rows[0].query != query_name:
+        return -1
+    return int(rows[0].epoch)
+
+
+def _write_applied_epoch(
+    spark, base_name: str, query_name: str, epoch_id: int
+) -> None:
+    spark.createDataFrame(
+        [(query_name, int(epoch_id))], "query string, epoch long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{base_name}_applied"
+    )
+
+
+def _ingest_stream(
+    stream: DataFrame, base_name: str, apply_fn, query_name: str
+):
+    """Shared foreachBatch scaffold of the streaming index ingest
+    (section comment above): skip epochs at or below the applied
+    marker, apply the batch through the family appender's REINGEST
+    path, then advance the marker. ``apply_fn(batch_df)`` must be the
+    reingest-mode appender call. The serving-alias pointer and the
+    marker are re-resolved per micro-batch (a blue/green flip lands on
+    the next batch; a flip racing an apply raises through the
+    appender's own verify_still_serving)."""
+    return (
+        stream.writeStream.foreachBatch(
+            _ingest_batch_fn(
+                stream.sparkSession, base_name, apply_fn, query_name
+            )
+        )
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _ingest_batch_fn(spark, base_name: str, apply_fn, query_name: str):
+    """The per-micro-batch handler, split out so the retry tests can
+    deliver the exact same (batch, epoch) twice the way an engine
+    redelivery would."""
+    from ..bucketing import resolve_index_base
+
+    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        resolved = resolve_index_base(spark, base_name)
+        if _read_applied_epoch(spark, resolved, query_name) >= epoch_id:
+            return  # an already-committed epoch redelivered: no-op
+        if batch_df.isEmpty():
+            # nothing to apply, but the marker still advances (an
+            # empty epoch must not reopen the skip window) — and the
+            # pointless gen bump + empty tombstone append are avoided
+            _write_applied_epoch(spark, resolved, query_name, epoch_id)
+            return
+        apply_fn(batch_df)
+        _write_applied_epoch(spark, resolved, query_name, epoch_id)
+
+    return _one_batch
+
+
+def ingest_hamming_index_stream(
+    stream_sig: DataFrame, base_name: str, query_name: str
+):
+    """Continuous ingest of a signature STREAM into the standing
+    persisted Hamming index — the streaming face of the loop's append
+    arrow (`operators.dedup.append_to_hamming_index` per micro-batch,
+    reingest mode). ``query_name`` must be STABLE across restarts of
+    the same logical ingest job: it keys the applied-epoch marker that
+    makes redeliveries no-op. Returns the started StreamingQuery."""
+    from ..operators.dedup import append_to_hamming_index
+
+    return _ingest_stream(
+        stream_sig,
+        base_name,
+        lambda batch: append_to_hamming_index(
+            batch, base_name, reingest=True
+        ),
+        query_name,
+    )
+
+
+def ingest_minhash_index_stream(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_name: str,
+    query_name: str,
+):
+    """The document-corpus sibling: every micro-batch of crawled
+    documents is shingled under the index's PINNED banding and
+    absorbed (`append_to_minhash_index`, reingest mode). Same marker +
+    reingest idempotence contract as `ingest_hamming_index_stream`."""
+    from ..operators.dedup import append_to_minhash_index
+
+    return _ingest_stream(
+        stream_docs,
+        base_name,
+        lambda batch: append_to_minhash_index(
+            batch, text_col, id_col, base_name, reingest=True
+        ),
+        query_name,
+    )
+
+
+def ingest_ann_index_stream(
+    stream_vecs: DataFrame, base_name: str, query_name: str
+):
+    """The vector sibling: micro-batches of fresh embeddings encoded
+    under the index's pinned model and absorbed
+    (`append_to_ann_index`, reingest mode). Same marker + reingest
+    idempotence contract as `ingest_hamming_index_stream`."""
+    from ..operators.similarity import append_to_ann_index
+
+    return _ingest_stream(
+        stream_vecs,
+        base_name,
+        lambda batch: append_to_ann_index(batch, base_name, reingest=True),
+        query_name,
+    )

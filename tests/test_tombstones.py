@@ -1413,3 +1413,108 @@ def test_retire_index_guarded_by_serving_pointers(spark):
         spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
         _drop(spark, b1, ("hbands", "meta"))
         _drop(spark, b2, ("hbands", "meta"))
+
+
+def test_stream_ingest_appends_and_survives_redelivery(spark, tmp_path):
+    """Streaming INGEST face of the loop (r14, r13 verdict task #4):
+    foreachBatch is at-least-once, so a naive append wrapper would
+    double-append index rows on a redelivery. The ingest scaffold is
+    idempotent two ways — the appenders' reingest path (a replay's
+    tombstones kill whatever a previous partial attempt wrote) and an
+    applied-epoch marker (a committed epoch redelivered no-ops).
+    Pinned: (a) a real two-batch stream leaves the index equal to a
+    from-scratch rebuild; (b) redelivering a committed epoch changes
+    nothing; (c) a crash-after-append-before-marker replay (the
+    undetectable case) still converges to exactly ONE live copy per
+    row; (d) an empty epoch advances the marker without a gen bump."""
+    from rq_spark import streaming as ST
+    from rq_spark.streaming import (
+        _ingest_batch_fn,
+        _read_applied_epoch,
+        ingest_hamming_index_stream,
+    )
+
+    rows, _ = _sig_corpus()
+    corpus, b1, b2, b3 = rows[:60], rows[60:80], rows[80:100], rows[100:110]
+    mk = lambda rs: spark.createDataFrame(rs, "doc long, sig long")  # noqa: E731
+    base, ref = "t_ing_live", "t_ing_ref"
+    qname = "t_ing_q"
+    src = str(tmp_path / "ingstream")
+
+    def live_rows(b):
+        return filter_tombstoned(
+            spark, b, spark.table(f"{b}_hbands"), "doc"
+        ).select("doc", "sig", "band", "bval")
+
+    def live_stats(b):
+        df = live_rows(b)
+        per_doc = {r.doc: r.n for r in df.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        return {(r.doc, r.sig, r.band, r.bval) for r in df.collect()}, per_doc
+
+    try:
+        D.write_hamming_index(mk(corpus), base, bands=4)
+
+        # (a) two real micro-batches through the engine
+        mk(b1).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc long, sig long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = ingest_hamming_index_stream(stream, base, qname)
+        try:
+            q.processAllAvailable()
+            mk(b2).coalesce(1).write.parquet(f"{src}/f2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        D.write_hamming_index(mk(corpus + b1 + b2), ref, bands=4)
+        got_set, got_counts = live_stats(base)
+        want_set, want_counts = live_stats(ref)
+        assert got_set == want_set and got_counts == want_counts
+        last_epoch = _read_applied_epoch(spark, base, qname)
+        assert last_epoch >= 1
+
+        # (b) redeliver a COMMITTED epoch: the marker no-ops it (and
+        # the gen does not move — nothing was applied)
+        h = _ingest_batch_fn(
+            spark, base,
+            lambda b: D.append_to_hamming_index(b, base, reingest=True),
+            qname,
+        )
+        g0 = current_gen(spark, base)
+        h(mk(b2), last_epoch)
+        assert current_gen(spark, base) == g0
+        assert live_stats(base) == (want_set, want_counts)
+
+        # (c) crash after append, before marker: the partial attempt's
+        # rows landed (worst case: ALL of them), the marker is stale,
+        # and the engine redelivers the same epoch — the replay's
+        # reingest tombstones the earlier copy, leaving exactly ONE
+        # live row set (a naive append would leave TWO copies the
+        # set-compare cannot see; the per-doc counts can)
+        D.append_to_hamming_index(mk(b3), base, reingest=True)  # the
+        # partial attempt (rows landed, marker never moved)
+        h(mk(b3), last_epoch + 1)  # the redelivery
+        D.write_hamming_index(mk(corpus + b1 + b2 + b3), ref, bands=4)
+        got_set, got_counts = live_stats(base)
+        want_set, want_counts = live_stats(ref)
+        assert got_set == want_set and got_counts == want_counts
+        assert all(n == 4 for n in got_counts.values())  # one copy each
+        assert _read_applied_epoch(spark, base, qname) == last_epoch + 1
+
+        # (d) an empty epoch advances the marker with NO gen bump
+        g1 = current_gen(spark, base)
+        h(mk([]).limit(0), last_epoch + 2)
+        assert _read_applied_epoch(spark, base, qname) == last_epoch + 2
+        assert current_gen(spark, base) == g1
+
+        # probes agree end-to-end (value-level, not just row sets)
+        assert _pairs(D.hamming_near_pairs_from_index(spark, base)) == _pairs(
+            D.hamming_near_pairs_from_index(spark, ref)
+        )
+        assert ST is not None
+    finally:
+        _drop(spark, base, ("hbands", "meta", "applied"))
+        _drop(spark, ref, ("hbands", "meta", "applied"))
