@@ -813,6 +813,25 @@ def retire_index(
     family's data/model tables (e.g. ``["meta", "hbands"]``); the
     state and tombstone tables are dropped with them.
 
+    THE DRAIN CONTRACT, precisely (r14, r13 verdict task #6 — this
+    was caller folklore before): a plan RESOLVED before the flip
+    pinned the old base's catalog metadata and therefore its FILES —
+    the flip itself moves no bytes, so such a plan keeps evaluating
+    correctly, repeatedly, for as long as the old base's tables stand.
+    The safe window is exactly [flip, retire]. Retire is
+    DELETE-UNDER-READER, with two — and only two — possible outcomes
+    for a pre-flip plan executed after the drop: it answers the OLD
+    base one more time (a DataFrame whose shuffle map outputs were
+    already materialized by an earlier execution reuses them without
+    touching the deleted files — still CONSISTENT old-base data), or
+    it fails loudly on the rescan (FILE_NOT_EXIST /
+    TABLE_OR_VIEW_NOT_FOUND). It never answers from the new base, a
+    mixed state, or partially-deleted files. So "drained" means:
+    every plan built before the flip has finished its LAST execution —
+    a bounded, schedulable quantity (the fleet's longest query/job
+    admission lag), not a guess; both outcomes pinned by
+    `tests/test_tombstones.py:test_preflip_reader_window_and_retire`.
+
     Fail-loud discipline (r13 review): the guard fails CLOSED — an
     unreadable or empty pointer table (e.g. a flip mid drop+create)
     raises rather than being skipped; the target comparison casefolds

@@ -1518,3 +1518,78 @@ def test_stream_ingest_appends_and_survives_redelivery(spark, tmp_path):
     finally:
         _drop(spark, base, ("hbands", "meta", "applied"))
         _drop(spark, ref, ("hbands", "meta", "applied"))
+
+
+def test_preflip_reader_window_and_retire(spark):
+    """The drain contract made explicit (r14, r13 verdict task #6):
+    a probe plan resolved through the alias BEFORE the flip pins the
+    old base's files — it keeps evaluating correctly after the flip
+    (the flip moves no bytes), which is the entire safe window; after
+    `retire_index` (delete-under-reader) the same plan has exactly TWO
+    possible outcomes, both pinned: a DataFrame whose shuffle outputs
+    were already materialized may answer the OLD base once more
+    (consistent — never the new base, never mixed), and any FRESH
+    execution over the same lineage fails LOUDLY on the rescan.
+    'Drained' therefore means: every pre-flip plan has run its last
+    execution — a bounded, schedulable quantity, not folklore."""
+    import pytest
+
+    from rq_spark.bucketing import retire_index, set_index_pointer
+
+    rows, _ = _sig_corpus()
+    sig1 = spark.createDataFrame(rows, "doc long, sig long")
+    sig2 = spark.createDataFrame(
+        [(d + 5000, s) for d, s in rows], "doc long, sig long"
+    )
+    b1, b2, alias = "t_drain_blue", "t_drain_green", "t_drain_serve"
+    try:
+        D.write_hamming_index(sig1, b1, bands=4)
+        set_index_pointer(spark, alias, b1)
+        # the in-flight reader: resolved through the alias pre-flip
+        preflip = D.hamming_near_pairs_from_index(spark, alias)
+        want_old = _pairs(preflip)
+        assert want_old
+
+        # the flip: zero-downtime cutover to the green base
+        D.write_hamming_index(sig2, b2, bands=4)
+        set_index_pointer(spark, alias, b2)
+
+        # [flip, retire] window: the pre-flip plan still evaluates
+        # correctly — REPEATEDLY — against the old base's files, while
+        # new resolutions see the green base
+        assert _pairs(preflip) == want_old
+        assert _pairs(preflip) == want_old
+        assert _pairs(D.hamming_near_pairs_from_index(spark, alias)) == {
+            (a + 5000, b + 5000, h) for a, b, h in want_old
+        }
+
+        # retire = delete-under-reader, two lawful outcomes only:
+        retire_index(spark, b1, ["meta", "hbands"])
+        # (1) the already-executed DataFrame reuses its materialized
+        # shuffle map outputs — if it answers at all, it answers the
+        # OLD base verbatim (consistent), never the green base
+        try:
+            again = _pairs(preflip)
+        except Exception as e:  # noqa: BLE001 — the loud outcome
+            assert "FILE_NOT_EXIST" in str(e) or "does not exist" in str(e)
+        else:
+            assert again == want_old
+        # (2) a FRESH execution over the same lineage (no reusable
+        # shuffle output) must fail LOUDLY on the rescan
+        with pytest.raises(Exception) as exc:
+            preflip.where("a_id >= 0").collect()
+        msg = str(exc.value)
+        assert (
+            "FILE_NOT_EXIST" in msg
+            or "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "does not exist" in msg
+            or "PATH_NOT_FOUND" in msg
+        ), msg
+        # and a new resolution through the alias still serves green
+        assert _pairs(D.hamming_near_pairs_from_index(spark, alias)) == {
+            (a + 5000, b + 5000, h) for a, b, h in want_old
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, b1, ("hbands", "meta"))
+        _drop(spark, b2, ("hbands", "meta"))
