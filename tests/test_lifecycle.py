@@ -238,3 +238,136 @@ def test_takedown_requires_paired_labels_and_ledger(spark):
         L.takedown(spark, ids, {}, labels_base="t_lc_only_lbl")
     with pytest.raises(IllegalStateError, match="nothing to act on"):
         L.takedown(spark, ids, {})
+
+
+def test_takedown_across_multiple_index_families(spark, monkeypatch):
+    """The real loop shape: a doc and its embedding share an id, and a
+    takedown must land on EVERY family serving it. One composed call
+    tombstones the Hamming AND ANN families, prunes the ledger, evicts
+    the labels; a crash between the two FAMILIES (the seam the
+    single-family test cannot reach) leaves a pending intent whose
+    resume converges — and the second family, untouched by the crash,
+    ends identical to the clean path."""
+    import pytest
+
+    from pyspark.sql import functions as F2
+    from rq_spark import bucketing as B
+    from rq_spark.operators import similarity as S
+    from rq_spark.queries.helpers import table
+
+    ibase, abase = "t_lcm_idx", "t_lcm_ann"
+    lbase, ebase = "t_lcm_lbl", "t_lcm_led"
+    victims = [2, 1003]
+    try:
+        rows, pairs = _stand_up(spark, ibase, lbase, ebase, "mf")
+        vecs = table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+            F2.col("vec_id") < 100
+        )
+        S.write_ann_index(vecs, abase, n_centroids=4, m=4, n_codes=8, iters=1)
+        ids = spark.createDataFrame([(v,) for v in victims], "node long")
+        fams = {ibase: "doc", abase: "neighbor_id"}  # the ANN
+        # tables store the id as neighbor_id — the same column the
+        # family probes filter_tombstoned on
+
+        # crash BETWEEN the two index families: the second
+        # add_tombstones call dies
+        real = B.add_tombstones
+        n = {"c": 0}
+
+        def dying(*a, **kw):
+            n["c"] += 1
+            if n["c"] == 2:
+                raise RuntimeError("injected crash between families")
+            real(*a, **kw)
+
+        monkeypatch.setattr(B, "add_tombstones", dying)
+        with pytest.raises(RuntimeError, match="between families"):
+            L.takedown(
+                spark, ids, fams, labels_base=lbase, ledger_base=ebase,
+                evict_kwargs={"scope": "lc_ev_mf"},
+            )
+        monkeypatch.setattr(B, "add_tombstones", real)
+
+        status = L.assert_taken_down(
+            spark, ids, fams, labels_base=lbase, ledger_base=ebase
+        )
+        assert status[ibase] == 0 and status[abase] > 0  # the seam, visible
+        assert len(L.pending_takedowns(spark, lbase)) == 1
+
+        L.resume_takedowns(
+            spark, fams, labels_base=lbase, ledger_base=ebase,
+            evict_kwargs={"scope": "lc_evr_mf"},
+        )
+        status = L.assert_taken_down(
+            spark, ids, fams, labels_base=lbase, ledger_base=ebase
+        )
+        assert set(status.values()) == {0}, status
+        assert L.pending_takedowns(spark, lbase) == []
+        # ANN really stopped serving the victims (probe-level check,
+        # not just the row scan): top-k over victim queries returns
+        # no victim neighbors
+        k = S.ivfpq_topk_join_from_index(
+            spark, vecs.filter(F2.col("vec_id").isin(victims)), abase, k=3
+        )
+        assert all(r.neighbor_id not in victims for r in k.collect())
+        # and the labels/index/ledger equal the clean-run end state
+        want_labels, want_edges = _expected_after(
+            spark, rows, pairs, victims, "mf"
+        )
+        _scan, got_labels, got_edges = _final_state(spark, ibase, lbase, ebase)
+        assert got_labels == want_labels and got_edges == want_edges
+    finally:
+        _drop_all(spark, ibase, lbase, ebase)
+        for t in ("codes", "vectors", "centroids", "codebooks", "meta",
+                  "state", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS t_lcm_ann_{t}")
+
+
+def test_compact_takedown_journal(spark, monkeypatch):
+    """Journal maintenance: closed intents are dropped, PENDING ones
+    kept verbatim (crash recovery unaffected); a crash between the
+    compaction's two renames leaves the journal under the backup name
+    only — loud, never a silently emptied WAL — and the next run
+    recovers it."""
+    lbase = "t_lcj_lbl"
+    t = f"{lbase}_tdlog"
+    try:
+        ids1 = spark.createDataFrame([(1,), (2,)], "node long")
+        ids2 = spark.createDataFrame([(3,)], "node long")
+        L._journal_begin(spark, lbase, "td_done", ids1)
+        L._journal_done(spark, lbase, "td_done")
+        L._journal_begin(spark, lbase, "td_open", ids2)
+        assert L.pending_takedowns(spark, lbase) == ["td_open"]
+
+        L.compact_takedown_journal(spark, lbase)
+        assert L.pending_takedowns(spark, lbase) == ["td_open"]
+        rows = spark.table(t).collect()
+        assert {r.td_id for r in rows} == {"td_open"}  # closed intent gone
+
+        # crash between the renames: journal under the backup name
+        # only; pending reads fail LOUD; the next compaction recovers
+        import pytest
+
+        renames = {"n": 0}
+        real_sql = spark.sql
+
+        def dying_sql(q, *a, **kw):
+            if q.startswith("ALTER TABLE") and "RENAME TO" in q:
+                renames["n"] += 1
+                if renames["n"] == 2:
+                    raise RuntimeError("injected crash mid-compaction")
+            return real_sql(q, *a, **kw)
+
+        monkeypatch.setattr(spark, "sql", dying_sql)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            L.compact_takedown_journal(spark, lbase)
+        monkeypatch.setattr(spark, "sql", real_sql)
+        assert not spark.catalog.tableExists(t)
+        assert spark.catalog.tableExists(f"{t}__precompact")
+
+        L.compact_takedown_journal(spark, lbase)  # recovers, completes
+        assert L.pending_takedowns(spark, lbase) == ["td_open"]
+        assert not spark.catalog.tableExists(f"{t}__precompact")
+    finally:
+        for suf in ("", "__precompact", "__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")

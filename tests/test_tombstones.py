@@ -1593,3 +1593,93 @@ def test_preflip_reader_window_and_retire(spark):
         spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
         _drop(spark, b1, ("hbands", "meta"))
         _drop(spark, b2, ("hbands", "meta"))
+
+
+def test_stream_ingest_minhash_and_ann_siblings(spark):
+    """The document and vector ingest siblings share
+    `_ingest_batch_fn`'s idempotence with the hamming face; pinned
+    here per family (direct handler delivery — the engine redelivery
+    shape): redelivering a committed epoch no-ops, a stale-marker
+    replay converges to ONE live copy, and the final index equals a
+    from-scratch rebuild (under the day-0 pinned model for ANN, which
+    is what append promises)."""
+    from rq_spark.streaming import _ingest_batch_fn, _read_applied_epoch
+
+    docs = table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).limit(60)
+    batch = docs.filter(F.col("doc_id") % 3 == 1).limit(20)
+    heldout = docs.filter(F.col("doc_id") % 3 == 2).limit(20)
+    base, ref = "t_ingmh_live", "t_ingmh_ref"
+    mh = ("bands", "shingles", "meta", "applied")
+    try:
+        D.write_minhash_index(corpus, "text", "doc_id", base)
+        h = _ingest_batch_fn(
+            spark, base,
+            lambda b: D.append_to_minhash_index(
+                b, "text", "doc_id", base, reingest=True
+            ),
+            "q_mh",
+        )
+        h(batch, 0)
+        g0 = current_gen(spark, base)
+        h(batch, 0)  # committed-epoch redelivery: no-op, gen unmoved
+        assert current_gen(spark, base) == g0
+        h(batch, 1)  # stale-marker replay: re-apply, still one copy
+        assert _read_applied_epoch(spark, base, "q_mh") == 1
+        live = filter_tombstoned(
+            spark, base, spark.table(f"{base}_shingles"), "doc"
+        )
+        # one live copy per doc (the shingles table is one row per doc)
+        assert live.count() == live.select("doc").distinct().count()
+        D.write_minhash_index(
+            corpus.unionByName(batch), "text", "doc_id", ref
+        )
+        probe = lambda b: {  # noqa: E731
+            (r.new_id, r.corpus_id): round(r.jaccard, 9)
+            for r in D.incremental_minhash_pairs_from_index(
+                spark, heldout, "text", "doc_id", b
+            ).collect()
+        }
+        assert probe(base) == probe(ref)
+    finally:
+        _drop(spark, base, mh)
+        _drop(spark, ref, mh)
+
+    from rq_spark.operators import similarity as S
+
+    vecs = table(spark, SF, "embeddings")
+    vcorpus = vecs.filter(F.col("vec_id") % 2 == 0).limit(60)
+    vbatch = vecs.filter(F.col("vec_id") % 2 == 1).limit(15)
+    vheld = vecs.filter(
+        (F.col("vec_id") % 4 == 2) & (F.col("vec_id") < 40)
+    )
+    abase, aref = "t_ingann_live", "t_ingann_ref"
+    ann = ("codes", "vectors", "centroids", "codebooks", "meta", "applied")
+    try:
+        S.write_ann_index(vcorpus, abase, n_centroids=4, m=4, n_codes=8, iters=1)
+        _meta, cents, cb = S._read_ann_model(spark, abase)
+        ha = _ingest_batch_fn(
+            spark, abase,
+            lambda b: S.append_to_ann_index(b, abase, reingest=True),
+            "q_ann",
+        )
+        ha(vbatch, 0)
+        ha(vbatch, 0)
+        ha(vbatch, 1)
+        live = filter_tombstoned(
+            spark, abase, spark.table(f"{abase}_codes"), "neighbor_id"
+        )
+        assert live.count() == live.select("neighbor_id").distinct().count()
+        S.write_ann_index(
+            vcorpus.unionByName(vbatch), aref, pretrained=(cents, cb)
+        )
+        topk = lambda b: {  # noqa: E731
+            (r.query_id, r.neighbor_id, r.rk, round(r.cos_sim, 9))
+            for r in S.ivfpq_topk_join_from_index(
+                spark, vheld, b, k=5, nprobe=4, rerank=20
+            ).collect()
+        }
+        assert topk(abase) == topk(aref) != set()
+    finally:
+        _drop(spark, abase, ann)
+        _drop(spark, aref, ann)
