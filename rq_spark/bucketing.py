@@ -555,11 +555,17 @@ def resolve_index_base(spark: SparkSession, name: str) -> str:
     A restarted session's ORPHANED ptr dir fails loudly here (r13
     review): silently treating the alias as a physical name would
     route a takedown to tables nothing serves — the lost-deletion
-    class again."""
+    class again.
+
+    The ptr is read FRESH (r14): Spark's table-relation cache is per
+    SESSION, so a flip executed by another session (a takedown job, a
+    foreachBatch micro-batch clone) would otherwise be invisible here
+    forever — every probe and mutation in this session would keep
+    following the retired base. One-row refresh, driver-side only."""
     if not spark.catalog.tableExists(f"{name}_ptr"):
         _require_no_orphan_location(spark, f"{name}_ptr")
         return name
-    return spark.table(f"{name}_ptr").collect()[0].base
+    return _read_one_row_table(spark, f"{name}_ptr")[0].base
 
 
 def verify_still_serving(
@@ -736,6 +742,43 @@ def _anti_tombstone(rows: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
         F.col("id").alias("_tomb_id"), F.col("gen").alias("_tomb_gen")
     )
     return rows.join(F.broadcast(t), _dead_row_cond(rows, id_col), "left_anti")
+
+
+def refresh_base_tables(spark: SparkSession, *base_names: str) -> None:
+    """Invalidate this session's cached file listings for every
+    catalog table of the given index/labels/ledger bases (r14).
+
+    Spark's table-relation cache is PER SESSION: after another session
+    mutates a table this session has already read — a foreachBatch
+    micro-batch runs in a CLONED session, a concurrent takedown or
+    ingest job in its own — this session keeps serving the old file
+    listing (appended rows and tombstones invisible; a replaced file
+    fails FILE_NOT_EXIST). The one-row control tables (gen state,
+    applied-epoch markers, serving pointers) already re-read fresh on
+    every use (`_read_one_row_table`, `resolve_index_base`); this is
+    the DATA-table counterpart, for the seams where a whole base
+    changed under this session: call it after a streaming ingest
+    finishes (or per batch — the streaming scaffolds do), or before
+    reading an index another job appends to.
+
+    Cost: driver-side metadata invalidation only — the re-LISTING is
+    lazy, paid by the next query over each table. Each base name is
+    refreshed under BOTH its given spelling and its resolved physical
+    base, so aliases keep working across flips."""
+    from pyspark.errors import AnalysisException
+
+    names = {t.name for t in spark.catalog.listTables()}
+    prefixes = set()
+    for base in base_names:
+        prefixes.add(base)
+        prefixes.add(resolve_index_base(spark, base))
+    for t in sorted(names):
+        if any(t == p or t.startswith(f"{p}_") for p in prefixes):
+            try:
+                spark.catalog.refreshTable(t)
+            except AnalysisException:
+                pass  # dropped by a concurrent rewrite between the
+                # list and the refresh: its cache entry died with it
 
 
 def filter_tombstoned(

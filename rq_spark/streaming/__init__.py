@@ -474,12 +474,26 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), "append")
 
 
-def _probe_stream(stream: DataFrame, probe_fn, name_prefix: str, sink):
+def _probe_stream(
+    stream: DataFrame, probe_fn, name_prefix: str, sink,
+    refresh_bases: tuple = (),
+):
     """Shared foreachBatch scaffold of the streaming index probes:
     build the batch probe's plan via ``probe_fn(batch_df)``, hand the
     result to ``sink(result_df, epoch_id)``, and start the query under
     a unique name. One place to change the shape (error handling,
     empty-batch policy) for every probe family.
+
+    ``refresh_bases`` (r14): index bases whose cached file listings
+    are invalidated in the probe's session before EVERY batch. Spark's
+    table-relation cache is per session, so without this a tombstone
+    append, index append, or blue/green flip executed by a DIFFERENT
+    session (a concurrent ingest stream's micro-batch clone, a
+    takedown job) would stay invisible to this probe for the life of
+    the query — the "lands on the next micro-batch" contract held only
+    for same-session mutations. Cost: a driver-side metadata
+    invalidation per batch; the re-listing is lazy and, for a compacted
+    index, bounded at ~one file per bucket.
 
     No empty-batch guard (ADVICE r13): the old ``take(1)`` skip cost
     one extra Spark job per micro-batch ON THE HOT PATH (non-empty
@@ -487,8 +501,13 @@ def _probe_stream(stream: DataFrame, probe_fn, name_prefix: str, sink):
     yield empty output for empty input (pinned by the empty-table
     probes of r9 and `test_stream_probe_empty_batches`) — so the sink
     simply receives an empty result for an empty batch."""
+    from ..bucketing import refresh_base_tables
+
+    spark = stream.sparkSession
 
     def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if refresh_bases:
+            refresh_base_tables(spark, *refresh_bases)
         sink(probe_fn(batch_df), epoch_id)
 
     return (
@@ -538,6 +557,7 @@ def probe_index_stream(
         ),
         "probe_index",
         sink,
+        refresh_bases=(base_name,),
     )
 
 
@@ -568,6 +588,7 @@ def probe_minhash_index_stream(
         ),
         "probe_minhash",
         sink,
+        refresh_bases=(base_name,),
     )
 
 
@@ -601,6 +622,7 @@ def probe_ann_index_stream(
         ),
         "probe_ann",
         sink,
+        refresh_bases=(base_name,),
     )
 
 
@@ -642,6 +664,15 @@ def probe_ann_index_stream(
 # schedule, which purges and clears them); single-writer contract per
 # index (the per-mutation writer nonce detects a rival, including a
 # concurrent batch job).
+#
+# Session cache coherence (r14): the appends run through foreachBatch's
+# CLONED session, and Spark's table-relation cache is per session — a
+# session that read the index tables BEFORE or DURING the stream keeps
+# serving its stale file listing afterwards (appended rows invisible).
+# The one-row control tables re-read fresh on every use; for the data
+# tables, call ``bucketing.refresh_base_tables(spark, base)`` in any
+# such session once the stream has applied (the streaming probe and
+# loop scaffolds do this per micro-batch themselves).
 # --------------------------------------------------------------------------
 
 
@@ -770,3 +801,129 @@ def ingest_ann_index_stream(
         lambda batch: append_to_ann_index(batch, base_name, reingest=True),
         query_name,
     )
+
+
+def continuous_dedup_loop_stream(
+    stream_sig: DataFrame,
+    index_base: str,
+    labels_base: str,
+    ledger_base: str,
+    query_name: str,
+    max_hamming: int = 3,
+):
+    """The WHOLE daily-ingest dedup loop, continuously (r14): per
+    micro-batch of freshly-hashed signatures, run the loop's four
+    arrows in their pinned order against the standing durable state —
+
+        probe the STANDING index (pre-append, so the batch never
+        matches itself) and the batch's own within-batch near-pairs →
+        append the day's pairs to the EDGE LEDGER →
+        absorb them into the persisted LABELS (read → absorb → staged
+        rewrite) →
+        append the batch to the INDEX (reingest mode)
+
+    — so takedowns (`lifecycle.takedown`), blue/green flips, and
+    restarts compose with a live stream exactly as with the nightly
+    batch job: every arrow re-resolves pointers/tombstones per batch.
+
+    At-least-once redelivery converges (the reasoning each arrow's own
+    tests pin): a replayed epoch whose index append already landed
+    re-probes a corpus that now CONTAINS the batch — the extra
+    candidate pairs are batch-vs-batch edges the within-batch scan
+    already contributes (same banding, same threshold), and same-id
+    matches are filtered, so the edge set's CONNECTIVITY — hence the
+    absorbed labels, a fixed point — is unchanged; the ledger may
+    hold duplicate edge ROWS after a replay (harmless to every
+    consumer: connected components and `evict_nodes` are duplicate-
+    insensitive; `compact_edge_ledger` bounds the growth), the label
+    rewrite is idempotent, the index append is reingest-idempotent,
+    and the applied-epoch marker (kept on the INDEX base, written
+    LAST) skips fully-committed epochs outright.
+
+    Heavier per batch than `ingest_*_index_stream` (a label rewrite
+    per micro-batch — labels are tiny, but it is a full staged swap):
+    size micro-batches accordingly, or run probe/ingest streams
+    continuously and the absorb nightly. Parity with the hand-run
+    batch loop is pinned in tests/test_tombstones.py."""
+    return (
+        stream_sig.writeStream.foreachBatch(
+            _loop_batch_fn(
+                stream_sig.sparkSession,
+                index_base,
+                labels_base,
+                ledger_base,
+                query_name,
+                max_hamming,
+            )
+        )
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _loop_batch_fn(
+    spark,
+    index_base: str,
+    labels_base: str,
+    ledger_base: str,
+    query_name: str,
+    max_hamming: int = 3,
+):
+    """`continuous_dedup_loop_stream`'s per-micro-batch handler, split
+    out so the redelivery tests can deliver the exact same
+    (batch, epoch) twice the way an engine retry would."""
+    from ..bucketing import refresh_base_tables, resolve_index_base
+    from ..operators.dedup import (
+        absorb_edges,
+        append_edge_ledger,
+        append_to_hamming_index,
+        hamming_near_pairs,
+        hamming_probe_from_index,
+        read_labels,
+        write_labels,
+    )
+
+    def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # the index append below runs through the BATCH's cloned
+        # session (the appender writes via batch.sparkSession), so
+        # this handler session's cached listing of the index tables
+        # goes stale after every batch — without this refresh, batch
+        # N's probe would read the index as of day 0 and miss every
+        # earlier batch's appended rows (the labels/ledger arrows
+        # read and write through THIS session, self-coherent, but one
+        # refresh covers a foreign takedown job touching them too)
+        refresh_base_tables(spark, index_base, labels_base, ledger_base)
+        resolved = resolve_index_base(spark, index_base)
+        if _read_applied_epoch(spark, resolved, query_name) >= epoch_id:
+            return
+        if batch_df.isEmpty():
+            _write_applied_epoch(spark, resolved, query_name, epoch_id)
+            return
+        batch = batch_df.localCheckpoint()  # pin ONE batch for all four
+        # arrows (the probe runs pre-append; a lazy plan re-read after
+        # the index append would see the batch in the corpus)
+        probe = hamming_probe_from_index(
+            spark, batch, index_base, max_hamming=max_hamming
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        within = hamming_near_pairs(batch, max_hamming=max_hamming)
+        e = (
+            probe.select(
+                F.col("new_id").alias("a_id"), F.col("corpus_id").alias("b_id")
+            )
+            .unionByName(within.select("a_id", "b_id"))
+            .localCheckpoint()
+        )
+        append_edge_ledger(e, ledger_base)
+        write_labels(
+            absorb_edges(
+                read_labels(spark, labels_base),
+                e,
+                new_nodes=batch.select(F.col("doc").alias("node")),
+                scope=f"{query_name}_absorb",
+            ),
+            labels_base,
+        )
+        append_to_hamming_index(batch, index_base, reingest=True)
+        _write_applied_epoch(spark, resolved, query_name, epoch_id)
+
+    return _one_batch

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from rq_spark.operators import dedup as D
 from rq_spark.operators import similarity as S
-from rq_spark.bucketing import add_tombstones, current_gen, filter_tombstoned
+from rq_spark.bucketing import (
+    add_tombstones,
+    current_gen,
+    filter_tombstoned,
+    refresh_base_tables,
+)
 from rq_spark.queries.helpers import table
 
 SF = "/root/testdata/sf0.01"
@@ -1683,3 +1688,193 @@ def test_stream_ingest_minhash_and_ann_siblings(spark):
     finally:
         _drop(spark, abase, ann)
         _drop(spark, aref, ann)
+
+
+def test_continuous_dedup_loop_stream_parity(spark, tmp_path):
+    """The WHOLE daily loop, continuously (r14,
+    `streaming.continuous_dedup_loop_stream`): per micro-batch —
+    probe the standing index pre-append, append the pairs to the edge
+    ledger, absorb into the persisted labels, append the batch to the
+    index (reingest mode). Pinned: (a) two micro-batches through the
+    engine leave labels, ledger, AND live index rows equal to the
+    hand-run batch loop in the same pinned order; (b) redelivering a
+    committed epoch no-ops; (c) the worst partial-failure replay —
+    ledger appended AND index appended, marker stale, so the re-probe
+    sees the batch in the corpus — converges: labels are a fixed
+    point, the ledger's edge SET is unchanged (duplicate rows are
+    lawful and duplicate-insensitive downstream), the index holds one
+    live copy per doc."""
+    from rq_spark.streaming import (
+        _loop_batch_fn,
+        _read_applied_epoch,
+        continuous_dedup_loop_stream,
+    )
+
+    rows, _ = _sig_corpus()
+    corpus = rows[:60]
+    b1 = rows[100:110] + rows[60:65]  # 10 planted twins + 5 randoms
+    b2 = rows[110:120] + rows[65:70]
+    mk = lambda rs: spark.createDataFrame(rs, "doc long, sig long")  # noqa: E731
+
+    def day0(ibase, lbase, ebase):
+        D.write_hamming_index(mk(corpus), ibase, bands=4)
+        pairs = D.hamming_near_pairs_from_index(spark, ibase).select(
+            "a_id", "b_id"
+        ).localCheckpoint()
+        D.write_labels(
+            D.connected_components(
+                pairs,
+                mk(corpus).select(F.col("doc").alias("node")),
+                scope=f"cl_cc0_{ibase}",
+            ),
+            lbase,
+        )
+        D.write_edge_ledger(pairs, ebase)
+
+    def hand_day(batch, ibase, lbase, ebase, tag):
+        probe = D.hamming_probe_from_index(
+            spark, batch, ibase, max_hamming=3
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        within = D.hamming_near_pairs(batch, max_hamming=3)
+        e = (
+            probe.select(
+                F.col("new_id").alias("a_id"), F.col("corpus_id").alias("b_id")
+            )
+            .unionByName(within.select("a_id", "b_id"))
+            .localCheckpoint()
+        )
+        D.append_edge_ledger(e, ebase)
+        D.write_labels(
+            D.absorb_edges(
+                D.read_labels(spark, lbase),
+                e,
+                new_nodes=batch.select(F.col("doc").alias("node")),
+                scope=f"cl_{tag}",
+            ),
+            lbase,
+        )
+        D.append_to_hamming_index(batch, ibase, reingest=True)
+        return e
+
+    def state(ibase, lbase, ebase):
+        live = filter_tombstoned(
+            spark, ibase, spark.table(f"{ibase}_hbands"), "doc"
+        )
+        return (
+            {(r.doc, r.sig, r.band, r.bval) for r in live.collect()},
+            {r.doc: r.n for r in live.groupBy("doc").agg(
+                F.count(F.lit(1)).alias("n")).collect()},
+            {(r.node, r.rep) for r in D.read_labels(spark, lbase).collect()},
+            {(r.a_id, r.b_id) for r in D.read_edge_ledger(spark, ebase).collect()},
+        )
+
+    IB, LB, EB = "t_cloop_idx", "t_cloop_lbl", "t_cloop_led"
+    IB2, LB2, EB2 = "t_cloopb_idx", "t_cloopb_lbl", "t_cloopb_led"
+    qn = "t_cloop_q"
+    src = str(tmp_path / "cloop")
+
+    def drop(ib, lb, eb):
+        _drop(spark, ib, ("hbands", "meta", "applied"))
+        for t in ("labels", "meta", "state", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {lb}_{t}")
+        _drop(spark, eb, ("edges", "meta"))
+        for b, t in ((lb, "labels"), (lb, "meta"), (eb, "edges"), (eb, "meta")):
+            for extra in ("__rewrite", "__prewrite"):
+                spark.sql(f"DROP TABLE IF EXISTS {b}_{t}{extra}")
+
+    try:
+        day0(IB, LB, EB)
+        day0(IB2, LB2, EB2)
+
+        # (a) the engine-driven loop vs the hand-run loop
+        mk(b1).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc long, sig long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = continuous_dedup_loop_stream(stream, IB, LB, EB, qn)
+        try:
+            q.processAllAvailable()
+            mk(b2).coalesce(1).write.parquet(f"{src}/f2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the index appends ran through the micro-batch CLONE session;
+        # this session's cached listing of {IB}_* is stale until told
+        refresh_base_tables(spark, IB, LB, EB)
+        hand_day(mk(b1), IB2, LB2, EB2, "d1")
+        e2 = hand_day(mk(b2), IB2, LB2, EB2, "d2")
+        got, want = state(IB, LB, EB), state(IB2, LB2, EB2)
+        assert got == want
+        # the planted twins really produced cross-batch structure
+        assert any(a >= 1000 or b >= 1000 for a, b in got[3])
+        last = _read_applied_epoch(spark, IB, qn)
+        assert last >= 1
+
+        # (b) redeliver a committed epoch: no-op
+        h = _loop_batch_fn(spark, IB, LB, EB, qn, 3)
+        h(mk(b2), last)
+        assert state(IB, LB, EB) == want
+
+        # (c) worst-case partial replay: ledger + index appends landed,
+        # marker stale — the re-run probes a corpus CONTAINING b2
+        D.append_edge_ledger(e2, EB)
+        D.append_to_hamming_index(mk(b2), IB, reingest=True)
+        h(mk(b2), last + 1)
+        got2 = state(IB, LB, EB)
+        assert got2[0] == want[0]  # one live copy per index row
+        assert got2[1] == want[1]
+        assert got2[2] == want[2]  # labels: a fixed point
+        assert got2[3] == want[3]  # ledger edge SET unchanged
+        assert _read_applied_epoch(spark, IB, qn) == last + 1
+    finally:
+        drop(IB, LB, EB)
+        drop(IB2, LB2, EB2)
+
+
+def test_refresh_after_foreign_session_mutation(spark):
+    """Cross-session cache coherence (r14): Spark's table-relation
+    cache is per SESSION — a session that has read an index keeps
+    serving its cached file listing after ANOTHER session (a
+    foreachBatch micro-batch clone, a concurrent job) mutates the
+    tables. Pinned: (a) `refresh_base_tables` makes a foreign-session
+    append visible (addressed through a serving alias); (b) a
+    foreign-session blue/green FLIP needs no refresh at all —
+    `resolve_index_base` re-reads the one-row ptr fresh on every
+    call, so probes in this session follow the flip immediately."""
+    from rq_spark.bucketing import resolve_index_base, set_index_pointer
+
+    rows, _ = _sig_corpus()
+    corpus, b1 = rows[:40], rows[40:50]
+    mk = lambda s, rs: s.createDataFrame(rs, "doc long, sig long")  # noqa: E731
+    base, base2, alias = "t_fs_b1", "t_fs_b2", "t_fs_serve"
+    s2 = spark.newSession()
+    try:
+        D.write_hamming_index(mk(spark, corpus), base, bands=4)
+        set_index_pointer(spark, alias, base)
+        # prime THIS session's listing cache before the foreign write
+        n0 = spark.table(f"{base}_hbands").count()
+        assert n0 == 40 * 4
+
+        # (a) foreign-session append, visible here after refresh
+        D.append_to_hamming_index(mk(s2, b1), alias)
+        refresh_base_tables(spark, alias)
+        assert spark.table(f"{base}_hbands").count() == n0 + 10 * 4
+        live = filter_tombstoned(
+            spark, alias, spark.table(f"{base}_hbands"), "doc"
+        )
+        assert live.select("doc").distinct().count() == 50
+
+        # (b) foreign-session flip: picked up with NO refresh call
+        D.write_hamming_index(mk(spark, corpus + b1), base2, bands=4)
+        assert resolve_index_base(spark, alias) == base
+        set_index_pointer(s2, alias, base2)
+        assert resolve_index_base(spark, alias) == base2
+        assert _pairs(D.hamming_near_pairs_from_index(spark, alias)) == _pairs(
+            D.hamming_near_pairs_from_index(spark, base2)
+        )
+    finally:
+        _drop(spark, base, ("hbands", "meta"))
+        _drop(spark, base2, ("hbands", "meta"))
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
