@@ -72,6 +72,7 @@ def takedown(
     td_id: str | None = None,
     node_col: str = "node",
     evict_kwargs: dict | None = None,
+    incremental_labels: bool = True,
 ) -> str:
     """Run one composed takedown in the pinned order (module
     docstring). ``deleted``: a one-column DataFrame of doc ids (column
@@ -84,7 +85,15 @@ def takedown(
     `evict_nodes` directly). ``journal_base`` defaults to
     ``labels_base`` or the first index base. Returns the takedown id
     (pass to `resume_takedowns` diagnostics); ``td_id`` lets a resume
-    replay under the original id."""
+    replay under the original id.
+
+    ``incremental_labels`` (r14, default): the labels step runs
+    ∝-touched end-to-end — `operators.dedup.evict_labels` appends the
+    relabeled survivors gen-stamped and tombstones the deleted ids —
+    instead of `evict_nodes` + a corpus-sized `write_labels` rewrite
+    per takedown. Both modes are replay-idempotent and converge to the
+    same `read_labels` view (a resume may even switch modes); False
+    keeps the full-rewrite shape, which doubles as compaction."""
     if (labels_base is None) != (ledger_base is None):
         raise IllegalStateError(
             "takedown needs labels_base and ledger_base together: the "
@@ -108,7 +117,7 @@ def takedown(
         _journal_begin(spark, journal_base, td_id, ids)
     _apply_takedown(
         spark, ids, index_bases, labels_base, ledger_base,
-        evict_kwargs=evict_kwargs,
+        evict_kwargs=evict_kwargs, incremental_labels=incremental_labels,
     )
     _journal_done(spark, journal_base, td_id)
     return td_id
@@ -121,11 +130,13 @@ def _apply_takedown(
     labels_base: str | None,
     ledger_base: str | None,
     evict_kwargs: dict | None = None,
+    incremental_labels: bool = True,
 ) -> None:
     """Steps 2-4 — every one idempotent, so a resume replays all of
     them unconditionally instead of guessing where the crash was."""
     from .bucketing import add_tombstones
     from .operators.dedup import (
+        evict_labels,
         evict_nodes,
         prune_edge_ledger,
         read_edge_ledger,
@@ -140,13 +151,22 @@ def _apply_takedown(
     if ledger_base is not None:
         prune_edge_ledger(spark, ledger_base, ids, "node")
     if labels_base is not None:
-        survived = evict_nodes(
-            read_labels(spark, labels_base),
-            read_edge_ledger(spark, ledger_base),
-            ids,
-            **(evict_kwargs or {}),
-        )
-        write_labels(survived, labels_base)
+        if incremental_labels:
+            evict_labels(
+                spark,
+                labels_base,
+                read_edge_ledger(spark, ledger_base),
+                ids,
+                **(evict_kwargs or {}),
+            )
+        else:
+            survived = evict_nodes(
+                read_labels(spark, labels_base),
+                read_edge_ledger(spark, ledger_base),
+                ids,
+                **(evict_kwargs or {}),
+            )
+            write_labels(survived, labels_base)
 
 
 def _journal_begin(
@@ -211,12 +231,15 @@ def resume_takedowns(
     ledger_base: str | None = None,
     journal_base: str | None = None,
     evict_kwargs: dict | None = None,
+    incremental_labels: bool = True,
 ) -> list[str]:
     """Replay every pending takedown (crash recovery, run at loop
     start): each journaled-but-unfinished id set is re-applied through
     the same pinned order — every step is idempotent, so re-running
     steps that DID complete before the crash changes nothing — and
-    closed with its DONE marker. Returns the replayed ids."""
+    closed with its DONE marker. Returns the replayed ids. The label
+    mode need not match the crashed run's (both converge to the same
+    `read_labels` view; see `takedown`)."""
     if journal_base is None:
         journal_base = labels_base or next(iter(index_bases), None)
     if journal_base is None:
@@ -227,6 +250,7 @@ def resume_takedowns(
         _apply_takedown(
             spark, ids, index_bases, labels_base, ledger_base,
             evict_kwargs=evict_kwargs,
+            incremental_labels=incremental_labels,
         )
         _journal_done(spark, journal_base, td_id)
         replayed.append(td_id)

@@ -1723,6 +1723,7 @@ def _absorb_small_batch(
     labels: DataFrame,
     edge_rows: list,
     node_rows: list,
+    return_delta: bool = False,
 ) -> DataFrame:
     """absorb_edges' FULL-driver tier (r12): the batch's edges and
     no-edge nodes fit on the driver (gated by ``small_batch_max`` —
@@ -1742,9 +1743,14 @@ def _absorb_small_batch(
     the entire prior-day plan twice with nothing saved between."""
     sess = labels.sparkSession
     node_type = labels.schema["node"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("rep", node_type)]
+    )
     ends = {r.a_id for r in edge_rows} | {r.b_id for r in edge_rows}
     ends.update(r.node for r in node_rows)
     if not ends:
+        if return_delta:
+            return sess.createDataFrame([], schema)
         return labels.select("node", "rep")
     ends = sorted(ends, key=lambda x: (x is None, x))
     ends_df = sess.createDataFrame(
@@ -1761,19 +1767,36 @@ def _absorb_small_batch(
         for r in edge_rows
         if r.a_id is not None and r.b_id is not None
     )
-    schema = T.StructType(
-        [T.StructField("node", node_type), T.StructField("rep", node_type)]
+    # remap entries that actually MOVE a representative (union-find
+    # includes identity rows for each component's min element)
+    strict = {k: v for k, v in remap.items() if k != v}
+    strict_schema = T.StructType(
+        [T.StructField("rep", node_type), T.StructField("_srep", node_type)]
     )
+    if return_delta:
+        # delta = standing nodes whose rep moved (labels scanned
+        # map-side against the broadcast strict remap) ∪ every fresh
+        # node with its final rep — fresh nodes are absent from the
+        # standing labels, so the join can never produce them
+        out = sess.createDataFrame([], schema)
+        if strict:
+            out = labels.join(
+                F.broadcast(sess.createDataFrame(
+                    sorted(strict.items()), strict_schema
+                )),
+                "rep",
+            ).select("node", F.col("_srep").alias("rep"))
+        if fresh:
+            out = out.unionAll(
+                sess.createDataFrame(
+                    [(x, remap.get(rep[x], rep[x])) for x in fresh], schema
+                )
+            )
+        return out
     out = labels.select("node", "rep")
     if remap:
         remap_df = sess.createDataFrame(
-            sorted(remap.items()),
-            T.StructType(
-                [
-                    T.StructField("rep", node_type),
-                    T.StructField("_srep", node_type),
-                ]
-            ),
+            sorted(remap.items()), strict_schema
         )
         out = labels.join(F.broadcast(remap_df), "rep", "left").select(
             "node", F.coalesce("_srep", "rep").alias("rep")
@@ -1796,6 +1819,7 @@ def absorb_edges(
     scope: str = "absorb_edges",
     small_graph_max: int = 10_000,
     small_batch_max: int = 10_000,
+    return_delta: bool = False,
 ) -> DataFrame:
     """Incremental connected components (r11): merge a batch's NEW
     near-dup edges into STANDING cluster labels without recomputing
@@ -1812,8 +1836,22 @@ def absorb_edges(
     new_edges are included automatically.
 
     Returns (node, rep) over standing ∪ batch nodes, EXACTLY equal to
-    `connected_components(old_edges ∪ new_edges, all_nodes)`. Why:
-    contract each old component to its representative; a new edge
+    `connected_components(old_edges ∪ new_edges, all_nodes)`.
+
+    ``return_delta`` (r14): return ONLY the rows that differ from the
+    standing labels — batch nodes (new) plus standing nodes whose rep
+    moved (∝ touched components) — instead of the full corpus-sized
+    relation. `standing ⊕ delta` (delta wins per node) equals the full
+    return, pinned in tests/test_graph.py. This is what makes the
+    PERSISTED absorb cost ∝ touched end-to-end: `append_labels` writes
+    the delta gen-stamped into the bucketed labels table and
+    `read_labels`' latest-wins view applies it, so the per-batch write
+    is delta-sized where the full path pays a corpus-sized staged
+    rewrite. The delta costs one extra map-side pass over the standing
+    labels (the strict-remap join) and nothing else new.
+
+    Why the full return is exact: contract each old component to its
+    representative; a new edge
     (a, b) connects rep(a) to rep(b), and min-label CC over that
     CONTRACTED graph yields, per touched representative, the minimum
     node id of its merged super-component — composing node → old rep
@@ -1878,7 +1916,9 @@ def absorb_edges(
                 else []
             )
             if len(nprobe) <= small_batch_max:
-                return _absorb_small_batch(labels, eprobe, nprobe)
+                return _absorb_small_batch(
+                    labels, eprobe, nprobe, return_delta=return_delta
+                )
     ends = new_edges.select(F.col("a_id").alias("node")).unionAll(
         new_edges.select(F.col("b_id").alias("node"))
     )
@@ -1963,6 +2003,23 @@ def absorb_edges(
         remap = connected_components(
             redges, rnodes, max_iter=max_iter, scope=f"{scope}_cc"
         ).select(F.col("node").alias("rep"), F.col("rep").alias("_srep"))
+    if return_delta:
+        # strict remap = representatives that actually move (both
+        # remap sources include identity rows for each merged
+        # component's min element); delta = every label row riding a
+        # moved rep (all_labels ⊇ fresh, so remapped batch nodes come
+        # out of this join too) ∪ fresh singletons whose rep stands
+        strict = remap.where(F.col("_srep") != F.col("rep"))
+        moved = strict.select("rep")
+        if broadcast_batch:
+            strict, moved = F.broadcast(strict), F.broadcast(moved)
+        changed = all_labels.join(strict, "rep").select(
+            "node", F.col("_srep").alias("rep")
+        )
+        kept_fresh = fresh.join(moved, "rep", "left_anti").select(
+            "node", "rep"
+        )
+        return changed.unionAll(kept_fresh)
     if broadcast_batch:
         remap = F.broadcast(remap)
     return all_labels.join(remap, "rep", "left").select(
@@ -1978,6 +2035,7 @@ def evict_nodes(
     broadcast_deletions: bool = True,
     scope: str = "evict_nodes",
     small_max: int = 10_000,
+    return_delta: bool = False,
 ) -> DataFrame:
     """Takedown closure at the CLUSTER-LABEL layer (r13, r12 verdict
     top_next): remove deleted documents from standing connected-
@@ -2015,6 +2073,15 @@ def evict_nodes(
     node, nodes minus deleted)` — parity pinned in tests/test_graph.py
     on a cut-vertex split, a deleted-representative rename, a
     whole-component takedown, and both execution tiers.
+
+    ``return_delta`` (r14): return ONLY the surviving nodes whose rep
+    MOVED (∝ touched components) instead of the corpus-sized surviving
+    relation — the deleted nodes' disappearance is the caller's half
+    (persisted labels tombstone them, `evict_labels`). Standing labels
+    with the delta applied latest-wins, minus the deleted ids, equals
+    the full return (pinned in tests/test_graph.py); costs one extra
+    map-side labels pass (old-rep lookup against the broadcast
+    re-clustered survivors).
 
     Scale shape — work ∝ touched components, never corpus: the deleted
     ids and the touched-component relations are deletion-bounded and
@@ -2077,11 +2144,38 @@ def evict_nodes(
             fresh = sess.createDataFrame(
                 [(r.node, remap.get(r.node, r.node)) for r in nprobe], schema
             )
-            return kept.unionAll(fresh)
+            return _evict_result(
+                kept, fresh, labels, return_delta, broadcast_deletions
+            )
     fresh = connected_components(
         surv_edges, surv_nodes, max_iter=max_iter, scope=f"{scope}_cc"
     )
-    return kept.unionAll(fresh)
+    return _evict_result(
+        kept, fresh, labels, return_delta, broadcast_deletions
+    )
+
+
+def _evict_result(
+    kept: DataFrame,
+    fresh: DataFrame,
+    labels: DataFrame,
+    return_delta: bool,
+    broadcast_deletions: bool,
+) -> DataFrame:
+    """`evict_nodes`' two return shapes: the full surviving relation
+    (untouched rows verbatim ∪ re-clustered touched survivors), or the
+    delta — touched survivors whose rep MOVED, found by one map-side
+    old-rep lookup of the standing labels against the broadcast
+    re-clustered rows (touched-component-sized)."""
+    if not return_delta:
+        return kept.unionAll(fresh)
+    bfresh = F.broadcast(fresh) if broadcast_deletions else fresh
+    return (
+        labels.select("node", F.col("rep").alias("_old"))
+        .join(bfresh, "node")
+        .where(F.col("rep") != F.col("_old"))
+        .select("node", "rep")
+    )
 
 
 def write_labels(
@@ -2104,10 +2198,14 @@ def write_labels(
     Writes ``{base}_labels`` bucketed on ``node`` (downstream joins on
     node — e.g. the final rewrite inside `absorb_edges` — meet the
     layout zero-Exchange when bucketed the same) and ``{base}_meta``
-    (one row stamping the write generation). Daily loop shape:
+    (one row stamping the write generation). Rows carry the write
+    generation (r14) so `append_labels` deltas can overlay them
+    latest-wins. Daily loop shape:
     ``new = absorb_edges(read_labels(spark, base), todays_edges, ...)``
     then ``write_labels(new, base)``; takedowns evict first
-    (`evict_nodes`) and write the result back."""
+    (`evict_nodes`) and write the result back — or, since r14, both
+    arrows run ∝-touched via `append_labels`/`evict_labels` with this
+    full rewrite demoted to periodic compaction (`compact_labels`)."""
     from ..bucketing import (
         begin_index_rewrite,
         finish_index_rewrite,
@@ -2122,7 +2220,9 @@ def write_labels(
     tables = [f"{base_name}_meta", f"{base_name}_labels"]
     g, nonce = begin_index_rewrite(spark, base_name, tables)
     write_bucketed(
-        labels.select("node", "rep"),
+        labels.select("node", "rep").withColumn(
+            "gen", F.lit(g).cast("long")
+        ),
         f"{base_name}_labels__rewrite",
         "node",
         buckets=buckets,
@@ -2141,6 +2241,18 @@ def read_labels(spark, base_name: str) -> DataFrame:
     serving pointers and touches the meta table first so a half-swapped
     table set fails loudly (same read discipline as the index probes).
 
+    Latest-wins overlay (r14): the table may hold `append_labels`
+    delta rows on top of the last full rewrite, each stamped with its
+    write generation — per node, the highest-gen row is the label, and
+    nodes carrying a tombstone at least as new as their best row are
+    evicted (`evict_labels`). Both steps preserve the ∝-touched read
+    shape: the table is bucketed on node, so the per-node window is a
+    task-local sort over the bucketed scan — NO Exchange (plan-pinned
+    in tests/test_label_delta.py) — and the tombstone anti-join
+    broadcasts the deletion-sized side; the relation still reports
+    hash-partitioning on node, so downstream absorb/evict joins keep
+    their map-side plans.
+
     Mid-swap crash recovery (ADVICE r13): when the meta table is
     missing but its ``__prewrite`` backup stands — a `write_labels`
     swap died mid-flight — the read rolls BACK to yesterday's labels
@@ -2148,7 +2260,13 @@ def read_labels(spark, base_name: str) -> DataFrame:
     repair path (the rollback used to live only inside
     `begin_index_rewrite`, which the daily loop reaches through
     `write_labels` — AFTER it already needed this read's output)."""
-    from ..bucketing import recover_index, resolve_index_base
+    from pyspark.sql import Window
+
+    from ..bucketing import (
+        filter_tombstoned,
+        recover_index,
+        resolve_index_base,
+    )
 
     base_name = resolve_index_base(spark, base_name)
     meta = f"{base_name}_meta"
@@ -2157,7 +2275,146 @@ def read_labels(spark, base_name: str) -> DataFrame:
     ):
         recover_index(spark, [meta, f"{base_name}_labels"])
     spark.table(meta).collect()
-    return spark.table(f"{base_name}_labels").select("node", "rep")
+    t = spark.table(f"{base_name}_labels")
+    if "gen" not in t.columns:  # pre-r14 layout: plain full rewrite
+        return t.select("node", "rep")
+    t = filter_tombstoned(spark, base_name, t, "node")
+    w = Window.partitionBy("node").orderBy(F.col("gen").desc())
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("node", "rep")
+    )
+
+
+def append_labels(delta: DataFrame, base_name: str) -> None:
+    """Absorb a (node, rep) label DELTA into the persisted standing
+    labels — the ∝-touched persistence arrow `absorb_edges(...,
+    return_delta=True)` feeds (r14). The full `write_labels` staged
+    rewrite is honest but corpus-sized PER CALL; a daily batch (or a
+    streaming micro-batch) only ever moves ∝ touched components' rows,
+    so persisting the absorb used to pay write amplification ∝
+    corpus/batch. This appends just the delta, gen-stamped, into the
+    bucketed labels table (layout preserved — rows hash into their
+    node's bucket, exactly `append_to_hamming_index`'s discipline);
+    `read_labels`' latest-wins view applies it. Cost ∝ delta: one gen
+    bump + one bucketed append; the standing table is never read.
+
+    Idempotent under replay: re-appending the same delta lands the
+    same (node, rep) at a higher gen — latest-wins resolves to the
+    same label, the duplicate rows are dead weight until
+    `compact_labels`. A node in the delta twice with DIFFERENT reps is
+    caller error (absorb/evict deltas are one-row-per-node by
+    construction) — within one append the gen tie would make
+    latest-wins nondeterministic, so it raises."""
+    from ..bucketing import (
+        bump_gen,
+        resolve_index_base,
+        table_buckets,
+        verify_sole_writer,
+        verify_still_serving,
+        write_bucketed,
+    )
+
+    spark = delta.sparkSession
+    orig_name = base_name
+    base_name = resolve_index_base(spark, base_name)
+    if not spark.catalog.tableExists(f"{base_name}_meta"):
+        raise IllegalStateError(
+            f"{base_name} has no meta table in this session's catalog — "
+            "write the standing labels first (write_labels); refusing to "
+            "append a delta nothing serves."
+        )
+    if "gen" not in spark.table(f"{base_name}_labels").columns:
+        raise IllegalStateError(
+            f"{base_name}_labels predates gen-stamped labels (pre-r14 "
+            "layout): run one full write_labels rewrite first, then "
+            "deltas can overlay it."
+        )
+    # pin the delta BEFORE touching the table: its plan almost always
+    # reads the standing labels (absorb/evict deltas do), and it is
+    # read twice below (dup guard + write) — one delta-sized
+    # materialization instead of two corpus-side scans, and no
+    # read-while-appending on {base}_labels
+    delta = delta.select("node", "rep").localCheckpoint()
+    dup = delta.groupBy("node").count().filter(F.col("count") > 1).take(1)
+    if dup:
+        raise IllegalStateError(
+            f"label delta carries node {dup[0]['node']} more than once — "
+            "same-gen rows would make the latest-wins read "
+            "nondeterministic; absorb/evict deltas are one-row-per-node, "
+            "pre-aggregate a hand-built delta."
+        )
+    g, nonce = bump_gen(spark, base_name)
+    write_bucketed(
+        delta.withColumn("gen", F.lit(g).cast("long")),
+        f"{base_name}_labels",
+        "node",
+        buckets=table_buckets(spark, f"{base_name}_labels"),
+        mode="append",
+    )
+    verify_sole_writer(spark, base_name, g, nonce)
+    verify_still_serving(spark, orig_name, base_name)
+
+
+def evict_labels(
+    spark,
+    base_name: str,
+    edges: DataFrame,
+    deleted: DataFrame,
+    **evict_kwargs,
+) -> None:
+    """Takedown against the PERSISTED labels, ∝ touched (r14): the
+    composition `evict_nodes(read_labels(...), edges, deleted)` +
+    `write_labels` is exact but pays a corpus-sized rewrite per
+    takedown. This runs the ∝-touched shape end-to-end: compute only
+    the relabeled survivors (`evict_nodes(..., return_delta=True)`),
+    APPEND them gen-stamped, then tombstone the deleted ids — the
+    append-then-tombstone order of the index families' reingest path
+    (a crash between the two leaves survivors correctly relabeled and
+    the deleted ids still visible — the detectable direction the
+    takedown journal replays; tombstoning first would leave survivors
+    pointing at representatives that no longer exist).
+
+    ``edges``: the standing edge relation the labels are a fixed point
+    over — in the daily loop, `read_edge_ledger` AFTER
+    `prune_edge_ledger` removed the deleted ids' edges (the order
+    `lifecycle.takedown` pins). Replay-idempotent: on a re-run the
+    deleted ids are already tombstone-hidden from `read_labels`, so no
+    component is touched, the delta is empty, and the re-tombstone is
+    absorbed by the gen algebra."""
+    from ..bucketing import add_tombstones
+
+    delta = evict_nodes(
+        read_labels(spark, base_name),
+        edges,
+        deleted,
+        return_delta=True,
+        **evict_kwargs,
+    )
+    append_labels(delta, base_name)
+    add_tombstones(spark, base_name, deleted.select("node"), "node")
+
+
+def compact_labels(spark, base_name: str, buckets: int | None = None) -> None:
+    """Fold the accumulated label deltas and tombstones back into one
+    row per node (r14) — the maintenance arrow that completes the
+    incremental labels lifecycle (write → append/evict → COMPACT),
+    exactly `compact_bucketed_table`'s role for the index families:
+    the latest-wins read stays correct under any number of appends,
+    but each appended file adds task-local sort input and open/seek
+    overhead, and dead rows (overlaid or tombstoned) stay on disk
+    until compacted. One honest full rewrite of the current view
+    through `write_labels`' crash-safe staging, then the standing
+    tombstones are cleared (every id they covered is physically gone;
+    clearing BEFORE the swap could resurrect rows if the rewrite
+    crashed mid-flight, so it runs after)."""
+    from ..bucketing import clear_tombstones, resolve_index_base
+
+    base_name = resolve_index_base(spark, base_name)
+    kw = {"buckets": buckets} if buckets is not None else {}
+    write_labels(read_labels(spark, base_name), base_name, **kw)
+    clear_tombstones(spark, base_name)
 
 
 # --------------------------------------------------------------------------

@@ -818,8 +818,8 @@ def continuous_dedup_loop_stream(
         probe the STANDING index (pre-append, so the batch never
         matches itself) and the batch's own within-batch near-pairs →
         append the day's pairs to the EDGE LEDGER →
-        absorb them into the persisted LABELS (read → absorb → staged
-        rewrite) →
+        absorb them into the persisted LABELS (read → delta absorb →
+        gen-stamped `append_labels`, write ∝ touched components) →
         append the batch to the INDEX (reingest mode)
 
     — so takedowns (`lifecycle.takedown`), blue/green flips, and
@@ -836,15 +836,20 @@ def continuous_dedup_loop_stream(
     hold duplicate edge ROWS after a replay (harmless to every
     consumer: connected components and `evict_nodes` are duplicate-
     insensitive; `compact_edge_ledger` bounds the growth), the label
-    rewrite is idempotent, the index append is reingest-idempotent,
-    and the applied-epoch marker (kept on the INDEX base, written
-    LAST) skips fully-committed epochs outright.
+    delta re-derived against already-absorbed labels is EMPTY (no rep
+    moves — `append_labels` lands nothing that changes latest-wins),
+    the index append is reingest-idempotent, and the applied-epoch
+    marker (kept on the INDEX base, written LAST) skips
+    fully-committed epochs outright.
 
-    Heavier per batch than `ingest_*_index_stream` (a label rewrite
-    per micro-batch — labels are tiny, but it is a full staged swap):
-    size micro-batches accordingly, or run probe/ingest streams
-    continuously and the absorb nightly. Parity with the hand-run
-    batch loop is pinned in tests/test_tombstones.py."""
+    Per-batch cost ∝ batch + touched components (r14): every arrow —
+    probe, ledger append, label DELTA append, index append — writes
+    only batch-derived rows; the standing corpus is scanned map-side
+    by the probe and the absorb's strict-remap pass, never rewritten.
+    Run `compact_labels`/`compact_edge_ledger`/`compact_*_index` on
+    schedule to fold the accumulated deltas. Parity with the hand-run
+    batch loop (FULL-rewrite labels) is pinned in
+    tests/test_tombstones.py."""
     return (
         stream_sig.writeStream.foreachBatch(
             _loop_batch_fn(
@@ -876,11 +881,11 @@ def _loop_batch_fn(
     from ..operators.dedup import (
         absorb_edges,
         append_edge_ledger,
+        append_labels,
         append_to_hamming_index,
         hamming_near_pairs,
         hamming_probe_from_index,
         read_labels,
-        write_labels,
     )
 
     def _one_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -914,12 +919,13 @@ def _loop_batch_fn(
             .localCheckpoint()
         )
         append_edge_ledger(e, ledger_base)
-        write_labels(
+        append_labels(
             absorb_edges(
                 read_labels(spark, labels_base),
                 e,
                 new_nodes=batch.select(F.col("doc").alias("node")),
                 scope=f"{query_name}_absorb",
+                return_delta=True,
             ),
             labels_base,
         )

@@ -151,18 +151,34 @@ def test_takedown_composes_and_journal_closes(spark):
 
 @pytest.mark.parametrize(
     "crash_step",
-    ["index_tombstone", "ledger_prune", "labels_evict", "labels_write", "done_marker"],
+    [
+        "index_tombstone",
+        "ledger_prune",
+        "labels_evict",
+        "labels_append",
+        "labels_tombstone",
+        "labels_write_full",
+        "done_marker",
+    ],
 )
 def test_takedown_crash_windows_detect_and_resume(spark, monkeypatch, crash_step):
     """Every seam of the composition dies once; each crash leaves a
     PENDING journal intent (detectable), `assert_taken_down` exposes
     the stale families, and one `resume_takedowns` converges to the
-    exact clean-run end state."""
+    exact clean-run end state. The label seams cover BOTH modes:
+    the default ∝-touched path (`labels_append` = crash between the
+    delta compute and its append; `labels_tombstone` = the
+    append-then-tombstone window, survivors already relabeled while
+    the victims still stand — the detectable direction the order is
+    chosen for) and the full-rewrite path (`labels_write_full`, run
+    with ``incremental_labels=False``; its resume deliberately runs
+    the DEFAULT mode, pinning that a replay may switch modes)."""
     from rq_spark import bucketing as B
 
     ibase, lbase, ebase = "t_lcc_idx", "t_lcc_lbl", "t_lcc_led"
     victims = [2, 1003]
     tag = f"x_{crash_step}"
+    incremental = crash_step != "labels_write_full"
     try:
         rows, pairs = _stand_up(spark, ibase, lbase, ebase, tag)
         ids = spark.createDataFrame([(v,) for v in victims], "node long")
@@ -171,14 +187,27 @@ def test_takedown_crash_windows_detect_and_resume(spark, monkeypatch, crash_step
             "index_tombstone": (B, "add_tombstones"),
             "ledger_prune": (D, "prune_edge_ledger"),
             "labels_evict": (D, "evict_nodes"),
-            "labels_write": (D, "write_labels"),
+            "labels_append": (D, "append_labels"),
+            "labels_tombstone": (B, "add_tombstones"),
+            "labels_write_full": (D, "write_labels"),
             "done_marker": (L, "_journal_done"),
         }
         mod, name = originals[crash_step]
         real = getattr(mod, name)
 
-        def dying(*a, **kw):
-            raise RuntimeError(f"injected crash at {crash_step}")
+        if crash_step == "labels_tombstone":
+            # die only on the LABELS-base tombstone call (id_col
+            # "node"), after the index step's "doc" tombstones and the
+            # delta append already landed
+            def dying(spark_, base_, ids_, id_col="id", **kw):
+                if id_col == "node":
+                    raise RuntimeError(
+                        f"injected crash at {crash_step}"
+                    )
+                return real(spark_, base_, ids_, id_col, **kw)
+        else:
+            def dying(*a, **kw):
+                raise RuntimeError(f"injected crash at {crash_step}")
 
         monkeypatch.setattr(mod, name, dying)
         with pytest.raises(RuntimeError, match="injected crash"):
@@ -186,6 +215,7 @@ def test_takedown_crash_windows_detect_and_resume(spark, monkeypatch, crash_step
                 spark, ids, {ibase: "doc"},
                 labels_base=lbase, ledger_base=ebase,
                 evict_kwargs={"scope": f"lc_ev_{tag}"},
+                incremental_labels=incremental,
             )
         monkeypatch.setattr(mod, name, real)
 
