@@ -2408,12 +2408,23 @@ def compact_labels(spark, base_name: str, buckets: int | None = None) -> None:
     through `write_labels`' crash-safe staging, then the standing
     tombstones are cleared (every id they covered is physically gone;
     clearing BEFORE the swap could resurrect rows if the rewrite
-    crashed mid-flight, so it runs after)."""
-    from ..bucketing import clear_tombstones, resolve_index_base
+    crashed mid-flight, so it runs after).
+
+    The bucket count is PRESERVED by default — read from the standing
+    table (the label rung caught the regression: falling through to
+    `write_labels`' default of 8 silently shrank a 32-bucket table's
+    read and join parallelism 4× at every compaction); pass
+    ``buckets`` only to deliberately re-bucket."""
+    from ..bucketing import (
+        clear_tombstones,
+        resolve_index_base,
+        table_buckets,
+    )
 
     base_name = resolve_index_base(spark, base_name)
-    kw = {"buckets": buckets} if buckets is not None else {}
-    write_labels(read_labels(spark, base_name), base_name, **kw)
+    if buckets is None:
+        buckets = table_buckets(spark, f"{base_name}_labels")
+    write_labels(read_labels(spark, base_name), base_name, buckets=buckets)
     clear_tombstones(spark, base_name)
 
 

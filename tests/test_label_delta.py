@@ -223,7 +223,8 @@ def test_persisted_delta_lifecycle(spark):
         L0 = D.connected_components(
             _mk_edges(spark, edges), _mk_nodes(spark, nodes), scope="ldl_cc0"
         ).localCheckpoint()
-        D.write_labels(L0, base)
+        D.write_labels(L0, base, buckets=16)  # non-default: compaction
+        # must PRESERVE it, not fall back to write_labels' 8
         assert _as_map(D.read_labels(spark, base)) == _as_map(L0)
 
         # day 1: absorb by delta
@@ -290,10 +291,15 @@ def test_persisted_delta_lifecycle(spark):
         )
         assert _as_map(D.read_labels(spark, base)) == want
 
-        # compact: same view, one row per node, tombstones cleared
+        # compact: same view, one row per node, tombstones cleared,
+        # bucket count preserved (the label rung caught an 8-bucket
+        # fallback silently shrinking read/join parallelism)
+        from rq_spark.bucketing import table_buckets
+
         D.compact_labels(spark, base)
         assert _as_map(D.read_labels(spark, base)) == want
         assert spark.table(f"{base}_labels").count() == len(want)
+        assert table_buckets(spark, f"{base}_labels") == 16
         assert (
             not spark.catalog.tableExists(f"{base}_tombstones")
             or spark.table(f"{base}_tombstones").count() == 0

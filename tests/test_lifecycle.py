@@ -401,3 +401,260 @@ def test_compact_takedown_journal(spark, monkeypatch):
     finally:
         for suf in ("", "__precompact", "__compacting"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suf}")
+
+
+def test_composed_lifecycle_model_fuzz(spark):
+    """Model-based fuzzer over the COMPOSED durable state (r14): a
+    random sequence of {fresh ingest, re-crawl (takedown + re-ingest),
+    composed takedown in either label mode, crash-prefix takedown +
+    resume, triple compaction, replayed streaming epoch} runs against
+    one index + labels + ledger triple, and after EVERY step all three
+    families must equal ground truth derived from a plain Python
+    model (doc → live signature):
+
+      * live index pair scan == brute-force popcount pairs (bands=4 is
+        exact at radius 3);
+      * `read_labels` == min-label union-find over those pairs;
+      * `read_edge_ledger` == the same pair set — the loop's invariant
+        that every surviving co-present pair was discovered at one
+        end's ingest and pruned edges die with their endpoint.
+
+    Ops are issued alternately from TWO sessions (the main one and a
+    `newSession` clone) with `refresh_base_tables` at each hop — the
+    documented multi-session contract — so the r14 coherence layer is
+    fuzzed along with the lifecycle. The r13 single-index fuzzer pins
+    per-family transitions; this pins the cross-family compositions
+    (recrawl-after-takedown, crash-between-families + resume in a
+    DIFFERENT label mode, compaction mid-history)."""
+    import uuid
+
+    from rq_spark.bucketing import add_tombstones, refresh_base_tables
+    from rq_spark.streaming import _loop_batch_fn
+
+    rnd = random.Random(77)
+    pool = [rnd.getrandbits(64) for _ in range(8)]
+
+    def _s64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def new_sig() -> int:
+        v = rnd.choice(pool)
+        for _ in range(rnd.randint(0, 4)):
+            v ^= 1 << rnd.randrange(64)
+        return _s64(v)
+
+    def brute_pairs(model: dict) -> set:
+        out = set()
+        ids = sorted(model)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin((model[a] ^ model[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    out.add((a, b))
+        return out
+
+    def uf_labels(model: dict, pairs: set) -> dict:
+        parent = {n: n for n in model}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in model}
+
+    ib, lb, eb = "t_cfz_idx", "t_cfz_lbl", "t_cfz_led"
+    qn = "t_cfz_q"
+
+    def mkdf(sess, d: dict):
+        return sess.createDataFrame(sorted(d.items()), "doc long, sig long")
+
+    def ids_df(sess, ids):
+        return sess.createDataFrame([(i,) for i in ids], "node long")
+
+    def ingest(sess, batch: dict, epoch=None):
+        """The composed daily-ingest arrows; via the streaming handler
+        when an epoch is given, hand-composed otherwise."""
+        if epoch is not None:
+            _loop_batch_fn(sess, ib, lb, eb, qn, 3)(mkdf(sess, batch), epoch)
+            return
+        b = mkdf(sess, batch).localCheckpoint()
+        probe = D.hamming_probe_from_index(
+            sess, b, ib, max_hamming=3
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        within = D.hamming_near_pairs(b, max_hamming=3)
+        e = (
+            probe.select(
+                F.col("new_id").alias("a_id"),
+                F.col("corpus_id").alias("b_id"),
+            )
+            .unionByName(within.select("a_id", "b_id"))
+            .localCheckpoint()
+        )
+        D.append_edge_ledger(e, eb)
+        D.append_labels(
+            D.absorb_edges(
+                D.read_labels(sess, lb),
+                e,
+                new_nodes=b.select(F.col("doc").alias("node")),
+                scope="cfz_ab",
+                return_delta=True,
+            ),
+            lb,
+        )
+        D.append_to_hamming_index(b, ib, reingest=True)
+
+    def do_takedown(sess, ids, mode):
+        L.takedown(
+            sess, ids_df(sess, ids), {ib: "doc"},
+            labels_base=lb, ledger_base=eb,
+            evict_kwargs={"scope": "cfz_ev"},
+            incremental_labels=mode,
+        )
+
+    def drop_all():
+        for t in ("hbands", "meta", "state", "tombstones", "applied"):
+            spark.sql(f"DROP TABLE IF EXISTS {ib}_{t}")
+        for b, ts in (
+            (lb, ("labels", "meta", "state", "tombstones", "_tdlog")),
+            (eb, ("edges", "meta", "state", "tombstones")),
+        ):
+            for t in ts:
+                for x in ("", "__rewrite", "__prewrite"):
+                    spark.sql(f"DROP TABLE IF EXISTS {b}_{t}{x}")
+        spark.sql(f"DROP TABLE IF EXISTS {lb}_tdlog")
+
+    s2 = spark.newSession()
+    next_id = 100
+    epoch = 0
+    drop_all()
+    try:
+        model = {i: new_sig() for i in range(16)}
+        D.write_hamming_index(mkdf(spark, model), ib, bands=4)
+        pairs0 = D.hamming_near_pairs_from_index(spark, ib).select(
+            "a_id", "b_id"
+        ).localCheckpoint()
+        D.write_labels(
+            D.connected_components(
+                pairs0,
+                mkdf(spark, model).select(F.col("doc").alias("node")),
+                scope="cfz_cc0",
+            ),
+            lb,
+        )
+        D.write_edge_ledger(pairs0, eb)
+        log = ["day0(16)"]
+
+        for step in range(14):
+            sess = rnd.choice([spark, s2])
+            refresh_base_tables(sess, ib, lb, eb)
+            op = rnd.choice(
+                ["ingest", "ingest_stream", "recrawl", "takedown",
+                 "crash_takedown", "compact", "replay_epoch"]
+            )
+            if op == "ingest":
+                batch = {}
+                for _ in range(rnd.randint(1, 3)):
+                    batch[next_id] = new_sig()
+                    next_id += 1
+                ingest(sess, batch)
+                model.update(batch)
+                log.append(f"ingest{sorted(batch)}")
+            elif op == "ingest_stream":
+                batch = {}
+                for _ in range(rnd.randint(1, 3)):
+                    batch[next_id] = new_sig()
+                    next_id += 1
+                ingest(sess, batch, epoch=epoch)
+                epoch += 1
+                model.update(batch)
+                log.append(f"stream_ingest{sorted(batch)}")
+            elif op == "replay_epoch" and epoch > 0:
+                # redeliver the last committed epoch: must no-op
+                ingest(sess, {999_000: 1}, epoch=epoch - 1)
+                log.append(f"replay_epoch({epoch - 1})")
+            elif op == "recrawl" and len(model) > 3:
+                ids = rnd.sample(sorted(model), rnd.randint(1, 2))
+                do_takedown(sess, ids, rnd.choice([True, False]))
+                batch = {i: new_sig() for i in ids}
+                ingest(sess, batch)
+                model.update(batch)
+                log.append(f"recrawl{sorted(ids)}")
+            elif op == "takedown" and len(model) > 3:
+                ids = rnd.sample(sorted(model), rnd.randint(1, 2))
+                ids.append(888_888)  # unknown id rides along, harmless
+                mode = rnd.choice([True, False])
+                do_takedown(sess, ids, mode)
+                for i in ids:
+                    model.pop(i, None)
+                log.append(f"takedown{sorted(ids)} inc={mode}")
+            elif op == "crash_takedown" and len(model) > 3:
+                ids = rnd.sample(sorted(model), rnd.randint(1, 2))
+                td = uuid.uuid4().hex
+                idf = ids_df(sess, ids).localCheckpoint()
+                L._journal_begin(sess, lb, td, idf)
+                steps = [
+                    lambda: add_tombstones(
+                        sess, ib,
+                        idf.withColumnRenamed("node", "doc"), "doc",
+                    ),
+                    lambda: D.prune_edge_ledger(sess, eb, idf, "node"),
+                    lambda: D.append_labels(  # the append-then-
+                        # tombstone window: survivors relabeled,
+                        # victims still standing
+                        D.evict_nodes(
+                            D.read_labels(sess, lb),
+                            D.read_edge_ledger(sess, eb),
+                            idf,
+                            return_delta=True,
+                            scope="cfz_cr",
+                        ),
+                        lb,
+                    ),
+                ]
+                k = rnd.randint(0, 3)
+                for f in steps[:k]:
+                    f()
+                assert L.pending_takedowns(sess, lb) == [td]
+                L.resume_takedowns(
+                    sess, {ib: "doc"}, labels_base=lb, ledger_base=eb,
+                    evict_kwargs={"scope": "cfz_rs"},
+                    incremental_labels=rnd.choice([True, False]),
+                )
+                for i in ids:
+                    model.pop(i, None)
+                log.append(f"crash_takedown{sorted(ids)} k={k}")
+            else:
+                D.compact_hamming_index(sess, ib)
+                D.compact_labels(sess, lb)
+                D.compact_edge_ledger(sess, eb)
+                log.append("compact")
+
+            # ground truth, all three families, read from the MAIN
+            # session after a refresh (the multi-session contract)
+            refresh_base_tables(spark, ib, lb, eb)
+            want_pairs = brute_pairs(model)
+            got_pairs = {
+                (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+                for r in D.hamming_near_pairs_from_index(spark, ib)
+                .select("a_id", "b_id")
+                .collect()
+            }
+            assert got_pairs == want_pairs, "\n".join(log)
+            got_labels = {
+                r.node: r.rep for r in D.read_labels(spark, lb).collect()
+            }
+            assert got_labels == uf_labels(model, want_pairs), "\n".join(log)
+            got_ledger = {
+                (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+                for r in D.read_edge_ledger(spark, eb).collect()
+            }
+            assert got_ledger == want_pairs, "\n".join(log)
+            assert L.pending_takedowns(spark, lb) == [], "\n".join(log)
+    finally:
+        drop_all()

@@ -156,7 +156,10 @@ def main() -> None:
                     D.read_labels(spark, lb),
                     e,
                     new_nodes=b.select(F.col("doc").alias("node")),
-                    scope=f"lrf_a_{tag}_{i}",
+                    scope=f"lrf_a_{tag}",  # ONE scope: yesterday's
+                    # output is fully materialized (a catalog table),
+                    # so release-at-entry per call is the right shape
+                    # and unique scopes would leak the persist registry
                 ),
                 lb,
                 buckets=32,
