@@ -145,6 +145,10 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
             from .queries.dedup import evict_components_branch
 
             return evict_components_branch(pairs, nodes)
+        if which == "evict_delta":
+            from .queries.dedup import evict_delta_branch
+
+            return evict_delta_branch(pairs, nodes)
         return triangle_counts(pairs, nodes)
 
     return q
@@ -223,7 +227,7 @@ def branch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"join_asof_event/{d}"] = _asof_solo(d)
     for g in (
         "components", "pagerank", "triangles", "inc_components",
-        "evict_components",
+        "evict_components", "evict_delta",
     ):
         out[f"dedup_connected_groups/{g}"] = _graph_solo(g)
     for s in ("first_seen", "interval_join", "running"):

@@ -145,6 +145,54 @@ def evict_components_branch(
     return D.evict_nodes(labels, pairs, deleted, scope="evict_branch")
 
 
+def evict_delta_branch(
+    pairs: DataFrame, nodes: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
+    """The evict_delta branch body (r14) — a takedown through
+    ``evict_nodes(..., return_delta=True)``: ONLY the surviving nodes
+    whose representative MOVED, i.e. exactly the rows `append_labels`
+    would persist in the incremental-labels loop. Hash-checked against
+    an oracle that joins the surviving-graph closure to the full
+    closure and keeps the disagreeing nodes — so the driver falsifies
+    the delta SEMANTICS themselves, not just the delta-applied result
+    the evict_components branch already covers.
+
+    The takedown set is the REPRESENTATIVE of every multi-node
+    component whose rep id ≡ 0 (mod 3) — deterministic,
+    SQL-expressible from the closure, and chosen because deleting a
+    representative is deletion's worst case (the mod-31 set of
+    evict_components happens to hit no representative at the test
+    scales, which would make a delta check VACUOUS — every pair hash
+    matching on zero rows): every touched component is GUARANTEED to
+    relabel, so the delta is non-empty and covers all surviving
+    members of the touched components. The mod-3 restriction keeps
+    the touched set ∝ a FRACTION of components (deleting EVERY rep
+    touched every multi-node component, pushing the re-cluster past
+    the driver-tier threshold into the distributed CC loop — measured
+    +12 s on this key at sf0.1 — for no extra evidence). ``labels`` follows
+    the evict_components convention (catalog passes the shared
+    checkpointed components output; the bench solo pays its own)."""
+    if labels is None:
+        labels = D.connected_components(
+            pairs, nodes, scope="evict_delta_cc_old"
+        ).localCheckpoint()
+    multi = (
+        labels.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("rep") % 3 == 0))
+        .select("rep")
+    )
+    deleted = (
+        labels.filter(F.col("node") == F.col("rep"))
+        .join(multi, "rep", "left_semi")
+        .select("node")
+    )
+    return D.evict_nodes(
+        labels, pairs, deleted, scope="evict_delta_branch",
+        return_delta=True,
+    )
+
+
 def inc_components_standing(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     """The branch's STANDING phase alone — the old-graph min-label
     fixed point the absorbs merge into. Split out (r12, r11 verdict
@@ -204,6 +252,13 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive closure over the SURVIVING graph, so every post-takedown
     label is hash-exact.
 
+    'evict_delta' (r14) — the SAME takedown through ``return_delta``:
+    only the surviving nodes whose representative moved, i.e. exactly
+    the rows `append_labels` persists in the incremental-labels loop.
+    The oracle joins the surviving closure to the full closure and
+    keeps the disagreements, so the delta SEMANTICS are hash-checked
+    directly, not just the applied result.
+
     Edges come from MinHash-LSH (the candidate-bounded scale path, not
     the quadratic shingle self-join), computed ONCE and persisted for
     all branches; with 24 bands × 4 rows the verified pair set equals
@@ -238,11 +293,11 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.count()
         return t
 
-    with ThreadPoolExecutor(5) as ex:
+    with ThreadPoolExecutor(6) as ex:
         # the components labels are CHECKPOINTED once and shared: the
-        # 'components' rows read them, and the evict branch scans them
-        # as its standing input (three map-side passes + probes — on a
-        # lazy plan each pass would re-run the whole CC fixed point)
+        # 'components' rows read them, and BOTH evict branches scan
+        # them as their standing input (map-side passes + probes — on
+        # a lazy plan each pass would re-run the whole CC fixed point)
         f_comp = ex.submit(
             lambda: D.connected_components(pairs, nodes).localCheckpoint()
         )
@@ -252,9 +307,12 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_ev = ex.submit(
             lambda: evict_components_branch(pairs, nodes, f_comp.result())
         )
-        comp_df, pr_df, tri_df, inc_df, ev_df = (
+        f_evd = ex.submit(
+            lambda: evict_delta_branch(pairs, nodes, f_comp.result())
+        )
+        comp_df, pr_df, tri_df, inc_df, ev_df, evd_df = (
             f_comp.result(), f_pr.result(), f_tri.result(),
-            f_inc.result(), f_ev.result(),
+            f_inc.result(), f_ev.result(), f_evd.result(),
         )
     comp = comp_df.select(
         F.lit("components").alias("op"),
@@ -286,11 +344,18 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("rep_id"),
         nulls.cast("bigint").alias("pr"),
     )
+    evd = evd_df.select(
+        F.lit("evict_delta").alias("op"),
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        nulls.cast("bigint").alias("pr"),
+    )
     return (
         comp.unionByName(pr)
         .unionByName(tri)
         .unionByName(inc)
         .unionByName(ev)
+        .unionByName(evd)
     )
 
 
@@ -357,6 +422,42 @@ SELECT op, doc_id, rep_id, pr FROM (
 UNION ALL
 SELECT 'evict_components', node, MIN(lbl), CAST(NULL AS BIGINT)
 FROM evreach GROUP BY node
+UNION ALL
+-- evict_delta (r14): return_delta semantics — ONLY the surviving
+-- nodes whose representative MOVED under the takedown (exactly what
+-- append_labels persists in the incremental-labels loop). The
+-- takedown set is the REPRESENTATIVE of every multi-node component
+-- with rep % 3 = 0 (deleting a rep forces its component to relabel,
+-- so the check can never pass vacuously; the mod keeps the touched
+-- set a fraction of components); a third closure walks the surviving
+-- graph, and the delta keeps the nodes whose label disagrees with
+-- the full closure
+SELECT 'evict_delta', ev.node, ev.rep, CAST(NULL AS BIGINT)
+FROM (
+  WITH RECURSIVE
+  fullc AS (SELECT node, MIN(lbl) AS rep FROM reach GROUP BY node),
+  del2 AS (
+    SELECT rep AS node FROM fullc
+    GROUP BY rep HAVING COUNT(*) > 1 AND rep % 3 = 0
+  ), surv2 AS (
+    SELECT a_id AS s, b_id AS d FROM pairs
+    WHERE a_id NOT IN (SELECT node FROM del2)
+      AND b_id NOT IN (SELECT node FROM del2)
+    UNION ALL
+    SELECT b_id, a_id FROM pairs
+    WHERE a_id NOT IN (SELECT node FROM del2)
+      AND b_id NOT IN (SELECT node FROM del2)
+  ), evreach2(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM del2)
+    UNION
+    SELECT e.d, r.lbl FROM evreach2 r JOIN surv2 e ON e.s = r.node
+  )
+  SELECT s.node AS node, s.rep AS rep
+  FROM (SELECT node, MIN(lbl) AS rep FROM evreach2 GROUP BY node) s
+  JOIN fullc ON fullc.node = s.node
+  WHERE s.rep != fullc.rep
+) ev
 UNION ALL
 SELECT 'pagerank', node, NULL, r FROM pr_r{_PR_ITERS}
 UNION ALL

@@ -53,7 +53,8 @@ TAGGED = {
         "cdc", "cdc_dup",
     },
     "dedup_connected_groups": {"components", "pagerank", "triangles",
-                               "inc_components", "evict_components"},
+                               "inc_components", "evict_components",
+                               "evict_delta"},
     "event_sessions_rate": {"session", "rate", "funnel", "retention"},
     "window_frames": {"running", "trailing_30d", "ewma"},
     "window_agg_time": {"tumble", "slide", "transition"},
