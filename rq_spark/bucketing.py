@@ -744,6 +744,66 @@ def _anti_tombstone(rows: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
     return rows.join(F.broadcast(t), _dead_row_cond(rows, id_col), "left_anti")
 
 
+def index_health(
+    spark: SparkSession, base_name: str, count_rows: bool = False
+) -> dict:
+    """Operational snapshot of a persisted base (index / labels /
+    ledger) — the numbers the maintenance cadence runs on (r14). Every
+    append lands ~one file per touched bucket: the zero-Exchange read
+    survives any number of appends, but task-local sort input and
+    open/seek overhead grow until the family's ``compact_*`` folds the
+    table back to ~one file per bucket, and tombstones accumulate ∝
+    deletions until compaction purges them. This reports, per data
+    table: file count, declared bucket count, and files-per-bucket
+    (the compaction-due signal); plus the base's current generation
+    and standing tombstone count. Metadata-only by default — file
+    counts come from the driver-side listing (`inputFiles`), no table
+    is scanned; ``count_rows=True`` adds raw row counts (one count job
+    per table — diagnostic tier, not a hot path).
+
+    Accepts a serving alias (resolved; the report names both)."""
+    resolved = resolve_index_base(spark, base_name)
+    control = ("_meta", "_state", "_tombstones", "_ptr", "_applied")
+    out: dict = {
+        "base": resolved,
+        "alias": base_name if base_name != resolved else None,
+        "gen": None,
+        "tombstones": 0,
+        "tables": {},
+        "max_files_per_bucket": 0.0,
+    }
+    if spark.catalog.tableExists(f"{resolved}_state"):
+        out["gen"] = current_gen(spark, resolved)
+    if spark.catalog.tableExists(f"{resolved}_tombstones"):
+        out["tombstones"] = spark.table(f"{resolved}_tombstones").count()
+    for t in sorted(n.name for n in spark.catalog.listTables()):
+        if not t.startswith(f"{resolved}_") or t.endswith(control):
+            continue
+        if t.endswith(("__rewrite", "__prewrite")):
+            continue
+        tbl = spark.table(t)
+        n_files = len(tbl.inputFiles())
+        try:
+            buckets = table_buckets(spark, t)
+        except ValueError:  # a plain (non-bucketed) side table
+            buckets = None
+        info = {
+            "files": n_files,
+            "buckets": buckets,
+            "files_per_bucket": (
+                round(n_files / buckets, 2) if buckets else None
+            ),
+        }
+        if count_rows:
+            info["rows"] = tbl.count()
+        if info["files_per_bucket"]:
+            out["max_files_per_bucket"] = max(
+                out["max_files_per_bucket"], info["files_per_bucket"]
+            )
+        out["tables"][t] = info
+    return out
+
+
 def refresh_base_tables(spark: SparkSession, *base_names: str) -> None:
     """Invalidate this session's cached file listings for every
     catalog table of the given index/labels/ledger bases (r14).

@@ -1878,3 +1878,49 @@ def test_refresh_after_foreign_session_mutation(spark):
         _drop(spark, base, ("hbands", "meta"))
         _drop(spark, base2, ("hbands", "meta"))
         spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+
+
+def test_index_health_reports_compaction_signal(spark):
+    """`bucketing.index_health` (r14): the metadata-only maintenance
+    snapshot — files-per-bucket (the compaction-due signal: one file
+    per touched bucket per append, folded back to ~1 by compaction),
+    standing tombstone count, and the current generation — resolved
+    through a serving alias, no data table scanned unless asked."""
+    from rq_spark.bucketing import index_health, set_index_pointer
+
+    rows, _ = _sig_corpus()
+    mk = lambda rs: spark.createDataFrame(rs, "doc long, sig long")  # noqa: E731
+    base, alias = "t_hlth", "t_hlth_serve"
+    try:
+        D.write_hamming_index(mk(rows[:40]), base, bands=4)
+        set_index_pointer(spark, alias, base)
+        h0 = index_health(spark, alias)
+        assert h0["base"] == base and h0["alias"] == alias
+        assert h0["tombstones"] == 0
+        fpb0 = h0["tables"][f"{base}_hbands"]["files_per_bucket"]
+
+        # two appends + a takedown: files/bucket and tombstones grow
+        D.append_to_hamming_index(mk(rows[40:50]), alias)
+        D.append_to_hamming_index(mk(rows[50:60]), alias)
+        add_tombstones(
+            spark, alias,
+            spark.createDataFrame([(1,), (2,)], "doc long"), "doc",
+        )
+        h1 = index_health(spark, alias, count_rows=True)
+        assert h1["tables"][f"{base}_hbands"]["files_per_bucket"] > fpb0
+        assert h1["max_files_per_bucket"] >= h1["tables"][
+            f"{base}_hbands"
+        ]["files_per_bucket"]
+        assert h1["tombstones"] == 2
+        assert h1["gen"] >= 3  # write + 2 appends + tombstone batch
+        assert h1["tables"][f"{base}_hbands"]["rows"] == 60 * 4
+
+        # compaction folds back to ~one file per bucket, purges
+        D.compact_hamming_index(spark, alias)
+        h2 = index_health(spark, alias, count_rows=True)
+        assert h2["tables"][f"{base}_hbands"]["files_per_bucket"] <= 1.0
+        assert h2["tombstones"] == 0
+        assert h2["tables"][f"{base}_hbands"]["rows"] == 58 * 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        _drop(spark, base, ("hbands", "meta"))
