@@ -403,3 +403,36 @@ def test_append_labels_cost_is_delta_proportional_by_construction():
     assert ".collect()" not in src
     assert src.count('mode="append",') == 1
     assert "read_labels(" not in src  # never rebuilds the full view
+
+
+def test_append_labels_through_serving_alias(spark):
+    """The delta arrows follow blue/green pointers like every other
+    mutation: `append_labels` through an alias lands on the SERVING
+    base, a flip re-routes the next append, and a flip racing an
+    append raises `ConcurrentWriterError` via verify_still_serving
+    (inherited — pinned here for the new entry point)."""
+    from rq_spark.bucketing import ConcurrentWriterError, set_index_pointer
+
+    b1, b2, alias = "t_lda_b1", "t_lda_b2", "t_lda_serve"
+    mk = lambda rows: spark.createDataFrame(rows, "node long, rep long")  # noqa: E731
+    try:
+        for b in (b1, b2):
+            _drop_labels(spark, b)
+            D.write_labels(mk([(1, 1), (2, 1)]), b)
+        set_index_pointer(spark, alias, b1)
+
+        D.append_labels(mk([(3, 1)]), alias)
+        assert _as_map(D.read_labels(spark, alias)) == {1: 1, 2: 1, 3: 1}
+        assert _as_map(D.read_labels(spark, b2)) == {1: 1, 2: 1}  # untouched
+
+        set_index_pointer(spark, alias, b2)
+        D.append_labels(mk([(4, 4)]), alias)
+        assert _as_map(D.read_labels(spark, alias)) == {1: 1, 2: 1, 4: 4}
+        assert _as_map(D.read_labels(spark, b1)) == {1: 1, 2: 1, 3: 1}
+
+        # a flip that lands MID-append is detected, not silently lost
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {alias}_ptr")
+        for b in (b1, b2):
+            _drop_labels(spark, b)
+    assert ConcurrentWriterError is not None
