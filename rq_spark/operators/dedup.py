@@ -1127,6 +1127,16 @@ _DENSE_COUNTS_MAX = 50_000_000
 #: this gate, T=1 with V near _DENSE_COUNTS_MAX still paid 8·V).
 _DENSE_BINCOUNT_SLAB = 8_000_000
 
+#: slab TARGET for the dense-path loop (r14 opt): each bincount call
+#: allocates-and-zeroes a fresh int64 buffer of the slab's element
+#: count, and past glibc's mmap threshold that buffer is mmap'd and
+#: page-faulted anew per call — measured 2-3× of the whole kernel's
+#: wall on the throughput-floor shape. 250k elements (2 MB) keeps the
+#: per-call buffer heap-recycled and cache-resident; the ceiling above
+#: stays the ROUTING bound (a single text's slab is V wide, so the
+#: worst-case intermediate for huge vocabularies is unchanged).
+_DENSE_SLAB_TARGET = 250_000
+
 
 def _simhash_votes(codes, lens, hs) -> "np.ndarray":
     """Batched majority-vote kernel (r10, r9 verdict task #7): all
@@ -1196,20 +1206,25 @@ def _simhash_votes(codes, lens, hs) -> "np.ndarray":
         # contiguous row block of C — the int64 bincount intermediate
         # stays ≤ _DENSE_BINCOUNT_SLAB entries instead of T·V
         C = np.empty((T, V), dtype=np.float32)
-        slab_t = max(1, _DENSE_BINCOUNT_SLAB // V)
+        slab_t = max(1, _DENSE_SLAB_TARGET // V)
         tok_bounds = np.concatenate(
             ([0], np.cumsum(lens[nonempty], dtype=np.int64))
         )
         for t0 in range(0, T, slab_t):
             t1 = min(t0 + slab_t, T)
             s, e = tok_bounds[t0], tok_bounds[t1]
-            C[t0:t1] = (
+            # copyto with an unsafe cast converts int64→float32 while
+            # STORING into the preallocated C block: one pass, zero
+            # extra allocation (r14 opt — the bincount→astype→assign
+            # chain allocated and traversed two more slab-sized
+            # buffers per call, measured ~2× of this loop's wall)
+            np.copyto(
+                C[t0:t1].reshape(-1),
                 np.bincount(
                     (text_ids[s:e] - t0) * V + codes[s:e],
                     minlength=(t1 - t0) * V,
-                )
-                .astype(np.float32)
-                .reshape(t1 - t0, V)
+                ),
+                casting="unsafe",
             )
         sums = C @ table
     else:
