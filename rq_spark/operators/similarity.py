@@ -147,6 +147,19 @@ def lsh_bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def _band_values(m: np.ndarray, planes: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(batch, bands) int32 band-bucket values for a stacked vector
+    matrix — THE banding kernel, shared by `band_bucket_udf` and the
+    fused `semantic_decontaminate` path so the two can never drift
+    (identical planes ⇒ identical candidate sets)."""
+    bits = (m @ planes.T) > 0  # (batch, bands*rows)
+    vals = np.zeros((m.shape[0], bands), dtype=np.int32)
+    for b in range(bands):
+        for i in range(rows):
+            vals[:, b] |= bits[:, b * rows + i].astype(np.int32) << i
+    return vals
+
+
 def band_bucket_udf(planes: np.ndarray, bands: int, rows: int):
     """Banded sign-pattern buckets: one numpy matmul per Arrow batch,
     then r sign bits packed per band → array<int> of length `bands`."""
@@ -156,12 +169,7 @@ def band_bucket_udf(planes: np.ndarray, bands: int, rows: int):
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (m @ planes.T) > 0  # (batch, bands*rows)
-        vals = np.zeros((len(vecs), bands), dtype=np.int32)
-        for b in range(bands):
-            for i in range(rows):
-                vals[:, b] |= bits[:, b * rows + i].astype(np.int32) << i
-        return pd.Series(list(vals))
+        return pd.Series(list(_band_values(m, planes, bands, rows)))
 
     return bucket
 
@@ -332,54 +340,131 @@ def semantic_decontaminate(
     contamination becomes undetectable with no signal to the caller.
     So an unusable eval embedding raises a named ValueError instead
     (the adversarial-gate policy); the train side still drops quietly
-    — an unmeasurable train vector excludes only itself. The eval
-    relation is PERSISTED before the guard scans it, so the guard's
-    materialization is the same one the banded join reuses — the
-    check costs one benchmark-sized cache pass, not a recompute of
-    the eval vectors."""
-    from ..util import persist_tracked, release_caches
+    — an unmeasurable train vector excludes only itself.
 
-    release_caches("sem_decontam")
-    evals = persist_tracked(evals, scope="sem_decontam")
-    # IS NOT TRUE, not ~pred: belt-and-braces against any three-valued
-    # evaluation of the intake predicate (r11 self-review). Since
-    # ADVICE r11 `_nonzero_vec` itself is two-valued AND rejects
-    # NULL-ELEMENT vectors (e.g. [1.0, NULL, ...] — nonzero elements
-    # used to satisfy exists(x != 0) while the NULL element nulled
-    # every cosine downstream, the one malformed shape that slipped
-    # this guard), so `bad` flags every unusable eval embedding:
-    # NULL, zero-norm, or NULL-element.
-    bad = ~F.coalesce(_nonzero_vec(vec_col), F.lit(False))
-    if evals.filter(bad).limit(1).count():
-        release_caches("sem_decontam")  # don't leak the cache on raise
+    r14 opt (guide §4.2/§8 — fuse the decide+verify into one native
+    batch kernel; the eval side is driver-sized by contract): the old
+    shape posexploded the corpus ×bands WITH the dim-wide vectors
+    attached (measured 120 MB written from a 10 MB vector relation at
+    sf0.1, on ONE AQE-coalesced task), shuffled candidates through a
+    dropDuplicates Exchange still carrying both vectors (122 MB), and
+    verified with the interpreted fold cosine (~60 µs/pair — 16 s of
+    CPU that AQE parked on 2 tasks). Now the eval vectors and their
+    band table are COLLECTED once (benchmark-sized — the same rows the
+    old plan broadcast as a hash relation) and the train corpus
+    streams through ONE mapInPandas: per Arrow batch, band buckets via
+    the shared `_band_values` kernel (identical planes/packing ⇒
+    identical candidate sets), per-row candidate eval sets from the
+    broadcast band dict (duplicates are intra-row, so dedup needs no
+    Exchange at all), and exact cosine via float64 numpy dots. ZERO
+    Exchange on the corpus path (plan-pinned), work ∝ band collisions
+    — the LSH contract — at every scale. For the integer-valued
+    featurizations this engine ships, the numpy float64 dot is exact
+    in any summation order, so cos_sim is bit-identical to the old
+    JVM fold and to the oracle's list_dot_product."""
+    import pyspark.sql.types as T
+
+    planes = hyperplanes(bands * rows_per_band, dim)
+
+    # one benchmark-sized collect replaces the old persist +
+    # guard-count job + band broadcast + vec broadcast. collect() (not
+    # toPandas) so a NULL ELEMENT arrives as Python None — the Arrow
+    # path folds it into NaN, and a NaN element is NOT unusable under
+    # the old guard's 3VL semantics (it passed `_nonzero_vec` and
+    # merely failed every threshold), so the two must stay separable.
+    ev_rows = evals.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("eval_vec")
+    ).collect()
+    bad = any(
+        r.eval_vec is None
+        or any(x is None for x in r.eval_vec)
+        or not any(x != 0 for x in r.eval_vec)
+        for r in ev_rows
+    )
+    if bad:
         raise ValueError(
             "semantic_decontaminate: eval/benchmark rows carry NULL or "
             "zero-norm embeddings — cosine is undefined there, so their "
             "contamination would silently become undetectable; clean or "
             "re-embed the eval side"
         )
-    planes = hyperplanes(bands * rows_per_band, dim)
-    bucket = band_bucket_udf(planes, bands, rows_per_band)
-
-    def banded(df: DataFrame, tag: str) -> DataFrame:
-        return df.filter(_nonzero_vec(vec_col)).select(
-            F.col(id_col).alias(f"{tag}_id"),
-            F.col(vec_col).alias(f"{tag}_vec"),
-            F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+    eval_ids = np.array([r.eval_id for r in ev_rows])
+    E = (
+        np.stack(
+            [np.asarray(r.eval_vec, dtype=np.float64) for r in ev_rows]
         )
-
-    cand = (
-        banded(train, "train")
-        .join(F.broadcast(banded(evals, "eval")), ["band", "bucket"])
-        .dropDuplicates(["train_id", "eval_id"])
+        if ev_rows
+        else np.zeros((0, dim), dtype=np.float64)
     )
-    # fold-based dot (dim-agnostic): integer-valued vectors sum exactly,
-    # so the fold is bit-identical to any evaluation order
-    return cand.select(
-        "train_id",
-        "eval_id",
-        cosine(F.col("train_vec"), F.col("eval_vec")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= float(threshold))
+    e_norm = np.sqrt(np.einsum("ij,ij->i", E, E)) if len(E) else E[:, 0]
+    band_dict: dict[tuple[int, int], np.ndarray] = {}
+    if len(E):
+        ev_vals = _band_values(E, planes, bands, rows_per_band)
+        for b in range(bands):
+            order = np.argsort(ev_vals[:, b], kind="stable")
+            vals_sorted = ev_vals[order, b]
+            starts = np.searchsorted(
+                vals_sorted, np.unique(vals_sorted), side="left"
+            )
+            uniq = np.unique(vals_sorted)
+            bounds = np.append(starts, len(vals_sorted))
+            for i, v in enumerate(uniq):
+                band_dict[(b, int(v))] = order[bounds[i] : bounds[i + 1]]
+    bc = train.sparkSession.sparkContext.broadcast(
+        (eval_ids, E, e_norm, band_dict)
+    )
+    id_type = train.schema[id_col].dataType
+    ev_id_type = evals.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("train_id", id_type),
+            T.StructField("eval_id", ev_id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        e_ids, Em, en, bd = bc.value
+        ET = Em.T
+        for pdf in batches:
+            if len(pdf) == 0 or len(e_ids) == 0:
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            t_norm = np.sqrt(np.einsum("ij,ij->i", M, M))
+            vals = _band_values(M, planes, bands, rows_per_band)
+            out_t, out_e, out_s = [], [], []
+            t_ids = pdf["_id"].to_numpy()
+            for r in range(len(pdf)):
+                hits = [
+                    bd.get((b, int(vals[r, b]))) for b in range(bands)
+                ]
+                hits = [h for h in hits if h is not None]
+                if not hits:
+                    continue
+                cand = np.unique(np.concatenate(hits))
+                sims = (M[r] @ ET[:, cand]) / (t_norm[r] * en[cand])
+                keep = sims >= thr
+                if keep.any():
+                    out_t.append(np.repeat(t_ids[r], int(keep.sum())))
+                    out_e.append(e_ids[cand[keep]])
+                    out_s.append(sims[keep])
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "train_id": np.concatenate(out_t),
+                        "eval_id": np.concatenate(out_e),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    return (
+        train.filter(_nonzero_vec(vec_col))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(probe, out_schema)
+    )
 
 
 def embedding_near_pairs(

@@ -2154,9 +2154,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize+split scan for the sem branch)
     from ..operators.text import token_hash_vectors_from_words
 
-    vecs = token_hash_vectors_from_words(
-        toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
-    ).select(F.col("doc").alias("vec_id"), "embedding")
+    # persisted (r14 opt): the ids-only sem_decontam shape reads the
+    # train vectors twice (band pass + post-dedup attach) and the eval
+    # vectors twice (bands + broadcast attach) — without the pin each
+    # read re-runs the 3-gram explode + md5 + two-groupBy featurization
+    vecs = _persist_tracked(
+        token_hash_vectors_from_words(
+            toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
+        ).select(F.col("doc").alias("vec_id"), "embedding"),
+        scope="dedup_incr",
+    )
     sem = S.semantic_decontaminate(
         vecs.filter(F.col("vec_id") % 11 != 0),
         vecs.filter(F.col("vec_id") % 11 == 0),

@@ -397,8 +397,9 @@ def test_semantic_dedup_composition_knn_to_components(spark):
 
 def test_semantic_decontaminate_pairs_and_broadcast_plan(spark):
     """sem decontam: exact verify keeps only true cross-side pairs, and
-    the eval side rides a broadcast join (the corpus never shuffles to
-    meet the benchmark suite)."""
+    the corpus never shuffles to meet the benchmark suite — since the
+    r14 fusion the train path is ONE MapInPandas pass with the eval
+    band table broadcast inside it: no Exchange, no join at all."""
     dim = 8
     train = spark.createDataFrame(
         [
@@ -424,7 +425,8 @@ def test_semantic_decontaminate_pairs_and_broadcast_plan(spark):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
     assert "SortMergeJoin" not in plan
 
 
