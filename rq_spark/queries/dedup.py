@@ -269,11 +269,18 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _release_caches("connected_groups")
     docs = table(spark, sf_dir, "documents")
-    pairs = _persist_tracked(
-        D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T),
-        scope="connected_groups",
-    )
-    pairs.count()  # materialize the shared edge relation exactly once
+    # localCheckpoint, not persist+count (r14 opt, guide §3.3/§7.3):
+    # every one of the six branches re-embeds the pairs plan at each
+    # reference (triangles alone reads it 8×, the evicts via sym 4×
+    # more), so with a persist the final union's logical plan carried
+    # ~50 copies of the whole LSH pipeline tree — 6.7 MB of plan that
+    # Catalyst re-optimized while 32 executor cores sat idle (measured
+    # 8.5 s of zero-running-job driver gaps on this key). The eager
+    # checkpoint materializes the same single computation but
+    # truncates lineage to one scan node; the plan drops to ~0.1 MB.
+    pairs = D.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=_JACCARD_T
+    ).localCheckpoint()
     nodes = docs.select(F.col("doc_id").alias("node"))
     nulls = F.lit(None)
     # all THREE branches are independent until the final union (r10,

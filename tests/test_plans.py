@@ -162,14 +162,35 @@ def test_connected_groups_edges_are_candidate_bounded(spark, sf_dir):
     survive 100×."""
     import re
 
+    from rq_spark.operators import dedup as D
     from rq_spark.queries import dedup
+    from rq_spark.queries.helpers import table
+
+    # the key localCheckpoints the shared pairs relation (r14 opt — the
+    # six branches re-embedded its plan ~50×, costing seconds of
+    # driver-side re-optimization), so the band-hash join is asserted
+    # on the SAME builder call the key makes, pre-truncation
+    pairs_plan = (
+        D.minhash_dedup_pairs(
+            table(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            threshold=dedup._JACCARD_T,
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(
+        r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", pairs_plan
+    ), "edge generation fell back to the quadratic shingle self-join"
+    assert "bhash" in pairs_plan, "LSH band-hash candidate join missing"
 
     df = dedup.dedup_connected_groups(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert not re.search(r"Join \[shingle#\d+L?\], \[shingle#\d+L?\]", plan), (
         "edge generation fell back to the quadratic shingle self-join"
     )
-    assert "bhash" in plan, "LSH band-hash candidate join missing"
 
 
 def test_embedding_lsh_pairs_candidate_bounded(spark, sf_dir):
