@@ -119,15 +119,17 @@ def _graph_solo(which: str) -> Callable[[SparkSession, str], DataFrame]:
         from .operators.graph import pagerank_fixed, triangle_counts
         from .queries.dedup import _JACCARD_T
         from .queries.helpers import table
-        from .util import persist_tracked, release_caches
+        from .util import release_caches
 
         release_caches("bench_branch_graph")
         docs = table(spark, sf_dir, "documents")
-        pairs = persist_tracked(
-            D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T),
-            scope="bench_branch_graph",
-        )
-        pairs.count()
+        # localCheckpoint, mirroring the catalog key (r14 opt): a solo
+        # that kept persist+count would time the giant-plan driver
+        # re-optimization the key no longer pays, attributing a cost
+        # that does not exist in the branch it stands for
+        pairs = D.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=_JACCARD_T
+        ).localCheckpoint()
         nodes = docs.select(F.col("doc_id").alias("node"))
         if which == "components":
             return D.connected_components(pairs, nodes)
