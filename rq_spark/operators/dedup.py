@@ -2731,9 +2731,16 @@ def bloom_decontaminate(
         )
         .crossJoin(ev_distinct.agg(F.count(F.lit(1)).alias("n_eval")))
     )
-    survivors = probed.filter(passed).select("gram").distinct()
+    # r14 opt: the old pairs path re-derived the corpus gram stream
+    # (tg) and semi-joined it against a broadcast DISTINCT of the
+    # filter's survivors — but `probed.filter(passed)` IS that
+    # semi-join, already computed on the streaming side. Filtering
+    # probed directly removes one full corpus gram pass (3 → 2
+    # evaluations of the gram stream: stats + pairs), the survivors'
+    # gram Exchange, and a broadcast build; corpus grams now reach the
+    # verify join with ZERO gram shuffles anywhere (plan-pinned).
     pairs = (
-        tg.join(F.broadcast(survivors), "gram")
+        probed.filter(passed)
         .join(
             F.broadcast(eg.select(F.col("doc").alias("eval_id"), "gram")), "gram"
         )

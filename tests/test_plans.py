@@ -295,16 +295,12 @@ def test_bloom_probe_corpus_reaches_bit_test_without_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     lines = plan.splitlines()
-    # grams are shuffled in exactly ONE place: the survivors distinct
-    # — and that exchange sits ABOVE the bit-test filter (children
-    # print below parents), i.e. only filter survivors are shuffled
+    # r14: grams are never shuffled at all — the old shape's one
+    # tolerated gram exchange (the survivors distinct) is gone, since
+    # the pairs path filters the probed stream directly instead of
+    # re-deriving the gram relation and semi-joining the survivors
     gram_ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(gram" in l]
-    assert len(gram_ex) == 1, f"unexpected gram shuffles: {len(gram_ex)}"
-    probe_below = [
-        i for i, l in enumerate(lines)
-        if i > gram_ex[0] and "Filter" in l and "shiftright" in l
-    ]
-    assert probe_below, "survivors exchange is not fed by the bit-test filter"
+    assert not gram_ex, f"unexpected gram shuffles: {len(gram_ex)}"
     # the probe side (first bit-test filter in print order) reaches
     # its corpus scan with no hash exchange in between — only
     # spread()'s RoundRobin local-input fix may appear
