@@ -156,15 +156,33 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scope="curation",
     )
-    lm = X.unigram_lm_model_from_words(toks, "words")
     # r8: the bigram stupid-backoff model (CCNet-shaped transition
     # likelihood) trains off the SAME persisted tokenization — the
     # unigram half is reused, so only the bigram-count aggregation is
-    # a new scan of the cached relation
-    bi = X.bigram_lm_model_from_words(toks, "words", unigram=lm)
-    ds = X.dsir_model_from_words(
-        toks, "words", F.col("lang") == "en", buckets=_DSIR_B
-    )
+    # a new scan of the cached relation. r14 opt (guide §2.6): the
+    # three model trainers are independent blocking driver collects
+    # (bigram consumes the unigram RESULT only to embed it in its
+    # return), so they run from a thread pool and overlap on the
+    # shared scheduler — the key pays max(model scans), not the sum;
+    # Spark's block-level cache locking makes the concurrent first
+    # reads of the toks persist compute each partition once.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        f_lm = ex.submit(X.unigram_lm_model_from_words, toks, "words")
+        f_bi = ex.submit(
+            lambda: X.bigram_lm_model_from_words(
+                toks, "words", unigram=f_lm.result()
+            )
+        )
+        f_ds = ex.submit(
+            X.dsir_model_from_words,
+            toks,
+            "words",
+            F.col("lang") == "en",
+            _DSIR_B,
+        )
+        lm, bi, ds = f_lm.result(), f_bi.result(), f_ds.result()
     t = F.col("text")
     w = F.col("words")
     scored = _persist_tracked(
