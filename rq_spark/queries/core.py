@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .helpers import DEC, davg, dsum, sql_davg, sql_dec2dbl, sql_dsum, table
+from .helpers import DEC, davg, dsum, spread, sql_davg, sql_dec2dbl, sql_dsum, table
 
 # --------------------------------------------------------------------------
 # flagship: TPC-H Q1-shaped pricing summary
@@ -36,8 +36,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    # r14 opt: filter + project BEFORE spread() — the predicate stays
+    # pushed at the scan and the local-input repartition (a no-op on a
+    # multi-file 100 TB table) carries only the 6 agg/key columns; the
+    # decimal-heavy partial agg then runs on every core instead of the
+    # single task a one-row-group local file pins the scan to
+    # (measured 1.29 s → 0.75 s at sf0.1; exact-decimal sums are
+    # order-independent, so the result is bit-identical).
     return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        spread(
+            li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
