@@ -2083,17 +2083,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     op='decontam' — benchmark decontamination: train docs sharing a
     word-5-gram with the held-out eval slice (doc_id % 11 == 0 — a
     deterministic stand-in benchmark), n_shared = shared distinct
-    5-gram count (operators/dedup.py:decontaminate — eval shingles
-    broadcast, corpus never shuffles). The oracle recomputes overlap
-    from gram STRINGS while the operator counts int64 hash chains, so
-    the driver hash also certifies the hash-chain gram identity.
+    5-gram count. r15: emitted from the SAME verified pair relation
+    as op='bloom_decontam' (see below) — the bloom prefilter has no
+    false negatives and its verify join computes the identical exact
+    shared-gram count, so the two branches are one relation under two
+    labels; the oracle still derives this branch INDEPENDENTLY (a
+    plain gram-string join with no bloom anywhere), so the driver
+    hash re-proves the equality every round. (Through r14 this branch
+    separately ran operators/dedup.py:decontaminate — one more full
+    train-corpus gram pass whose only effect was recomputing the
+    relation the bloom branch already verifies.)
 
-    op='bloom_decontam' / op='bloom_stats' — the same contamination
+    op='bloom_decontam' / op='bloom_stats' — the contamination
     check through a broadcast BLOOM-FILTER prefilter
     (operators/dedup.py:bloom_decontaminate): eval grams compress to
     an m-bit literal, train grams stream through a pure bit-test
     expression, only survivors reach the exact verify join. The pair
-    rows must EQUAL op='decontam' (no false negatives + exact
+    rows EQUAL op='decontam' (no false negatives + exact
     verify); the stats row's distinct-gram censuses (n_probed →
     a_id, n_passed → b_id, n_eval → n_shared) pin the filter's bit
     construction and probe cross-engine — the oracle rebuilds the
@@ -2135,16 +2141,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_toks=toks.filter(F.col("doc") % 2 == 0),
         batch_toks=toks.filter(F.col("doc") % 2 == 1),
     )
-    deco = D.decontaminate(
-        docs.filter(F.col("doc_id") % 11 != 0),
-        docs.filter(F.col("doc_id") % 11 == 0),
-        "text",
-        "doc_id",
-        n=5,
-        min_overlap=1,
-        train_toks=toks.filter(F.col("doc") % 11 != 0),
-        eval_toks=toks.filter(F.col("doc") % 11 == 0),
-    )
     bpairs, bstats = D.bloom_decontaminate(
         docs.filter(F.col("doc_id") % 11 != 0),
         docs.filter(F.col("doc_id") % 11 == 0),
@@ -2161,10 +2157,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize+split scan for the sem branch)
     from ..operators.text import token_hash_vectors_from_words
 
-    # persisted (r14 opt): the ids-only sem_decontam shape reads the
-    # train vectors twice (band pass + post-dedup attach) and the eval
-    # vectors twice (bands + broadcast attach) — without the pin each
-    # read re-runs the 3-gram explode + md5 + two-groupBy featurization
+    # persisted: the fused sem_decontam reads this relation twice —
+    # once by the eval-side collect at build time, once by the train
+    # mapInPandas probe pass — and without the pin each materialization
+    # re-runs the 3-gram explode + md5 + two-groupBy featurization
+    # (comment re-worded r15 per ADVICE r14: the old text described
+    # the pre-r14 band-pass/attach access pattern)
     vecs = _persist_tracked(
         token_hash_vectors_from_words(
             toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
@@ -2191,6 +2189,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, phrases, "text", "doc_id", toks=toks
     )
     nulls = F.lit(None)
+    # r15 opt (verdict task #1 — one gram relation for both exact
+    # decontamination branches): op='decontam' rows EQUAL
+    # op='bloom_decontam' rows by bloom_decontaminate's contract (the
+    # filter has no false negatives and the verify join is the same
+    # exact shared-distinct-gram count, so its pair relation IS
+    # decontaminate's output — the operator docstring and the oracle,
+    # which recomputes BOTH branches independently from gram strings,
+    # pin the equality every round). The old plan ran `decontaminate`
+    # separately anyway: one more full train-corpus gram derivation
+    # (the int64 hash-chain 5-grams) plus a second broadcast join and
+    # count aggregation, all to recompute a relation the bloom branch
+    # already verifies exactly. Emitting the verified pair relation
+    # ONCE under both op labels (explode over the two literals —
+    # Spark does not share subtrees across union children, so two
+    # union children would still evaluate the pair pipeline twice)
+    # removes that entire derivation from the plan.
+    pair_ops = bpairs.select(
+        F.explode(
+            F.array(F.lit("decontam"), F.lit("bloom_decontam"))
+        ).alias("op"),
+        F.col("train_id").cast("bigint").alias("a_id"),
+        F.col("eval_id").cast("bigint").alias("b_id"),
+        nulls.cast("double").alias("jaccard"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+    )
     return probe.select(
         F.lit("ingest_probe").alias("op"),
         F.col("new_id").cast("bigint").alias("a_id"),
@@ -2198,21 +2221,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").cast("double").alias("jaccard"),
         nulls.cast("bigint").alias("n_shared"),
     ).unionByName(
-        deco.select(
-            F.lit("decontam").alias("op"),
-            F.col("train_id").cast("bigint").alias("a_id"),
-            F.col("eval_id").cast("bigint").alias("b_id"),
-            nulls.cast("double").alias("jaccard"),
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-        )
-    ).unionByName(
-        bpairs.select(
-            F.lit("bloom_decontam").alias("op"),
-            F.col("train_id").cast("bigint").alias("a_id"),
-            F.col("eval_id").cast("bigint").alias("b_id"),
-            nulls.cast("double").alias("jaccard"),
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-        )
+        pair_ops
     ).unionByName(
         bstats.select(
             F.lit("bloom_stats").alias("op"),
