@@ -184,6 +184,7 @@ def ann_topk(
     probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k by banded random-hyperplane LSH with OR
     amplification: a corpus vector is indexed once per band (bands ×
@@ -196,44 +197,124 @@ def ann_topk(
     at cos 0.8, versus ~0.03 for the old single 8-bit probe. Knobs:
     more bands → recall, more rows/band → selectivity. Optional
     MULTI-PROBE (probe_hamming=1) also probes each query band bucket
-    with one bit flipped — r extra probes per band on the QUERY side
-    only, so the corpus index (the big side at 100 TB) is never
-    re-replicated.
+    with one bit flipped — r extra probes per band registered in the
+    QUERY-side bucket table only, so the corpus index (the big side
+    at 100 TB) is never re-replicated.
 
-    Scale shape: the corpus is exploded to B rows and equi-joined on
-    (band, bucket) against the broadcast query side; no corpus
-    broadcast, no nested loop; candidate dedup on ids before scoring."""
+    Scale shape (r15, the fused-probe pattern of
+    `semantic_decontaminate` — guide §4.2/§8): the query side is
+    driver-sized by contract (the old plan already broadcast it), so
+    its ids and per-band bucket tables are COLLECTED once and the
+    corpus streams through ONE mapInPandas — band buckets per Arrow
+    batch via the shared `_band_values` kernel (identical float32
+    matmul to the old `band_bucket_udf`, so candidate sets cannot
+    drift), per-corpus-row candidate queries from the broadcast
+    bucket dict (np.unique replaces the old dropDuplicates Exchange —
+    duplicates are intra-row by construction), self-matches dropped
+    in-kernel. The corpus is never exploded ×bands and never
+    shuffled; only candidate pairs (∝ band collisions) leave the
+    kernel, carrying the corpus vector ONCE each to the JVM cosine —
+    scoring stays the exact whole-stage-codegen fold, bit-identical
+    to the pre-r15 plan and the brute-force oracle, because the
+    corpus embeddings are real-valued floats where a numpy dot could
+    drift in the last ulp. Anything over ``max_query_rows`` raises a
+    named ValueError (the degenerate corpus-sized-queries case —
+    use `lsh_near_pairs` / `knn_graph` shapes instead)."""
+    import pyspark.sql.types as T
+
     planes = hyperplanes(bands * rows_per_band, dim)
-    bucket = band_bucket_udf(planes, bands, rows_per_band)
-    c = corpus.filter(_nonzero_vec(vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
-    )
-    q = queries.filter(_nonzero_vec(vec_col)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
-    )
-    if probe_hamming >= 1:
-        probes = F.array_distinct(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(rows_per_band)
-                ],
-            )
+    q_rows = (
+        queries.filter(_nonzero_vec(vec_col))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
-        q = q.select(
-            "query_id", "q_vec", "band", F.explode(probes).alias("bucket")
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ann_topk: query side has {len(q_rows)} rows "
+            f"(> max_query_rows={max_query_rows}) — this operator "
+            "collects/broadcasts the query side by contract; for "
+            "corpus-sized query sets use the banded self-join shapes "
+            "(lsh_near_pairs / knn_graph) instead"
         )
+    q_ids = np.array([r.query_id for r in q_rows])
+    # float32 stack exactly as band_bucket_udf's np.stack of Arrow
+    # float lists — the matmul promotes against the float64 planes, so
+    # sign bits (and thus buckets) are bit-identical to the old UDF
+    Q = (
+        np.stack([np.asarray(r.q_vec, dtype=np.float32) for r in q_rows])
+        if q_rows
+        else np.zeros((0, dim), dtype=np.float32)
+    )
+    bucket_dict: dict[tuple[int, int], np.ndarray] = {}
+    if len(Q):
+        q_vals = _band_values(Q, planes, bands, rows_per_band)
+        from collections import defaultdict
+
+        reg: dict[tuple[int, int], set] = defaultdict(set)
+        for qi in range(len(Q)):
+            for b in range(bands):
+                v = int(q_vals[qi, b])
+                probes = {v}
+                if probe_hamming >= 1:
+                    probes.update(v ^ (1 << i) for i in range(rows_per_band))
+                for pv in probes:
+                    reg[(b, pv)].add(qi)
+        bucket_dict = {
+            key: np.fromiter(sorted(s), dtype=np.int64)
+            for key, s in reg.items()
+        }
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, bucket_dict))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("c_vec", corpus.schema[vec_col].dataType),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, bd = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids) == 0:
+                continue
+            M = np.stack(pdf["_vec"].to_numpy())
+            vals = _band_values(M, planes, bands, rows_per_band)
+            n_ids = pdf["_id"].to_numpy()
+            out_q, out_n, out_v = [], [], []
+            for r in range(len(pdf)):
+                hits = [
+                    bd.get((b, int(vals[r, b]))) for b in range(bands)
+                ]
+                hits = [h for h in hits if h is not None]
+                if not hits:
+                    continue
+                cand = np.unique(np.concatenate(hits))
+                cand = cand[ids[cand] != n_ids[r]]
+                if not len(cand):
+                    continue
+                out_q.append(ids[cand])
+                out_n.extend([n_ids[r]] * len(cand))
+                out_v.extend([pdf["_vec"].iloc[r]] * len(cand))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": out_n,
+                        "c_vec": out_v,
+                    }
+                )
+
     cand = (
-        c.join(F.broadcast(q), ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        corpus.filter(_nonzero_vec(vec_col))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(probe, out_schema)
     )
-    scored = cand.select(
+    q_vecs = queries.filter(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = cand.join(F.broadcast(q_vecs), "query_id").select(
         "query_id",
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
@@ -316,6 +397,7 @@ def semantic_decontaminate(
     dim: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
+    max_eval_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: (train_id, eval_id,
     cos_sim) for every train document whose embedding is within cosine
@@ -361,32 +443,77 @@ def semantic_decontaminate(
     — the LSH contract — at every scale. For the integer-valued
     featurizations this engine ships, the numpy float64 dot is exact
     in any summation order, so cos_sim is bit-identical to the old
-    JVM fold and to the oracle's list_dot_product."""
+    JVM fold and to the oracle's list_dot_product.
+
+    Contracts (r15, ADVICE r14 hardening):
+
+    * **Eager, driver-sized eval side.** The eval relation is
+      COLLECTED at query-BUILD time (Spark jobs run before the caller
+      ever acts on the returned plan) and lives on the driver plus one
+      broadcast. That is the operator's scale contract — the eval side
+      is a benchmark suite, not a corpus. Two guards fail loud instead
+      of open: `spark.driver.maxResultSize` bounds a runaway collect,
+      and anything over ``max_eval_rows`` (default 1e6 — far past any
+      benchmark suite, comfortably under driver memory at dim≲1024)
+      raises a named ValueError directing the caller to the banded
+      self-join path (`lsh_near_pairs` / `embedding_near_pairs`) that
+      handles corpus×corpus shapes. The broadcast is released by
+      Spark's ContextCleaner when the returned plan is GC'd — accepted
+      explicitly: an eager unpersist would race the caller's action.
+    * **Unique ids.** One input row per train_id/eval_id (what every
+      featurization here emits — ids come out of a groupBy). Duplicate
+      train rows sharing an id would emit one pair PER ROW where the
+      pre-r14 plan's dropDuplicates([train_id, eval_id]) collapsed
+      them; candidate dedup here is per-row (np.unique over one row's
+      band collisions), which is exactly sufficient under this
+      contract.
+    * **Finite eval embeddings.** A NaN/Inf ELEMENT in an eval vector
+      makes its cosine non-finite: the numpy `sims >= thr` comparison
+      is False for NaN, so that eval row's contamination would
+      silently become undetectable — the exact fail-open the guard
+      policy targets. (The pre-r14 JVM plan behaved differently —
+      Spark orders NaN above every value, so `cos_sim >= threshold`
+      was TRUE and NaN rows flooded detectable pairs — equally wrong
+      in the other direction.) Non-finite eval elements therefore
+      raise the same named ValueError as NULL/zero-norm rows. NaN on
+      the TRAIN side only loses that train row (it can never reach
+      `>= thr`), matching the train-side drop-quietly policy."""
+    import math
+
     import pyspark.sql.types as T
 
     planes = hyperplanes(bands * rows_per_band, dim)
 
     # one benchmark-sized collect replaces the old persist +
     # guard-count job + band broadcast + vec broadcast. collect() (not
-    # toPandas) so a NULL ELEMENT arrives as Python None — the Arrow
-    # path folds it into NaN, and a NaN element is NOT unusable under
-    # the old guard's 3VL semantics (it passed `_nonzero_vec` and
-    # merely failed every threshold), so the two must stay separable.
+    # toPandas) so a NULL ELEMENT arrives as Python None, distinct
+    # from a NaN element (both raise below, with 3VL-accurate
+    # reasoning in the docstring).
     ev_rows = evals.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("eval_vec")
     ).collect()
+    if len(ev_rows) > max_eval_rows:
+        raise ValueError(
+            "semantic_decontaminate: eval side has "
+            f"{len(ev_rows)} rows (> max_eval_rows={max_eval_rows}) — "
+            "this operator collects the eval/benchmark side to the "
+            "driver by contract; for corpus-sized eval sets use the "
+            "banded self-join path (lsh_near_pairs / "
+            "embedding_near_pairs) instead"
+        )
     bad = any(
         r.eval_vec is None
-        or any(x is None for x in r.eval_vec)
+        or any(x is None or not math.isfinite(x) for x in r.eval_vec)
         or not any(x != 0 for x in r.eval_vec)
         for r in ev_rows
     )
     if bad:
         raise ValueError(
-            "semantic_decontaminate: eval/benchmark rows carry NULL or "
-            "zero-norm embeddings — cosine is undefined there, so their "
-            "contamination would silently become undetectable; clean or "
-            "re-embed the eval side"
+            "semantic_decontaminate: eval/benchmark rows carry NULL, "
+            "non-finite, or zero-norm embeddings — cosine is undefined "
+            "or non-comparable there, so their contamination would "
+            "silently become undetectable; clean or re-embed the eval "
+            "side"
         )
     eval_ids = np.array([r.eval_id for r in ev_rows])
     E = (

@@ -98,14 +98,30 @@ def test_curation_trees_evaluated_once_behind_barrier(spark, sf_dir):
 
 
 def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
-    """Banded-LSH ANN: the small query side is broadcast; the corpus
-    index is never broadcast and never nested-looped."""
+    """Banded-LSH ANN (r15 fused probe): the corpus streams through
+    ONE mapInPandas probe — never exploded ×bands (no Generate), never
+    broadcast, never nested-looped, and never hash-shuffled before the
+    probe; the only broadcast join is the driver-sized query-vector
+    attach feeding the exact JVM cosine."""
     from rq_spark.queries import similarity
 
     df = similarity.sim_ann_lsh_topk(spark, sf_dir)
     plan = _physical_plan(df)
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan  # the old posexplode ×bands is gone
+    assert "BroadcastHashJoin" in plan  # q_vec attach (query side only)
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the corpus reaches the Python probe without any hash exchange
+    lines = plan.splitlines()
+    probe_idx = min(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    scan_idx = min(
+        i for i, l in enumerate(lines) if i > probe_idx and "Scan" in l
+    )
+    assert not any(
+        "Exchange hashpartitioning" in l
+        for l in lines[probe_idx + 1 : scan_idx]
+    ), "corpus was shuffled before the ANN probe"
 
 
 def test_minhash_has_no_nested_loop_and_partial_agg(spark, sf_dir):

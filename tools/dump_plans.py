@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for headline catalog keys (r14 opt round).
+"""Dump .explain('formatted') for headline catalog keys (r14 opt round;
+r15: output round directory via $SPARK_GRAFT_PLANS_ROUND, default r15).
 
 Usage: python tools/dump_plans.py <outdir-suffix> [key ...]
-Writes plans/r14/<key>_<suffix>.txt for every headline key (or the
+Writes plans/<round>/<key>_<suffix>.txt for every headline key (or the
 given subset). Keys whose builders run driver-side loops (graph/stream
 families) execute real jobs during construction; the plan of the final
 returned DataFrame is still the artifact the judge checks claims
@@ -29,7 +30,9 @@ def main() -> None:
 
     spark = get_spark("dump_plans")
     qs = all_queries()
-    outdir = os.path.join(REPO, "plans", "r14")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(outdir, exist_ok=True)
     keys = only or HEADLINE
     for name in keys:
