@@ -345,34 +345,55 @@ def lsh_near_pairs(
     c = 0.9 with B=16, r=4 — and falls off a cliff above (4e-13 at
     0.99). Below c ≈ 0.6, p^r is no longer selective: use
     `embedding_near_pairs` (exact block-grid) for low-threshold work.
-    """
+
+    Scale shape (r15 — guide §8/§2.3: decide with small rows, move
+    big rows once): every decision up to verification depends only on
+    (vid, band, bucket), so the band self-join and the candidate
+    dedup run over IDS ONLY — the dim-wide vectors no longer travel
+    ×bands through the (band, bucket) exchange, no longer ride every
+    pre-dedup collision row through the dropDuplicates exchange (the
+    dominant byte term: collisions ∝ pair density), and the pinned
+    working set holds each vector once instead of once per band. The
+    deduped pair ids then attach both vectors from the same pinned
+    featurization via two id equi-joins, and scoring keeps the exact
+    whole-stage-codegen cosine fold, bit-identical to the pre-r15
+    plan and the all-pairs oracle."""
     from ..util import persist_tracked, release_caches
 
     planes = hyperplanes(bands * rows_per_band, dim)
     bucket = band_bucket_udf(planes, bands, rows_per_band)
-    # persisted: the self-join reads this relation twice, and without a
-    # cache the whole upstream (corpus featurization + the banding UDF)
-    # executes twice — the banded relation is O(rows·bands), tiny next
-    # to recomputing the corpus pipeline
     release_caches("lsh_near_pairs")
-    banded = persist_tracked(
+    # pinned once: the banding pass reads it, and the two post-dedup
+    # vector attaches read it again — without the pin each read
+    # re-runs the corpus featurization upstream
+    vecs = persist_tracked(
         corpus.filter(_nonzero_vec(vec_col)).select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            F.posexplode(bucket(F.col(vec_col))).alias("band", "bucket"),
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
         ),
         scope="lsh_near_pairs",
     )
-    a = banded.select(
-        F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"), "band", "bucket"
+    # ids-only banded relation (O(rows·bands) longs, no vectors);
+    # pinned so the self-join's two reads run the banding UDF once
+    banded = persist_tracked(
+        vecs.select(
+            "vid",
+            F.posexplode(bucket(F.col("vec"))).alias("band", "bucket"),
+        ),
+        scope="lsh_near_pairs",
     )
-    b = banded.select(
-        F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"), "band", "bucket"
-    )
+    a = banded.select(F.col("vid").alias("a_id"), "band", "bucket")
+    b = banded.select(F.col("vid").alias("b_id"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        vecs.select(F.col("vid").alias("a_id"), F.col("vec").alias("a_vec")),
+        "a_id",
+    ).join(
+        vecs.select(F.col("vid").alias("b_id"), F.col("vec").alias("b_vec")),
+        "b_id",
     )
     # verify_unrolled=False uses the fold-based dot: for wide vectors
     # (dim ≳ 128) the unrolled 3·dim-term expression costs more in
