@@ -56,6 +56,12 @@ inflates both sides of each interleaved pair, so the ratio separates
 a real regression (key grows, reference does not) from the documented
 ±30% machine noise that wall-clock medians cannot. ``"ref_sec"``
 records the reference medians so absolute times stay reconstructable.
+r15 (r14 verdict #2): the shuffle-heavy subset (``SHUF_RATIO_KEYS``)
+additionally pairs each sample with the pinned SHUFFLE sentinel and
+reports ``"ratio_vs_shuf"`` — r14's box-pressure mode (shuf_ref +38%,
+ref_med flat) inflated those keys' CPU-paired ratios, so a second,
+shuffle-paired denominator is required to tell "key grew" from
+"shuffle path grew" without a quiet-box reproduction.
 
 Budgets: a wall-clock budget (``SPARK_GRAFT_BENCH_BUDGET_SEC``,
 default 515) cancels any in-flight run that straddles it (headline
@@ -168,6 +174,28 @@ RATIO_KEYS = (
     "distinct_sort_sample",
 )
 
+#: r15 (r14 verdict "what's wrong" #2): the ratio channel pairs every
+#: key against the CPU sentinel only, so r14's failure mode — shuf_ref
+#: +38% with ref_med flat (box IO/memory pressure) — inflated the
+#: shuffle-heavy keys' "noise-immune" ratios and left the round
+#: un-adjudicable from the artifact alone. These keys' samples are ALSO
+#: interleaved with the pinned SHUFFLE sentinel
+#: (bench_ref.shuffle_reference_job) and report ``ratio_vs_shuf``:
+#: under IO pressure both sides of that pair inflate together, so
+#: "ratio_vs_ref up AND ratio_vs_shuf flat" reads as shuffle-path
+#: ambient drift while "both up" reads as a real key regression.
+#: Subset of RATIO_KEYS: the keys whose cost is dominated by exchanges
+#: or the state store rather than arithmetic (the ones r14 could not
+#: adjudicate). ~0.5 s/sentinel × 3 runs × 6 keys ≈ 9 s of budget.
+SHUF_RATIO_KEYS = (
+    "dedup_text",
+    "dedup_incremental",
+    "dedup_connected_groups",
+    "stream_stateful",
+    "agg_groupby_distinct",
+    "distinct_sort_sample",
+)
+
 #: hard ceiling for the driver-parseable FINAL line (r11, r10 verdict
 #: task #1). The driver keeps only a 2000-char stdout TAIL and parses
 #: the last JSON line from it; BENCH_r10.json lost its headline
@@ -197,6 +225,10 @@ def final_summary_line(artifact: dict) -> str:
         "unit": artifact["unit"],
         "queries": artifact["queries"],
         "ratio_vs_ref": artifact["ratio_vs_ref"],
+        # shuffle-normalized ratios for the shuffle-heavy keys (r15,
+        # r14 verdict #2): lets the verdict separate "key grew" from
+        # "shuffle path grew" without a quiet-box reproduction
+        "ratio_vs_shuf": artifact.get("ratio_vs_shuf"),
         # machine-health scalars (r13, r12 verdict tasks #3/#4): the
         # two pinned sentinel medians — cpu (median per-key ref_sec vs
         # the ~0.45 s design point) and shuffle (~0.7 s design point).
@@ -226,8 +258,8 @@ def final_summary_line(artifact: dict) -> str:
     # The two health scalars cost ~35 chars and exist precisely for
     # distressed runs, so they drop only after every list field.
     for victim in (
-        "errors", "ratio_vs_ref", "timed_out", "skipped", "partial",
-        "reduced_runs", "ref_med", "shuf_ref", "queries",
+        "errors", "ratio_vs_shuf", "ratio_vs_ref", "timed_out", "skipped",
+        "partial", "reduced_runs", "ref_med", "shuf_ref", "queries",
     ):
         if len(line) <= FINAL_LINE_MAX:
             break
@@ -396,7 +428,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ratio_vs_ref: dict[str, float] = {}
+    ratio_vs_shuf: dict[str, float] = {}
     ref_sec: dict[str, float] = {}
+    shuf_sec: dict[str, float] = {}
     reduced_runs: list[str] = []
     skipped: list[str] = []
     for name in HEADLINE:
@@ -442,12 +476,24 @@ def main() -> None:
             reduced_runs.append(name)
         samples: list[float] = []
         refs: list[float | None] = []
+        shuf_refs: list[float | None] = []
         for _ in range(n_runs):
             if name in RATIO_KEYS:
                 # interleaved pair: the reference samples the machine's
                 # throughput at the same moment as the key sample it
                 # precedes, so their ratio cancels ambient load
                 refs.append(_ref_once())
+            if name in SHUF_RATIO_KEYS:
+                # second pair against the pinned SHUFFLE sentinel (r15,
+                # r14 verdict #2): under IO/memory pressure this side
+                # inflates with the key while the CPU side does not
+                shuf_refs.append(
+                    _run_safe(
+                        "shuffle_ref",
+                        lambda s, _d: shuffle_reference_job(s),
+                        sf_dir,
+                    )
+                )
             dt = _run_safe(name, fn, sf_dir)
             if dt is None:
                 break
@@ -459,6 +505,15 @@ def main() -> None:
                 ratio_vs_ref[name] = round(ratio, 2)
                 ref_sec[name] = round(
                     statistics.median([r for r in refs if r is not None]), 3
+                )
+            sratio = pairwise_ratio(samples, shuf_refs)
+            if sratio is not None:
+                ratio_vs_shuf[name] = round(sratio, 2)
+                shuf_sec[name] = round(
+                    statistics.median(
+                        [r for r in shuf_refs if r is not None]
+                    ),
+                    3,
                 )
         elif name not in errors:
             timed_out.append(name)
@@ -619,7 +674,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ratio_vs_ref": ratio_vs_ref,
+        "ratio_vs_shuf": ratio_vs_shuf,
         "ref_sec": ref_sec,
+        "shuf_sec": shuf_sec,
         "ref_med": (
             round(statistics.median(ref_sec.values()), 3) if ref_sec else None
         ),

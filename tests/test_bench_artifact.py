@@ -44,7 +44,9 @@ def _worst_case_artifact(b) -> dict:
         "unit": "sec",
         "queries": queries,
         "ratio_vs_ref": ratios,
+        "ratio_vs_shuf": {k: 9999.99 for k in b.SHUF_RATIO_KEYS},
         "ref_sec": {k: 0.512 for k in b.RATIO_KEYS},
+        "shuf_sec": {k: 0.731 for k in b.SHUF_RATIO_KEYS},
         "ref_med": 0.512,
         "shuffle_ref_sec": 0.731,
         "headline_done_frac": 0.993,
@@ -70,6 +72,7 @@ def _healthy_artifact(b) -> dict:
     a.update(
         queries={k: 12.345 for k in b.HEADLINE},
         ratio_vs_ref={k: 27.01 for k in b.RATIO_KEYS},
+        ratio_vs_shuf={k: 13.5 for k in b.SHUF_RATIO_KEYS},
         value=312.456,
         reduced_runs=[],
         timed_out=[],
@@ -99,6 +102,9 @@ def test_final_line_healthy_run_keeps_all_fields():
     parsed = json.loads(b.final_summary_line(_healthy_artifact(b)))
     assert "dropped" not in parsed
     assert set(parsed["ratio_vs_ref"]) == set(b.RATIO_KEYS)
+    # the shuffle-normalized channel (r15, r14 verdict #2) rides the
+    # final line on a healthy run
+    assert set(parsed["ratio_vs_shuf"]) == set(b.SHUF_RATIO_KEYS)
     assert parsed["errors"] == [] and parsed["partial"] == []
     assert parsed["metric"] == "headline_queries_total"
     # machine-health scalars (r13, r12 verdict tasks #3/#4): the two
@@ -151,6 +157,24 @@ def test_ratio_keys_cover_every_mid_tier_headline_key():
         "sim_topk_cosine",
     ):
         assert k in b.RATIO_KEYS, k
+
+
+def test_shuf_ratio_keys_cover_shuffle_heavy_keys():
+    """r14 verdict "what's wrong" #2: the CPU-paired ratio channel
+    could not adjudicate shuffle-path ambient drift (shuf_ref +38%,
+    ref_med flat inflated shuffle-heavy keys' ratios). Every key the
+    r14 verdict named as un-adjudicable carries the second,
+    shuffle-paired sentinel; the set stays a subset of RATIO_KEYS so
+    each such key reports BOTH ratios."""
+    b = _bench()
+    for k in (
+        "dedup_text",
+        "dedup_incremental",
+        "dedup_connected_groups",
+        "stream_stateful",
+    ):
+        assert k in b.SHUF_RATIO_KEYS, k
+    assert set(b.SHUF_RATIO_KEYS) <= set(b.RATIO_KEYS)
 
 
 def test_final_line_hard_fallback_never_exceeds_cap():
