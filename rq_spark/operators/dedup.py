@@ -89,6 +89,7 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 from ..errors import IllegalStateError
+from ..util import checkpoint_adaptive as _checkpoint_adaptive
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from ..util import spread as _spread
@@ -2351,7 +2352,7 @@ def append_labels(delta: DataFrame, base_name: str) -> None:
     # read twice below (dup guard + write) — one delta-sized
     # materialization instead of two corpus-side scans, and no
     # read-while-appending on {base}_labels
-    delta = delta.select("node", "rep").localCheckpoint()
+    delta = _checkpoint_adaptive(delta.select("node", "rep"))
     dup = delta.groupBy("node").count().filter(F.col("count") > 1).take(1)
     if dup:
         raise IllegalStateError(

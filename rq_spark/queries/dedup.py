@@ -22,6 +22,7 @@ from ..operators import similarity as S
 from ..operators.graph import PR_ITERS as _PR_ITERS
 from ..operators.graph import pagerank_cte_sql as _pagerank_cte_sql
 from ..operators.graph import triangle_cte_sql as _triangle_cte_sql
+from ..util import checkpoint_adaptive as _checkpoint_adaptive
 from ..util import persist_tracked as _persist_tracked
 from ..util import release_caches as _release_caches
 from ..util import spread as _spread
@@ -138,9 +139,9 @@ def evict_components_branch(
     it None and pays its own standing build (included-cost convention,
     same as the inc solos)."""
     if labels is None:
-        labels = D.connected_components(
-            pairs, nodes, scope="evict_cc_old"
-        ).localCheckpoint()
+        labels = _checkpoint_adaptive(
+            D.connected_components(pairs, nodes, scope="evict_cc_old")
+        )
     deleted = nodes.filter((F.col("node") % _EVICT_MOD) == _EVICT_RES)
     return D.evict_nodes(labels, pairs, deleted, scope="evict_branch")
 
@@ -173,9 +174,9 @@ def evict_delta_branch(
     the evict_components convention (catalog passes the shared
     checkpointed components output; the bench solo pays its own)."""
     if labels is None:
-        labels = D.connected_components(
-            pairs, nodes, scope="evict_delta_cc_old"
-        ).localCheckpoint()
+        labels = _checkpoint_adaptive(
+            D.connected_components(pairs, nodes, scope="evict_delta_cc_old")
+        )
     multi = (
         labels.groupBy("rep")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -278,9 +279,9 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8.5 s of zero-running-job driver gaps on this key). The eager
     # checkpoint materializes the same single computation but
     # truncates lineage to one scan node; the plan drops to ~0.1 MB.
-    pairs = D.minhash_dedup_pairs(
-        docs, "text", "doc_id", threshold=_JACCARD_T
-    ).localCheckpoint()
+    pairs = _checkpoint_adaptive(
+        D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=_JACCARD_T)
+    )
     nodes = docs.select(F.col("doc_id").alias("node"))
     nulls = F.lit(None)
     # all THREE branches are independent until the final union (r10,
@@ -306,7 +307,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # them as their standing input (map-side passes + probes — on
         # a lazy plan each pass would re-run the whole CC fixed point)
         f_comp = ex.submit(
-            lambda: D.connected_components(pairs, nodes).localCheckpoint()
+            lambda: _checkpoint_adaptive(D.connected_components(pairs, nodes))
         )
         f_pr = ex.submit(pagerank_fixed, pairs, nodes)
         f_tri = ex.submit(_tri)

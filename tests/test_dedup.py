@@ -486,6 +486,36 @@ def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_checkpoint_adaptive_picks_reliable_with_dir(spark, tmp_path):
+    """r15 (r14 verdict #8): the query-layer lineage truncations
+    (connected-groups pairs/labels, append_labels delta) route through
+    util.checkpoint_adaptive — executor-local in local mode, RELIABLE
+    checkpoint when the app sets a checkpoint dir, so an executor loss
+    on a cluster recomputes from storage instead of failing the job."""
+    import os
+
+    from rq_spark.util import checkpoint_adaptive
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS v")
+    local = checkpoint_adaptive(df)
+    assert local.count() == 100
+    sc.setCheckpointDir(str(tmp_path / "ck_adaptive"))
+    try:
+        rel = checkpoint_adaptive(df)
+        assert rel.count() == 100
+        root = str(tmp_path / "ck_adaptive")
+        assert any(files for _, _, files in os.walk(root)), (
+            "no reliable checkpoint data written with a dir set"
+        )
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
+
+
 def test_minhash_index_probe_matches_inquery_and_reads_bucketed(spark, tmp_path):
     """r9 (r8 verdict task #3): the persisted band index — write the
     corpus LSH index as bucketed tables once, probe a batch against it,
