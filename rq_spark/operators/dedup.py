@@ -215,17 +215,25 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
     128 xxhash64 calls stay inside whole-stage codegen (measured ~3×
     faster than the tempting narrow form `array_min(transform(...))`,
     which drops every element evaluation to interpreted higher-order-
-    function dispatch)."""
+    function dispatch).
+
+    Construction note (r15, guide §7.3 — driver-side cost IS part of
+    the query's wall): the whole signature is ONE parsed SQL
+    expression, not num_hashes Column objects. The Column form cost
+    ~5 Py4J round-trips per hash (~500 per call site at ~0.7 ms each
+    — measured 2.9 s of the dedup_incremental BUILD phase across its
+    two signature sites); one `F.expr` string is two round-trips
+    total. `xxhash64(shingle, k)` in SQL hashes the (shingle, int k)
+    pair exactly as `F.xxhash64(col, F.lit(k))` did, and the array of
+    min-aggregates lands in the aggregate's result expressions — the
+    same physical HashAggregate (96 min buffers, map-side partials)
+    as the old agg-then-project shape, so signatures stay
+    bit-identical."""
     sh = sets.select("doc", F.explode("sh_arr").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"_h{k}")
-        for k in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("doc")
-        .agg(*mins)
-        .select("doc", F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("sig"))
+    sig_expr = "array({})".format(
+        ",".join(f"min(xxhash64(shingle, {k}))" for k in range(num_hashes))
     )
+    return sh.groupBy("doc").agg(F.expr(sig_expr).alias("sig"))
 
 
 def band_table(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -2714,8 +2722,13 @@ def bloom_decontaminate(
     for i in range(k):
         probed = probed.withColumn(f"b{i}", _bloom_pos(F.col("gram"), i, m_bits))
     # the literal filter rides the plan as one array constant (a real
-    # broadcast variable inside a pandas UDF at production m)
-    probed = probed.withColumn("_blm", F.array(*[F.lit(x) for x in arr]))
+    # broadcast variable inside a pandas UDF at production m). One
+    # parsed `array(..L, ..)` expression, not m/64 F.lit Columns: the
+    # Column form was ~2k Py4J round-trips ≈ 1.1 s of driver build
+    # time per invocation (r15, guide §7.3)
+    probed = probed.withColumn(
+        "_blm", F.expr("array({})".format(",".join(f"{x}L" for x in arr)))
+    )
     passed = None
     for i in range(k):
         c = F.expr(

@@ -2133,62 +2133,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _persist_tracked(
         D.tokenized(_spread(docs), "text", "doc_id"), scope="dedup_incr"
     )
-    probe = D.incremental_minhash_pairs(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        "text",
-        "doc_id",
-        threshold=_JACCARD_T,
-        corpus_toks=toks.filter(F.col("doc") % 2 == 0),
-        batch_toks=toks.filter(F.col("doc") % 2 == 1),
-    )
-    bpairs, bstats = D.bloom_decontaminate(
-        docs.filter(F.col("doc_id") % 11 != 0),
-        docs.filter(F.col("doc_id") % 11 == 0),
-        "text",
-        "doc_id",
-        n=5,
-        m_bits=_BLOOM_M,
-        k=_BLOOM_K,
-        min_overlap=1,
-        train_toks=toks.filter(F.col("doc") % 11 != 0),
-        eval_toks=toks.filter(F.col("doc") % 11 == 0),
-    )
-    # vectors off the SAME persisted tokenization (no second
-    # normalize+split scan for the sem branch)
-    from ..operators.text import token_hash_vectors_from_words
 
-    # persisted: the fused sem_decontam reads this relation twice —
-    # once by the eval-side collect at build time, once by the train
-    # mapInPandas probe pass — and without the pin each materialization
-    # re-runs the 3-gram explode + md5 + two-groupBy featurization
-    # (comment re-worded r15 per ADVICE r14: the old text described
-    # the pre-r14 band-pass/attach access pattern)
-    vecs = _persist_tracked(
-        token_hash_vectors_from_words(
-            toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
-        ).select(F.col("doc").alias("vec_id"), "embedding"),
-        scope="dedup_incr",
-    )
-    sem = S.semantic_decontaminate(
-        vecs.filter(F.col("vec_id") % 11 != 0),
-        vecs.filter(F.col("vec_id") % 11 == 0),
-        threshold=_LSH_EMB_T,
-        dim=_LSH_EMB_DIM,
-        bands=_LSH_EMB_BANDS,
-        rows_per_band=_LSH_EMB_ROWS,
-    )
+    # r15 (guide §2.6/§7.3): the three probe builders run CONCURRENTLY.
+    # Two of them are not pure plan construction — bloom_decontaminate
+    # aggregates the eval grams into its bit-array literal and
+    # semantic_decontaminate collects the featurized eval side, each a
+    # real (eval-sized) Spark job that previously ran SERIALLY inside
+    # the build phase while the other cores idled (measured: build
+    # 9-12 s vs 5 s execution for this key; probe 6.4 s + bloom 3.6 s
+    # + sem 4.7 s back-to-back). Overlapping them costs max(builder),
+    # not the sum; both eager jobs read the shared `toks` persist, and
+    # cache-block locking makes the concurrent first reads compute
+    # each partition once (the r14 corpus_curation precedent). The
+    # assembled union is identical — build order never influenced it.
+    def _build_probe() -> DataFrame:
+        return D.incremental_minhash_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "text",
+            "doc_id",
+            threshold=_JACCARD_T,
+            corpus_toks=toks.filter(F.col("doc") % 2 == 0),
+            batch_toks=toks.filter(F.col("doc") % 2 == 1),
+        )
+
+    def _build_bloom() -> tuple[DataFrame, DataFrame]:
+        return D.bloom_decontaminate(
+            docs.filter(F.col("doc_id") % 11 != 0),
+            docs.filter(F.col("doc_id") % 11 == 0),
+            "text",
+            "doc_id",
+            n=5,
+            m_bits=_BLOOM_M,
+            k=_BLOOM_K,
+            min_overlap=1,
+            train_toks=toks.filter(F.col("doc") % 11 != 0),
+            eval_toks=toks.filter(F.col("doc") % 11 == 0),
+        )
+
+    def _build_sem() -> DataFrame:
+        # vectors off the SAME persisted tokenization (no second
+        # normalize+split scan for the sem branch)
+        from ..operators.text import token_hash_vectors_from_words
+
+        # persisted: the fused sem_decontam reads this relation twice
+        # — once by the eval-side collect at build time, once by the
+        # train mapInPandas probe pass — and without the pin each
+        # materialization re-runs the 3-gram explode + md5 +
+        # two-groupBy featurization (comment re-worded r15 per ADVICE
+        # r14: the old text described the pre-r14 band-pass/attach
+        # access pattern)
+        vecs = _persist_tracked(
+            token_hash_vectors_from_words(
+                toks, "words", "doc", dim=_LSH_EMB_DIM, ngram=3
+            ).select(F.col("doc").alias("vec_id"), "embedding"),
+            scope="dedup_incr",
+        )
+        return S.semantic_decontaminate(
+            vecs.filter(F.col("vec_id") % 11 != 0),
+            vecs.filter(F.col("vec_id") % 11 == 0),
+            threshold=_LSH_EMB_T,
+            dim=_LSH_EMB_DIM,
+            bands=_LSH_EMB_BANDS,
+            rows_per_band=_LSH_EMB_ROWS,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.text import phrase_blocklist_hits
 
-    phrases = toks.filter(
-        (F.col("doc") % 97 == 0) & (F.size("words") >= 6)
-    ).select(
-        F.col("doc").alias("phrase_id"),
-        F.concat_ws(" ", F.slice("words", 4, 3)).alias("phrase"),
-    )
-    bl = phrase_blocklist_hits(
-        docs, phrases, "text", "doc_id", toks=toks
-    )
+    with ThreadPoolExecutor(3) as ex:
+        f_probe = ex.submit(_build_probe)
+        f_bloom = ex.submit(_build_bloom)
+        f_sem = ex.submit(_build_sem)
+        # the blocklist build is lazy and cheap — main thread
+        phrases = toks.filter(
+            (F.col("doc") % 97 == 0) & (F.size("words") >= 6)
+        ).select(
+            F.col("doc").alias("phrase_id"),
+            F.concat_ws(" ", F.slice("words", 4, 3)).alias("phrase"),
+        )
+        bl = phrase_blocklist_hits(
+            docs, phrases, "text", "doc_id", toks=toks
+        )
+        probe = f_probe.result()
+        bpairs, bstats = f_bloom.result()
+        sem = f_sem.result()
     nulls = F.lit(None)
     # r15 opt (verdict task #1 — one gram relation for both exact
     # decontamination branches): op='decontam' rows EQUAL
