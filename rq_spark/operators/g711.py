@@ -145,6 +145,12 @@ IMA_INDEX_ADJUST = np.array(
     [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
 )
 
+# Native-int copies for the sequential nibble walks: indexing a numpy
+# array and doing scalar arithmetic on numpy scalars costs ~10x a plain
+# list lookup per iteration, and the walk is inherently per-sample.
+_IMA_STEPS_LIST = IMA_STEPS.tolist()
+_IMA_ADJ_LIST = IMA_INDEX_ADJUST.tolist()
+
 
 def ima_decode_nibbles(
     nibbles: np.ndarray, predictor: int, index: int
@@ -152,14 +158,21 @@ def ima_decode_nibbles(
     """Decode a sequence of 4-bit IMA ADPCM codes given the initial
     (predictor, step index) state. Returns (int16 samples, predictor,
     index) so block decoding can chain. Sequential by construction
-    (each sample's step depends on the last), but per-BLOCK only."""
-    out = np.empty(len(nibbles), dtype=np.int16)
+    (each sample's step depends on the last), but per-BLOCK only.
+
+    The loop runs over native Python ints (diff >= 0 always, so the
+    reference max(min(...)) clamp reduces exactly to one bound check
+    per branch) — bit-identical to the audioop cross-validated
+    reference walk, ~10x faster per nibble."""
     pred = int(predictor)
     idx = int(index)
-    steps = IMA_STEPS
-    adj = IMA_INDEX_ADJUST
-    for i, code in enumerate(nibbles):
-        step = int(steps[idx])
+    steps = _IMA_STEPS_LIST
+    adj = _IMA_ADJ_LIST
+    out: list[int] = []
+    append = out.append
+    codes = nibbles.tolist() if isinstance(nibbles, np.ndarray) else list(nibbles)
+    for code in codes:
+        step = steps[idx]
         diff = step >> 3
         if code & 1:
             diff += step >> 2
@@ -169,25 +182,36 @@ def ima_decode_nibbles(
             diff += step
         if code & 8:
             pred -= diff
+            if pred < -32768:
+                pred = -32768
         else:
             pred += diff
-        pred = max(-32768, min(32767, pred))
-        out[i] = pred
-        idx = max(0, min(88, idx + int(adj[code & 7])))
-    return out, pred, idx
+            if pred > 32767:
+                pred = 32767
+        append(pred)
+        idx += adj[code & 7]
+        if idx < 0:
+            idx = 0
+        elif idx > 88:
+            idx = 88
+    return np.array(out, dtype=np.int16), pred, idx
 
 
 def ima_encode_nibbles(
     pcm: np.ndarray, predictor: int = 0, index: int = 0
 ) -> tuple[np.ndarray, int, int]:
     """Encode int16 PCM to IMA nibbles (reference quantizer). Returns
-    (codes, predictor, index)."""
-    codes = np.empty(len(pcm), dtype=np.uint8)
+    (codes, predictor, index). Native-int walk, same arithmetic as the
+    reference (see ima_decode_nibbles)."""
     pred = int(predictor)
     idx = int(index)
-    for i, s in enumerate(np.asarray(pcm, dtype=np.int64)):
-        step = int(IMA_STEPS[idx])
-        delta = int(s) - pred
+    steps = _IMA_STEPS_LIST
+    adj = _IMA_ADJ_LIST
+    out: list[int] = []
+    append = out.append
+    for s in np.asarray(pcm, dtype=np.int64).tolist():
+        step = steps[idx]
+        delta = s - pred
         code = 0
         if delta < 0:
             code = 8
@@ -208,11 +232,21 @@ def ima_encode_nibbles(
             diff += step >> 1
         if code & 4:
             diff += step
-        pred = pred - diff if code & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        codes[i] = code
-        idx = max(0, min(88, idx + int(IMA_INDEX_ADJUST[code & 7])))
-    return codes, pred, idx
+        if code & 8:
+            pred -= diff
+            if pred < -32768:
+                pred = -32768
+        else:
+            pred += diff
+            if pred > 32767:
+                pred = 32767
+        append(code)
+        idx += adj[code & 7]
+        if idx < 0:
+            idx = 0
+        elif idx > 88:
+            idx = 88
+    return np.array(out, dtype=np.uint8), pred, idx
 
 
 # --------------------------------------------------------------------------
@@ -274,7 +308,19 @@ def decode_wav_any(b: bytes) -> tuple[int, int, np.ndarray]:
     elif tag == WAVE_IMA_ADPCM:
         if block_align < 4 * nch + 4:
             raise ValueError("IMA ADPCM block_align too small")
-        samples = _ima_decode_blocks(data, nch, block_align)
+        # The fact chunk bounds the true per-channel count; the decode
+        # is forward-sequential, so samples past it can be skipped
+        # without changing the kept ones. Only honor it when it is
+        # valid for the full decoded length (mirroring the truncation
+        # guard below, which compares against the untruncated length).
+        limit = None
+        if fact is not None:
+            groups = (block_align - 4 * nch) // (4 * nch)
+            per_block = 1 + groups * 8
+            expected = (len(data) // block_align) * per_block
+            if fact <= expected:
+                limit = fact
+        samples = _ima_decode_blocks(data, nch, block_align, limit)
     else:
         raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
     if fact is not None and fact * nch <= len(samples):
@@ -284,13 +330,21 @@ def decode_wav_any(b: bytes) -> tuple[int, int, np.ndarray]:
     return rate, nch, samples
 
 
-def _ima_decode_blocks(data: bytes, nch: int, block_align: int) -> np.ndarray:
+def _ima_decode_blocks(
+    data: bytes, nch: int, block_align: int, limit: int | None = None
+) -> np.ndarray:
     """WAV IMA ADPCM framing: per block and channel a 4-byte header
     (int16le predictor, u8 step index, reserved), then the channels'
     nibbles interleaved in 4-byte groups; first nibble is the LOW one.
-    The header predictor IS the block's first output sample."""
+    The header predictor IS the block's first output sample. ``limit``
+    (per-channel sample cap, from a validated fact chunk) stops the
+    walk early: the decode is forward-sequential, so the kept samples
+    are bit-identical to a full decode followed by truncation."""
     chans: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    have = 0  # per-channel samples decoded so far (identical per chan)
     for start in range(0, len(data) - (len(data) % block_align), block_align):
+        if limit is not None and have >= limit:
+            break
         block = data[start : start + block_align]
         states = []
         for c in range(nch):
@@ -299,6 +353,7 @@ def _ima_decode_blocks(data: bytes, nch: int, block_align: int) -> np.ndarray:
                 raise ValueError(f"IMA ADPCM step index {idx} out of range")
             states.append((pred, idx))
             chans[c].append(np.array([pred], dtype=np.int16))
+        have += 1
         body = block[4 * nch :]
         # nibble payload: groups of 4 bytes per channel, interleaved
         group = 4 * nch
@@ -306,14 +361,20 @@ def _ima_decode_blocks(data: bytes, nch: int, block_align: int) -> np.ndarray:
         for off in range(0, len(body) - (len(body) % group), group):
             for c in range(nch):
                 per_chan[c] += body[off + 4 * c : off + 4 * (c + 1)]
+        take = None if limit is None else max(0, limit - have)
+        block_n = 0
         for c in range(nch):
             raw = np.frombuffer(bytes(per_chan[c]), dtype=np.uint8)
             nib = np.empty(len(raw) * 2, dtype=np.uint8)
             nib[0::2] = raw & 0x0F  # low nibble first (WAV layout)
             nib[1::2] = raw >> 4
+            if take is not None and take < len(nib):
+                nib = nib[:take]
             pred, idx = states[c]
             dec, _, _ = ima_decode_nibbles(nib, pred, idx)
             chans[c].append(dec)
+            block_n = len(dec)
+        have += block_n
     merged = [np.concatenate(ch) if ch else np.array([], np.int16) for ch in chans]
     out = np.empty(sum(len(m) for m in merged), dtype=np.int16)
     for c, m in enumerate(merged):

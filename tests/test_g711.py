@@ -110,6 +110,32 @@ def test_wav_container_roundtrip_ima_blocks():
     assert c > 0.99
 
 
+def test_ima_fact_early_stop_matches_full_decode_truncated():
+    """The fact-chunk sample cap stops the nibble walk early (r15:
+    the bench payloads decode 64-127 of a 505-sample padded block);
+    the kept samples must be bit-identical to a full decode followed
+    by truncation — proven here by decoding the same data chunk with
+    and without the limit via _ima_decode_blocks directly."""
+    rng = np.random.default_rng(11)
+    for n in (5, 64, 127, 505, 506, 1600):
+        pcm = rng.integers(-30000, 30000, n).astype(np.int16)
+        wav = bytes(g711.wav_bytes(8000, 1, pcm, tag=g711.WAVE_IMA_ADPCM))
+        rate, nch, got = g711.decode_wav_any(wav)
+        assert len(got) == n  # fact-truncated exactly
+        # locate the data chunk and decode it unlimited, then truncate
+        import struct as _st
+
+        pos, data = 12, None
+        while pos + 8 <= len(wav):
+            cid = wav[pos : pos + 4]
+            size = _st.unpack("<I", wav[pos + 4 : pos + 8])[0]
+            if cid == b"data":
+                data = wav[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        full = g711._ima_decode_blocks(data, 1, 256)
+        assert np.array_equal(got, full[:n])
+
+
 def test_decode_wav_any_rejects_unknown_tag_loudly():
     pcm = np.zeros(10, dtype=np.int16)
     b = bytearray(g711.wav_bytes(8000, 1, pcm, tag=g711.WAVE_PCM))
