@@ -1022,88 +1022,97 @@ def distinct_sort_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 mixture_budget, r8 domain_cap + mixture_temp, r9
     mixture_unimax)."""
     nulls = F.lit(None)
-    distinct = distinct_dims(spark, sf_dir).select(
-        F.lit("distinct").alias("op"),
-        nulls.cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        nulls.cast("double").alias("v"),
-        F.col("l_returnflag").alias("s1"),
-        F.col("l_linestatus").alias("s2"),
-    )
-    sort = sort_limit(spark, sf_dir).select(
-        F.lit("sort_limit").alias("op"),
-        F.col("o_orderkey").cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        F.col("o_totalprice").cast("double").alias("v"),
-        F.col("o_orderpriority").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    sample = sample_deterministic(spark, sf_dir).select(
-        F.lit("sample").alias("op"),
-        F.col("o_orderkey").cast("bigint").alias("k1"),
-        F.col("o_custkey").cast("bigint").alias("k2"),
-        nulls.cast("double").alias("v"),
-        nulls.cast("string").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    strat = sample_stratified(spark, sf_dir).select(
-        F.lit("stratified").alias("op"),
-        F.col("o_orderkey").cast("bigint").alias("k1"),
-        F.col("rk").cast("bigint").alias("k2"),
-        nulls.cast("double").alias("v"),
-        F.col("o_orderpriority").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    mix = sample_mixture(spark, sf_dir).select(
-        F.lit("mixture").alias("op"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        F.col("rate").cast("double").alias("v"),
-        F.col("source").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    mixb = sample_mixture_budget(spark, sf_dir).select(
-        F.lit("mixture_budget").alias("op"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        F.col("rate").cast("double").alias("v"),
-        F.col("source").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    mixt = sample_mixture_temperature(spark, sf_dir).select(
-        F.lit("mixture_temp").alias("op"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        F.col("rate").cast("double").alias("v"),
-        F.col("source").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    mixu = sample_mixture_unimax(spark, sf_dir).select(
-        F.lit("mixture_unimax").alias("op"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        nulls.cast("bigint").alias("k2"),
-        F.col("rate").cast("double").alias("v"),
-        F.col("source").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    cap = sample_domain_cap(spark, sf_dir).select(
-        F.lit("domain_cap").alias("op"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        F.col("domain_rank").cast("bigint").alias("k2"),
-        nulls.cast("double").alias("v"),
-        F.col("domain").alias("s1"),
-        nulls.cast("string").alias("s2"),
-    )
-    return (
-        distinct.unionByName(sort)
-        .unionByName(sample)
-        .unionByName(strat)
-        .unionByName(mix)
-        .unionByName(mixb)
-        .unionByName(mixt)
-        .unionByName(mixu)
-        .unionByName(cap)
-    )
+
+    def _distinct() -> DataFrame:
+        return distinct_dims(spark, sf_dir).select(
+            F.lit("distinct").alias("op"),
+            nulls.cast("bigint").alias("k1"),
+            nulls.cast("bigint").alias("k2"),
+            nulls.cast("double").alias("v"),
+            F.col("l_returnflag").alias("s1"),
+            F.col("l_linestatus").alias("s2"),
+        )
+
+    def _sort() -> DataFrame:
+        return sort_limit(spark, sf_dir).select(
+            F.lit("sort_limit").alias("op"),
+            F.col("o_orderkey").cast("bigint").alias("k1"),
+            nulls.cast("bigint").alias("k2"),
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.col("o_orderpriority").alias("s1"),
+            nulls.cast("string").alias("s2"),
+        )
+
+    def _sample() -> DataFrame:
+        return sample_deterministic(spark, sf_dir).select(
+            F.lit("sample").alias("op"),
+            F.col("o_orderkey").cast("bigint").alias("k1"),
+            F.col("o_custkey").cast("bigint").alias("k2"),
+            nulls.cast("double").alias("v"),
+            nulls.cast("string").alias("s1"),
+            nulls.cast("string").alias("s2"),
+        )
+
+    def _strat() -> DataFrame:
+        return sample_stratified(spark, sf_dir).select(
+            F.lit("stratified").alias("op"),
+            F.col("o_orderkey").cast("bigint").alias("k1"),
+            F.col("rk").cast("bigint").alias("k2"),
+            nulls.cast("double").alias("v"),
+            F.col("o_orderpriority").alias("s1"),
+            nulls.cast("string").alias("s2"),
+        )
+
+    def _mix_tagged(tag: str, builder) -> DataFrame:
+        return builder(spark, sf_dir).select(
+            F.lit(tag).alias("op"),
+            F.col("doc_id").cast("bigint").alias("k1"),
+            nulls.cast("bigint").alias("k2"),
+            F.col("rate").cast("double").alias("v"),
+            F.col("source").alias("s1"),
+            nulls.cast("string").alias("s2"),
+        )
+
+    def _cap() -> DataFrame:
+        return sample_domain_cap(spark, sf_dir).select(
+            F.lit("domain_cap").alias("op"),
+            F.col("doc_id").cast("bigint").alias("k1"),
+            F.col("domain_rank").cast("bigint").alias("k2"),
+            nulls.cast("double").alias("v"),
+            F.col("domain").alias("s1"),
+            nulls.cast("string").alias("s2"),
+        )
+
+    builders = [
+        _distinct,
+        _sort,
+        _sample,
+        _strat,
+        lambda: _mix_tagged("mixture", sample_mixture),
+        lambda: _mix_tagged("mixture_budget", sample_mixture_budget),
+        lambda: _mix_tagged("mixture_temp", sample_mixture_temperature),
+        lambda: _mix_tagged("mixture_unimax", sample_mixture_unimax),
+        _cap,
+    ]
+    # the nine branch builders are independent (each reads its own
+    # table() and carries no shared persist), but building them
+    # serially costs ~2-2.6 s of the key's ~3 s: ~3.4k blocking Py4J
+    # round trips of Column/plan construction plus three tiny
+    # threshold-collect jobs (budget/temp/unimax) that idle 32 cores.
+    # Overlap the BUILDS on a pool (guide §2.6; the dedup_incremental
+    # r15 / corpus_curation r14 precedent) and assemble the union in
+    # the fixed list order above — thread scheduling can influence
+    # only the overlap, never the assembled plan, which stays
+    # branch-for-branch identical to the serial build
+    # (plans/r15/distinct_sort_sample_{before,after}.txt).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parts = list(pool.map(lambda b: b(), builders))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 _DISTINCT_SORT_SAMPLE_SQL = f"""

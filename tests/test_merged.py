@@ -134,3 +134,27 @@ def test_column_merged_queries_scan_once(spark, key):
     df = all_queries()[key](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, f"{key} reads its table more than once"
+
+
+def test_distinct_sort_sample_overlapped_build_is_deterministic(spark):
+    """r15: distinct_sort_sample constructs its nine branch builders
+    on a thread pool (guide §2.6 — the serial build was ~2-2.6 s of
+    blocking Py4J chatter plus three idle-cores threshold collects).
+    Thread scheduling must influence only the overlap, never the
+    assembled plan: two independent builds must analyze to the same
+    tree modulo expression IDs, branches in the fixed catalog order."""
+    import re
+
+    def canon(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        return re.sub(r"#\d+", "#", s)
+
+    fn = all_queries()["distinct_sort_sample"]
+    a, b = canon(fn(spark, SF)), canon(fn(spark, SF))
+    assert a == b
+    # union children in declared branch order (first tag per branch)
+    tags = re.findall(r"Project \[(\w+) AS op#", a)
+    assert tags == [
+        "distinct", "sort_limit", "sample", "stratified", "mixture",
+        "mixture_budget", "mixture_temp", "mixture_unimax", "domain_cap",
+    ]
